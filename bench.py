@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full materialization, no
+driver collect). A warmup run of a trivial query absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from nilm_data_framework_spark.plans.registry import all_queries
+from nilm_data_framework_spark.session import get_session
+
+HEADLINE = [
+    # relational scan/join/agg shapes
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "large_volume_orders",
+    "rollup_returns",
+    # NILM time-series core
+    "resample_300s_mean",
+    "aggregate_from_appliances",
+    "rate_inference",
+    "pivot_wide",
+    "sliding_windows",
+    "run_length_filter",
+    "sessionize",
+    "asof_join_last_purchase",
+    # LLM-pipeline extensions
+    "exact_dup_groups",
+    "minhash_lsh_pairs",
+    "text_quality",
+    "language_id",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_session(app_name="nilm-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # warmup: JVM + parquet footer caches
+    specs["distinct_labels"].spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,142 @@
+"""A2-A15: aggregations (SURVEY.md §2.4).
+
+The reference's outer-join-then-horizontal-sum pattern collapses to vertical
+groupBy aggregation in long format — one shuffle, map-side partial agg, no
+per-channel driver loops. Every function here returns a DataFrame; nothing
+collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_from_appliances(
+    readings: DataFrame,
+    keys: list[str],
+    seconds: int | None = None,
+    ts: str = "ts",
+    value: str = "power",
+) -> DataFrame:
+    """A2: compute_aggregate_from_appliances (UnifiedNILM.py:438-490).
+
+    The reference full-outer-joins selected channels on the time axis,
+    fills 0, and row-sums. In long format the union-of-timestamps +
+    fillna(0) + horizontal sum IS ``groupBy(ts).sum(value)`` — absent
+    channels contribute nothing, exactly like the filled zeros.
+    Optional ``seconds`` buckets the axis first (the reference resamples
+    before summing when rates differ).
+    """
+    if seconds is None:
+        grp = readings.groupBy(*keys, F.col(ts).alias("bucket_ts"))
+    else:
+        grp = readings.groupBy(
+            *keys, F.window(F.col(ts), f"{seconds} seconds")["start"].alias("bucket_ts")
+        )
+    return grp.agg(F.sum(value).alias("aggregate_computed"))
+
+
+def dedup_mean(
+    df: DataFrame, keys: list[str], value: str, out: str = "avg_value"
+) -> DataFrame:
+    """A3: groupby(keys).mean() (preprocess_shelly.py:63)."""
+    return df.groupBy(*keys).agg(F.avg(value).alias(out))
+
+
+def pivot_wide(
+    df: DataFrame,
+    index: str,
+    column: str,
+    value: str,
+    column_values: list[str] | None = None,
+) -> DataFrame:
+    """A4: pivot long→wide (preprocess_shelly.py:64) with fillna(0).
+
+    Run dedup_mean first so ``first()`` never sees duplicates (the
+    non-determinism trap flagged in SURVEY.md §7); passing an explicit
+    ``column_values`` list avoids the extra distinct-collection job and
+    fixes the output schema.
+    """
+    piv = df.groupBy(index).pivot(column, column_values)
+    return piv.agg(F.first(value)).na.fill(0.0)
+
+
+def daily_activity(
+    readings: DataFrame, device: str, ts: str = "ts", value: str = "power"
+) -> DataFrame:
+    """A5: per-day count of devices with any positive consumption
+    (insights_oladatasets.ipynb cell 1)."""
+    daily = readings.groupBy(
+        F.date_trunc("day", F.col(ts)).alias("day"), F.col(device)
+    ).agg(F.sum(value).alias("day_sum"))
+    return daily.groupBy("day").agg(
+        F.count(F.when(F.col("day_sum") > 0, 1)).alias("active_devices")
+    )
+
+
+def active_hours(
+    readings: DataFrame, device: str, ts: str = "ts", value: str = "power"
+) -> DataFrame:
+    """A8: per-device count of hours whose mean consumption > 0
+    (insights_oladatasets.ipynb cell 2)."""
+    hourly = readings.groupBy(
+        F.col(device), F.date_trunc("hour", F.col(ts)).alias("hour")
+    ).agg(F.avg(value).alias("hour_avg"))
+    return hourly.groupBy(device).agg(
+        F.count(F.when(F.col("hour_avg") > 0, 1)).alias("active_hours")
+    )
+
+
+def channel_stats(readings: DataFrame, keys: list[str], value: str = "power") -> DataFrame:
+    """A9/A11: per-key variance / stddev / count / min / max / sum
+    (channel_utils.py:63-71, ConvertToH5.py:119-131)."""
+    return readings.groupBy(*keys).agg(
+        F.var_samp(value).alias("var_value"),
+        F.stddev_samp(value).alias("std_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+        F.sum(value).alias("sum_value"),
+    )
+
+
+def exact_quantile(
+    readings: DataFrame, keys: list[str], value: str, q: float, out: str = "quantile"
+) -> DataFrame:
+    """A10: exact per-key quantile (train_bert_single.py:48-53 uses
+    torch.quantile(0.99)). Exact ``percentile`` for oracle parity; use
+    percentile_approx on the 100 TB path."""
+    return readings.groupBy(*keys).agg(F.expr(f"percentile({value}, {q})").alias(out))
+
+
+def pairwise_corr(
+    readings: DataFrame,
+    pair_col: str,
+    ts: str = "ts",
+    value: str = "power",
+    seconds: int = 60,
+) -> DataFrame:
+    """A12: pairwise Pearson correlation between series, computed without
+    materializing a wide pivot (insights_oladatasets.ipynb cell 3).
+
+    Resample each series to ``seconds`` buckets (mean), then self-join on
+    the bucket and aggregate ``corr`` per (a, b) pair with a < b. The
+    self-join shuffles once on bucket_ts; at scale, bucket count >> series
+    count so skew is bounded.
+    """
+    b = (
+        readings.groupBy(
+            F.col(pair_col), F.window(F.col(ts), f"{seconds} seconds")["start"].alias("bucket_ts")
+        )
+        .agg(F.avg(value).alias("v"))
+    )
+    left = b.select(F.col(pair_col).alias("a"), "bucket_ts", F.col("v").alias("va"))
+    right = b.select(F.col(pair_col).alias("b"), "bucket_ts", F.col("v").alias("vb"))
+    joined = left.join(right, on="bucket_ts").filter(F.col("a") < F.col("b"))
+    return joined.groupBy("a", "b").agg(F.corr("va", "vb").alias("pearson"))
+
+
+def distinct_labels(channels: DataFrame, col: str = "universal_label") -> DataFrame:
+    """A14: global distinct sorted label set (ConvertToTensor.py:35-44)."""
+    return channels.select(col).distinct().orderBy(col)

@@ -1,0 +1,242 @@
+"""Deduplication operators (SURVEY.md §2.10): exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design: every variant is blocking-based — candidate pairs only form
+inside a bucket (hash value, LSH band, SimHash band), never via an O(N²)
+cross join. Bucket keys shuffle once; within-bucket verification is a
+self-join on the bucket key. All hashing is md5-derived (identical in Spark
+and DuckDB) so the exact variants stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators.text import word_ngrams
+
+# 31-bit Mersenne prime for the universal-hash family h_i(x) = (a_i*x+b_i) mod p.
+# 31 bits keeps a*x within int64 (a, x < 2^31 → product < 2^62) — no mulmod
+# tricks needed JVM-side; collision rate 2^-31 per hash is ample for MinHash.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def normalized(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact dedup: group by md5(normalized text); emit groups with >1 doc,
+    the representative (min id) and the member count."""
+    h = df.select(F.col(id_col), F.md5(normalized(F.col(text))).alias("fp"))
+    return (
+        h.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact dedup keep-min-id: one row per distinct normalized text."""
+    h = df.withColumn("_fp", F.md5(normalized(F.col(text))))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return h.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop(
+        "_fp", "_rn"
+    )
+
+
+def _md5_64(c: Column) -> Column:
+    """Stable 63-bit integer hash from the md5 hex prefix (conv base16→10).
+
+    conv() returns the value as a string in [0, 2^60); cast to long. Using 15
+    hex chars keeps it under 2^63 so the cast never overflows.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long>, length num_hashes) over a shingle
+    array. Universal hashes h_i(x) = (a_i * x + b_i) mod p derived
+    deterministically from ``seed`` driver-side; the per-row work is pure
+    column arithmetic (transform + aggregate), JVM-side."""
+    import random
+
+    rng = random.Random(seed)
+    params = [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+    base = F.transform(shingles, _md5_64)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda x: ((x % _MERSENNE_P) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P),
+                )
+            )
+            for a, b in params
+        ]
+    )
+    # empty shingle set → null mins; substitute sentinel p so bands still form
+    return F.transform(sig, lambda m: F.coalesce(m, F.lit(_MERSENNE_P)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → signature → band →
+    bucket-join → exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    Only pairs sharing ≥1 LSH band bucket are verified — the candidate set
+    is the shuffle, not N². rows_per_band = num_hashes // bands.
+    """
+    rows_per = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per + 1, rows_per),
+                                lambda x: x.cast("string"),
+                            ),
+                            "_",
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard within a blocking key (e.g. same lang) —
+    the oracle-checkable exact twin of MinHash-LSH. Pairs only form inside
+    a block: the join shuffles on block_col, never cross-joins globally."""
+    g = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), word_ngrams(F.col(text), n).alias("g")
+    ).filter(F.size("g") > 0)
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(b, F.col("a.blk") == F.col("b.blk")).filter(F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
+    union = F.size(F.array_union("a.g", "b.g")).cast("double")
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (inter / union).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash signature: per-token md5-derived hash; each bit votes ±1;
+    signature bit b = sign of the vote sum. Emits (id, simhash long).
+
+    Column-expression implementation: explode tokens, aggregate per-bit
+    votes with bitwise tests, re-assemble — one shuffle on id."""
+    from nilm_data_framework_spark.operators.text import tokens
+
+    toked = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text))).alias("tok"))
+    hashed = toked.withColumn("h", _md5_64(F.col("tok")))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(min(bits, 63))
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(min(bits, 63)):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into ``bands``
+    16-bit chunks; by pigeonhole, any pair within hamming distance
+    ``bands-1`` shares a chunk → bucket-join on (band, chunk), verify exact
+    hamming ≤ max_hamming via bit_count(xor)."""
+    s = simhash(df, id_col, text)
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    banded = s.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", "bc.band", "bc.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.chunk") == F.col("b.chunk")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

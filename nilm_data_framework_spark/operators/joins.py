@@ -1,0 +1,140 @@
+"""J1-J6 + as-of join extension (SURVEY.md §2.3).
+
+All dimension-side joins broadcast (dims are tiny); the only shuffling joins
+are fact-fact alignment (J4, as-of), which co-partition on the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """J1/J2: broadcast left-outer metadata enrichment with defaulting
+    (REFITLoader.py:60-80 dict .get(..., {}) semantics)."""
+    out = fact.join(F.broadcast(dim), on=on, how="left")
+    for col, default in (defaults or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return out
+
+
+def time_axis_align(
+    per_series: DataFrame,
+    ts: str,
+    series: str,
+    value: str,
+    series_values: list[str],
+) -> DataFrame:
+    """J4: union-of-timestamps alignment with missing→0
+    (UnifiedNILM.py:481-488 pd.concat(axis=1).fillna(0)).
+
+    Long-format idiom: pivot on the series column over the union of
+    timestamps; fill 0. Equivalent to the reference's full outer join.
+    """
+    return (
+        per_series.groupBy(ts)
+        .pivot(series, series_values)
+        .agg(F.first(value))
+        .na.fill(0.0)
+    )
+
+
+def common_channel_best_pick(
+    channels_stats: DataFrame,
+    group: list[str],
+    label: str,
+    required_labels: list[str],
+    var_col: str = "var_value",
+    len_col: str = "n",
+) -> DataFrame:
+    """J5: cross-dataset house intersection + best-channel pick
+    (channel_utils.py:7-81).
+
+    1. Keep groups (dataset, house) whose label set covers required_labels
+       (subset check channel_utils.py:45) — semi-join on a collect_set agg.
+    2. Within each (group, label), pick the best channel: max variance,
+       tie → longest (channel_utils.py:63-71) — row_number over
+       (var desc, n desc).
+
+    ``channels_stats`` carries one row per channel with its variance/length
+    (from aggregates.channel_stats joined to the channels dim).
+    """
+    req = F.array(*[F.lit(x) for x in required_labels])
+    covered = (
+        channels_stats.filter(F.col(label).isin(required_labels))
+        .groupBy(*group)
+        .agg(F.collect_set(label).alias("_have"))
+        .filter(F.size(F.array_except(req, F.col("_have"))) == 0)
+        .select(*group)
+    )
+    eligible = channels_stats.join(F.broadcast(covered), on=group, how="left_semi").filter(
+        F.col(label).isin(required_labels)
+    )
+    w = Window.partitionBy(*group, label).orderBy(
+        F.col(var_col).desc_nulls_last(), F.col(len_col).desc(), F.col("channel_id")
+    )
+    return (
+        eligible.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value: str = "power",
+    out: str = "asof_value",
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Engine extension: as-of (nearest-previous) join — the natural
+    generalization of J4 time alignment for mismatched clocks.
+
+    Implemented shuffle-lean: union both sides tagged, sort within each key
+    partition, and carry the last right-side value forward with
+    ``last(..., ignorenulls=True)`` — one shuffle on ``keys``, no range
+    cross-product. Left rows with no prior right row (or outside
+    ``tolerance_s``) get null.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("double").alias("_rv"),
+        F.lit(None).cast("double").alias("_rt"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.col(right_value).cast("double").alias("_rv"),
+        F.col(right_ts).cast("double").alias("_rt"),
+    ).select(*l_tagged.columns)
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at equal timestamps → "<=" as-of.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("_lastv", F.last("_rv", ignorenulls=True).over(w)).withColumn(
+        "_lastt", F.last("_rt", ignorenulls=True).over(w)
+    )
+    res = carried.filter(F.col("_is_left") == 1)
+    val = F.col("_lastv")
+    if tolerance_s is not None:
+        val = F.when(
+            F.col("_t").cast("double") - F.col("_lastt") <= tolerance_s, F.col("_lastv")
+        )
+    return res.select(*lcols, val.alias(out))

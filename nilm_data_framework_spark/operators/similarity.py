@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Brute-force cosine top-k is the correctness baseline (broadcast the query
+set — the corpus never shuffles); random-hyperplane LSH bucketing is the
+scale path (candidate generation touches only same-bucket rows).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, computed in double (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (self-matches excluded). The query side broadcasts; scoring is a
+    broadcast nested-loop join + per-query row_number — the corpus is
+    scanned once, never shuffled by pair."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("match_id") != F.col("query_id")).withColumn(
+        "cosine", cosine(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SRP) LSH bucket id: bit i = sign(vec · plane_i).
+    Deterministic given the seed; pure column arithmetic."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only candidates sharing an LSH bucket
+    with the query in ≥1 of ``n_tables`` hash tables. At 100 TB the corpus
+    is bucketed once (a cheap narrow projection) and the join shuffles on
+    (table, bucket) — recall tunes with n_planes/n_tables."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucketize(df: DataFrame, idname: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"))
+        buckets = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col(f"{idname}_v"), tables[t]).alias("bkt"))
+                for t in range(n_tables)
+            ]
+        )
+        return out.select(idname, f"{idname}_v", F.explode(buckets).alias("tb")).select(
+            idname, f"{idname}_v", "tb.tbl", "tb.bkt"
+        )
+
+    qb = bucketize(queries, "query_id")
+    cb = bucketize(corpus, "match_id")
+    cand = (
+        cb.join(F.broadcast(qb), on=["tbl", "bkt"])
+        .filter(F.col("match_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "match_id"])
+        .withColumn("cosine", cosine(F.col("query_id_v"), F.col("match_id_v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign every corpus vector to its nearest
+    centroid (coarse quantizer), search only the ``n_probe`` centroids
+    closest to each query. Centroids here are sampled corpus vectors
+    (deterministic seed) — a k-means refinement drops in without changing
+    the plan shape. Scale: corpus partitioned by centroid id = partition
+    pruning for vector search."""
+    cents = [
+        (i, row[0])
+        for i, row in enumerate(
+            corpus.select(vec_col).orderBy(F.md5(F.col(id_col).cast("string"))).limit(n_centroids).collect()
+        )
+    ]
+    cent_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(float(x)) for x in v]).alias("cv"))
+            for i, v in cents
+        ]
+    )
+
+    def nearest(vec: Column, n: int) -> Column:
+        scored = F.transform(
+            cent_arr,
+            lambda s: F.struct((-cosine(vec, s["cv"])).alias("negcos"), s["cid"].alias("cid")),
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        nearest(F.col(vec_col), 1)[0]["cid"].alias("cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.transform(nearest(F.col(vec_col), n_probe), lambda s: s["cid"])).alias("cid"),
+    )
+    cand = (
+        c.join(F.broadcast(q), on="cid")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "match_id"])
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )

@@ -1,0 +1,148 @@
+"""Text analysis operators for large-scale training-data pipelines
+(SURVEY.md §2.10; BASELINE.json north_star).
+
+All hot-path expressions are JVM-side built-ins (split/regexp/aggregate/
+filter over arrays) — no Python UDFs — so they whole-stage-codegen and scale
+to 100 TB document corpora. Shapes mirror what C4/RefinedWeb-style pipelines
+compute per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic, dependency-free; replace with fastText at deploy.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "mit", "für", "auf"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "un", "una", "por"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty tokens removed)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation runs
+    via a GPT-2-style pre-tokenizer regexp. An upper-bound proxy for LLM
+    token budgeting without shipping a tokenizer to executors."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"([a-z]+|[0-9]|[^a-z0-9\s]+)"), F.lit(1)
+    )
+    return F.size(pieces)
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document quality signals: char/token counts, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio, repetition ratio
+    (distinct-token fraction). Gopher/C4-style filters are thresholds over
+    these columns."""
+    toks = tokens(F.col(text))
+    n_tok = F.size(toks)
+    distinct_frac = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
+    ).otherwise(F.lit(0.0))
+    n_char = F.length(F.col(text))
+    punct = F.length(F.regexp_replace(F.col(text), r"[^.,;:!?]", ""))
+    upper = F.length(F.regexp_replace(F.col(text), r"[^A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return df.select(
+        "*",
+        n_char.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        F.when(n_tok > 0, (n_char.cast("double") / n_tok)).otherwise(0.0).alias(
+            "q_mean_token_len"
+        ),
+        F.when(n_char > 0, punct.cast("double") / n_char).otherwise(0.0).alias(
+            "q_punct_ratio"
+        ),
+        F.when(n_char > 0, upper.cast("double") / n_char).otherwise(0.0).alias(
+            "q_upper_ratio"
+        ),
+        F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0).alias(
+            "q_stopword_ratio"
+        ),
+        distinct_frac.alias("q_distinct_token_ratio"),
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    """Stopword-hit-rate score per language (the n-gram heuristic's
+    word-level variant; CJK matched by substring since it isn't
+    space-tokenized)."""
+    toks = tokens(text)
+    out: list[tuple[str, Column]] = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        if lang == "zh":
+            score = F.size(
+                F.filter(arr, lambda w: F.instr(text, w) > 0)
+            ).cast("double")
+        else:
+            score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast(
+                "double"
+            )
+        out.append((lang, score))
+    return out
+
+
+def language_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Language-ID: argmax stopword score, ties → lexicographically first
+    language code, zero evidence → 'und'. Pure column expressions."""
+    scores = lang_scores(F.col(text))
+    structs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
+    )
+    best = F.array_max(
+        F.transform(
+            structs,
+            lambda s: F.struct(
+                s["score"].alias("score"),
+                # invert lang for max so ties pick the FIRST code alphabetically
+                F.lit(None).cast("string").alias("_pad"),
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
+    # array_max on struct compares field-by-field: score, then _pad (all null
+    # → equal), then lang — so equal scores pick the LAST lang. Re-do with
+    # explicit reduce for first-wins ties:
+    winner = F.aggregate(
+        structs,
+        F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
+    )
+    return df.withColumn(
+        out, F.when(winner["score"] > 0, winner["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace/case-normalized text.
+    md5 is identical across Spark and DuckDB → oracle-checkable."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text)), r"\s+", " "))
+    return df.withColumn(out, F.md5(norm))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams (shingles) of lowercased text, as an array of
+    space-joined strings. Built-ins only: transform over token positions."""
+    toks = tokens(text)
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(count - 1, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))

@@ -1,0 +1,175 @@
+"""W1-W7: window functions, sliding windows, gaps-and-islands (SURVEY.md §2.5).
+
+Two implementations of W4 sliding windows:
+  - ``sliding_windows_sql``: rowsBetween + collect_list — fully declarative,
+    oracle-checkable, fine for short seq_len.
+  - ``sliding_windows_grouped``: applyInPandas per series — one shuffle on the
+    series key, then NumPy stride tricks inside each group; this is the 100 TB
+    path (no per-window shuffle, Arrow-batched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def lag_delta(
+    df: DataFrame, keys: list[str], ts: str = "ts", out: str = "delta_s"
+) -> DataFrame:
+    """W1: consecutive timestamp deltas in seconds (A6/A7 building block)."""
+    w = Window.partitionBy(*keys).orderBy(ts)
+    return df.withColumn(
+        out, F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    )
+
+
+def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """W3 extension: top-k = orderBy + limit (the reference only full-sorts).
+    Spark plans this as TakeOrderedAndProject — no global sort at scale."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def sliding_windows_sql(
+    readings: DataFrame,
+    keys: list[str],
+    seq_len: int,
+    step: int,
+    ts: str | list[str] = "ts",
+    value: str = "power",
+) -> DataFrame:
+    """W4 (declarative): fixed-length overlapping windows with stride.
+
+    Matches create_windows (channel_utils.py:180-185) / ConvertToTensor.py:60:
+    windows start at positions 0, step, 2*step, ... and only full windows are
+    kept (count == (len - seq_len) // step + 1).
+
+    ``ts`` may be a list of ordering columns (tie-breaks keep the order — and
+    therefore the hash-oracle — deterministic).
+
+    Output: keys..., window_id (0-based), x array<double> (time-ordered).
+    """
+    order_cols = [ts] if isinstance(ts, str) else list(ts)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    fwd = Window.partitionBy(*keys).orderBy(*order_cols).rowsBetween(0, seq_len - 1)
+    return (
+        readings.withColumn("_pos", F.row_number().over(w) - 1)
+        .withColumn("x", F.collect_list(F.col(value)).over(fwd))
+        .filter((F.col("_pos") % step == 0) & (F.size("x") == seq_len))
+        .select(*keys, (F.col("_pos") / step).cast("long").alias("window_id"), "x")
+    )
+
+
+def sliding_windows_grouped(
+    readings: DataFrame,
+    keys: list[str],
+    seq_len: int,
+    step: int,
+    ts: str = "ts",
+    value: str = "power",
+) -> DataFrame:
+    """W4 (scale path): applyInPandas per series key; NumPy windowing inside.
+
+    One shuffle total (groupBy keys); each group is sorted and windowed with
+    stride tricks — the Spark analog of sliding_window_view
+    (channel_utils.py:180-185) without a per-window shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_fields = [readings.schema[k] for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("window_id", LongType()),
+            StructField("x", ArrayType(DoubleType())),
+        ]
+    )
+
+    def make_windows(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        vals = pdf[value].to_numpy(dtype=np.float64)
+        n = (len(vals) - seq_len) // step + 1 if len(vals) >= seq_len else 0
+        if n <= 0:
+            return pd.DataFrame(columns=[*keys, "window_id", "x"])
+        idx = np.arange(n)[:, None] * step + np.arange(seq_len)[None, :]
+        wins = vals[idx]
+        out = pd.DataFrame({k: [pdf[k].iloc[0]] * n for k in keys})
+        out["window_id"] = np.arange(n, dtype=np.int64)
+        out["x"] = list(wins)
+        return out
+
+    return readings.groupBy(*keys).applyInPandas(make_windows, schema=out_schema)
+
+
+def run_length_filter(
+    df: DataFrame,
+    keys: list[str],
+    ts: str | list[str],
+    state: str,
+    min_len: int,
+    out: str = "state_filtered",
+) -> DataFrame:
+    """W5: gaps-and-islands run-length ON filter (postprocessing.py:5-24).
+
+    Zero out ON-runs shorter than ``min_len`` samples. Classic two-window
+    formulation: segment id = running count of state changes; then a
+    per-segment count joined back via a second window (no self-join).
+    Trailing open segments are handled identically (the count is the run's
+    true length regardless of position).
+    """
+    order_cols = [ts] if isinstance(ts, str) else list(ts)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    changed = (F.col(state) != F.lag(state, 1, -1).over(w)).cast("int")
+    seg = F.sum(changed).over(w)
+    df2 = df.withColumn("_seg", seg)
+    wseg = Window.partitionBy(*keys, "_seg")
+    df3 = df2.withColumn("_seglen", F.count(F.lit(1)).over(wseg))
+    return df3.withColumn(
+        out,
+        F.when((F.col(state) == 1) & (F.col("_seglen") < min_len), 0).otherwise(
+            F.col(state)
+        ),
+    ).drop("_seg", "_seglen")
+
+
+def median_smooth(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    half_width: int,
+    out: str = "smoothed",
+) -> DataFrame:
+    """W6: sliding-window median smoothing (postprocessing.py:27-30).
+
+    NOTE edge semantics: scipy.ndimage.median_filter reflect-pads; this
+    declarative version shrinks the window at the edges (rowsBetween clips).
+    tests/test_kernels.py documents the divergence and checks interior
+    equality; use ``median_smooth_reflect`` for exact scipy parity.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts).rowsBetween(-half_width, half_width)
+    return df.withColumn(out, F.expr(f"percentile({value}, 0.5)").over(w))
+
+
+def truncate_to_min(
+    df: DataFrame, group: list[str], series: str, ts: str
+) -> DataFrame:
+    """W7: truncate every series in a group to the group's shortest series
+    (channel_utils.py:213-220) — row_number <= min(count) per series."""
+    w = Window.partitionBy(*group, series).orderBy(ts)
+    counts = df.groupBy(*group, series).agg(F.count(F.lit(1)).alias("_cnt"))
+    min_counts = counts.groupBy(*group).agg(F.min("_cnt").alias("_min_cnt"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(min_counts), on=group)
+        .filter(F.col("_rn") <= F.col("_min_cnt"))
+        .drop("_rn", "_min_cnt")
+    )

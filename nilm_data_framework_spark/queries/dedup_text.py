@@ -1,0 +1,234 @@
+"""§2.10 LLM-pipeline queries over ``documents``: exact + near dedup, text
+quality, language-ID, token counting, fingerprinting.
+
+Hash functions are md5 (bit-identical in Spark and DuckDB) so the exact
+variants are fully oracle-checked; MinHash/SimHash register rows-only (their
+Python-oracle parity lives in tests/test_dedup_kernels.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import dedup as D
+from nilm_data_framework_spark.operators import text as T
+from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.sources.testdata import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# --- exact dedup -------------------------------------------------------------
+
+@query(
+    "exact_dup_groups",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM documents GROUP BY fp HAVING count(*) > 1
+    """,
+    survey_ref="§2.10 exact dedup (hash-groupBy)",
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    survey_ref="§2.10 exact dedup keep-min-id",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(_docs(spark, sf_dir)).select("doc_id", "lang", "source")
+
+
+# --- fingerprint ---------------------------------------------------------------
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS fp FROM documents
+    """,
+    survey_ref="§2.10 document fingerprinting",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
+
+
+# --- n-gram Jaccard near-dup (exact, blocked) -------------------------------------
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS grams
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE
+             / (len(a.grams) + len(b.grams)
+                - len(list_filter(a.grams, x -> list_contains(b.grams, x)))), 4) AS jaccard
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_filter(a.grams, x -> list_contains(b.grams, x)))::DOUBLE
+          / (len(a.grams) + len(b.grams)
+             - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) >= 0.3
+    """,
+    survey_ref="§2.10 n-gram Jaccard near-dup (exact twin of MinHash-LSH)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), block_col="lang", n=3, threshold=0.3
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+# --- MinHash-LSH + SimHash (rows-only; python-oracle parity in tests) ---------------
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=None,
+    survey_ref="§2.10 MinHash+LSH near-dup (shingle→minhash→band→bucket-join)",
+    tags=("rows_only",),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=None,
+    survey_ref="§2.10 SimHash near-dup (banded hamming)",
+    tags=("rows_only",),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+
+
+# --- text quality ------------------------------------------------------------------
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS q_chars,
+           len(toks) AS q_tokens,
+           round(CASE WHEN len(toks) > 0
+                 THEN length(text)::DOUBLE / len(toks) ELSE 0.0 END, 4) AS q_mean_token_len,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)
+                 ELSE 0.0 END, 4) AS q_punct_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+                      / len(toks) ELSE 0.0 END, 4) AS q_stopword_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END, 4)
+             AS q_distinct_token_ratio
+    FROM t
+    """,
+    survey_ref="§2.10 quality scoring (length/punct/stopword ratios)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = T.quality_features(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_tokens").cast("long").alias("q_tokens"),
+        F.round("q_mean_token_len", 4).alias("q_mean_token_len"),
+        F.round("q_punct_ratio", 4).alias("q_punct_ratio"),
+        F.round("q_stopword_ratio", 4).alias("q_stopword_ratio"),
+        F.round("q_distinct_token_ratio", 4).alias("q_distinct_token_ratio"),
+    )
+
+
+# --- token counting -------------------------------------------------------------------
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+             AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '([a-z]+|[0-9]|[^a-z0-9\\s]+)'))
+             AS n_bpe_pieces
+    FROM documents
+    """,
+    survey_ref="§2.10 token counting (whitespace + BPE-ish regex)",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_pieces"),
+    )
+
+
+# --- language ID ------------------------------------------------------------------------
+
+def _langid_oracle() -> str:
+    from nilm_data_framework_spark.operators.text import STOPWORDS
+
+    score_exprs = {}
+    for lang, words in STOPWORDS.items():
+        if lang == "zh":
+            lst = ", ".join(f"'{w}'" for w in words)
+            score_exprs[lang] = f"len(list_filter([{lst}], w -> strpos(text, w) > 0))"
+        else:
+            lst = ", ".join(f"'{w}'" for w in words)
+            score_exprs[lang] = (
+                "len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'),"
+                f" x -> x <> ''), t -> t IN ({lst})))"
+            )
+    langs = list(STOPWORDS)  # dict order = tie precedence (first wins)
+    sel = ", ".join(f"{score_exprs[lang]} AS s_{lang}" for lang in langs)
+    all_zero = " AND ".join(f"s_{lang} <= 0" for lang in langs)
+    cases = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{lang} >= s_{o}" for o in langs if o != lang]
+        cases.append(f"WHEN {' AND '.join(later)} THEN '{lang}'")
+    case_sql = "\n             ".join(cases)
+    return f"""
+    WITH s AS (SELECT doc_id, {sel} FROM documents)
+    SELECT doc_id,
+           CASE WHEN {all_zero} THEN 'und'
+             {case_sql}
+           END AS lang_pred
+    FROM s
+    """
+
+
+@query(
+    "language_id",
+    oracle=_langid_oracle(),
+    survey_ref="§2.10 language-ID (stopword-hit heuristic)",
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")

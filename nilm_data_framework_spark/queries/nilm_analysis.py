@@ -1,0 +1,405 @@
+"""Analysis-API queries (SURVEY.md §2.4 aggregations + §2.2 selectors) over
+the ``events`` table playing ``readings`` (user_id→house, event_type→channel
+label, value→power).
+
+Float-aggregate outputs are rounded (sum→2dp, avg/var-derived→4dp) in BOTH
+engines: Spark's partial aggregation is partition-order-nondeterministic at
+the last ulp, so unrounded double sums are not hash-stable anywhere. Counts,
+mins/maxes and integer math are left exact. Timestamp deltas use exact
+integer microseconds (unix_micros/epoch_us) so medians/averages are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import aggregates as agg
+from nilm_data_framework_spark.operators import resample as rs
+from nilm_data_framework_spark.operators import selectors as sel
+from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.sources.testdata import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- A1 resample -----------------------------------------------------------
+
+@query(
+    "resample_hourly_mean",
+    oracle="""
+    SELECT user_id, event_type,
+           date_trunc('hour', ts) AS bucket_ts,
+           round(avg(value), 4) AS avg_value,
+           count(*) AS n
+    FROM events GROUP BY ALL
+    """,
+    survey_ref="§2.4 A1 (UnifiedNILM.py:66-124)",
+)
+def resample_hourly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "resample_300s_mean",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY ALL
+    """,
+    survey_ref="§2.4 A1 tumbling window (UnifiedNILM.py:122)",
+)
+def resample_300s_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    res = rs.resample_mean(ev, ["user_id"], 300, ts="ts", value="value", out_value="v")
+    return res.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.round("v", 4).alias("avg_value"),
+    )
+
+
+# --- A2 aggregate-from-appliances -------------------------------------------
+
+@query(
+    "aggregate_from_appliances",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_s,
+           round(sum(value), 2) AS aggregate_computed
+    FROM events
+    WHERE lower(event_type) <> 'error'
+    GROUP BY ALL
+    """,
+    survey_ref="§2.4 A2 (UnifiedNILM.py:438-490): P7 exclusion + groupBy-sum",
+)
+def aggregate_from_appliances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'error' plays the non-appliance channel excluded by the P7 predicate.
+    ev = _events(spark, sf_dir).filter(F.lower("event_type") != "error")
+    out = agg.aggregate_from_appliances(ev, ["user_id"], seconds=300, ts="ts", value="value")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.round("aggregate_computed", 2).alias("aggregate_computed"),
+    )
+
+
+# --- A3 dedup-mean ----------------------------------------------------------
+
+@query(
+    "dedup_mean_per_key",
+    oracle="""
+    SELECT user_id, event_type, date_trunc('minute', ts) AS minute_ts,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY ALL
+    """,
+    survey_ref="§2.4 A3 (preprocess_shelly.py:63)",
+)
+def dedup_mean_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("minute_ts", F.date_trunc("minute", "ts"))
+    out = agg.dedup_mean(ev, ["user_id", "event_type", "minute_ts"], "value", out="avg_value")
+    return out.withColumn("avg_value", F.round("avg_value", 4))
+
+
+# --- A5 daily activity -------------------------------------------------------
+
+@query(
+    "daily_activity",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type, sum(value) AS day_sum
+      FROM events GROUP BY ALL
+    )
+    SELECT day, count(CASE WHEN day_sum > 0 THEN 1 END) AS active_devices
+    FROM daily GROUP BY day
+    """,
+    survey_ref="§2.4 A5 (insights_oladatasets.ipynb cell 1)",
+)
+def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.daily_activity(_events(spark, sf_dir), device="event_type", ts="ts", value="value")
+
+
+# --- A6 rate inference --------------------------------------------------------
+
+@query(
+    "rate_inference",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS delta_us
+      FROM events
+    )
+    SELECT user_id, median(delta_us) / 1e6 AS rate_s
+    FROM deltas WHERE delta_us > 0 GROUP BY user_id
+    """,
+    survey_ref="§2.4 A6 (REFITLoader.py:82-89, UnifiedNILM.py:96-109)",
+)
+def rate_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    return (
+        ev.withColumn("delta_us", us - F.lag(us).over(w))
+        .filter(F.col("delta_us") > 0)
+        .groupBy("user_id")
+        .agg((F.expr("median(delta_us)") / 1e6).alias("rate_s"))
+    )
+
+
+# --- A7 interval statistics ---------------------------------------------------
+
+@query(
+    "interval_stats",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS delta_us
+      FROM events
+    )
+    SELECT user_id,
+           avg(delta_us) AS mean_delta_us,
+           count(DISTINCT delta_us) AS n_distinct_deltas,
+           count(*) AS n_deltas
+    FROM deltas WHERE delta_us > 0 GROUP BY user_id
+    """,
+    survey_ref="§2.4 A7 (visualize_sampling_rate.ipynb cell 0)",
+)
+def interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    return (
+        ev.withColumn("delta_us", us - F.lag(us).over(w))
+        .filter(F.col("delta_us") > 0)
+        .groupBy("user_id")
+        .agg(
+            F.avg("delta_us").alias("mean_delta_us"),
+            F.countDistinct("delta_us").alias("n_distinct_deltas"),
+            F.count(F.lit(1)).alias("n_deltas"),
+        )
+    )
+
+
+# --- A8 active hours ----------------------------------------------------------
+
+@query(
+    "active_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS hour_avg
+      FROM events GROUP BY ALL
+    )
+    SELECT event_type, count(CASE WHEN hour_avg > 0 THEN 1 END) AS active_hours
+    FROM hourly GROUP BY event_type
+    """,
+    survey_ref="§2.4 A8 (insights_oladatasets.ipynb cell 2)",
+)
+def active_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.active_hours(_events(spark, sf_dir), device="event_type", ts="ts", value="value")
+
+
+# --- A9/A11 channel stats ------------------------------------------------------
+
+@query(
+    "channel_stats",
+    oracle="""
+    SELECT event_type,
+           round(var_samp(value), 4) AS var_value,
+           round(stddev_samp(value), 4) AS std_value,
+           count(*) AS n,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="§2.4 A9/A11 (channel_utils.py:63-71, ConvertToH5.py:119-131)",
+)
+def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg.channel_stats(_events(spark, sf_dir), ["event_type"], value="value")
+    return out.select(
+        "event_type",
+        F.round("var_value", 4).alias("var_value"),
+        F.round("std_value", 4).alias("std_value"),
+        "n",
+        "min_value",
+        "max_value",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# --- A10 quantile ---------------------------------------------------------------
+
+@query(
+    "quantile_99",
+    oracle="""
+    SELECT user_id, round(quantile_cont(value, 0.99), 4) AS q99
+    FROM events GROUP BY user_id
+    """,
+    survey_ref="§2.4 A10 (train_bert_single.py:48-53)",
+)
+def quantile_99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg.exact_quantile(_events(spark, sf_dir), ["user_id"], "value", 0.99, out="q99")
+    return out.withColumn("q99", F.round("q99", 4))
+
+
+# --- A12 pairwise correlation ----------------------------------------------------
+
+@query(
+    "pairwise_corr",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+             avg(value) AS v
+      FROM events GROUP BY ALL
+    )
+    SELECT l.event_type AS a, r.event_type AS b,
+           round(corr(l.v, r.v), 4) AS pearson
+    FROM b l JOIN b r ON l.bucket_s = r.bucket_s AND l.event_type < r.event_type
+    GROUP BY ALL
+    """,
+    survey_ref="§2.4 A12/A13 (insights_oladatasets.ipynb cell 3)",
+)
+def pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg.pairwise_corr(
+        _events(spark, sf_dir), pair_col="event_type", ts="ts", value="value", seconds=3600
+    )
+    return out.withColumn("pearson", F.round("pearson", 4))
+
+
+# --- A14 distinct labels ----------------------------------------------------------
+
+@query(
+    "distinct_labels",
+    oracle="SELECT DISTINCT event_type FROM events",
+    survey_ref="§2.4 A14 (ConvertToTensor.py:35-44)",
+)
+def distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.distinct_labels(_events(spark, sf_dir), col="event_type")
+
+
+# --- A15 median of rates ------------------------------------------------------------
+
+@query(
+    "median_rates",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS delta_us
+      FROM events
+    ), rates AS (
+      SELECT user_id, median(delta_us) / 1e6 AS rate_s
+      FROM deltas WHERE delta_us > 0 GROUP BY user_id
+    )
+    SELECT median(rate_s) AS median_rate_s, count(*) AS n_houses FROM rates
+    """,
+    survey_ref="§2.4 A15 (REFITLoader.py:111-116)",
+)
+def median_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rates = rate_inference(spark, sf_dir)
+    return rates.agg(
+        F.expr("median(rate_s)").alias("median_rate_s"), F.count(F.lit(1)).alias("n_houses")
+    )
+
+
+# --- P3 time-range slice -------------------------------------------------------------
+
+@query(
+    "time_range_slice",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts <= TIMESTAMP '2024-01-05 23:59:59'
+    """,
+    survey_ref="§2.2 P3 (UnifiedNILM.py:397,410,484)",
+)
+def time_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sliced = sel.time_range(ev, ts="ts", start="2024-01-03 00:00:00", end="2024-01-05 23:59:59")
+    return sliced.select("event_id", "user_id", "event_type", "value")
+
+
+# --- P4 label filter + semi join ------------------------------------------------------
+
+@query(
+    "label_filter",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events WHERE lower(event_type) = 'purchase'
+    GROUP BY user_id
+    """,
+    survey_ref="§2.2 P4 (UnifiedNILM.py:187-195,385-400)",
+)
+def label_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.lower("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# --- P7 multi-exclusion ----------------------------------------------------------------
+
+@query(
+    "multi_exclusion",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM events
+    WHERE lower(event_type) NOT IN ('error', 'signup')
+      AND user_id NOT IN (0, 1)
+      AND value >= 10.0
+    GROUP BY ALL
+    """,
+    survey_ref="§2.2 P7 (UnifiedNILM.py:457-475)",
+)
+def multi_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(
+            ~F.lower("event_type").isin("error", "signup")
+            & ~F.col("user_id").isin(0, 1)
+            & (F.col("value") >= 10.0)
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- P12/P13/P14 binarize + activity mask + clip -------------------------------------------
+
+@query(
+    "binarize_activity",
+    oracle="""
+    SELECT user_id,
+           count(CASE WHEN value >= 100.0 THEN 1 END) AS n_on,
+           count(*) AS n_total,
+           round(sum(least(greatest(value / 1000.0, 0.0), 1.0)), 4) AS sum_clipped
+    FROM events GROUP BY user_id
+    HAVING count(CASE WHEN value >= 100.0 THEN 1 END) > 5
+    """,
+    survey_ref="§2.2 P12/P13/P14 (postprocessing.py:32-42, train_bert_single.py:71-78)",
+)
+def binarize_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sel.binarize(_events(spark, sf_dir), "value", 100.0, out="state")
+    clipped = sel.clip(F.col("value") / 1000.0, 0.0, 1.0)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum("state").alias("n_on"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.sum(clipped), 4).alias("sum_clipped"),
+        )
+        .filter(F.col("n_on") > 5)
+        .select("user_id", F.col("n_on").cast("long").alias("n_on"), "n_total", "sum_clipped")
+    )

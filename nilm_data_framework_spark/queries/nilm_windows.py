@@ -1,0 +1,217 @@
+"""Window-function queries (SURVEY.md §2.5 W1-W7 + sessionization).
+
+Ordering inside every window is (ts, event_id) — the explicit tie-break keeps
+the hash-oracle deterministic even with duplicate timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import selectors as sel
+from nilm_data_framework_spark.operators import windows as W
+from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.sources.testdata import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- W1 lag delta -----------------------------------------------------------
+
+@query(
+    "lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta_us
+    FROM events
+    """,
+    survey_ref="§2.5 W1 (diff at A6/A7 sites)",
+)
+def lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    return ev.select("event_id", "user_id", (us - F.lag(us).over(w)).alias("delta_us"))
+
+
+# --- W3 top-k ----------------------------------------------------------------
+
+@query(
+    "topk_by_value",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY value DESC, event_id LIMIT 20
+    """,
+    survey_ref="§2.5 W3 (sorts at ConvertToH5.py:131; top-k is the scale-safe form)",
+)
+def topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    return W.top_k(ev, [F.col("value").desc(), F.col("event_id")], 20)
+
+
+# --- W4 sliding windows (declarative, oracle-checkable) ------------------------
+
+@query(
+    "sliding_windows",
+    oracle="""
+    WITH pos AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p,
+             count(*) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn,
+             sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS ws
+      FROM events
+    )
+    SELECT user_id, CAST(p / 4 AS BIGINT) AS window_id,
+           round(ws, 2) AS win_sum, wn AS win_len
+    FROM pos WHERE p % 4 = 0 AND wn = 8
+    """,
+    survey_ref="§2.5 W4 (channel_utils.py:180-188, ConvertToTensor.py:60) seq_len=8 step=4",
+)
+def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    wins = W.sliding_windows_sql(
+        ev, keys=["user_id"], seq_len=8, step=4, ts=["ts", "event_id"], value="value"
+    )
+    return wins.select(
+        "user_id",
+        "window_id",
+        F.round(F.aggregate("x", F.lit(0.0), lambda a, v: a + v), 2).alias("win_sum"),
+        F.size("x").cast("long").alias("win_len"),
+    )
+
+
+# --- W5 run-length (gaps-and-islands) ON filter ----------------------------------
+
+@query(
+    "run_length_filter",
+    oracle="""
+    WITH st AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS state
+      FROM events
+    ), chg AS (
+      SELECT *, CASE WHEN state <> coalesce(lag(state) OVER w, -1) THEN 1 ELSE 0 END AS changed
+      FROM st
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT *, sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM chg
+    ), seglen AS (
+      SELECT *, count(*) OVER (PARTITION BY user_id, seg_id) AS seg_len FROM seg
+    )
+    SELECT event_id, user_id, state,
+           CASE WHEN state = 1 AND seg_len < 5 THEN 0 ELSE state END AS state_filtered
+    FROM seglen
+    """,
+    survey_ref="§2.5 W5 (postprocessing.py:5-24)",
+)
+def run_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sel.binarize(_events(spark, sf_dir), "value", 100.0, out="state")
+    out = W.run_length_filter(
+        ev, keys=["user_id"], ts=["ts", "event_id"], state="state", min_len=5,
+        out="state_filtered",
+    )
+    return out.select("event_id", "user_id", "state", "state_filtered")
+
+
+# --- W6 median smoothing -----------------------------------------------------------
+
+@query(
+    "median_smooth",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4)
+             AS smoothed
+    FROM events
+    """,
+    survey_ref="§2.5 W6 (postprocessing.py:27-30; edge semantics documented in operator)",
+)
+def median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("smoothed"),
+    )
+
+
+# --- W7 truncate-to-min ---------------------------------------------------------------
+
+@query(
+    "truncate_to_min",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY ALL
+    ), mins AS (
+      SELECT user_id, min(cnt) AS min_cnt FROM counts GROUP BY user_id
+    ), ranked AS (
+      SELECT e.user_id, e.event_type, e.value,
+             row_number() OVER (PARTITION BY e.user_id, e.event_type
+                                ORDER BY e.ts, e.event_id) AS rn,
+             m.min_cnt
+      FROM events e JOIN mins m ON e.user_id = m.user_id
+    )
+    SELECT user_id, event_type, count(*) AS n_kept, round(sum(value), 2) AS sum_kept
+    FROM ranked WHERE rn <= min_cnt GROUP BY ALL
+    """,
+    survey_ref="§2.5 W7 (channel_utils.py:213-220)",
+)
+def truncate_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("_ord", F.struct("ts", "event_id"))
+    kept = W.truncate_to_min(ev, group=["user_id"], series="event_type", ts="_ord")
+    return kept.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.round(F.sum("value"), 2).alias("sum_kept")
+    )
+
+
+# --- sessionization (batch twin of session_window; W5 family) ---------------------------
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           round(avg(cnt), 4) AS avg_session_events
+    FROM (SELECT user_id, session_id, count(*) AS cnt FROM sess GROUP BY ALL)
+    GROUP BY user_id
+    """,
+    survey_ref="§2.9 session windows (batch twin of W5 ON-segments)",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts").cast("double") - prev.cast("double") > 1800), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("_new", new_sess).withColumn("session_id", F.sum("_new").over(run))
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_session.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.round(F.avg("cnt"), 4).alias("avg_session_events"),
+    )

@@ -1,0 +1,390 @@
+"""Relational queries over the star-schema tables: multi-way joins, grouped
+aggregation, set ops, semi/anti joins, rollup, top-k — the engine-extension
+rows of SURVEY.md §2.3/§2.4/§2.6 (built-in in Spark, absent in the reference)
+plus the headline bench queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.sources.testdata import load_table
+
+
+# --- pricing summary (TPC-H Q1 shape; partial-agg heavy scan) --------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="§2.4 extension: partial+final agg (Catalyst automatic)",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- shipping priority (Q3 shape: 3-way join + top-k) ------------------------------
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY ALL
+    ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+    survey_ref="§2.3 extension: multi-way equi-join + §2.5 W3 top-k",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    aggd = joined.groupBy(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.col("o_orderpriority").alias("orderpriority"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return aggd.orderBy(F.col("revenue").desc(), "orderkey").limit(10).select(
+        "orderkey", "revenue", "orderdate", "orderpriority"
+    )
+
+
+# --- local supplier volume (Q5 shape: 6-way join) ------------------------------------
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    survey_ref="§2.3 extension: star join w/ broadcast dims",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, l, s, n, r = load_table(spark, sf_dir, "customer"), load_table(
+        spark, sf_dir, "orders"
+    ), load_table(spark, sf_dir, "lineitem"), load_table(
+        spark, sf_dir, "supplier"
+    ), load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "region")
+    asia = r.filter(F.col("r_name") == "ASIA")
+    dims = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(asia), n["n_regionkey"] == asia["r_regionkey"])
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(dims),
+            (l["l_suppkey"] == dims["s_suppkey"]) & (c["c_nationkey"] == dims["s_nationkey"]),
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# --- forecast revenue (Q6 shape: pure pushdown filter + scalar agg) --------------------
+
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ref="§2.2 extension: predicate pushdown showcase (SURVEY §4)",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- large-volume customers (Q18 shape: agg-filtered semi join) -------------------------
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name AS cust_name, o.o_orderkey AS orderkey,
+           o.o_totalprice AS totalprice, round(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    survey_ref="§2.4 extension: HAVING-filtered aggregation feeding a join",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+# --- rollup (grouping sets extension) ------------------------------------------------
+
+@query(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ref="§2.4 extension: grouping sets / rollup (absent in reference)",
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
+
+
+# --- set operations (U1-U4 + intersect/except extensions) -----------------------------
+
+@query(
+    "set_intersect_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    survey_ref="§2.6 U2 + intersect extension",
+)
+def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "set_except_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    survey_ref="§2.6 except extension",
+)
+def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)
+
+
+@query(
+    "union_label_sets",
+    oracle="""
+    SELECT DISTINCT label FROM (
+      SELECT event_type AS label FROM events
+      UNION ALL
+      SELECT lower(o_orderpriority) AS label FROM orders
+    )
+    """,
+    survey_ref="§2.6 U1/U2 (train_bert_single.py:62-63, ConvertToTensor.py:36-42)",
+)
+def union_label_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(F.col("event_type").alias("label"))
+    op = load_table(spark, sf_dir, "orders").select(
+        F.lower("o_orderpriority").alias("label")
+    )
+    return ev.unionByName(op).distinct()
+
+
+# --- semi / anti joins -----------------------------------------------------------------
+
+@query(
+    "semi_anti_customers",
+    oracle="""
+    SELECT 'with_orders' AS bucket, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS bucket, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    survey_ref="§2.3 extension: left_semi / left_anti (absent in reference)",
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_orders").alias("bucket"), "n")
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("without_orders").alias("bucket"), "n")
+    return semi.unionByName(anti)
+
+
+# --- U3 subset containment + J5 best pick ------------------------------------------------
+
+@query(
+    "label_subset_users",
+    oracle="""
+    SELECT user_id FROM events
+    GROUP BY user_id
+    HAVING count(DISTINCT CASE WHEN event_type IN ('click','purchase','view')
+                               THEN event_type END) = 3
+    """,
+    survey_ref="§2.6 U3 (channel_utils.py:45)",
+)
+def label_subset_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    required = ["click", "purchase", "view"]
+    req = F.array(*[F.lit(x) for x in required])
+    return (
+        ev.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("have"))
+        .filter(F.size(F.array_except(req, F.col("have"))) == 0)
+        .select("user_id")
+    )
+
+
+@query(
+    "common_channel_best_pick",
+    oracle="""
+    WITH chan AS (
+      SELECT user_id, event_type,
+             event_type || '_' || CAST(event_id % 2 AS VARCHAR) AS channel_id,
+             value
+      FROM events WHERE event_type IN ('click','purchase','view')
+    ),
+    stats AS (
+      SELECT user_id, event_type, channel_id,
+             var_samp(value) AS var_value, count(*) AS n
+      FROM chan GROUP BY ALL
+    ),
+    covered AS (
+      SELECT user_id FROM stats
+      GROUP BY user_id HAVING count(DISTINCT event_type) = 3
+    ),
+    ranked AS (
+      SELECT s.*, row_number() OVER (PARTITION BY s.user_id, s.event_type
+                                     ORDER BY s.var_value DESC NULLS LAST, s.n DESC,
+                                              s.channel_id) AS rk
+      FROM stats s JOIN covered c ON s.user_id = c.user_id
+    )
+    SELECT user_id, event_type, channel_id, n
+    FROM ranked WHERE rk = 1
+    """,
+    survey_ref="§2.3 J5 (channel_utils.py:7-81)",
+)
+def common_channel_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nilm_data_framework_spark.operators.aggregates import channel_stats
+    from nilm_data_framework_spark.operators.joins import common_channel_best_pick as j5
+
+    required = ["click", "purchase", "view"]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(required))
+        .withColumn(
+            "channel_id",
+            F.concat("event_type", F.lit("_"), (F.col("event_id") % 2).cast("string")),
+        )
+    )
+    stats = channel_stats(ev, ["user_id", "event_type", "channel_id"], value="value")
+    picked = j5(
+        stats,
+        group=["user_id"],
+        label="event_type",
+        required_labels=required,
+        var_col="var_value",
+        len_col="n",
+    )
+    return picked.select("user_id", "event_type", "channel_id", "n")

@@ -1,0 +1,61 @@
+"""Local mirror of the driver's correctness gate: every registry query with
+an oracle runs on Spark AND DuckDB at sf0.001 and must match on row count,
+column names, and order-insensitive values (columns sorted by name, rows
+sorted by all columns, floats rounded)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from nilm_data_framework_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+SPECS = all_queries()
+ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+def _normalize(rows: list[tuple]) -> list[tuple]:
+    out = []
+    for row in rows:
+        norm = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    norm.append("NaN")
+                else:
+                    norm.append(round(v, 6))
+            elif hasattr(v, "isoformat"):
+                norm.append(v.isoformat()[:26])
+            else:
+                norm.append(v)
+        out.append(tuple(norm))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_matches_oracle(name, spark, duck):
+    spec = SPECS[name]
+    sdf = spec.spark(spark, SF_DIR).toPandas()
+    odf = duck.execute(spec.oracle).fetchdf()
+
+    s_cols = sorted(sdf.columns)
+    o_cols = sorted(odf.columns)
+    assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+
+    s_rows = _normalize([tuple(r) for r in sdf[s_cols].itertuples(index=False)])
+    o_rows = _normalize([tuple(r) for r in odf[o_cols].itertuples(index=False)])
+    assert len(s_rows) == len(o_rows), f"{name}: rowcount {len(s_rows)} vs {len(o_rows)}"
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, o_rows) if a != b
+    ]
+    assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark):
+    spec = SPECS[name]
+    df = spec.spark(spark, SF_DIR)
+    assert df.count() >= 0
