@@ -97,52 +97,72 @@ def minhash_lsh_pairs(
     bucket-join → exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
-    Only pairs sharing ≥1 LSH band bucket are verified — the candidate set
-    is the shuffle, not N². rows_per_band = num_hashes // bands.
+    Scale shape: signatures come from explode→groupBy (md5 evaluated ONCE
+    per shingle — building them as nested array expressions re-evaluates the
+    hash per function), the banded self-join carries only (id, band, bucket),
+    and shingle sets are joined back for the candidate pairs alone. The
+    candidate set is the shuffle, not N². rows_per_band = num_hashes // bands.
     """
+    import random
+
     rows_per = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    rng = random.Random(seed)
+    params = [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+    # sh feeds three branches (hashing + both verify sides); persist so the
+    # shingle computation isn't re-run per branch — Spark only reuses
+    # identical exchange subtrees, not arbitrary common subplans.
+    sh = (
+        df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    hashed = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", (_md5_64(F.col("s")) % _MERSENNE_P).alias("h")
+    )
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows_per + 1, rows_per),
-                                lambda x: x.cast("string"),
-                            ),
+                        F.lit(bnd).alias("band"),
+                        F.concat_ws(
                             "_",
+                            *[
+                                F.col(f"m{bnd * rows_per + r}").cast("string")
+                                for r in range(rows_per)
+                            ],
                         ).alias("bucket"),
                     )
-                    for b in range(bands)
+                    for bnd in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

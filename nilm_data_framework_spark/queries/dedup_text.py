@@ -18,7 +18,9 @@ from nilm_data_framework_spark.sources.testdata import load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # parallelize: heavy per-row expressions (shingling, hashing) over a
+    # small single-file scan would otherwise run on one core.
+    return load_table(spark, sf_dir, "documents", parallelize=True)
 
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

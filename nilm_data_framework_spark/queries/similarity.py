@@ -21,7 +21,9 @@ TOP_K = 5
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    # parallelize: 64-dim dot products over a small single-file scan would
+    # otherwise run on one core.
+    return load_table(spark, sf_dir, "embeddings", parallelize=True)
 
 
 @query(

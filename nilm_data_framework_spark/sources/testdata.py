@@ -16,7 +16,17 @@ from nilm_data_framework_spark.schema import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Scan one testdata table.
+
+    ``parallelize=True`` repartitions to the cluster's default parallelism —
+    use for compute-heavy expressions over small single-file scans (a tiny
+    parquet arrives as ONE partition, serializing all downstream per-row
+    work onto one core). At production scale inputs have many files and
+    this is a no-op decision; the flag exists for the small-file case.
+    """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -25,6 +35,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # long→double would drop low bits above 2^53).
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if parallelize:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
