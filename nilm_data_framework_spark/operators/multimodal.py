@@ -102,7 +102,9 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, decode: str = "fake")
         for pdf in batches:
             out_ids, out_idx, out_feats = [], [], []
             for aid, payload, dur in zip(pdf["asset_id"], pdf["payload"], pdf["duration_ms"]):
-                n = max(1, int((dur or 0) // every_ms))
+                # Arrow hands nullable ints to pandas as NaN floats, not None
+                dur_ms = 0 if dur is None or pd.isna(dur) else int(dur)
+                n = max(1, dur_ms // every_ms)
                 base = decoder(bytes(payload) if payload is not None else b"", "video")
                 for i in range(n):
                     out_ids.append(aid)

@@ -101,7 +101,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = S.lsh_topk(emb, queries_df, k=TOP_K, dim=64, n_planes=8, n_tables=2)
+    # 4 planes × 4 tables: on weakly-similar random data SRP needs coarse
+    # buckets for usable recall (see tests/test_similarity.py)
+    out = S.lsh_topk(emb, queries_df, k=TOP_K, dim=64, n_planes=4, n_tables=4)
     return out.select("query_id", "match_id", F.round("cosine", 4).alias("cosine"), "rk")
 
 

@@ -1,0 +1,139 @@
+"""Python-oracle parity for the rows-only dedup kernels: the oracle
+re-implements the md5-based hashing contract in pure Python/hashlib, so
+agreement validates the Spark column-expression implementation."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import dedup as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "completely different content with no overlap at all here"),
+    (4, "the quick brown fox jumps over the lazy dog today"),
+    (5, "   the   quick  brown fox jumps over the lazy dog "),  # ws-variant of 0
+    (6, "short"),
+    (7, ""),
+]
+
+
+def _pdf(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def _py_md5_64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_minhash_pairs(n_hashes=16, bands=4, thr=0.5, seed=42):
+    p = (1 << 31) - 1
+    rng = random.Random(seed)
+    params = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(n_hashes)]
+    sigs, shs = {}, {}
+    for doc_id, text in DOCS:
+        sh = _py_shingles(text)
+        if not sh:
+            continue
+        shs[doc_id] = sh
+        hs = [_py_md5_64(s) % p for s in sh]
+        sigs[doc_id] = [min((h * a + b) % p for h in hs) for a, b in params]
+    rows_per = n_hashes // bands
+    buckets: dict[tuple, set[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows_per : (b + 1) * rows_per]))
+            buckets.setdefault(key, set()).add(d)
+    cands = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cands.add((ms[i], ms[j]))
+    out = {}
+    for a, b in cands:
+        inter = len(shs[a] & shs[b])
+        union = len(shs[a] | shs[b])
+        j = inter / union
+        if j >= thr:
+            out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_minhash_matches_python_oracle(spark):
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in D.minhash_lsh_pairs(_pdf(spark), jaccard_threshold=0.5).collect()
+    }
+    assert got == _py_minhash_pairs()
+
+
+def test_minhash_signature_deterministic(spark):
+    a = D.minhash_lsh_pairs(_pdf(spark)).collect()
+    b = D.minhash_lsh_pairs(_pdf(spark)).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def _py_simhash(text: str) -> int:
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    votes = [0] * 63
+    for t in toks:
+        h = _py_md5_64(t)
+        for i in range(63):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(63) if votes[i] > 0)
+
+
+def test_simhash_matches_python_oracle(spark):
+    got = {r["id"]: r["simhash"] for r in D.simhash(_pdf(spark)).collect()}
+    expected = {
+        doc_id: _py_simhash(text) for doc_id, text in DOCS if _py_shingles(text, 1)
+    }
+    assert got == expected
+
+
+def test_simhash_near_pairs_finds_exact_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(_pdf(spark), max_hamming=3).collect()
+    }
+    assert pairs.get((0, 2)) == 0  # identical docs → hamming 0
+    assert pairs.get((0, 5)) == 0  # whitespace/case variants tokenize equal
+
+
+def test_exact_dedup_survivors(spark):
+    out = D.dedup_exact(_pdf(spark)).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    # 2 and 5 normalize to doc 0's text → dropped; min-id survivors remain
+    assert ids == [0, 1, 3, 4, 6, 7]
+
+
+def test_exact_dup_groups(spark):
+    out = D.exact_dup_groups(_pdf(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 3 and out[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard_threshold(spark):
+    df = _pdf(spark).withColumn("blk", F.lit("all"))
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, block_col="blk", threshold=0.3).collect()
+    }
+    for (a, b), j in got.items():
+        sa, sb = _py_shingles(DOCS[a][1]), _py_shingles(DOCS[b][1])
+        assert j == pytest.approx(len(sa & sb) / len(sa | sb))
+    assert (0, 2) in got and got[(0, 2)] == 1.0

@@ -1,0 +1,173 @@
+"""Parity tests for the non-SQL kernels against independent Python oracles
+(SURVEY.md §5: pandas/NumPy-oracle unit tests for W4/W5/J3 semantics).
+The oracles re-implement the REFERENCE's documented behavior, not our
+operators, so agreement is evidence of semantic parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import windows as W
+from nilm_data_framework_spark.taxonomy import UNIVERSAL_LABELS, keywords_df, map_universal_label
+
+
+def _series_df(spark, n=100, keys=("a", "b"), seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in keys:
+        t0 = 1_700_000_000
+        for i in range(n):
+            rows.append((k, float(t0 + i * 8), float(rng.integers(0, 1000))))
+    pdf = pd.DataFrame(rows, columns=["ch", "epoch", "power"])
+    return spark.createDataFrame(pdf).withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+
+# --- W4 sliding windows: count formula + values, sql vs grouped vs numpy ------
+
+@pytest.mark.parametrize("seq_len,step", [(8, 4), (16, 16), (5, 2)])
+def test_sliding_windows_both_paths_match_numpy(spark, seq_len, step):
+    df = _series_df(spark, n=100)
+    for impl in (W.sliding_windows_sql, W.sliding_windows_grouped):
+        out = impl(df, keys=["ch"], seq_len=seq_len, step=step, ts="ts", value="power")
+        got = {
+            (r["ch"], r["window_id"]): list(r["x"])
+            for r in out.collect()
+        }
+        # reference window-count formula (ConvertToTensor.py:60):
+        # n = (len - seq_len) // step + 1, windows start at i*step
+        pdf = df.toPandas().sort_values(["ch", "ts"])
+        expected = {}
+        for ch, grp in pdf.groupby("ch"):
+            vals = grp["power"].to_numpy()
+            n_win = (len(vals) - seq_len) // step + 1
+            for w in range(n_win):
+                expected[(ch, w)] = list(vals[w * step : w * step + seq_len])
+        assert got == expected, f"{impl.__name__} diverges from numpy oracle"
+
+
+# --- W5 run-length filter vs reference-semantics python oracle ------------------
+
+
+def _ref_filter_short_ons(states: list[int], min_len: int) -> list[int]:
+    """Python twin of the reference's filter_short_ons (postprocessing.py:5-24):
+    scan runs of 1s, zero out runs shorter than min_len, trailing open run
+    included."""
+    out = list(states)
+    i = 0
+    n = len(states)
+    while i < n:
+        if states[i] == 1:
+            j = i
+            while j < n and states[j] == 1:
+                j += 1
+            if j - i < min_len:
+                for k in range(i, j):
+                    out[k] = 0
+            i = j
+        else:
+            i += 1
+    return out
+
+
+@pytest.mark.parametrize("min_len", [1, 3, 5])
+def test_run_length_filter_matches_reference_semantics(spark, min_len):
+    rng = np.random.default_rng(3)
+    states = rng.integers(0, 2, size=200).tolist()
+    states[-7:] = [1] * 7  # trailing open ON segment (postprocessing.py:22-23)
+    pdf = pd.DataFrame(
+        {"ch": "x", "pos": range(len(states)), "state": states}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        W.run_length_filter(df, keys=["ch"], ts="pos", state="state", min_len=min_len)
+        .orderBy("pos")
+        .collect()
+    )
+    got = [r["state_filtered"] for r in out]
+    assert got == _ref_filter_short_ons(states, min_len)
+
+
+# --- W6 median smoothing: interior matches scipy-style centered median ----------
+
+
+def test_median_smooth_interior(spark):
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 100, size=50).astype(float)
+    pdf = pd.DataFrame({"ch": "x", "pos": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf)
+    out = W.median_smooth(df, keys=["ch"], ts="pos", value="v", half_width=2).orderBy("pos")
+    got = [r["smoothed"] for r in out.collect()]
+    # interior (full windows) must equal the centered rolling median; edges
+    # use shrunken windows (documented divergence from scipy reflect-pad)
+    k = 2
+    for i in range(k, len(vals) - k):
+        assert got[i] == float(np.median(vals[i - k : i + k + 1])), i
+
+
+# --- W7 truncate-to-min ----------------------------------------------------------
+
+
+def test_truncate_to_min(spark):
+    rows = [("u", "a", i) for i in range(10)] + [("u", "b", i) for i in range(4)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["grp", "series", "pos"]))
+    out = W.truncate_to_min(df, group=["grp"], series="series", ts="pos")
+    counts = {r["series"]: r["n"] for r in out.groupBy("series").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 4, "b": 4}
+    kept_a = sorted(r["pos"] for r in out.filter(F.col("series") == "a").collect())
+    assert kept_a == [0, 1, 2, 3]  # first min_cnt rows in order
+
+
+# --- J3 label mapping vs python twin of the reference algorithm -------------------
+
+
+def _ref_map_label(raw: str) -> str:
+    """Python twin of map_to_universal_label (UnifiedNILM.py:40-64): clean,
+    then tier1 exact keyword match, tier2 keyword containment, tier3 label
+    name containment, dict order precedence, else 'other'."""
+    import re
+
+    cleaned = re.sub(r"\s+", " ", re.sub(r"[_\-,]", " ", raw.lower())).strip()
+    for label, kws in UNIVERSAL_LABELS:
+        if any(cleaned == kw for kw in kws):
+            return label
+    for label, kws in UNIVERSAL_LABELS:
+        if any(kw in cleaned for kw in kws):
+            return label
+    for label, _ in UNIVERSAL_LABELS:
+        if label != "other" and label in cleaned:
+            return label
+    return "other"
+
+
+def test_label_map_matches_reference_precedence(spark):
+    raws = [
+        "Fridge-Freezer", "washer dryer", "LED_lamp", "Television", "gadget",
+        "kettle", "Electric Oven", "pv inverter", "EV Charger", "desk pc",
+        "boiler pump", "mains", "chest freezer", "my dishwasher unit",
+        "microwave,oven", "site meter", "FREEZER", "the electric vehicle port",
+        "washing   machine", "some random thing",
+    ]
+    labels = spark.createDataFrame([(i, r) for i, r in enumerate(raws)], "i int, raw_label string")
+    out = map_universal_label(labels, keywords_df(spark), raw_col="raw_label")
+    got = {r["raw_label"]: r["universal_label"] for r in out.collect()}
+    for raw in raws:
+        assert got[raw] == _ref_map_label(raw), raw
+
+
+# --- tier-precedence subtlety: tier1 beats an earlier-priority tier2 --------------
+
+
+def test_label_map_tier1_beats_tier2(spark):
+    # 'washer' exactly equals a washing-machine keyword (tier1 priority) even
+    # though 'wash' substrings could match elsewhere; 'tumble dryer x' only
+    # tier2-matches 'tumble dryer'.
+    labels = spark.createDataFrame(
+        [(0, "washer"), (1, "tumble dryer x")], "i int, raw_label string"
+    )
+    out = map_universal_label(labels, keywords_df(spark), raw_col="raw_label")
+    got = {r["i"]: r["universal_label"] for r in out.collect()}
+    assert got[0] == "washing machine"
+    assert got[1] == "tumble dryer"

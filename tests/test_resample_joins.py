@@ -1,0 +1,97 @@
+"""Resample semantics (A1/A6 + upsample guard), as-of join edges, and
+property-style invariants (SURVEY.md §5b)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import joins as J
+from nilm_data_framework_spark.operators import resample as R
+
+
+def _readings(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["ch", "epoch", "power"])
+    return (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.timestamp_seconds("epoch"))
+        .drop("epoch")
+    )
+
+
+def test_infer_sample_rate_median_of_positive_deltas(spark):
+    # deltas: 8, 8, 0 (dup), 16 → positives [8, 8, 16] → median 8
+    df = _readings(spark, [("a", t, 1.0) for t in [0, 8, 16, 16, 32]])
+    got = R.infer_sample_rate(df, ["ch"]).collect()
+    assert got[0]["rate_s"] == 8.0
+
+
+def test_resample_mean_buckets_epoch_aligned(spark):
+    df = _readings(spark, [("a", 0, 10.0), ("a", 5, 20.0), ("a", 10, 30.0)])
+    out = {r["bucket_ts"].isoformat(): r["power"] for r in R.resample_mean(df, ["ch"], 10).collect()}
+    assert out == {"1970-01-01T00:00:00": 15.0, "1970-01-01T00:00:10": 30.0}
+
+
+def test_resample_guard_skips_upsampling(spark):
+    # channel 'fast' at 8s (resampled to 60s), channel 'slow' at 300s
+    # (target 60s would upsample → passed through untouched, the reference's
+    # guard at UnifiedNILM.py:118-120)
+    fast = [("fast", t * 8, float(t)) for t in range(100)]
+    slow = [("slow", t * 300, float(t)) for t in range(10)]
+    df = _readings(spark, fast + slow)
+    out = R.resample_mean_guarded(df, ["ch"], 60)
+    n_slow = out.filter(F.col("ch") == "slow").count()
+    assert n_slow == 10  # untouched passthrough
+    n_fast = out.filter(F.col("ch") == "fast").count()
+    assert n_fast == 14  # 800s span / 60s buckets → 14 buckets
+
+
+def test_asof_join_basic_and_tolerance(spark):
+    left = _readings(spark, [("k", 10, 0.0), ("k", 20, 0.0), ("k", 5, 0.0)]).select(
+        "ch", "ts"
+    )
+    right = _readings(spark, [("k", 8, 100.0), ("k", 18, 200.0)])
+    out = {
+        r["ts"].second: r["v"]
+        for r in J.asof_join(
+            left, right, keys=["ch"], right_value="power", out="v"
+        ).collect()
+    }
+    assert out == {5: None, 10: 100.0, 20: 200.0}
+    # with tolerance 5s, ts=10 (delta 2) keeps 100, ts=20 (delta 2) keeps 200
+    out_tol = {
+        r["ts"].second: r["v"]
+        for r in J.asof_join(
+            left, right, keys=["ch"], right_value="power", out="v", tolerance_s=1.0
+        ).collect()
+    }
+    assert out_tol == {5: None, 10: None, 20: None}
+
+
+def test_asof_join_equal_timestamps_inclusive(spark):
+    left = _readings(spark, [("k", 10, 0.0)]).select("ch", "ts")
+    right = _readings(spark, [("k", 10, 123.0)])
+    out = J.asof_join(left, right, keys=["ch"], right_value="power", out="v").collect()
+    assert out[0]["v"] == 123.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=40, unique=True)
+)
+def test_resample_mean_conservation_property(spark, epochs):
+    """Property (SURVEY §5b): resample-mean of a constant series is that
+    constant in every bucket, for arbitrary timestamp sets."""
+    df = _readings(spark, [("a", e, 42.0) for e in epochs])
+    out = R.resample_mean(df, ["ch"], 60).collect()
+    assert all(r["power"] == 42.0 for r in out)
+
+
+def test_enrich_defaults(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    dim = spark.createDataFrame([(1, "x")], "k int, name string")
+    out = {r["k"]: r["name"] for r in J.enrich(fact, dim, on=["k"], defaults={"name": "unknown"}).collect()}
+    assert out == {1: "x", 2: "unknown"}

@@ -1,0 +1,100 @@
+"""ANN contracts: brute force matches NumPy exactly; LSH/IVF results are
+subsets of true neighbors with reasonable recall on the synthetic data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+def _np_topk(emb: dict[int, np.ndarray], query_ids, k):
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids]).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for q in query_ids:
+        qi = ids.index(q)
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != q),
+            key=lambda i: (-cos[i], ids[i]),
+        )
+        out[q] = [ids[i] for i in order[:k]]
+    return out
+
+
+def _load(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    return df, emb
+
+
+def test_bruteforce_matches_numpy(spark):
+    df, emb = _load(spark)
+    qids = [i for i in sorted(emb) if i < 8]
+    got = (
+        S.brute_force_topk(df, df.filter(F.col("vec_id") < 8), k=5)
+        .orderBy("query_id", "rk")
+        .collect()
+    )
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["match_id"])
+    assert by_q == _np_topk(emb, qids, 5)
+
+
+def test_lsh_recall_and_soundness(spark):
+    df, emb = _load(spark)
+    qids = [i for i in sorted(emb) if i < 8]
+    true = _np_topk(emb, qids, 5)
+    # with weakly-similar random vectors (top cosine ~0.4), SRP collision
+    # probability per plane is ~0.63, so 4 planes × 6 tables gives expected
+    # recall ~0.6; 6+ planes would need far more tables
+    got = S.lsh_topk(df, df.filter(F.col("vec_id") < 8), k=5, dim=64, n_planes=4, n_tables=6)
+    rows = got.collect()
+    # soundness: every reported cosine is the true cosine for that pair
+    for r in rows:
+        a, b = emb[r["query_id"]].astype(np.float64), emb[r["match_id"]].astype(np.float64)
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine"] - true_cos) < 1e-9
+    # recall: with 6 tables of 4 planes, expect >= 40% of true top-5 found
+    hits = total = 0
+    by_q: dict[int, set[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["match_id"])
+    for q in qids:
+        total += len(true[q])
+        hits += len(by_q.get(q, set()) & set(true[q]))
+    assert hits / total >= 0.4, f"LSH recall too low: {hits}/{total}"
+
+
+def test_ivf_recall_and_soundness(spark):
+    df, emb = _load(spark)
+    qids = [i for i in sorted(emb) if i < 8]
+    true = _np_topk(emb, qids, 5)
+    rows = S.ivf_topk(df, df.filter(F.col("vec_id") < 8), k=5, n_centroids=8, n_probe=4).collect()
+    for r in rows:
+        a, b = emb[r["query_id"]].astype(np.float64), emb[r["match_id"]].astype(np.float64)
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine"] - true_cos) < 1e-9
+    hits = total = 0
+    by_q: dict[int, set[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["match_id"])
+    for q in qids:
+        total += len(true[q])
+        hits += len(by_q.get(q, set()) & set(true[q]))
+    assert hits / total >= 0.4, f"IVF recall too low: {hits}/{total}"
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [[1.0, 0.0], [1.0, 1.0]], "b": [[0.0, 1.0], [1.0, 1.0]]})
+    )
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert abs(got[0]["c"] - 0.0) < 1e-12
+    assert abs(got[1]["c"] - 1.0) < 1e-12
