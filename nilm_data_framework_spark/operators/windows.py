@@ -72,18 +72,20 @@ def sliding_windows_grouped(
     keys: list[str],
     seq_len: int,
     step: int,
-    ts: str = "ts",
+    ts: str | list[str] = "ts",
     value: str = "power",
 ) -> DataFrame:
     """W4 (scale path): applyInPandas per series key; NumPy windowing inside.
 
     One shuffle total (groupBy keys); each group is sorted and windowed with
     stride tricks — the Spark analog of sliding_window_view
-    (channel_utils.py:180-185) without a per-window shuffle.
+    (channel_utils.py:180-185) without a per-window shuffle. ``ts`` may be a
+    list of ordering columns for deterministic tie-breaks.
     """
     import numpy as np
     import pandas as pd
 
+    order_cols = [ts] if isinstance(ts, str) else list(ts)
     key_fields = [readings.schema[k] for k in keys]
     out_schema = StructType(
         key_fields
@@ -94,7 +96,7 @@ def sliding_windows_grouped(
     )
 
     def make_windows(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="mergesort")
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
         vals = pdf[value].to_numpy(dtype=np.float64)
         n = (len(vals) - seq_len) // step + 1 if len(vals) >= seq_len else 0
         if n <= 0:

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         nilm_windows,
         relational,
         similarity,
+        tensor_pipeline,
     )
 
     return dict(registry)

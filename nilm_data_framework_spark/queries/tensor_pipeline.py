@@ -1,0 +1,118 @@
+"""Tensorization-pipeline queries (reference entry point 3: H5 → windows →
+tensors) plus the P8 unpivot. The windowed exports return array columns →
+rows-only driver checks; their numeric parity is pinned by
+tests/test_tensorize.py against NumPy oracles and the SQL window variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import windows as W
+from nilm_data_framework_spark.operators.tensorize import tensorize
+from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.sources.testdata import load_table
+
+
+# --- W4 scale path: applyInPandas windows (same summary as sliding_windows) -----
+
+@query(
+    "sliding_windows_grouped",
+    oracle="""
+    WITH pos AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p,
+             count(*) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn,
+             sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS ws
+      FROM events
+    )
+    SELECT user_id, CAST(p / 4 AS BIGINT) AS window_id,
+           round(ws, 2) AS win_sum, wn AS win_len
+    FROM pos WHERE p % 4 = 0 AND wn = 8
+    """,
+    survey_ref="§2.5 W4 scale path (applyInPandas per series; channel_utils.py:180-188)",
+)
+def sliding_windows_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wins = W.sliding_windows_grouped(
+        ev, keys=["user_id"], seq_len=8, step=4, ts=["ts", "event_id"], value="value"
+    )
+    return wins.select(
+        "user_id",
+        "window_id",
+        F.round(F.aggregate("x", F.lit(0.0), lambda a, v: a + v), 2).alias("win_sum"),
+        F.size("x").cast("long").alias("win_len"),
+    )
+
+
+# --- full tensor export (J6 + W7 + W4 + S10 shape) --------------------------------
+
+@query(
+    "tensor_export",
+    oracle=None,
+    survey_ref="§3 entry point 3 (channel_utils.py:144-248, ConvertToTensor.py:8-92)",
+    tags=("rows_only",),
+)
+def tensor_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tensorize(
+        ev,
+        house="user_id",
+        label="event_type",
+        ts="ts",
+        value="value",
+        aggregate_label="view",
+        target_labels=["click", "purchase"],
+        seq_len=16,
+        step=8,
+    )
+
+
+# --- P8 suffix/unpivot classification ----------------------------------------------
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH long AS (
+      SELECT l_orderkey, 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'tax', l_tax FROM lineitem
+    ),
+    dim(metric, unit) AS (
+      VALUES ('quantity', 'units'), ('extendedprice', 'usd'),
+             ('discount', 'fraction'), ('tax', 'fraction')
+    )
+    SELECT d.unit, l.metric, count(*) AS n, round(sum(l.val), 2) AS total
+    FROM long l JOIN dim d ON l.metric = d.metric
+    GROUP BY ALL
+    """,
+    survey_ref="§2.2 P8 (OlaLoader.py:77-106 suffix→(type,unit) classification)",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        "l_orderkey",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) as (metric, val)"
+        ),
+    )
+    dim = spark.createDataFrame(
+        [("quantity", "units"), ("extendedprice", "usd"),
+         ("discount", "fraction"), ("tax", "fraction")],
+        "metric string, unit string",
+    )
+    return (
+        stacked.join(F.broadcast(dim), "metric")
+        .groupBy("unit", "metric")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("val"), 2).alias("total"))
+    )

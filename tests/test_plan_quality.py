@@ -1,0 +1,85 @@
+"""Plan-quality regression tests (SURVEY.md §4 / the 100 TB stance):
+predicate pushdown reaches the parquet scan, column pruning holds, dimension
+joins broadcast instead of shuffling, and aggregations keep map-side partial
+aggregation. These assert on .explain output so a plan regression fails CI
+even while results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from nilm_data_framework_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+SPECS = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].spark(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_forecast_revenue_pushes_all_filters(spark):
+    plan = _plan(spark, "forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters line — scan not receiving predicates"
+    line = pushed[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity", "GreaterThanOrEqual", "LessThan"):
+        assert frag in line, f"{frag} missing from PushedFilters: {line}"
+
+
+def test_forecast_revenue_prunes_columns(spark):
+    plan = _plan(spark, "forecast_revenue")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 4 needed columns of 11 — pruning must hold
+    assert read.count(":") <= 5, f"scan reads too many columns: {read}"
+    assert "l_returnflag" not in read
+
+
+def test_star_joins_broadcast_not_shuffle(spark):
+    for name in ("metadata_enrichment", "shipping_priority", "local_supplier_volume",
+                 "device_type_lookup"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join is not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected shuffle join"
+
+
+def test_aggregations_are_partial(spark):
+    # partial (map-side) aggregation before the exchange: HashAggregate
+    # appears at least twice (partial + final) in grouped-agg plans
+    for name in ("pricing_summary", "channel_stats", "resample_300s_mean"):
+        plan = _plan(spark, name)
+        assert plan.count("HashAggregate") >= 2, f"{name}: no partial aggregation"
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "topk_by_value")
+    assert "TakeOrderedAndProject" in plan, "top-k should plan as TakeOrderedAndProject"
+
+
+def test_whole_stage_codegen_present(spark):
+    # AQE hides codegen markers until execution: run the query, then read
+    # the executed plan
+    for name in ("pricing_summary", "aggregate_from_appliances"):
+        df = SPECS[name].spark(spark, SF_DIR)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        # codegen stages print as "*(n) Operator" in the executed plan
+        assert "*(" in executed, f"{name}: expression work left interpreted"
+
+
+@pytest.mark.parametrize("name", ["pricing_summary", "label_filter"])
+def test_single_shuffle_for_single_groupby(spark, name):
+    plan = _plan(spark, name)
+    # one logical shuffle for one groupBy: count Exchange operator headers
+    # ("(5) Exchange"), which excludes Reused/Broadcast/AQE mentions
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) <= 1, f"{name}: extra shuffles\n{plan[:800]}"
