@@ -86,6 +86,29 @@ def common_channel_best_pick(
     )
 
 
+def range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str,
+    start: str = "start_ts",
+    end: str = "end_ts",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Engine extension: interval range join — each fact row matched to the
+    interval(s) containing its timestamp (half-open: start <= ts < end).
+
+    Scale stance: the intervals side is a small dim → broadcast, so the plan
+    is a BroadcastNestedLoopJoin with the range predicate evaluated stream-
+    side (no shuffle of the fact). For fact-fact range joins at 100 TB,
+    bucket both sides by time epoch first so each bucket joins co-partitioned
+    (not needed for dim-sized interval sets).
+    """
+    cond = (F.col(fact_ts) >= F.col(start)) & (F.col(fact_ts) < F.col(end))
+    for k in extra_keys or []:
+        cond = cond & (fact[k] == intervals[k])
+    return fact.join(F.broadcast(intervals), on=cond)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -28,16 +28,35 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 # --- exact dedup -------------------------------------------------------------
 
+# The synthetic documents table has zero exact duplicates at every sf, which
+# would make the dedup checks pass vacuously (0 rows / nothing dropped). Both
+# sides therefore union in a shifted-id copy of every 10th doc so the
+# operators run against real duplicate groups.
+_DUPED = """
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return docs.unionByName(copies)
+
+
 @query(
     "exact_dup_groups",
     oracle=f"""
     SELECT md5({_NORM}) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
-    FROM documents GROUP BY fp HAVING count(*) > 1
+    FROM ({_DUPED}) documents GROUP BY fp HAVING count(*) > 1
     """,
     survey_ref="§2.10 exact dedup (hash-groupBy)",
 )
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dup_groups(_docs(spark, sf_dir))
+    return D.exact_dup_groups(_docs_with_dups(spark, sf_dir))
 
 
 @query(
@@ -46,13 +65,15 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,
              row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
-      FROM documents
+      FROM ({_DUPED}) documents
     ) WHERE rn = 1
     """,
     survey_ref="§2.10 exact dedup keep-min-id",
 )
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.dedup_exact(_docs(spark, sf_dir)).select("doc_id", "lang", "source")
+    return D.dedup_exact(_docs_with_dups(spark, sf_dir)).select(
+        "doc_id", "lang", "source"
+    )
 
 
 # --- fingerprint ---------------------------------------------------------------

@@ -376,6 +376,101 @@ def multi_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P5/P6 channel selectors ------------------------------------------------------------
+# The testdata has no channels dim, so both sides derive one: distinct
+# (user_id, event_type) with raw_label = 'aggregate' for 'view' (the
+# house-level mains analog) and a VALUES dim mapping event_type →
+# (data_type, acquisition_device), mirroring ACQUISITION_DEVICE_POWER_TYPES
+# (UKDALELoader.py:9-14).
+
+_CHANNELS_SQL = """
+      SELECT DISTINCT e.user_id, e.event_type,
+             CASE WHEN e.event_type = 'view' THEN 'aggregate' ELSE e.event_type END AS raw_label,
+             t.data_type, t.acquisition_device
+      FROM events e
+      JOIN (VALUES ('click', 'active', 'shelly'), ('view', 'active', 'mains'),
+                   ('purchase', 'apparent', 'emonesp'), ('signup', 'reactive', 'shelly'),
+                   ('error', 'active', 'emonesp'))
+           AS t(event_type, data_type, acquisition_device)
+        ON e.event_type = t.event_type
+"""
+
+_TYPE_DIM = [
+    ("click", "active", "shelly"),
+    ("view", "active", "mains"),
+    ("purchase", "apparent", "emonesp"),
+    ("signup", "reactive", "shelly"),
+    ("error", "active", "emonesp"),
+]
+
+
+def _channels_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dim = spark.createDataFrame(
+        _TYPE_DIM, "event_type string, data_type string, acquisition_device string"
+    )
+    return (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .withColumn(
+            "raw_label",
+            F.when(F.col("event_type") == "view", "aggregate").otherwise(
+                F.col("event_type")
+            ),
+        )
+        .join(F.broadcast(dim), "event_type")
+    )
+
+
+@query(
+    "aggregate_channel_select",
+    oracle=f"""
+    WITH channels AS ({_CHANNELS_SQL})
+    SELECT e.user_id, count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (SELECT user_id, event_type FROM channels WHERE lower(raw_label) = 'aggregate') a
+      ON e.user_id = a.user_id AND e.event_type = a.event_type
+    GROUP BY e.user_id
+    """,
+    survey_ref="§2.2 P5 (UnifiedNILM.py:403-411 get_aggregate first-match)",
+)
+def aggregate_channel_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    agg_ch = sel.aggregate_channel(_channels_dim(spark, sf_dir)).select(
+        "user_id", "event_type"
+    )
+    return (
+        ev.join(F.broadcast(agg_ch), ["user_id", "event_type"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "power_type_device_filter",
+    oracle=f"""
+    WITH channels AS ({_CHANNELS_SQL})
+    SELECT e.user_id, e.event_type, count(*) AS n
+    FROM events e
+    JOIN (SELECT user_id, event_type FROM channels
+          WHERE lower(data_type) = 'active' AND lower(acquisition_device) = 'shelly') c
+      ON e.user_id = c.user_id AND e.event_type = c.event_type
+    GROUP BY ALL
+    """,
+    survey_ref="§2.2 P6 (UnifiedNILM.py:414-434 get_channels_by_power_type)",
+)
+def power_type_device_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    chans = sel.by_power_type(
+        _channels_dim(spark, sf_dir), "active", device="shelly"
+    ).select("user_id", "event_type")
+    return (
+        ev.join(F.broadcast(chans), ["user_id", "event_type"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --- P12/P13/P14 binarize + activity mask + clip -------------------------------------------
 
 @query(

@@ -255,16 +255,24 @@ def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except_users",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, date_trunc('day', ts) FROM events WHERE event_type = 'purchase'
     """,
     survey_ref="§2.6 except extension",
 )
 def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (user_id, day) grain: plain user_id EXCEPT is empty at every sf (all
+    # viewers purchase eventually), which would hash-match vacuously.
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "view").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+    )
     return a.subtract(b)
 
 
@@ -388,3 +396,45 @@ def common_channel_best_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         len_col="n",
     )
     return picked.select("user_id", "event_type", "channel_id", "n")
+
+
+# --- range join (engine extension: interval containment) ----------------------------
+
+_CAMPAIGNS = [
+    (1, "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+    (2, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    (3, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+    (4, "2024-01-22 00:00:00", "2024-01-29 00:00:00"),
+]
+
+
+@query(
+    "range_join_campaigns",
+    oracle="""
+    WITH campaigns(campaign_id, start_ts, end_ts) AS (
+      VALUES (1, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+             (2, TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+             (3, TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'),
+             (4, TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29')
+    )
+    SELECT c.campaign_id, e.event_type, count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN campaigns c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+    GROUP BY ALL
+    """,
+    survey_ref="§2.3 extension: range join (interval containment; broadcast NLJ on dim side)",
+)
+def range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nilm_data_framework_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    campaigns = spark.createDataFrame(
+        _CAMPAIGNS, "campaign_id int, start_ts string, end_ts string"
+    ).select(
+        "campaign_id",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    joined = range_join(ev, campaigns, fact_ts="ts")
+    return joined.groupBy("campaign_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
