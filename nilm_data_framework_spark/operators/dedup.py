@@ -97,11 +97,12 @@ def minhash_lsh_pairs(
     bucket-join → exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
-    Scale shape: signatures come from explode→groupBy (md5 evaluated ONCE
-    per shingle — building them as nested array expressions re-evaluates the
-    hash per function), the banded self-join carries only (id, band, bucket),
-    and shingle sets are joined back for the candidate pairs alone. The
-    candidate set is the shuffle, not N². rows_per_band = num_hashes // bands.
+    Scale shape: signatures and band buckets are pure per-row column
+    arithmetic over a hashed-shingle array (no shuffle at all until the
+    banded self-join), the self-join carries only (id, band, bucket), and
+    shingle sets are joined back for the candidate pairs alone (AQE turns
+    those into broadcasts when the candidate set is small). The candidate
+    set is the shuffle, not N². rows_per_band = num_hashes // bands.
     """
     import random
 
@@ -111,7 +112,7 @@ def minhash_lsh_pairs(
         (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
         for _ in range(num_hashes)
     ]
-    # sh feeds three branches (hashing + both verify sides); persist so the
+    # sh feeds the banded branch and both verify sides; persist so the
     # shingle computation isn't re-run per branch — Spark only reuses
     # identical exchange subtrees, not arbitrary common subplans.
     sh = (
@@ -119,35 +120,42 @@ def minhash_lsh_pairs(
         .filter(F.size("sh") > 0)
         .persist()
     )
-    hashed = sh.select("id", F.explode("sh").alias("s")).select(
-        "id", (_md5_64(F.col("s")) % _MERSENNE_P).alias("h")
+    hashed = sh.select(
+        "id", F.transform("sh", lambda s: _md5_64(s) % _MERSENNE_P).alias("hs")
     )
-    sig = hashed.groupBy("id").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
+    # single nested HOF over a one-call params literal: sig[i] = min over
+    # shingle hashes of (h*a_i + b_i) mod p; bucket per band = joined slice.
+    # (Building 16 separate transform expressions costs ~1 s of Py4J plan
+    # construction and a much larger tree for Catalyst.)
+    params_lit = F.expr(
+        "array(" + ",".join(f"array({a}L,{b}L)" for a, b in params) + ")"
     )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"m{bnd * rows_per + r}").cast("string")
-                                for r in range(rows_per)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sig = F.transform(
+        params_lit,
+        lambda ab: F.array_min(
+            F.transform("hs", lambda x: (x * ab[0] + ab[1]) % F.lit(_MERSENNE_P))
+        ),
+    )
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bnd: F.struct(
+            bnd.alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), bnd * rows_per + 1, rows_per),
+                    lambda m: m.cast("string"),
+                ),
+                "_",
+            ).alias("bucket"),
+        ),
+    )
+    # sig projected as a real column (non-cheap, so CollapseProject keeps
+    # it) — evaluated once per row, then sliced per band.
+    banded = (
+        hashed.select("id", sig.alias("sig"))
+        .select("id", F.explode(buckets).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -66,14 +66,38 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def array_lit(nested) -> Column:
+    """Constant (nested) double-array literal in ONE Py4J call.
+
+    ``F.lit([...])`` round-trips to the JVM per element (~0.3 ms each), so a
+    plane matrix built that way costs seconds of plan-build time. Rendering
+    the constant as SQL text and parsing it JVM-side is one call total.
+    """
+
+    def render(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(render(e) for e in x) + ")"
+        return repr(float(x)) + "D"
+
+    return F.expr(render(nested))
+
+
+def _bucket_of(vec: Column, planes: Column) -> Column:
+    """SRP bucket id from a planes array column: bit i = sign(vec·plane_i),
+    folded as sum of 2^i — one transform + one aggregate expression."""
+    bits = F.transform(
+        planes,
+        lambda p, i: F.when(dot(vec, p) > 0, F.pow(F.lit(2.0), i.cast("double"))).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda a, b: a + b).cast("long")
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane (SRP) LSH bucket id: bit i = sign(vec · plane_i).
     Deterministic given the seed; pure column arithmetic."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return bucket
+    return _bucket_of(vec, array_lit(planes))
 
 
 def lsh_topk(
@@ -97,11 +121,14 @@ def lsh_topk(
 
     def bucketize(df: DataFrame, idname: str) -> DataFrame:
         out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"))
-        buckets = F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col(f"{idname}_v"), tables[t]).alias("bkt"))
-                for t in range(n_tables)
-            ]
+        # all tables in one nested literal + one transform: the per-table
+        # expression-build loop was the dominant plan-build cost.
+        buckets = F.transform(
+            array_lit(tables),
+            lambda planes, t: F.struct(
+                t.cast("integer").alias("tbl"),
+                _bucket_of(F.col(f"{idname}_v"), planes).alias("bkt"),
+            ),
         )
         return out.select(idname, f"{idname}_v", F.explode(buckets).alias("tb")).select(
             idname, f"{idname}_v", "tb.tbl", "tb.bkt"
@@ -140,22 +167,21 @@ def ivf_topk(
     the plan shape. Scale: corpus partitioned by centroid id = partition
     pruning for vector search."""
     cents = [
-        (i, row[0])
-        for i, row in enumerate(
-            corpus.select(vec_col).orderBy(F.md5(F.col(id_col).cast("string"))).limit(n_centroids).collect()
-        )
+        [float(x) for x in row[0]]
+        for row in corpus.select(vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
     ]
-    cent_arr = F.array(
-        *[
-            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(float(x)) for x in v]).alias("cv"))
-            for i, v in cents
-        ]
-    )
+    # one nested literal (centroid index = cid) — see array_lit on why.
+    cent_arr = array_lit(cents)
 
     def nearest(vec: Column, n: int) -> Column:
         scored = F.transform(
             cent_arr,
-            lambda s: F.struct((-cosine(vec, s["cv"])).alias("negcos"), s["cid"].alias("cid")),
+            lambda cv, i: F.struct(
+                (-cosine(vec, cv)).alias("negcos"), i.cast("integer").alias("cid")
+            ),
         )
         return F.slice(F.array_sort(scored), 1, n)
 

@@ -48,18 +48,24 @@ def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
     punctuation ratio, stopword ratio, uppercase ratio, repetition ratio
     (distinct-token fraction). Gopher/C4-style filters are thresholds over
     these columns."""
-    toks = tokens(F.col(text))
-    n_tok = F.size(toks)
-    distinct_frac = F.when(
-        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
-    ).otherwise(F.lit(0.0))
+    # token-derived counts computed in ONE pass over a let-bound token array
+    # (see word_ngrams on why re-referencing tokens() is quadratic).
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    tok_feats = F.transform(
+        F.array(tokens(F.col(text))),
+        lambda tk: F.struct(
+            F.size(tk).alias("n_tok"),
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+            F.size(F.filter(tk, lambda t: F.array_contains(sw, t))).alias("stop_hits"),
+        ),
+    )[0]
     n_char = F.length(F.col(text))
     punct = F.length(F.regexp_replace(F.col(text), r"[^.,;:!?]", ""))
     upper = F.length(F.regexp_replace(F.col(text), r"[^A-Z]", ""))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return df.select(
-        "*",
+    with_feats = df.withColumn("_tf", tok_feats)
+    n_tok = F.col("_tf.n_tok")
+    return with_feats.select(
+        *df.columns,
         n_char.alias("q_chars"),
         n_tok.alias("q_tokens"),
         F.when(n_tok > 0, (n_char.cast("double") / n_tok)).otherwise(0.0).alias(
@@ -71,10 +77,12 @@ def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
         F.when(n_char > 0, upper.cast("double") / n_char).otherwise(0.0).alias(
             "q_upper_ratio"
         ),
-        F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0).alias(
-            "q_stopword_ratio"
-        ),
-        distinct_frac.alias("q_distinct_token_ratio"),
+        F.when(n_tok > 0, F.col("_tf.stop_hits").cast("double") / n_tok)
+        .otherwise(0.0)
+        .alias("q_stopword_ratio"),
+        F.when(n_tok > 0, F.col("_tf.n_distinct").cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("q_distinct_token_ratio"),
     )
 
 
@@ -100,25 +108,43 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
 
 def language_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
     """Language-ID: argmax stopword score, ties → lexicographically first
-    language code, zero evidence → 'und'. Pure column expressions."""
-    scores = lang_scores(F.col(text))
-    structs = F.array(
-        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
-    )
-    best = F.array_max(
-        F.transform(
-            structs,
-            lambda s: F.struct(
-                s["score"].alias("score"),
-                # invert lang for max so ties pick the FIRST code alphabetically
-                F.lit(None).cast("string").alias("_pad"),
-                s["lang"].alias("lang"),
-            ),
-        )
-    )
-    # array_max on struct compares field-by-field: score, then _pad (all null
-    # → equal), then lang — so equal scores pick the LAST lang. Re-do with
-    # explicit reduce for first-wins ties:
+    language code (dict order = sorted here), zero evidence → 'und'. Pure
+    column expressions; tokenization let-bound once (see word_ngrams)."""
+    col = F.col(text)
+    word_langs = [(lang, ws) for lang, ws in STOPWORDS.items() if lang != "zh"]
+
+    def contains(ws: list[str]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        # closure, not a default arg: pyspark binds lambda variables by
+        # parameter count, so `lambda t, arr=...` would receive (elem, idx).
+        return lambda t: F.array_contains(arr, t)
+
+    structs = F.transform(
+        F.array(tokens(col)),
+        lambda tk: F.array(
+            *[
+                F.struct(
+                    F.size(F.filter(tk, contains(ws))).cast("double").alias("score"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, ws in word_langs
+            ]
+            + [
+                F.struct(
+                    F.size(
+                        F.filter(
+                            F.array(*[F.lit(w) for w in STOPWORDS["zh"]]),
+                            lambda w: F.instr(col, w) > 0,
+                        )
+                    )
+                    .cast("double")
+                    .alias("score"),
+                    F.lit("zh").alias("lang"),
+                )
+            ]
+        ),
+    )[0]
+    # explicit reduce so equal scores keep the FIRST language in dict order.
     winner = F.aggregate(
         structs,
         F.struct(F.lit(-1.0).alias("score"), F.lit("und").alias("lang")),
@@ -138,11 +164,24 @@ def fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-grams (shingles) of lowercased text, as an array of
-    space-joined strings. Built-ins only: transform over token positions."""
-    toks = tokens(text)
-    count = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(count - 1, F.lit(-1))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    space-joined strings. Built-ins only: transform over token positions.
+
+    The tokenization is bound ONCE via a single-element-array transform (a
+    "let" in expression form). Referencing ``tokens(text)`` directly inside
+    the position lambda re-evaluates the split+filter per gram — O(tokens²)
+    interpreted-lambda calls per row, which measured ~5 s over a 5k-doc
+    scan vs ~0.5 s bound."""
+    grams_of = lambda tk: F.array_distinct(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+        )
     )
-    return F.array_distinct(F.when(count > 0, grams).otherwise(F.array()))
+    return F.flatten(
+        F.transform(
+            F.array(tokens(text)),
+            lambda tk: F.when(F.size(tk) >= n, grams_of(tk)).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+    )
