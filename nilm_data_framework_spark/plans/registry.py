@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_text,
         nilm_analysis,
         nilm_ingest,
+        multimodal_assets,
         nilm_windows,
         relational,
         similarity,
