@@ -161,6 +161,46 @@ def median_smooth(
     return df.withColumn(out, F.expr(f"percentile({value}, 0.5)").over(w))
 
 
+def median_smooth_reflect(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    half_width: int,
+    out: str = "smoothed",
+) -> DataFrame:
+    """W6 exact-parity variant: scipy.ndimage.median_filter semantics
+    (postprocessing.py:27-30), i.e. reflect padding at the series edges
+    (scipy mode='reflect' == numpy pad mode='symmetric').
+
+    One applyInPandas per series (single shuffle on keys); the pad+rolling
+    median is NumPy inside the group — same scale shape as the windowed
+    tensorization kernels.
+    """
+    import numpy as np
+    import pandas as pd
+
+    size = 2 * half_width + 1
+    out_schema = StructType(
+        [df.schema[k] for k in keys]
+        + [df.schema[ts], df.schema[value], StructField(out, DoubleType())]
+    )
+    cols = [*keys, ts, value, out]
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        vals = pdf[value].to_numpy(dtype=np.float64)
+        if len(vals) == 0:
+            return pd.DataFrame(columns=cols)
+        padded = np.pad(vals, half_width, mode="symmetric")
+        windows = np.lib.stride_tricks.sliding_window_view(padded, size)
+        pdf = pdf.copy()
+        pdf[out] = np.median(windows, axis=1)
+        return pdf[cols]
+
+    return df.groupBy(*keys).applyInPandas(smooth, schema=out_schema)
+
+
 def truncate_to_min(
     df: DataFrame, group: list[str], series: str, ts: str
 ) -> DataFrame:

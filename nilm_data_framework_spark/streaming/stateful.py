@@ -1,0 +1,109 @@
+"""Custom stateful streaming operator (SURVEY.md §2.9): the streaming twin
+of the W5 ON-segment run tracker (postprocessing.py:5-24), built on
+``applyInPandasWithState``.
+
+Per device, the state machine carries (run_state, run_start_epoch, n_samples)
+across micro-batches; when a device's binary state flips, the completed run
+is emitted with its span and sample count. Short-ON suppression (W5's
+``min_len``) then becomes a filter on the emitted runs — identical semantics
+to the batch operator, but incremental.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNS_SCHEMA = StructType(
+    [
+        StructField("device", StringType()),
+        StructField("state", IntegerType()),
+        StructField("start_epoch", LongType()),
+        StructField("end_epoch", LongType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+# state: (current_state int, run_start_epoch long, n_samples long, last_epoch long)
+STATE_SCHEMA = StructType(
+    [
+        StructField("cur", IntegerType()),
+        StructField("start_epoch", LongType()),
+        StructField("n", LongType()),
+        StructField("last_epoch", LongType()),
+    ]
+)
+
+
+def track_runs(
+    events: DataFrame,
+    threshold: float,
+    device: str = "device",
+    ts: str = "ts",
+    value: str = "apower",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Emit completed ON/OFF runs per device as they close.
+
+    Input: a streaming DataFrame with (device, ts timestamp, value double).
+    Output: one row per completed run (device, state, start/end epoch
+    seconds, n_samples). The open run stays in state until its state flips
+    (or the group times out at the watermark, which flushes it).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (dev,) = key
+        if state.hasTimedOut:
+            cur, start, n, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"device": [dev], "state": [cur], "start_epoch": [start],
+                 "end_epoch": [last], "n_samples": [n]}
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("_epoch", kind="mergesort")
+        cur, start, n, last = state.get if state.exists else (None, None, 0, None)
+        out = []
+        for epoch, v in zip(rows["_epoch"], rows["_val"]):
+            s = 1 if v >= threshold else 0
+            if cur is None:
+                cur, start, n = s, int(epoch), 0
+            elif s != cur:
+                out.append((dev, cur, start, int(last), n))
+                cur, start, n = s, int(epoch), 0
+            n += 1
+            last = int(epoch)
+        state.update((cur, start, n, last))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 10_000)
+        yield pd.DataFrame(
+            out, columns=["device", "state", "start_epoch", "end_epoch", "n_samples"]
+        )
+
+    prepared = events.select(
+        events[device].alias("device"),
+        events[ts].alias("ts"),
+        events[ts].cast("long").alias("_epoch"),
+        events[value].cast("double").alias("_val"),
+    ).withWatermark("ts", watermark)
+
+    return prepared.groupBy("device").applyInPandasWithState(
+        update,
+        outputStructType=RUNS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
