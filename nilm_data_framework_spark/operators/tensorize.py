@@ -33,7 +33,7 @@ def tensorize(
     readings: DataFrame,
     house: str,
     label: str,
-    ts: str,
+    ts: str | list[str],
     value: str,
     aggregate_label: str,
     target_labels: list[str],
@@ -50,6 +50,9 @@ def tensorize(
     (ConvertToTensor.py:60).
     """
     labels_sorted = sorted(target_labels)
+    # list ts = deterministic tie-breaks (shuffle arrival order must never
+    # leak into the window values)
+    order_cols = [ts] if isinstance(ts, str) else list(ts)
 
     house_field = readings.schema[house]
     out_schema = StructType(
@@ -65,7 +68,9 @@ def tensorize(
     def per_house(pdf: pd.DataFrame) -> pd.DataFrame:
         series: dict[str, np.ndarray] = {}
         for lab, grp in pdf.groupby(label):
-            series[lab] = grp.sort_values(ts, kind="mergesort")[value].to_numpy(np.float64)
+            series[lab] = grp.sort_values(order_cols, kind="mergesort")[value].to_numpy(
+                np.float64
+            )
         if aggregate_label not in series:
             return pd.DataFrame(columns=[house, "window_id", "x", "y", "labels"])
         present = [series[lab] for lab in labels_sorted if lab in series]

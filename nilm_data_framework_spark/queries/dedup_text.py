@@ -125,13 +125,76 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 4))
 
 
-# --- MinHash-LSH + SimHash (rows-only; python-oracle parity in tests) ---------------
+# --- MinHash-LSH + SimHash ----------------------------------------------------------
+# Every hash in the MinHash pipeline is md5-derived, so DuckDB can replicate
+# the ENTIRE pipeline — signatures, banding, candidate join, exact verify —
+# making the approximate dedup fully hash-checked, not rows-only.
+
+
+def _minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    p = D._MERSENNE_P
+    rng = random.Random(seed)
+    return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, thr: float = 0.5) -> str:
+    p = D._MERSENNE_P
+    rows_per = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {p}))"
+        for a, b in _minhash_params(num_hashes)
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM toked WHERE len(toks) >= 3
+    ),
+    hs AS (
+      SELECT id, list_transform(
+               sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p}) AS hs
+      FROM sh
+    ),
+    sig AS (SELECT id, [{sig_items}] AS sig FROM hs),
+    expanded AS (SELECT id, sig, unnest(range(0, {bands})) AS band FROM sig),
+    banded AS (
+      SELECT id, band,
+             array_to_string(sig[{rows_per} * band + 1 : {rows_per} * band + {rows_per}], '_')
+               AS bucket
+      FROM expanded
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
+               / (len(sa.sh) + len(sb.sh)
+                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b
+    )
+    SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+    FROM verified WHERE jaccard >= {thr}
+    """
+
 
 @query(
     "minhash_lsh_pairs",
-    oracle=None,
+    oracle=_minhash_oracle_sql(),
     survey_ref="§2.10 MinHash+LSH near-dup (shingle→minhash→band→bucket-join)",
-    tags=("rows_only",),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.minhash_lsh_pairs(
@@ -140,14 +203,50 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 4))
 
 
+_SIMHASH_ORACLE = """
+    WITH toked AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    hs AS (
+      SELECT id, list_transform(
+               toks, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      FROM toked WHERE len(toks) > 0
+    ),
+    bitrows AS (SELECT id, hs, unnest(range(0, 63)) AS i FROM hs),
+    bitvals AS (
+      SELECT id,
+             CASE WHEN list_sum(list_transform(
+                    hs, x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << i) ELSE 0 END AS bv
+      FROM bitrows
+    ),
+    sig AS (SELECT id, sum(bv)::BIGINT AS simhash FROM bitvals GROUP BY id),
+    expanded AS (SELECT id, simhash, unnest(range(0, 4)) AS band FROM sig),
+    banded AS (
+      SELECT id, simhash, band, (simhash >> (16 * band)) & 65535 AS chunk
+      FROM expanded
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+
 @query(
     "simhash_near_pairs",
-    oracle=None,
+    oracle=_SIMHASH_ORACLE,
     survey_ref="§2.10 SimHash near-dup (banded hamming)",
-    tags=("rows_only",),
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+    out = D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # --- text quality ------------------------------------------------------------------

@@ -92,11 +92,69 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The SRP hyperplanes are seed-deterministic doubles, so the full LSH
+# pipeline — bucketing, candidate join, scoring, ranking — replays exactly
+# in DuckDB with the plane matrices embedded as SQL literals.
+
+
+def _lsh_oracle_sql(
+    k: int = TOP_K, n_queries: int = N_QUERIES, n_planes: int = 4,
+    n_tables: int = 4, dim: int = 64, seed: int = 42,
+) -> str:
+    tables = [S._hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+    def bucket_expr(planes: list[list[float]], vcol: str) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product({vcol}, {lit}) > 0 THEN {1 << i} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def case_bkt(vcol: str) -> str:
+        whens = "".join(
+            f" WHEN {t} THEN {bucket_expr(planes, vcol)}"
+            for t, planes in enumerate(tables)
+        )
+        return f"CASE tbl{whens} END"
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tbls AS (SELECT unnest(range(0, {n_tables})) AS tbl),
+    cb AS (
+      SELECT e.vec_id AS match_id, e.v AS mv, tbls.tbl, {case_bkt('e.v')} AS bkt
+      FROM e, tbls
+    ),
+    qb AS (
+      SELECT e.vec_id AS query_id, e.v AS qv, tbls.tbl, {case_bkt('e.v')} AS bkt
+      FROM e, tbls WHERE e.vec_id < {n_queries}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.match_id, q.qv, c.mv
+      FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bkt = q.bkt
+      WHERE c.match_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             list_dot_product(qv, mv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))) AS cos
+      FROM cand
+    ),
+    ranked AS (
+      SELECT query_id, match_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, match_id, round(cos, 4) AS cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {k}
+    """
+
+
 @query(
     "cosine_topk_lsh",
-    oracle=None,
+    oracle=_lsh_oracle_sql(),
     survey_ref="§2.10 ANN: random-hyperplane LSH-bucketed top-k (scale path)",
-    tags=("rows_only",),
 )
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -104,17 +162,76 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 planes × 4 tables: on weakly-similar random data SRP needs coarse
     # buckets for usable recall (see tests/test_similarity.py)
     out = S.lsh_topk(emb, queries_df, k=TOP_K, dim=64, n_planes=4, n_tables=4)
-    return out.select("query_id", "match_id", F.round("cosine", 4).alias("cosine"), "rk")
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+# IVF centroids are "the 16 corpus vectors with smallest md5(vec_id)" — a
+# deterministic choice DuckDB can recompute, so assignment + probing + the
+# final ranking all replay in SQL.
+
+
+def _ivf_oracle_sql(
+    k: int = TOP_K, n_queries: int = N_QUERIES, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    c_vs_cent = cos.format(a="e.v", b="c.cv")
+    q_vs_m = cos.format(a="qv", b="mv")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT v AS cv, rn - 1 AS cid FROM (
+        SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+        FROM e
+      ) WHERE rn <= {n_centroids}
+    ),
+    cassign AS (
+      SELECT match_id, mv, cid FROM (
+        SELECT e.vec_id AS match_id, e.v AS mv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {c_vs_cent} DESC, c.cid) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {c_vs_cent} DESC, c.cid) AS rn
+        FROM e, cents c WHERE e.vec_id < {n_queries}
+      ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.match_id, q.qv, c.mv
+      FROM cassign c JOIN qprobe q ON c.cid = q.cid
+      WHERE c.match_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, match_id, {q_vs_m} AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {q_vs_m} DESC, match_id) AS rk
+      FROM cand
+    )
+    SELECT query_id, match_id, round(cos, 4) AS cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {k}
+    """
 
 
 @query(
     "cosine_topk_ivf",
-    oracle=None,
+    oracle=_ivf_oracle_sql(),
     survey_ref="§2.10 ANN: IVF coarse-quantized top-k (partition-pruned search)",
-    tags=("rows_only",),
 )
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
     out = S.ivf_topk(emb, queries_df, k=TOP_K, n_centroids=16, n_probe=4)
-    return out.select("query_id", "match_id", F.round("cosine", 4).alias("cosine"), "rk")
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )

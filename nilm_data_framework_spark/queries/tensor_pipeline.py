@@ -52,6 +52,21 @@ def sliding_windows_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- full tensor export (J6 + W7 + W4 + S10 shape) --------------------------------
 
+def _tensorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tensorize(
+        ev,
+        house="user_id",
+        label="event_type",
+        ts=["ts", "event_id"],
+        value="value",
+        aggregate_label="view",
+        target_labels=["click", "purchase"],
+        seq_len=8,
+        step=4,
+    )
+
+
 @query(
     "tensor_export",
     oracle=None,
@@ -59,17 +74,62 @@ def sliding_windows_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rows_only",),
 )
 def tensor_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return tensorize(
-        ev,
-        house="user_id",
-        label="event_type",
-        ts="ts",
-        value="value",
-        aggregate_label="view",
-        target_labels=["click", "purchase"],
-        seq_len=16,
-        step=8,
+    # array-column export (the S10 sink shape). The scalar-flattened twin
+    # below value-checks every element of these windows against DuckDB.
+    return _tensorized(spark, sf_dir)
+
+
+@query(
+    "tensor_export_flat",
+    oracle="""
+    WITH series AS (
+      SELECT user_id, event_type, list(value ORDER BY ts, event_id) AS v
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id, event_type
+    ),
+    per_user AS (
+      SELECT user_id,
+             any_value(v) FILTER (event_type = 'view') AS agg,
+             any_value(v) FILTER (event_type = 'click') AS click,
+             any_value(v) FILTER (event_type = 'purchase') AS purch
+      FROM series GROUP BY user_id
+    ),
+    lens AS (
+      SELECT user_id, agg, click, purch,
+             least(len(agg),
+                   coalesce(len(click), 9223372036854775807),
+                   coalesce(len(purch), 9223372036854775807)) AS min_len
+      FROM per_user WHERE agg IS NOT NULL
+    ),
+    wins AS (
+      SELECT user_id, agg, click, purch,
+             unnest(range(0, CASE WHEN min_len >= 8
+                                  THEN (min_len - 8) // 4 + 1 ELSE 0 END)) AS w
+      FROM lens
+    ),
+    flat AS (
+      SELECT user_id, w, unnest(range(0, 8)) AS pos, agg, click, purch FROM wins
+    )
+    SELECT user_id, CAST(w AS BIGINT) AS window_id, CAST(pos AS INT) AS pos,
+           agg[4 * w + pos + 1] AS x,
+           coalesce(click[4 * w + pos + 1], 0.0) AS y_click,
+           coalesce(purch[4 * w + pos + 1], 0.0) AS y_purchase
+    FROM flat
+    """,
+    survey_ref="§2.5 W4 + §2.3 J6 element-exact check of the tensor export",
+)
+def tensor_export_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tensorized(spark, sf_dir)
+    z = t.select(
+        "user_id", "window_id", F.posexplode(F.arrays_zip("x", "y")).alias("pos", "z")
+    )
+    return z.select(
+        "user_id",
+        "window_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("z.x").alias("x"),
+        F.element_at("z.y", 1).alias("y_click"),
+        F.element_at("z.y", 2).alias("y_purchase"),
     )
 
 
