@@ -376,6 +376,30 @@ def multi_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A13 two-metric correlation per device -----------------------------------------------
+
+@query(
+    "corr_two_metrics",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    survey_ref="§2.4 A13 (visualize_emonesp.ipynb cell 0: W↔Q corr over a time slice)",
+)
+def corr_two_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sliced = sel.time_range(li, ts="l_shipdate", start="1995-01-01")
+    sliced = sliced.filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    return sliced.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --- P5/P6 channel selectors ------------------------------------------------------------
 # The testdata has no channels dim, so both sides derive one: distinct
 # (user_id, event_type) with raw_label = 'aggregate' for 'view' (the

@@ -137,3 +137,22 @@ def test_ngram_jaccard_threshold(spark):
         sa, sb = _py_shingles(DOCS[a][1]), _py_shingles(DOCS[b][1])
         assert j == pytest.approx(len(sa & sb) / len(sa | sb))
     assert (0, 2) in got and got[(0, 2)] == 1.0
+
+
+def test_dedup_exact_idempotent(spark):
+    """Property: dedup(dedup(X)) == dedup(X) (SURVEY §5 property tests)."""
+    from nilm_data_framework_spark.operators.dedup import dedup_exact
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a b", "A  b", "c", "c ", "d"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    once = dedup_exact(df)
+    twice = dedup_exact(once)
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b
+    assert [r[0] for r in a] == [1, 3, 5]

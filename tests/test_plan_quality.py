@@ -83,3 +83,42 @@ def test_single_shuffle_for_single_groupby(spark, name):
 
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) <= 1, f"{name}: extra shuffles\n{plan[:800]}"
+
+
+def test_range_join_broadcasts_interval_dim(spark):
+    # the interval side must broadcast (BroadcastNestedLoopJoin), never a
+    # cartesian product or a shuffled join
+    plan = _plan(spark, "range_join_campaigns")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_never_sort_merge_or_cartesian(spark):
+    plan = _plan(spark, "minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "banded self-join should hash/broadcast"
+
+
+def test_multimodal_is_narrow(spark):
+    # mapInPandas decode must not introduce a shuffle beyond the input scan
+    import re
+
+    for name in ("multimodal_features", "multimodal_frame_sample"):
+        plan = _plan(spark, name)
+        exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+        assert len(exchanges) <= 1, f"{name}: decode shuffled\n{plan[:600]}"
+
+
+def test_asof_join_single_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "asof_join_last_purchase")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) <= 1, "as-of should be one shuffle (union+carry-forward)"
+
+
+def test_no_query_plans_cartesian(spark):
+    # global guard: no registered query may plan a cartesian product
+    for name in SPECS:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
