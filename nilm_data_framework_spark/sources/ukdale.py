@@ -16,6 +16,11 @@ from nilm_data_framework_spark.schema import UKDALE_DAT
 
 
 def read_ukdale(spark: SparkSession, path_glob: str, house_id: int | None = None) -> DataFrame:
+    """house_id comes from the ``house_N/`` path component (UK-DALE's layout,
+    one directory per building); ``house_id`` overrides for single-house
+    globs without the directory structure. The reference's hardcoded
+    house-4-only debug filter (UKDALELoader.py:49-50) is deliberately NOT
+    ported."""
     raw = (
         spark.read.schema(UKDALE_DAT)
         .option("sep", " ")
@@ -23,6 +28,10 @@ def read_ukdale(spark: SparkSession, path_glob: str, house_id: int | None = None
         .csv(path_glob)
         .withColumn("_file", F.input_file_name())
     )
+    if house_id is not None:
+        house = F.lit(house_id).cast("int")
+    else:
+        house = F.regexp_extract("_file", r"house_?(\d+)", 1).cast("int")
     out = (
         raw.filter(~F.col("_file").contains("button_press"))
         .withColumn(
@@ -32,7 +41,7 @@ def read_ukdale(spark: SparkSession, path_glob: str, house_id: int | None = None
         .filter(F.col("timestamp").isNotNull() & F.col("power").isNotNull())
         .select(
             F.lit("ukdale").alias("dataset"),
-            F.lit(house_id if house_id is not None else 0).cast("int").alias("house_id"),
+            house.alias("house_id"),
             "channel_id",
             F.timestamp_seconds(F.col("timestamp")).alias("ts"),
             F.col("power").cast("double").alias("power"),

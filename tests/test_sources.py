@@ -91,3 +91,14 @@ def test_canonical_roundtrip(spark, fixture_dir, tmp_path):
     # partition pruning: house filter reads only that house's directory
     assert back.filter(F.col("house_id") == 3).count() == df.filter(F.col("house_id") == 3).count()
     assert set(back.columns) == set(df.columns)
+
+
+def test_ukdale_house_from_path(spark, tmp_path):
+    # UK-DALE layout: one house_N directory per building; house_id must come
+    # from the path when no override is given
+    for house in (1, 5):
+        d = tmp_path / f"house_{house}"
+        d.mkdir()
+        (d / "channel_1.dat").write_text("1700000000 240.5\n")
+    df = read_ukdale(spark, f"{tmp_path}/house_*/channel_*.dat")
+    assert {r["house_id"] for r in df.collect()} == {1, 5}
