@@ -30,3 +30,27 @@ def read_readings(spark: SparkSession, path: str) -> DataFrame:
 
 def write_dim(dim: DataFrame, path: str, mode: str = "overwrite") -> None:
     dim.coalesce(1).write.mode(mode).parquet(path)
+
+
+def write_readings_bucketed(
+    readings: DataFrame,
+    table: str,
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed canonical table: hash-bucket + sort by the series key.
+
+    Two tables bucketed the same way join WITHOUT an exchange — the join key
+    layout is pre-materialized, so fact-fact joins on (house_id, channel_id)
+    (time-axis alignment J4, as-of variants) skip their shuffle entirely.
+    This is the 100 TB co-location strategy; bucket count is chosen per
+    deployment (≈ total data / healthy partition size).
+    tests/test_bucketing.py asserts the exchange-free plan.
+    """
+    (
+        readings.write.mode(mode)
+        .bucketBy(buckets, "house_id", "channel_id")
+        .sortBy("house_id", "channel_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
