@@ -66,6 +66,52 @@ def resample_300s_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A1 with the upsample guard -----------------------------------------------
+# threshold 27000 s ≈ the median of per-user median inter-event gaps, so
+# BOTH branches are active: ~half the users pass through un-resampled
+# (reference skip at UnifiedNILM.py:118-120), the rest get bucketed.
+
+@query(
+    "resample_guarded",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+      FROM events
+    ),
+    rates AS (
+      SELECT user_id, median(delta) AS rate_s FROM d WHERE delta > 0 GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT e.user_id, e.ts, e.value, r.rate_s
+      FROM events e LEFT JOIN rates r USING (user_id)
+    ),
+    fine AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 27000) * 27000 AS BIGINT) AS bucket_s,
+             avg(value) AS power
+      FROM tagged WHERE rate_s IS NULL OR rate_s <= 27000
+      GROUP BY ALL
+    ),
+    coarse AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS bucket_s, value AS power
+      FROM tagged WHERE rate_s > 27000
+    )
+    SELECT user_id, bucket_s, round(power, 4) AS power
+    FROM (SELECT * FROM fine UNION ALL SELECT * FROM coarse)
+    """,
+    survey_ref="§2.4 A1 upsample guard (UnifiedNILM.py:118-120; metadata-driven plan step)",
+)
+def resample_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = rs.resample_mean_guarded(ev, ["user_id"], 27000, ts="ts", value="value")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.round("power", 4).alias("power"),
+    )
+
+
 # --- A2 aggregate-from-appliances -------------------------------------------
 
 @query(
