@@ -10,4 +10,6 @@ Each module maps to a SURVEY.md §2 block:
   similarity  — §2.10 embedding cosine top-k (brute force + LSH-bucketed)
   text        — §2.10 language-ID, quality scoring, token counts, fingerprints
   multimodal  — §2.10 opaque binary columns + mapInPandas decode plumbing
+  tensorize   — §3 entry point 3: windowed (X, Y) tensor export
+  skew        — SCALE.md salted-join escalation for pathological hot keys
 """

@@ -8,6 +8,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from nilm_data_framework_spark.operators import windows as W
@@ -171,3 +173,23 @@ def test_label_map_tier1_beats_tier2(spark):
     got = {r["i"]: r["universal_label"] for r in out.collect()}
     assert got[0] == "washing machine"
     assert got[1] == "tumble dryer"
+
+
+@given(
+    st.integers(min_value=0, max_value=60),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=12, deadline=None)
+def test_window_count_formula_property(spark, n, seq_len, step):
+    """Property (SURVEY §5): window count == (len - seq_len) // step + 1 for
+    len >= seq_len else 0, for BOTH W4 implementations."""
+    if n == 0:
+        return
+    pdf = pd.DataFrame({"k": ["x"] * n, "t": range(n), "v": [float(i) for i in range(n)]})
+    df = spark.createDataFrame(pdf)
+    expected = (n - seq_len) // step + 1 if n >= seq_len else 0
+    sql_n = W.sliding_windows_sql(df, ["k"], seq_len, step, ts="t", value="v").count()
+    grp_n = W.sliding_windows_grouped(df, ["k"], seq_len, step, ts="t", value="v").count()
+    assert sql_n == expected
+    assert grp_n == expected
