@@ -142,6 +142,32 @@ def run_length_filter(
     ).drop("_seg", "_seglen")
 
 
+def run_segments(
+    df: DataFrame,
+    keys: list[str],
+    ts: str | list[str],
+    state: str,
+) -> DataFrame:
+    """W5 segment-level output: one row per run (the batch twin of the
+    streaming ``track_runs`` stateful operator): keys..., state, first/last
+    ts, n_samples. Same gaps-and-islands segment id as run_length_filter."""
+    order_cols = [ts] if isinstance(ts, str) else list(ts)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    changed = (F.col(state) != F.lag(state, 1, -1).over(w)).cast("int")
+    first_ord = order_cols[0]
+    return (
+        df.withColumn("_seg", F.sum(changed).over(w))
+        .groupBy(*keys, "_seg")
+        .agg(
+            F.first(state).alias(state),
+            F.min(first_ord).alias("start_ts"),
+            F.max(first_ord).alias("end_ts"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .drop("_seg")
+    )
+
+
 def median_smooth(
     df: DataFrame,
     keys: list[str],

@@ -123,6 +123,43 @@ def run_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "state", "state_filtered")
 
 
+# --- W5 segment-level runs (batch twin of streaming/stateful.py track_runs) --------
+
+@query(
+    "run_segments",
+    oracle="""
+    WITH st AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS state
+      FROM events
+    ), chg AS (
+      SELECT *, CASE WHEN state <> coalesce(lag(state) OVER w, -1) THEN 1 ELSE 0 END AS changed
+      FROM st
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT *, sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM chg
+    )
+    SELECT user_id, state,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+           count(*) AS n_samples
+    FROM seg GROUP BY user_id, seg_id, state
+    """,
+    survey_ref="§2.5 W5 segment emission / §2.9 batch twin of track_runs (postprocessing.py:5-24)",
+)
+def run_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sel.binarize(_events(spark, sf_dir), "value", 100.0, out="state")
+    out = W.run_segments(ev, keys=["user_id"], ts=["ts", "event_id"], state="state")
+    return out.select(
+        "user_id",
+        "state",
+        F.expr("unix_micros(start_ts)").alias("start_us"),
+        F.expr("unix_micros(end_ts)").alias("end_us"),
+        "n_samples",
+    )
+
+
 # --- W6 median smoothing -----------------------------------------------------------
 
 @query(
