@@ -235,6 +235,35 @@ def interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A7/P15 interval histogram (outlier-filtered, binned counts) ---------------
+
+@query(
+    "interval_histogram",
+    oracle="""
+    WITH deltas AS (
+      SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)) / 1e6
+               AS delta_s
+      FROM events
+    )
+    SELECT CAST(floor(delta_s / 3600) AS INT) AS bin_h, count(*) AS n
+    FROM deltas WHERE delta_s > 0 AND delta_s <= 86400
+    GROUP BY bin_h
+    """,
+    survey_ref="§2.4 A7 histogram + §2.2 P15 outlier filter (visualize_sampling_rate.ipynb cell 0)",
+)
+def interval_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    return (
+        ev.withColumn("delta_s", (us - F.lag(us).over(w)) / 1e6)
+        .filter((F.col("delta_s") > 0) & (F.col("delta_s") <= 86400))
+        .groupBy(F.floor(F.col("delta_s") / 3600).cast("int").alias("bin_h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --- A8 active hours ----------------------------------------------------------
 
 @query(
