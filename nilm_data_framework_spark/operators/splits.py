@@ -1,0 +1,51 @@
+"""Deterministic dataset splitting (reference train/val/test split,
+bert_single_appliance/train_bert_single.py:108-115 — random_split seed 42).
+
+torch's random_split does not scale out and is not reproducible across
+engines; the 100 TB idiom is a content-hash split: bucket = md5(id) % 100,
+split assigned by cumulative fraction boundaries. Deterministic, stable
+under re-partitioning and appends, and replayable in any engine that has
+md5 (the DuckDB oracle does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """md5-derived bucket in [0, n_buckets): stable content hash of the id
+    rendered as a string (cross-engine reproducible, unlike Spark's hash())."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    out: str = "split",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Assign each row a split label by cumulative bucket ranges.
+
+    ``splits`` maps label → fraction (must sum to ~1); boundaries are
+    cumulative in dict order, e.g. {"train": .8, "val": .1, "test": .1} →
+    buckets [0,80) / [80,90) / [90,100). Narrow projection — no shuffle.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = split_bucket(F.col(id_col), n_buckets)
+    expr: Column | None = None
+    acc = 0.0
+    for label, frac in splits.items():
+        acc += frac
+        bound = round(acc * n_buckets)
+        cond = bucket < bound
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn(out, expr)

@@ -185,3 +185,45 @@ def word_ngrams(text: Column, n: int) -> Column:
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    idf is the RATIONAL form (N + 1) / (df + 1) rather than its log: IEEE
+    division of identical integers is bit-identical across engines, while
+    ln() is correctly-rounded nowhere — the log form cannot be hash-checked
+    against another engine. Monotone in df, so rankings match the log form
+    whenever tf ties don't interleave.
+
+    Scale shape: explode → two hash aggregations (term-frequency per doc,
+    document-frequency per term) → broadcast joins of the tiny N row and the
+    term dictionary → per-doc row_number top-k.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + 1).cast("double")
+            / (F.col("df") + 1).cast("double"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rk")
+    )

@@ -1,9 +1,10 @@
 """§2.10 LLM-pipeline queries over ``documents``: exact + near dedup, text
-quality, language-ID, token counting, fingerprinting.
+quality, language-ID, token counting, fingerprinting, hash splits, tf-idf.
 
-Hash functions are md5 (bit-identical in Spark and DuckDB) so the exact
-variants are fully oracle-checked; MinHash/SimHash register rows-only (their
-Python-oracle parity lives in tests/test_dedup_kernels.py).
+Every hash in every pipeline here is md5-derived (bit-identical in Spark and
+DuckDB), so ALL variants — including MinHash-LSH and SimHash end-to-end —
+are fully oracle-checked; Python-oracle kernel parity additionally lives in
+tests/test_dedup_kernels.py.
 """
 
 from __future__ import annotations
@@ -354,3 +355,66 @@ def _langid_oracle() -> str:
 )
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+# --- train/val/test hash split (reference random_split, seed-free & scalable) -------
+
+@query(
+    "hash_split_counts",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n
+    FROM b GROUP BY ALL
+    """,
+    survey_ref="§6 train/val/test split (train_bert_single.py:108-115) as content-hash split",
+)
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nilm_data_framework_spark.operators.splits import hash_split
+
+    docs = _docs(spark, sf_dir)
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- tf-idf top terms per document ---------------------------------------------------
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY ALL),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf::DOUBLE * (n.n_docs + 1)::DOUBLE / (dfreq.df + 1)::DOUBLE AS tfidf
+      FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    survey_ref="§2.10 text analysis: tf-idf characteristic terms (rational idf — see operator docstring)",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = T.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df",
+        F.round("tfidf", 4).alias("tfidf"),
+        F.col("rk").cast("int").alias("rk"),
+    )
