@@ -438,3 +438,69 @@ def range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("campaign_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+# --- cube + grouping-id (engine extension beyond rollup) ----------------------------
+
+@query(
+    "cube_returns",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey_ref="§2.4 extension: cube / grouping sets (absent in reference)",
+)
+def cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping() is only resolvable inside the cube's agg clause
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# --- ranking / analytic function family (engine extension) --------------------------
+
+@query(
+    "rank_analytics",
+    oracle="""
+    SELECT user_id, event_id,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           lead(event_id) OVER w AS next_event_id
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+    survey_ref="§2.5 extension: rank/dense_rank/ntile/lead (absent in reference)",
+)
+def rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
