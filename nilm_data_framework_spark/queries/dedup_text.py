@@ -418,3 +418,45 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("tfidf", 4).alias("tfidf"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+# --- C4/Gopher-style quality filter (quality features as a keep/drop gate) ----------
+
+@query(
+    "quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS distinct_ratio,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM t
+    )
+    SELECT lang,
+           count(CASE WHEN n_tok BETWEEN 10 AND 1000
+                       AND distinct_ratio > 0.3
+                       AND punct_ratio < 0.2 THEN 1 END) AS n_keep,
+           count(*) AS n_total
+    FROM q GROUP BY lang
+    """,
+    survey_ref="§2.10 quality filter: Gopher/C4-style thresholds over quality_features",
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = T.quality_features(_docs(spark, sf_dir))
+    keep = (
+        F.col("q_tokens").between(10, 1000)
+        & (F.col("q_distinct_token_ratio") > 0.3)
+        & (F.col("q_punct_ratio") < 0.2)
+    )
+    return q.groupBy("lang").agg(
+        F.count(F.when(keep, 1)).alias("n_keep"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
