@@ -207,3 +207,31 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "match_id", "cosine", "rk")
     )
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration for the IVF coarse quantizer: assign every vector
+    to its nearest centroid by cosine (ties → lower cid), then emit updated
+    centroids as element-wise means, FLAT as (cid, pos, c_val).
+
+    ``centroids`` carries (cid int, cv array<double>). Scale shape: the
+    centroid table broadcasts; assignment is a per-row argmax (no shuffle);
+    the update is posexplode + one hash aggregation on (cid, pos) — iterate
+    by feeding the re-assembled output back in. Flat output keeps the driver
+    oracle value-exact; assemble arrays with collect_list over pos when an
+    array form is needed.
+    """
+    scored = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(centroids)).withColumn(
+        "_cos", cosine(F.col("_v"), F.col("cv"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("cid"))
+    assigned = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    flat = assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
+    return flat.groupBy("cid", "pos").agg(F.avg("val").alias("c_val"))

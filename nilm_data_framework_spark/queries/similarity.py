@@ -1,8 +1,9 @@
 """§2.10 similarity-search queries over ``embeddings`` (array<float>, dim 64).
 
-Brute-force cosine top-k is fully oracle-checked (dot products computed in
-double on both engines); the LSH / IVF approximate variants register
-rows-only — their recall-vs-bruteforce contracts are tested in
+ALL variants — brute force AND the LSH / IVF approximate paths — are fully
+oracle-checked: the hyperplanes and centroid choices are deterministic, so
+DuckDB replays bucketing/probing/ranking end-to-end. Their
+recall-vs-bruteforce contracts are additionally tested in
 tests/test_similarity.py.
 """
 
@@ -235,3 +236,47 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+# --- k-means refinement step for the IVF quantizer (iterative algorithm demo) -------
+
+@query(
+    "kmeans_centroid_update",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT v AS cv, rn - 1 AS cid FROM (
+        SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+        FROM e
+      ) WHERE rn <= 16
+    ),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                 DESC, c.cid) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ),
+    flat AS (SELECT cid, v, unnest(range(0, 64)) AS pos FROM assigned)
+    SELECT cid, CAST(pos AS INT) AS pos, round(avg(v[pos + 1]), 4) AS c_val
+    FROM flat GROUP BY cid, pos
+    """,
+    survey_ref="§2.10 ANN: one Lloyd iteration refining the IVF coarse quantizer",
+)
+def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cents = [
+        [float(x) for x in row[0]]
+        for row in emb.select("embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(16)
+        .collect()
+    ]
+    cents_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "cid int, cv array<double>"
+    )
+    out = S.kmeans_step(emb, cents_df)
+    return out.select("cid", "pos", F.round("c_val", 4).alias("c_val"))

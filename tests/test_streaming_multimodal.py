@@ -114,3 +114,43 @@ def test_frame_sampling_shape(spark, assets):
     # duration None → 1 frame; 2000ms → 2; 3500ms → 3
     assert by_asset == {1: 1, 2: 2, 3: 3}
     assert all(len(r["features"]) == M.FEATURE_DIM for r in frames)
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    from nilm_data_framework_spark.streaming.ingest import session_windows
+
+    logs = tmp_path / "logs3"
+    logs.mkdir()
+    # two activity bursts 10 min apart → two sessions with a 5 min gap rule
+    events = [0, 30, 60] + [660, 690]
+    with open(logs / "mqtt.log.1", "w") as f:
+        for off in events:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": 1700000000.0 + off,
+                        "payload": {
+                            "dst": "kettle/events",
+                            "params": {"switch:0": {"apower": 500.0}},
+                        },
+                    }
+                )
+                + "\n"
+            )
+    stream = read_mqtt_stream(spark, str(logs))
+    from nilm_data_framework_spark.streaming.ingest import session_windows as sw
+
+    sess = sw(stream, gap="5 minutes", watermark="30 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess_out order by session_start").collect()
+    assert [r["n_events"] for r in rows] == [3, 2]
+    # session end extends gap past the last event
+    assert rows[0]["session_end"].timestamp() - 1700000060.0 == 300.0
+    q.stop()
