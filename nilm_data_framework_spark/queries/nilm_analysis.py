@@ -597,3 +597,48 @@ def binarize_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_on") > 5)
         .select("user_id", F.col("n_on").cast("long").alias("n_on"), "n_total", "sum_clipped")
     )
+
+
+# --- composed end-to-end pipeline (reference entry point 2, one plan) -------------
+# selector → exclusion → resample → aggregate-from-appliances → activity stats,
+# all composed lazily so Catalyst optimizes ACROSS operator boundaries (one
+# scan, pushdown through the whole chain).
+
+@query(
+    "nilm_end_to_end",
+    oracle="""
+    WITH sliced AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-25 23:59:59'
+        AND lower(event_type) NOT IN ('error', 'signup')
+    ),
+    resampled AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+             sum(value) AS agg_value
+      FROM sliced GROUP BY ALL
+    )
+    SELECT user_id,
+           count(*) AS n_buckets,
+           round(sum(agg_value), 2) AS total_agg,
+           round(max(agg_value), 2) AS peak_agg,
+           count(CASE WHEN agg_value > 50.0 THEN 1 END) AS n_active
+    FROM resampled GROUP BY user_id
+    """,
+    survey_ref="§3 entry point 2 composed: P3+P7 → A1 → A2 → A8 in one Catalyst plan",
+)
+def nilm_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sliced = sel.time_range(ev, ts="ts", start="2024-01-05", end="2024-01-25 23:59:59")
+    kept = sliced.filter(~F.lower("event_type").isin("error", "signup"))
+    hourly = agg.aggregate_from_appliances(
+        kept, ["user_id"], seconds=3600, ts="ts", value="value"
+    )
+    return hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        # a rounded TOTAL, not a mean: avg() can land exactly on a rounding
+        # boundary where the engines' last-ulp summation order differs
+        F.round(F.sum("aggregate_computed"), 2).alias("total_agg"),
+        F.round(F.max("aggregate_computed"), 2).alias("peak_agg"),
+        F.count(F.when(F.col("aggregate_computed") > 50.0, 1)).alias("n_active"),
+    )

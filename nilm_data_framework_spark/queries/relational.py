@@ -504,3 +504,32 @@ def rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.lead("event_id").over(w).alias("next_event_id"),
     )
+
+
+# --- pure Spark-SQL-text API (same engine, SQL surface) ------------------------------
+
+_REVENUE_SQL = """
+    SELECT n.n_name AS nation,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+"""
+
+
+@query(
+    "sql_api_revenue",
+    oracle=_REVENUE_SQL,
+    survey_ref="§3 SQL surface: identical query text runs via spark.sql over registered views",
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the exact same SQL text is the oracle — Catalyst and DuckDB both parse
+    # it over the same tables (views registered from the parquet scans).
+    from nilm_data_framework_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_SQL)

@@ -1,0 +1,71 @@
+"""Edge-case behavior of the pandas-kernel and join operators: empty inputs,
+single rows, missing labels — the shapes that break at 100 TB when one
+partition/group is degenerate."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import windows as W
+from nilm_data_framework_spark.operators.joins import asof_join
+from nilm_data_framework_spark.operators.tensorize import tensorize
+
+
+def test_sliding_windows_short_series_yield_nothing(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 3, "t": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    assert W.sliding_windows_grouped(df, ["k"], seq_len=8, step=4, ts="t", value="v").count() == 0
+    assert W.sliding_windows_sql(df, ["k"], seq_len=8, step=4, ts="t", value="v").count() == 0
+
+
+def test_tensorize_house_without_aggregate_dropped(spark):
+    # house 2 has no 'agg' label → contributes no windows; house 1 does
+    rows = []
+    for h, labels in [(1, ["agg", "x"]), (2, ["x"])]:
+        for lab in labels:
+            for t in range(10):
+                rows.append((h, lab, t, float(t)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["h", "lab", "t", "v"]))
+    out = tensorize(
+        df, house="h", label="lab", ts="t", value="v",
+        aggregate_label="agg", target_labels=["x"], seq_len=4, step=2,
+    ).collect()
+    assert {r["h"] for r in out} == {1}
+    assert len(out) == (10 - 4) // 2 + 1
+
+
+def test_tensorize_missing_target_label_zero_filled(spark):
+    rows = [(1, "agg", t, float(t + 1)) for t in range(6)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["h", "lab", "t", "v"]))
+    out = tensorize(
+        df, house="h", label="lab", ts="t", value="v",
+        aggregate_label="agg", target_labels=["x", "y"], seq_len=3, step=3,
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["labels"] == ["x", "y"]
+        assert all(v == 0.0 for row in r["y"] for v in row)
+
+
+def test_asof_join_empty_right_side(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "ts": [10, 20], "x": [1, 2]}))
+    right = spark.createDataFrame([], "k long, ts long, power double")
+    out = asof_join(left, right, keys=["k"], left_ts="ts", right_ts="ts").collect()
+    assert len(out) == 2
+    assert all(r["asof_value"] is None for r in out)
+
+
+def test_run_segments_single_row(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [1], "state": [1]}))
+    out = W.run_segments(df, keys=["k"], ts="t", state="state").collect()
+    assert len(out) == 1
+    assert (out[0]["state"], out[0]["n_samples"]) == (1, 1)
+    assert out[0]["start_ts"] == out[0]["end_ts"] == 1
+
+
+def test_median_smooth_reflect_single_point(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [0], "v": [7.0]}))
+    out = W.median_smooth_reflect(df, keys=["k"], ts="t", value="v", half_width=2).collect()
+    assert len(out) == 1 and out[0]["smoothed"] == 7.0
