@@ -161,3 +161,56 @@ def asof_join(
             F.col("_t").cast("double") - F.col("_lastt") <= tolerance_s, F.col("_lastv")
         )
     return res.select(*lcols, val.alias(out))
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value: str = "power",
+    out: str = "asof_value",
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """As-of join via cogrouped applyInPandas (§2.8's cogroup surface):
+    both sides shuffle once on ``keys``, then each key's pair of Arrow
+    batches is merged with ``pd.merge_asof`` (backward, <=).
+
+    Same semantics as :func:`asof_join`; this variant is preferable when the
+    per-key data is pandas-sized and the carry-forward window trick would
+    thrash (e.g. very wide left rows), and it demonstrates the cogroup
+    escape hatch for fact-fact alignment kernels.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    lcols = list(left.columns)
+    out_schema = StructType(list(left.schema.fields) + [StructField(out, DoubleType())])
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[*lcols, out])
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if rpdf.empty:
+            res = lpdf.copy()
+            res[out] = None
+            return res[[*lcols, out]]
+        rpdf = (
+            rpdf[[right_ts, right_value]]
+            .rename(columns={right_ts: "_rts", right_value: out})
+            .sort_values("_rts", kind="mergesort")
+        )
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on=left_ts, right_on="_rts",
+            direction="backward", allow_exact_matches=True,
+            tolerance=None if tolerance_s is None else tolerance_s,
+        )
+        return merged[[*lcols, out]]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -95,3 +95,41 @@ def test_enrich_defaults(spark):
     dim = spark.createDataFrame([(1, "x")], "k int, name string")
     out = {r["k"]: r["name"] for r in J.enrich(fact, dim, on=["k"], defaults={"name": "unknown"}).collect()}
     assert out == {1: "x", 2: "unknown"}
+
+
+def test_asof_cogrouped_matches_window_variant(spark):
+    """The cogrouped-pandas as-of join must agree with the union+carry
+    forward implementation row for row."""
+    import pandas as pd
+
+    from nilm_data_framework_spark.operators.joins import asof_join, asof_join_cogrouped
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 2, 2], "ts": [5, 10, 20, 3, 9],
+                      "x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "ts": [4, 10, 100], "power": [40.0, 100.0, 7.0]})
+    )
+    a = asof_join(left, right, keys=["k"], left_ts="ts", right_ts="ts")
+    b = asof_join_cogrouped(left, right, keys=["k"], left_ts="ts", right_ts="ts")
+    rows_a = sorted(map(tuple, a.select("k", "ts", "x", "asof_value").collect()))
+    rows_b = sorted(map(tuple, b.select("k", "ts", "x", "asof_value").collect()))
+    assert rows_a == rows_b
+    assert rows_a[0] == (1, 5, 1.0, 40.0)   # nearest-previous
+    assert rows_a[1] == (1, 10, 2.0, 100.0)  # equal ts inclusive
+    assert rows_a[3] == (2, 3, 4.0, None)    # nothing before → null
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL++) is the documented scale twin of exact
+    distinct counts — check it lands within its rsd on the events table."""
+    from nilm_data_framework_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])
