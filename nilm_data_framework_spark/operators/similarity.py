@@ -136,11 +136,15 @@ def lsh_topk(
 
     qb = bucketize(queries, "query_id")
     cb = bucketize(corpus, "match_id")
+    # score BEFORE deduping: every duplicate candidate has the same cosine,
+    # so the dedup shuffle carries one double instead of two dim-width
+    # vectors (first() is deterministic here — all values equal per pair)
     cand = (
         cb.join(F.broadcast(qb), on=["tbl", "bkt"])
         .filter(F.col("match_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "match_id"])
         .withColumn("cosine", cosine(F.col("query_id_v"), F.col("match_id_v")))
+        .groupBy("query_id", "match_id")
+        .agg(F.first("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
     return (
@@ -198,8 +202,9 @@ def ivf_topk(
     cand = (
         c.join(F.broadcast(q), on="cid")
         .filter(F.col("match_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "match_id"])
         .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .groupBy("query_id", "match_id")
+        .agg(F.first("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
     return (
