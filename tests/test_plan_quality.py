@@ -122,3 +122,24 @@ def test_no_query_plans_cartesian(spark):
     for name in SPECS:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_registry_contract():
+    # every query: unique name (dict guarantees), a survey_ref, and an
+    # oracle that is either None (rows-only, must be tagged) or SQL text
+    for name, spec in SPECS.items():
+        assert spec.survey_ref, f"{name}: missing survey_ref"
+        if spec.oracle is None:
+            assert "rows_only" in (spec.tags or ()), f"{name}: untagged rows-only"
+        else:
+            assert "SELECT" in spec.oracle.upper(), f"{name}: oracle not SQL"
+
+
+def test_entry_module_contract():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 75
+    assert all(callable(f) for f in qs.values())
