@@ -85,3 +85,26 @@ def test_grouped_windows_query_matches_sql_variant(spark):
     ta = sorted(map(tuple, a[cols].itertuples(index=False)))
     tb = sorted(map(tuple, b[cols].itertuples(index=False)))
     assert ta == tb
+
+
+def test_tensor_parquet_roundtrip(spark, tmp_path):
+    """S10: the windowed export persists to Parquet with array columns and
+    reads back value-identical (the reference's torch.save analog)."""
+    import pandas as pd
+
+    rows = []
+    for lab in ("agg", "x"):
+        for t in range(12):
+            rows.append((1, lab, t, float(t)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["h", "lab", "t", "v"]))
+    wins = tensorize(
+        df, house="h", label="lab", ts="t", value="v",
+        aggregate_label="agg", target_labels=["x"], seq_len=4, step=2,
+    )
+    out = str(tmp_path / "tensors")
+    wins.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.schema == wins.schema
+    a = sorted(wins.collect(), key=lambda r: (r["h"], r["window_id"]))
+    b = sorted(back.collect(), key=lambda r: (r["h"], r["window_id"]))
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
