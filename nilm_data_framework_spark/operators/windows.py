@@ -241,3 +241,39 @@ def truncate_to_min(
         .filter(F.col("_rn") <= F.col("_min_cnt"))
         .drop("_rn", "_min_cnt")
     )
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    ts: str | list[str],
+    value: str,
+    alpha: float,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exponential moving average per series (s_i = α·x_i + (1-α)·s_{i-1},
+    s_0 = x_0 — pandas ``ewm(adjust=False)`` semantics). Inherently
+    sequential per series → one applyInPandas per key group, recursion in
+    NumPy inside; the engine extension the reference's resample-based
+    smoothing lacks."""
+    import numpy as np
+    import pandas as pd
+
+    order_cols = [ts] if isinstance(ts, str) else list(ts)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out, DoubleType())]
+    )
+    cols = [*df.columns, out]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").copy()
+        vals = pdf[value].to_numpy(dtype=np.float64)
+        s = np.empty_like(vals)
+        acc = 0.0
+        for i, x in enumerate(vals):
+            acc = x if i == 0 else alpha * x + (1.0 - alpha) * acc
+            s[i] = acc
+        pdf[out] = s
+        return pdf[cols]
+
+    return df.groupBy(*keys).applyInPandas(run, schema=out_schema)

@@ -252,3 +252,34 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("session_id").alias("n_sessions"),
         F.round(F.avg("cnt"), 4).alias("avg_session_events"),
     )
+
+
+# --- running (cumulative) aggregates -------------------------------------------------
+
+@query(
+    "running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 4) AS running_sum,
+           round(max(value) OVER w, 4) AS running_max,
+           count(*) OVER w AS n_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="§2.5 extension: cumulative window aggregates (running totals)",
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        F.round(F.max("value").over(w), 4).alias("running_max"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )

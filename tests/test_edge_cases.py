@@ -69,3 +69,16 @@ def test_median_smooth_reflect_single_point(spark):
     df = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [0], "v": [7.0]}))
     out = W.median_smooth_reflect(df, keys=["k"], ts="t", value="v", half_width=2).collect()
     assert len(out) == 1 and out[0]["smoothed"] == 7.0
+
+
+def test_ewma_matches_pandas(spark):
+    vals = [10.0, 0.0, 5.0, 5.0, 20.0, 1.0]
+    pdf = pd.DataFrame({"k": ["a"] * len(vals), "t": range(len(vals)), "v": vals})
+    got = (
+        W.ewma(spark.createDataFrame(pdf), keys=["k"], ts="t", value="v", alpha=0.3)
+        .orderBy("t")
+        .toPandas()["ewma"]
+        .tolist()
+    )
+    expected = pdf["v"].ewm(alpha=0.3, adjust=False).mean().tolist()
+    assert got == pytest.approx(expected, abs=1e-12)
