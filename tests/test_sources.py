@@ -102,3 +102,23 @@ def test_ukdale_house_from_path(spark, tmp_path):
         (d / "channel_1.dat").write_text("1700000000 240.5\n")
     df = read_ukdale(spark, f"{tmp_path}/house_*/channel_*.dat")
     assert {r["house_id"] for r in df.collect()} == {1, 5}
+
+
+def test_canonical_partition_pruning_plan(spark, fixture_dir, tmp_path):
+    """The (dataset, house_id) partitioning must surface as PartitionFilters
+    in the scan — the SCALE.md near-free per-house slice claim."""
+    import contextlib
+    import io
+
+    from nilm_data_framework_spark.sources.canonical import read_readings, write_readings
+
+    df = read_refit(spark, f"{fixture_dir}/CLEAN_House*.csv")
+    out = str(tmp_path / "readings_pruned")
+    write_readings(df, out)
+    back = read_readings(spark, out).filter(F.col("house_id") == 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "house_id" in pf[0], f"no partition filter in scan:\n{plan[:600]}"
