@@ -642,3 +642,57 @@ def nilm_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("aggregate_computed"), 2).alias("peak_agg"),
         F.count(F.when(F.col("aggregate_computed") > 50.0, 1)).alias("n_active"),
     )
+
+
+# --- hour-of-day load profile (notebook-style seasonal analytics + F8/F9) -----------
+
+@query(
+    "hourly_profile",
+    oracle="""
+    SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+           round(sum(value), 2) AS total_value, count(*) AS n
+    FROM events GROUP BY ALL
+    """,
+    survey_ref="§2.4 A5/A8 seasonal variant + §2.7 F8/F9 date parts (insights notebooks)",
+)
+def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # rounded TOTAL, not mean: tiny groups' means can land exactly on a
+    # rounding boundary where the engines' summation order differs
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(F.round(F.sum("value"), 2).alias("total_value"), F.count(F.lit(1)).alias("n"))
+
+
+# --- F1-F5 string cleaning showcase -------------------------------------------------
+
+@query(
+    "string_cleaning",
+    oracle="""
+    SELECT event_id,
+           trim(regexp_replace(regexp_replace(lower(event_type || '_' || CAST(user_id AS VARCHAR)),
+                                              '[_\\-,]', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS cleaned,
+           starts_with(event_type, 'p') AS starts_p,
+           CAST(regexp_extract(CAST(event_id AS VARCHAR) || 'S', '(\\d+)S$', 1) AS INT) AS parsed_id,
+           split_part(event_type || ' ' || CAST(user_id AS VARCHAR), ' ', 1) AS first_token
+    FROM events
+    """,
+    survey_ref="§2.7 F1-F5 (UnifiedNILM.py:41-54, REFITLoader.py:37-40, create_ukdale_metadata.py:33-36)",
+)
+def string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    raw = F.concat("event_type", F.lit("_"), F.col("user_id").cast("string"))
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(raw), r"[_\-,]", " "), r"\s+", " ")
+    )
+    return ev.select(
+        "event_id",
+        cleaned.alias("cleaned"),
+        F.col("event_type").startswith("p").alias("starts_p"),
+        F.regexp_extract(F.concat(F.col("event_id").cast("string"), F.lit("S")), r"(\d+)S$", 1)
+        .cast("int")
+        .alias("parsed_id"),
+        F.split(F.concat("event_type", F.lit(" "), F.col("user_id").cast("string")), " ")[0]
+        .alias("first_token"),
+    )
