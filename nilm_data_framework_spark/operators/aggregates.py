@@ -140,3 +140,45 @@ def pairwise_corr(
 def distinct_labels(channels: DataFrame, col: str = "universal_label") -> DataFrame:
     """A14: global distinct sorted label set (ConvertToTensor.py:35-44)."""
     return channels.select(col).distinct().orderBy(col)
+
+
+def pairwise_corr_onepass(
+    readings: DataFrame,
+    pair_col: str,
+    series_values: list[str],
+    ts: str = "ts",
+    value: str = "power",
+    seconds: int = 60,
+) -> DataFrame:
+    """A12 scale escalation (SURVEY §7 watch list): pairwise Pearson via ONE
+    distributed pass — bucket-resample, pivot to a vector per bucket, and
+    let ``spark.ml``'s Correlation aggregate the C×C matrix (a single
+    tree-aggregated Gramian; the C×C result is driver-sized by construction).
+
+    The per-pair self-join variant (:func:`pairwise_corr`) is O(C²)
+    aggregates and fine to ~10³ series; this one is O(C²) only in the tiny
+    result. Buckets with any missing series are dropped (complete-case, the
+    same rows the inner-join variant correlates when every pair shares the
+    bucket set). Returns (a, b, pearson) with a < b.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    cols = sorted(series_values)
+    wide = (
+        readings.groupBy(
+            F.window(F.col(ts), f"{seconds} seconds")["start"].alias("bucket_ts")
+        )
+        .pivot(pair_col, cols)
+        .agg(F.avg(value))
+        .na.drop()
+    )
+    assembled = VectorAssembler(inputCols=cols, outputCol="_vec").transform(wide)
+    mat = Correlation.corr(assembled, "_vec", "pearson").head()[0].toArray()
+    spark = readings.sparkSession
+    rows = [
+        (cols[i], cols[j], float(mat[i][j]))
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    return spark.createDataFrame(rows, "a string, b string, pearson double")

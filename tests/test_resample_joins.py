@@ -133,3 +133,41 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])
+
+
+def test_pairwise_corr_onepass_matches_per_pair(spark):
+    """The one-pass ml.Correlation path must agree with the per-pair
+    self-join variant on complete-case buckets."""
+    import math
+
+    import pandas as pd
+
+    from nilm_data_framework_spark.operators.aggregates import (
+        pairwise_corr,
+        pairwise_corr_onepass,
+    )
+
+    rows = []
+    base = 1700000000
+    for t in range(40):
+        rows.append(("x", base + t * 60, float(t)))
+        rows.append(("y", base + t * 60, float(2 * t + 1)))
+        rows.append(("z", base + t * 60, float((-1) ** t * t)))
+    pdf = pd.DataFrame(rows, columns=["ch", "epoch", "v"])
+    df = spark.createDataFrame(pdf).select(
+        "ch", F.timestamp_seconds("epoch").alias("ts"), F.col("v")
+    )
+    per_pair = {
+        (r["a"], r["b"]): r["pearson"]
+        for r in pairwise_corr(df, "ch", ts="ts", value="v", seconds=60).collect()
+    }
+    one_pass = {
+        (r["a"], r["b"]): r["pearson"]
+        for r in pairwise_corr_onepass(
+            df, "ch", ["x", "y", "z"], ts="ts", value="v", seconds=60
+        ).collect()
+    }
+    assert set(per_pair) == set(one_pass)
+    for k in per_pair:
+        assert math.isclose(per_pair[k], one_pass[k], rel_tol=1e-9), k
+    assert math.isclose(per_pair[("x", "y")], 1.0, rel_tol=1e-9)
