@@ -696,3 +696,41 @@ def string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.concat("event_type", F.lit(" "), F.col("user_id").cast("string")), " ")[0]
         .alias("first_token"),
     )
+
+
+# --- A12 scale path: one-pass correlation matrix (ml.stat.Correlation) --------------
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _corr_onepass_oracle() -> str:
+    cols = ", ".join(
+        f"avg(value) FILTER (event_type = '{t}') AS v_{t}" for t in _ETYPES
+    )
+    complete = " AND ".join(f"v_{t} IS NOT NULL" for t in _ETYPES)
+    pairs = "\n    UNION ALL ".join(
+        f"SELECT '{a}' AS a, '{b}' AS b, round(corr(v_{a}, v_{b}), 4) AS pearson FROM complete"
+        for i, a in enumerate(_ETYPES)
+        for b in _ETYPES[i + 1 :]
+    )
+    return f"""
+    WITH buckets AS (
+      SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, {cols}
+      FROM events GROUP BY bucket
+    ),
+    complete AS (SELECT * FROM buckets WHERE {complete})
+    {pairs}
+    """
+
+
+@query(
+    "pairwise_corr_onepass",
+    oracle=_corr_onepass_oracle(),
+    survey_ref="§2.4 A12 scale escalation: single-pass ml.Correlation Gramian (SURVEY §7 watch list)",
+)
+def pairwise_corr_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg.pairwise_corr_onepass(
+        _events(spark, sf_dir), "event_type", _ETYPES, ts="ts", value="value",
+        seconds=86400,
+    )
+    return out.select("a", "b", F.round("pearson", 4).alias("pearson"))
