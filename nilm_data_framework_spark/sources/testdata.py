@@ -16,6 +16,15 @@ from nilm_data_framework_spark.schema import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Self-provision the two runtime confs the queries depend on, so the
+    engine works on ANY caller-built SparkSession (the round driver passes
+    its own): nanos-typed parquet reads as long (converted below), and UTC
+    timestamp semantics (matching the DuckDB oracle)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
 ) -> DataFrame:
@@ -29,6 +38,7 @@ def load_table(
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) parquet; with nanosAsLong it scans as
     # long nanos — convert via exact integer division (`div`, not `/`:
@@ -46,6 +56,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql queries)."""
+    _ensure_session_confs(spark)
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):

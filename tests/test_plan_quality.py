@@ -143,3 +143,20 @@ def test_entry_module_contract():
     assert set(oracles) <= set(qs)
     assert len(qs) >= 75
     assert all(callable(f) for f in qs.values())
+
+
+def test_queries_run_on_caller_built_session(spark):
+    # the driver passes ITS OWN SparkSession — load_table must self-provision
+    # the nanosAsLong + UTC confs rather than assume our session factory.
+    # Simulate by clearing them on the shared session and reading events.
+    from nilm_data_framework_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, SF_DIR, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
