@@ -122,3 +122,24 @@ def test_canonical_partition_pruning_plan(spark, fixture_dir, tmp_path):
     plan = buf.getvalue()
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "house_id" in pf[0], f"no partition filter in scan:\n{plan[:600]}"
+
+
+def test_metadata_json_reader(spark, tmp_path):
+    """S5: nested {house: {channel: {field: value}}} JSON → channels dim."""
+    meta = {
+        "3": {
+            "Appliance1": {"label": "Fridge", "manufacturer": "LG"},
+            "Aggregate": {"label": "aggregate"},
+        },
+        "12": {"Appliance1": {"label": "Kettle", "acquisition_device": "plug"}},
+    }
+    p = tmp_path / "refit_appliance_metadata.json"
+    p.write_text(json.dumps(meta))
+    from nilm_data_framework_spark.sources.metadata_json import read_metadata_json
+
+    rows = {(r["house_id"], r["channel_id"]): r for r in read_metadata_json(spark, str(p)).collect()}
+    assert set(rows) == {(3, "Appliance1"), (3, "Aggregate"), (12, "Appliance1")}
+    assert rows[(3, "Appliance1")]["label"] == "Fridge"
+    assert rows[(3, "Appliance1")]["manufacturer"] == "LG"
+    assert rows[(12, "Appliance1")]["acquisition_device"] == "plug"
+    assert rows[(3, "Aggregate")]["manufacturer"] is None
