@@ -160,7 +160,14 @@ def pairwise_corr_onepass(
     result. Buckets with any missing series are dropped (complete-case, the
     same rows the inner-join variant correlates when every pair shares the
     bucket set). Returns (a, b, pearson) with a < b.
+
+    NOTE: this operator executes EAGERLY (``Correlation.corr(...).head()``
+    materializes the C×C Gramian on the driver) — the returned DataFrame is a
+    local relation of the C(C-1)/2 pairs, not a lazy plan. Zero-variance
+    series yield NaN from spark.ml; those entries are mapped to NULL to match
+    SQL ``corr`` semantics (DuckDB/Spark SQL return NULL there).
     """
+    import math
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.stat import Correlation
 
@@ -177,7 +184,11 @@ def pairwise_corr_onepass(
     mat = Correlation.corr(assembled, "_vec", "pearson").head()[0].toArray()
     spark = readings.sparkSession
     rows = [
-        (cols[i], cols[j], float(mat[i][j]))
+        (
+            cols[i],
+            cols[j],
+            None if math.isnan(mat[i][j]) else float(mat[i][j]),
+        )
         for i in range(len(cols))
         for j in range(i + 1, len(cols))
     ]

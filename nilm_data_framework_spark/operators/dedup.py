@@ -114,66 +114,76 @@ def minhash_lsh_pairs(
     ]
     # sh feeds the banded branch and both verify sides; persist so the
     # shingle computation isn't re-run per branch — Spark only reuses
-    # identical exchange subtrees, not arbitrary common subplans.
+    # identical exchange subtrees, not arbitrary common subplans. The persist
+    # is scoped: the result is materialized eagerly below (localCheckpoint)
+    # and sh is unpersisted before returning, so no cached blocks outlive the
+    # call in a shared session.
     sh = (
         df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
         .persist()
     )
-    hashed = sh.select(
-        "id", F.transform("sh", lambda s: _md5_64(s) % _MERSENNE_P).alias("hs")
-    )
-    # single nested HOF over a one-call params literal: sig[i] = min over
-    # shingle hashes of (h*a_i + b_i) mod p; bucket per band = joined slice.
-    # (Building 16 separate transform expressions costs ~1 s of Py4J plan
-    # construction and a much larger tree for Catalyst.)
-    params_lit = F.expr(
-        "array(" + ",".join(f"array({a}L,{b}L)" for a, b in params) + ")"
-    )
-    sig = F.transform(
-        params_lit,
-        lambda ab: F.array_min(
-            F.transform("hs", lambda x: (x * ab[0] + ab[1]) % F.lit(_MERSENNE_P))
-        ),
-    )
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bnd: F.struct(
-            bnd.alias("band"),
-            F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), bnd * rows_per + 1, rows_per),
-                    lambda m: m.cast("string"),
-                ),
-                "_",
-            ).alias("bucket"),
-        ),
-    )
-    # sig projected as a real column (non-cheap, so CollapseProject keeps
-    # it) — evaluated once per row, then sliced per band.
-    banded = (
-        hashed.select("id", sig.alias("sig"))
-        .select("id", F.explode(buckets).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        verified.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    try:
+        hashed = sh.select(
+            "id", F.transform("sh", lambda s: _md5_64(s) % _MERSENNE_P).alias("hs")
+        )
+        # single nested HOF over a one-call params literal: sig[i] = min over
+        # shingle hashes of (h*a_i + b_i) mod p; bucket per band = joined slice.
+        # (Building 16 separate transform expressions costs ~1 s of Py4J plan
+        # construction and a much larger tree for Catalyst.)
+        params_lit = F.expr(
+            "array(" + ",".join(f"array({a}L,{b}L)" for a, b in params) + ")"
+        )
+        sig = F.transform(
+            params_lit,
+            lambda ab: F.array_min(
+                F.transform("hs", lambda x: (x * ab[0] + ab[1]) % F.lit(_MERSENNE_P))
+            ),
+        )
+        buckets = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.struct(
+                bnd.alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), bnd * rows_per + 1, rows_per),
+                        lambda m: m.cast("string"),
+                    ),
+                    "_",
+                ).alias("bucket"),
+            ),
+        )
+        # sig projected as a real column (non-cheap, so CollapseProject keeps
+        # it) — evaluated once per row, then sliced per band.
+        banded = (
+            hashed.select("id", sig.alias("sig"))
+            .select("id", F.explode(buckets).alias("bb"))
+            .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        result = (
+            verified.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        # Materialize now (blocks are owned by the returned plan's RDD and
+        # reclaimed by the ContextCleaner when it is GC'd), so sh's cache can
+        # be released immediately instead of leaking into the session.
+        return result.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -184,21 +194,52 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard within a blocking key (e.g. same lang) —
-    the oracle-checkable exact twin of MinHash-LSH. Pairs only form inside
-    a block: the join shuffles on block_col, never cross-joins globally."""
+    """Exact n-gram Jaccard with (block, length-bucket) blocking — the
+    oracle-checkable exact twin of MinHash-LSH.
+
+    LOSSLESS length pruning: J(A,B) >= t implies |A|/|B| and |B|/|A| >= t
+    (the intersection is at most the smaller set, the union at least the
+    larger), so qualifying pairs have n-gram-set sizes within a factor 1/t of
+    each other. Bucketing sizes on a log_{1/t} grid therefore confines every
+    qualifying pair to the same or adjacent buckets: the left side is emitted
+    under (bkt, bkt+1), the right under bkt, and LEAST/GREATEST + distinct
+    de-dupes the doubly-found same-bucket pairs. The output is IDENTICAL to
+    the naive within-block quadratic (the DuckDB oracle), but the join is
+    quadratic only within a (block, length-bucket) cell, not within a block —
+    a dominant "en" block no longer implies O(N²) candidate pairs unless the
+    length distribution itself is degenerate.
+    """
     g = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), word_ngrams(F.col(text), n).alias("g")
     ).filter(F.size("g") > 0)
-    a, b = g.alias("a"), g.alias("b")
-    pairs = a.join(b, F.col("a.blk") == F.col("b.blk")).filter(F.col("a.id") < F.col("b.id"))
+    pairs = _length_blocked_candidates(g, threshold)
     inter = F.size(F.array_intersect("a.g", "b.g")).cast("double")
     union = F.size(F.array_union("a.g", "b.g")).cast("double")
-    return pairs.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        (inter / union).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    return (
+        pairs.select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
+def _length_blocked_candidates(g: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs for :func:`ngram_jaccard_pairs`: same block, same or
+    adjacent log_{1/t} length bucket. Exposed for the sub-quadratic
+    candidate-count contract test."""
+    import math
+
+    base = max(1.0 / threshold, 1.1)  # >=1.1 keeps buckets finite as t→1
+    bkt = F.floor(F.log(F.size("g").cast("double")) / math.log(base)).cast("long")
+    right = g.withColumn("jb", bkt)
+    left = g.withColumn("jb", F.explode(F.array(bkt, bkt + F.lit(1))))
+    a, b = left.alias("a"), right.alias("b")
+    return a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.jb") == F.col("b.jb"))
+    ).filter(F.col("a.id") != F.col("b.id"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 64) -> DataFrame:

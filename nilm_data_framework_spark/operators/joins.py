@@ -1,7 +1,9 @@
 """J1-J6 + as-of join extension (SURVEY.md §2.3).
 
-All dimension-side joins broadcast (dims are tiny); the only shuffling joins
-are fact-fact alignment (J4, as-of), which co-partition on the join key.
+Bounded-size dims (literal lookup tables, houses/channels metadata) may be
+broadcast-hinted; anything whose cardinality scales with the data is left to
+AQE's runtime join selection. Fact-fact alignment (J4, as-of) co-partitions
+on the join key.
 """
 
 from __future__ import annotations
@@ -15,10 +17,19 @@ def enrich(
     dim: DataFrame,
     on: list[str],
     defaults: dict[str, object] | None = None,
+    broadcast_hint: bool = False,
 ) -> DataFrame:
-    """J1/J2: broadcast left-outer metadata enrichment with defaulting
-    (REFITLoader.py:60-80 dict .get(..., {}) semantics)."""
-    out = fact.join(F.broadcast(dim), on=on, how="left")
+    """J1/J2: left-outer metadata enrichment with defaulting
+    (REFITLoader.py:60-80 dict .get(..., {}) semantics).
+
+    ``broadcast_hint=True`` forces a broadcast — use it ONLY for dims whose
+    size is bounded independently of data scale (literal lookup tables, the
+    houses/channels dim). For dims derived from sf-scaled tables the default
+    leaves join selection to AQE, which broadcasts when the runtime size is
+    genuinely small and shuffles when it is not.
+    """
+    dim_side = F.broadcast(dim) if broadcast_hint else dim
+    out = fact.join(dim_side, on=on, how="left")
     for col, default in (defaults or {}).items():
         out = out.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
     return out
@@ -73,7 +84,9 @@ def common_channel_best_pick(
         .filter(F.size(F.array_except(req, F.col("_have"))) == 0)
         .select(*group)
     )
-    eligible = channels_stats.join(F.broadcast(covered), on=group, how="left_semi").filter(
+    # `covered` is one row per qualifying group — grows with group count, so
+    # the semi-join strategy is left to AQE rather than a forced broadcast.
+    eligible = channels_stats.join(covered, on=group, how="left_semi").filter(
         F.col(label).isin(required_labels)
     )
     w = Window.partitionBy(*group, label).orderBy(
@@ -202,10 +215,18 @@ def asof_join_cogrouped(
             .rename(columns={right_ts: "_rts", right_value: out})
             .sort_values("_rts", kind="mergesort")
         )
+        # pd.merge_asof requires a Timedelta tolerance for datetime64 keys
+        # and a numeric tolerance for numeric keys — pick by the key dtype.
+        tol = None
+        if tolerance_s is not None:
+            if pd.api.types.is_datetime64_any_dtype(lpdf[left_ts]):
+                tol = pd.Timedelta(seconds=tolerance_s)
+            else:
+                tol = tolerance_s
         merged = pd.merge_asof(
             lpdf, rpdf, left_on=left_ts, right_on="_rts",
             direction="backward", allow_exact_matches=True,
-            tolerance=None if tolerance_s is None else tolerance_s,
+            tolerance=tol,
         )
         return merged[[*lcols, out]]
 

@@ -95,11 +95,14 @@ def resample_mean_guarded(
 
     Keys whose inferred native rate is already coarser than ``seconds`` are
     passed through un-resampled (the reference skips them); everything else
-    is bucketed. Implemented as a broadcast join of the per-key inferred
-    rate — a metadata-driven plan step, not a Catalyst rule.
+    is bucketed. Implemented as a join of the per-key inferred rate — a
+    metadata-driven plan step, not a Catalyst rule. The rate table scales
+    with key count, so the join strategy is left to AQE (no forced hint).
     """
+    # `rates` has one row per key — key cardinality grows with data size, so
+    # no forced broadcast; AQE converts to broadcast at runtime when small.
     rates = infer_sample_rate(readings, keys, ts)
-    tagged = readings.join(F.broadcast(rates), on=keys, how="left")
+    tagged = readings.join(rates, on=keys, how="left")
     fine = tagged.filter((F.col("rate_s").isNull()) | (F.col("rate_s") <= seconds))
     coarse = tagged.filter(F.col("rate_s") > seconds)
     resampled = resample_mean(fine.drop("rate_s"), keys, seconds, ts, value)

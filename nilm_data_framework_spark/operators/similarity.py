@@ -154,6 +154,47 @@ def lsh_topk(
     )
 
 
+def sample_centroids(
+    corpus: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "hash",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Pick ``n`` corpus vectors as IVF seed centroids.
+
+    - ``method="cheap"`` (the scale path): ``sample(fraction, seed).limit(n)``
+      — LIMIT without ORDER BY short-circuits after enough partitions
+      produce rows, so the cost is ~one partition scan regardless of corpus
+      size. Deterministic for a fixed file layout, but NOT replayable by
+      another engine (Spark's Bernoulli sampler is Spark-specific).
+    - ``method="hash"`` (the oracle path): content-addressed — keep rows with
+      ``md5(id) < '2'`` (a deterministic 1/8 Bernoulli any engine can
+      recompute), then take the ``n`` smallest md5s of that subset. Costs one
+      cheap hash per row; the ordered take's heap only sees ~N/8 rows. Use
+      when cross-engine bit-parity matters (the DuckDB correctness gate).
+
+    At 100 TB neither runs per query: centroids are trained once (kmeans_step
+    iterations) and passed to :func:`ivf_topk` via ``centroids=``, making
+    per-query centroid cost zero.
+    """
+    if method == "cheap":
+        rows = corpus.select(vec_col).sample(False, 0.1, seed).limit(n).collect()
+        if len(rows) < n:  # tiny corpus: sampling under-produced
+            rows = corpus.select(vec_col).limit(n).collect()
+    else:
+        h = F.md5(F.col(id_col).cast("string"))
+        rows = (
+            corpus.filter(h < F.lit("2"))
+            .select(vec_col, h.alias("_h"))
+            .orderBy("_h")
+            .limit(n)
+            .collect()
+        )
+    return [[float(x) for x in row[0]] for row in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -163,20 +204,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    centroid_method: str = "hash",
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign every corpus vector to its nearest
     centroid (coarse quantizer), search only the ``n_probe`` centroids
-    closest to each query. Centroids here are sampled corpus vectors
-    (deterministic seed) — a k-means refinement drops in without changing
-    the plan shape. Scale: corpus partitioned by centroid id = partition
-    pruning for vector search."""
-    cents = [
-        [float(x) for x in row[0]]
-        for row in corpus.select(vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(n_centroids)
-        .collect()
-    ]
+    closest to each query. Pass precomputed/trained ``centroids`` for the
+    production path (zero per-query selection cost); otherwise they are
+    seeded via :func:`sample_centroids` (``centroid_method`` picks the
+    constant-cost ``"cheap"`` sampler or the oracle-replayable ``"hash"``
+    one). Scale: corpus partitioned by centroid id = partition pruning for
+    vector search."""
+    cents = centroids if centroids is not None else sample_centroids(
+        corpus, n_centroids, id_col, vec_col, centroid_method, seed
+    )
     # one nested literal (centroid index = cid) — see array_lit on why.
     cent_arr = array_lit(cents)
 

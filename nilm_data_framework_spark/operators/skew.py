@@ -34,8 +34,18 @@ def salted_join(
     explodes to one copy per salt value. Use when one key dominates and AQE
     skew splitting is insufficient (e.g. right side too large to broadcast
     but small enough to replicate n×). Result equals ``fact.join(right, on,
-    how)`` row-for-row.
+    how)`` row-for-row for fact-preserving join types only: because the right
+    side is replicated per salt, right/full outer joins would emit each
+    unmatched right row ``n_salts`` times, so those types are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving join types {sorted(allowed)}, "
+            f"got {how!r}: replicating the right side per salt would duplicate "
+            "unmatched right rows under right/full outer semantics"
+        )
     fact_salted = fact.withColumn(
         "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     )

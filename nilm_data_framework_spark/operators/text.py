@@ -202,8 +202,9 @@ def tfidf_top_terms(
     whenever tf ties don't interleave.
 
     Scale shape: explode → two hash aggregations (term-frequency per doc,
-    document-frequency per term) → broadcast joins of the tiny N row and the
-    term dictionary → per-doc row_number top-k.
+    document-frequency per term) → broadcast of the single-row N, AQE-chosen
+    strategy for the term-dictionary join (vocab scales with the corpus) →
+    per-doc row_number top-k.
     """
     from pyspark.sql import Window
 
@@ -212,7 +213,9 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # vocabulary grows with the corpus (could be GBs at 100 TB) — the
+        # term-dictionary join strategy is AQE's call, not a forced hint.
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -237,7 +237,8 @@ def truncate_to_min(
     min_counts = counts.groupBy(*group).agg(F.min("_cnt").alias("_min_cnt"))
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(min_counts), on=group)
+        # min_counts is per-group (sf-scaled cardinality) — no forced hint.
+        .join(min_counts, on=group)
         .filter(F.col("_rn") <= F.col("_min_cnt"))
         .drop("_rn", "_min_cnt")
     )

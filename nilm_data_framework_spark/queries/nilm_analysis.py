@@ -539,7 +539,8 @@ def aggregate_channel_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return (
-        ev.join(F.broadcast(agg_ch), ["user_id", "event_type"])
+        # agg_ch is per-user (sf-scaled) — no forced broadcast; AQE decides.
+        ev.join(agg_ch, ["user_id", "event_type"])
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
@@ -564,7 +565,8 @@ def power_type_device_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _channels_dim(spark, sf_dir), "active", device="shelly"
     ).select("user_id", "event_type")
     return (
-        ev.join(F.broadcast(chans), ["user_id", "event_type"])
+        # chans is per-user (sf-scaled) — no forced broadcast; AQE decides.
+        ev.join(chans, ["user_id", "event_type"])
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -61,7 +61,9 @@ _DEVICE_DIM = [("click", "interaction"), ("view", "interaction"), ("purchase", "
 def device_type_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dim = spark.createDataFrame(_DEVICE_DIM, "event_type string, category string")
-    out = J.enrich(ev, dim, on=["event_type"], defaults={"category": "unknown"})
+    out = J.enrich(
+        ev, dim, on=["event_type"], defaults={"category": "unknown"}, broadcast_hint=True
+    )
     return out.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
 
 

@@ -87,9 +87,13 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
+    # No forced broadcast on `customer`: it grows with scale factor (sf100 ≈
+    # 15M rows), so a hard hint would bypass AQE's size threshold and OOM at
+    # scale. AQE converts to broadcast at runtime when the filtered side is
+    # genuinely small (session.py enables adaptive + dynamic join selection).
     joined = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
     )
     aggd = joined.groupBy(
         F.col("l_orderkey").alias("orderkey"),
@@ -128,6 +132,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "supplier"
     ), load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "region")
     asia = r.filter(F.col("r_name") == "ASIA")
+    # nation/region are genuinely fixed-size (25 / 5 rows at every sf) →
+    # broadcast hints are safe and stay. The supplier-derived `dims` relation
+    # grows with sf, so it gets NO hint — AQE decides broadcast vs shuffle at
+    # runtime from the observed post-filter size.
     dims = (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(asia), n["n_regionkey"] == asia["r_regionkey"])
@@ -137,7 +145,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(dims),
+            dims,
             (l["l_suppkey"] == dims["s_suppkey"]) & (c["c_nationkey"] == dims["s_nationkey"]),
         )
     )
@@ -204,9 +212,11 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
+    # `customer` is sf-scaled — no forced broadcast (see shipping_priority);
+    # AQE picks the join strategy from runtime sizes.
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             F.col("c_name").alias("cust_name"),
             F.col("o_orderkey").alias("orderkey"),

@@ -169,9 +169,11 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF centroids are "the 16 corpus vectors with smallest md5(vec_id)" — a
-# deterministic choice DuckDB can recompute, so assignment + probing + the
-# final ranking all replay in SQL.
+# IVF centroids are "the 16 smallest md5(vec_id) among rows with
+# md5(vec_id) < '2'" — a content-addressed 1/8 pre-filter plus ordered take
+# that DuckDB recomputes exactly, so assignment + probing + the final
+# ranking all replay in SQL (operators/similarity.py::sample_centroids,
+# method="hash"; production passes trained centroids instead).
 
 
 def _ivf_oracle_sql(
@@ -188,7 +190,7 @@ def _ivf_oracle_sql(
     cents AS (
       SELECT v AS cv, rn - 1 AS cid FROM (
         SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
-        FROM e
+        FROM e WHERE md5(CAST(vec_id AS VARCHAR)) < '2'
       ) WHERE rn <= {n_centroids}
     ),
     cassign AS (
@@ -247,7 +249,7 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents AS (
       SELECT v AS cv, rn - 1 AS cid FROM (
         SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
-        FROM e
+        FROM e WHERE md5(CAST(vec_id AS VARCHAR)) < '2'
       ) WHERE rn <= 16
     ),
     assigned AS (
@@ -268,13 +270,7 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    cents = [
-        [float(x) for x in row[0]]
-        for row in emb.select("embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(16)
-        .collect()
-    ]
+    cents = S.sample_centroids(emb, 16, method="hash")
     cents_df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(cents)], "cid int, cv array<double>"
     )

@@ -156,3 +156,72 @@ def test_dedup_exact_idempotent(spark):
     b = sorted(tuple(r) for r in twice.collect())
     assert a == b
     assert [r[0] for r in a] == [1, 3, 5]
+
+
+def test_ngram_jaccard_exact_vs_naive_quadratic(spark):
+    """Length-bucket blocking must be LOSSLESS: output identical to the
+    all-pairs-within-block quadratic, including pairs whose sizes straddle a
+    bucket boundary."""
+    docs = list(DOCS) + [
+        (8, " ".join(f"w{i}" for i in range(40))),
+        (9, " ".join(f"w{i}" for i in range(41))),   # near-dup of 8, adjacent size
+        (10, " ".join(f"w{i}" for i in range(200))),
+        (11, " ".join(f"w{i}" for i in range(205))), # near-dup of 10
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    ).withColumn("blk", F.lit("en"))
+    thr = 0.3
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, block_col="blk", threshold=thr).collect()
+    }
+    expected = {}
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            sa, sb = _py_shingles(ta), _py_shingles(tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= thr:
+                expected[(ida, idb)] = j
+    assert set(got) == set(expected)
+    for k, j in expected.items():
+        assert got[k] == pytest.approx(j)
+
+
+def test_ngram_jaccard_candidates_subquadratic_on_skewed_block(spark):
+    """Contract (VERDICT r1 item 4): one dominant block must NOT imply
+    O(N^2) candidate pairs when lengths vary — candidates form only within
+    same/adjacent length buckets."""
+    from nilm_data_framework_spark.operators.dedup import _length_blocked_candidates
+    from nilm_data_framework_spark.operators.text import word_ngrams
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(60):
+        n_words = int(4 * (1.6 ** (i % 12))) + rng.randrange(3)  # 4..~1100 words
+        docs.append((i, " ".join(f"t{i}_{k}" for k in range(n_words))))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    g = df.select(
+        F.col("doc_id").alias("id"), F.lit("en").alias("blk"),
+        word_ngrams(F.col("text"), 3).alias("g"),
+    ).filter(F.size("g") > 0)
+    n = g.count()
+    # candidates are double-counted (both orders) at most → compare to 2*C(n,2)
+    n_cand = _length_blocked_candidates(g, 0.3).count()
+    full_quadratic = n * (n - 1)
+    assert n_cand < full_quadratic * 0.45, (n_cand, full_quadratic)
+
+
+def test_minhash_leaves_no_cached_plans(spark):
+    """VERDICT r1 item 6: the shingle persist must not outlive the call in a
+    shared session. persist() registers the plan in Catalyst's CacheManager,
+    which never auto-evicts — an un-unpersisted cache would sit there
+    forever. (The localCheckpoint blocks of the returned result are owned by
+    its RDD and reclaimed by the ContextCleaner, not the CacheManager.)"""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "test precondition: cache manager not empty"
+    out = D.minhash_lsh_pairs(_pdf(spark))
+    assert out.count() > 0
+    assert cm.isEmpty(), "minhash_lsh_pairs leaked a cached plan"

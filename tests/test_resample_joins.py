@@ -171,3 +171,41 @@ def test_pairwise_corr_onepass_matches_per_pair(spark):
     for k in per_pair:
         assert math.isclose(per_pair[k], one_pass[k], rel_tol=1e-9), k
     assert math.isclose(per_pair[("x", "y")], 1.0, rel_tol=1e-9)
+
+
+def test_asof_cogrouped_tolerance_on_datetime_keys(spark):
+    """ADVICE r1: the tolerance path must work when the join key is a real
+    timestamp column (pd.merge_asof needs a Timedelta there, not a float)."""
+    import pandas as pd
+
+    from nilm_data_framework_spark.operators.joins import asof_join_cogrouped
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "epoch": [100, 200, 400]})
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "epoch": [95, 180], "power": [10.0, 20.0]})
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "power")
+    out = {
+        int(r["ts"].timestamp()): r["asof_value"]
+        for r in asof_join_cogrouped(
+            left, right, keys=["k"], left_ts="ts", right_ts="ts", tolerance_s=30.0
+        ).collect()
+    }
+    # 100←95 (Δ5s ok), 200←180 (Δ20s ok), 400←180 (Δ220s > 30s → NULL)
+    assert out == {100: 10.0, 200: 20.0, 400: None}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pandas as pd
+    import pytest
+
+    from nilm_data_framework_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame(pd.DataFrame({"k": [1], "x": [1.0]}))
+    r = spark.createDataFrame(pd.DataFrame({"k": [1], "y": [2.0]}))
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(f, r, on=["k"], how="right")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(f, r, on=["k"], how="full_outer")
+    assert salted_join(f, r, on=["k"], how="left").count() == 1
