@@ -143,3 +143,91 @@ def test_metadata_json_reader(spark, tmp_path):
     assert rows[(3, "Appliance1")]["manufacturer"] == "LG"
     assert rows[(12, "Appliance1")]["acquisition_device"] == "plug"
     assert rows[(3, "Aggregate")]["manufacturer"] is None
+
+
+def _write_ukdale_fixture(tmp_path):
+    """NILMTK-shaped building YAML + labels.dat for two houses; house 3 has
+    labels but no YAML and must be skipped (reference behavior)."""
+    meta = tmp_path / "metadata"
+    meta.mkdir()
+    (meta / "building1.yaml").write_text(
+        """
+elec_meters:
+  1: {device_model: EcoManagerWholeHouseTx}
+  2: {device_model: CurrentCostTx}
+  3: {device_model: CurrentCostTx}
+appliances:
+  - original_name: Kettle
+    manufacturer: Breville
+    model: JK12
+    meters: [2]
+  - original_name: " Fridge "
+    manufacturer: LG
+    meters: [3]
+  - original_name: ""
+    manufacturer: Ghost
+    meters: [1]
+"""
+    )
+    (meta / "building2.yaml").write_text(
+        """
+elec_meters:
+  1: {device_model: SoundCardPowerMeter}
+appliances:
+  - original_name: kettle
+    manufacturer: DeLonghi
+    model: KBOV
+    meters: [2]
+"""
+    )
+    for house, labels in [
+        (1, "1 aggregate\n2 kettle\n3 fridge\n9 no_meter_entry\nmalformed\n"),
+        (2, "1 aggregate\n2 kettle\n"),
+        (3, "1 aggregate\n"),
+    ]:
+        d = tmp_path / f"house_{house}"
+        d.mkdir()
+        (d / "labels.dat").write_text(labels)
+    return str(meta), str(tmp_path)
+
+
+def test_ukdale_metadata_build(spark, tmp_path):
+    """S6 (create_ukdale_metadata.py:13-91): YAML+labels → combined object
+    with Unknown-defaulting, appliance->meter mapping, skipped houses."""
+    from nilm_data_framework_spark.sources import ukdale_metadata as UM
+
+    meta_dir, base_dir = _write_ukdale_fixture(tmp_path)
+    combined = UM.build_combined_metadata(meta_dir, base_dir, houses=range(1, 6))
+    # house 3 skipped: labels.dat exists but building3.yaml does not
+    assert set(combined) == {"House 1", "House 2"}
+    h1 = {e["channel"]: e for e in combined["House 1"]}
+    assert sorted(h1) == [1, 2, 3, 9]
+    # channel 2: appliance original_name Kettle -> Breville/JK12, meter device
+    assert h1[2] == {
+        "channel": 2, "appliance_raw_label": "kettle", "manufacturer": "Breville",
+        "model": "JK12", "acquisition_device": "CurrentCostTx",
+    }
+    # " Fridge " strips+lowercases; model missing -> Unknown
+    assert h1[3]["manufacturer"] == "LG" and h1[3]["model"] == "Unknown"
+    # empty original_name never maps manufacturer (reference quirk)
+    assert h1[1]["manufacturer"] == "Unknown"
+    assert h1[1]["acquisition_device"] == "EcoManagerWholeHouseTx"
+    # channel in labels but absent from elec_meters -> Unknown device
+    assert h1[9]["acquisition_device"] == "Unknown"
+    # house 2: kettle maps via lowercase original_name; channel 2 has no
+    # elec_meters entry -> Unknown device but mapped manufacturer
+    h2 = {e["channel"]: e for e in combined["House 2"]}
+    assert h2[2]["manufacturer"] == "DeLonghi"
+    assert h2[2]["acquisition_device"] == "Unknown"
+
+    # JSON round-trip preserves the structure (reference's output file shape)
+    out = tmp_path / "combined.json"
+    UM.write_combined_metadata(combined, str(out))
+    assert json.loads(out.read_text()) == combined
+
+    # channels dim: S5 schema, one row per (house, channel)
+    dim = UM.ukdale_channels_dim(spark, meta_dir, base_dir)
+    rows = {(r["house_id"], r["channel_id"]): r for r in dim.collect()}
+    assert (1, "2") in rows and rows[(1, "2")]["label"] == "kettle"
+    assert rows[(2, "1")]["acquisition_device"] == "SoundCardPowerMeter"
+    assert len(rows) == 6
