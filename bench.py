@@ -43,6 +43,12 @@ HEADLINE = [
     "language_id",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    # scale-path kernels (applyInPandas / ml.Correlation / tensor export) —
+    # timed directly so the Arrow/Python paths are measured, not only their
+    # declarative twins
+    "sliding_windows_grouped",
+    "pairwise_corr_onepass",
+    "tensor_export_flat",
 ]
 
 

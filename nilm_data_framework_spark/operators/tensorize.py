@@ -104,15 +104,26 @@ def tensorize(
 
 def normalize_for_training(windows: DataFrame, q: float = 0.99) -> DataFrame:
     """train_bert_single.py:48-72 normalization: divide by the global
-    q-quantile of x (exact percentile over window maxima), clamp to [0, 1]."""
-    qmax = windows.select(
-        F.expr(f"percentile(array_max(x), {q})").alias("q")
-    ).collect()[0]["q"]
-    if not qmax:
-        qmax = 1.0
-    clamp = lambda c: F.least(F.greatest(c / F.lit(float(qmax)), F.lit(0.0)), F.lit(1.0))  # noqa: E731
-    return windows.select(
-        "*",
-        F.transform("x", clamp).alias("x_norm"),
-        F.transform("y", lambda row: F.transform(row, clamp)).alias("y_norm"),
+    q-quantile of x (exact percentile over window maxima), clamp to [0, 1].
+
+    Fully lazy: the single-row quantile relation joins in via a broadcast
+    cross join instead of a driver collect, so the operator composes into
+    larger plans without forcing an action (and the quantile scan shares the
+    stage graph / AQE context of the final job)."""
+    qrow = windows.select(
+        F.coalesce(
+            F.nullif(F.expr(f"percentile(array_max(x), {q})"), F.lit(0.0)),
+            F.lit(1.0),
+        ).alias("_qmax")
+    )
+    clamp = lambda c, qm: F.least(F.greatest(c / qm, F.lit(0.0)), F.lit(1.0))  # noqa: E731
+    return (
+        windows.crossJoin(F.broadcast(qrow))
+        .select(
+            *windows.columns,
+            F.transform("x", lambda c: clamp(c, F.col("_qmax"))).alias("x_norm"),
+            F.transform(
+                "y", lambda row: F.transform(row, lambda c: clamp(c, F.col("_qmax")))
+            ).alias("y_norm"),
+        )
     )
