@@ -93,13 +93,24 @@ def tensorize(
             {
                 house: [pdf[house].iloc[0]] * n,
                 "window_id": np.arange(n, dtype=np.int64),
-                "x": list(xs),
-                "y": [[list(row) for row in win] for win in ys],
+                # ndarray.tolist() converts the whole block in C — a nested
+                # Python comprehension here was the measured hotspot (~2x on
+                # the full tensor-export bench query)
+                "x": xs.tolist(),
+                "y": ys.tolist(),
                 "labels": [labels_sorted] * n,
             }
         )
 
-    return readings.groupBy(house).applyInPandas(per_house, schema=out_schema)
+    from nilm_data_framework_spark.operators.parallelism import pin_group_parallelism
+
+    # pin full-width parallelism for the Python stage (AQE byte-coalescing
+    # would under-parallelize it — see operators/parallelism.py)
+    return (
+        pin_group_parallelism(readings, [house])
+        .groupBy(house)
+        .applyInPandas(per_house, schema=out_schema)
+    )
 
 
 def normalize_for_training(windows: DataFrame, q: float = 0.99) -> DataFrame:

@@ -105,10 +105,18 @@ def sliding_windows_grouped(
         wins = vals[idx]
         out = pd.DataFrame({k: [pdf[k].iloc[0]] * n for k in keys})
         out["window_id"] = np.arange(n, dtype=np.int64)
-        out["x"] = list(wins)
+        out["x"] = wins.tolist()
         return out
 
-    return readings.groupBy(*keys).applyInPandas(make_windows, schema=out_schema)
+    from nilm_data_framework_spark.operators.parallelism import pin_group_parallelism
+
+    # pin full-width parallelism for the Python stage (AQE byte-coalescing
+    # would under-parallelize it — see operators/parallelism.py)
+    return (
+        pin_group_parallelism(readings, keys)
+        .groupBy(*keys)
+        .applyInPandas(make_windows, schema=out_schema)
+    )
 
 
 def run_length_filter(
@@ -224,7 +232,13 @@ def median_smooth_reflect(
         pdf[out] = np.median(windows, axis=1)
         return pdf[cols]
 
-    return df.groupBy(*keys).applyInPandas(smooth, schema=out_schema)
+    from nilm_data_framework_spark.operators.parallelism import pin_group_parallelism
+
+    return (
+        pin_group_parallelism(df, keys)
+        .groupBy(*keys)
+        .applyInPandas(smooth, schema=out_schema)
+    )
 
 
 def truncate_to_min(
@@ -277,4 +291,10 @@ def ewma(
         pdf[out] = s
         return pdf[cols]
 
-    return df.groupBy(*keys).applyInPandas(run, schema=out_schema)
+    from nilm_data_framework_spark.operators.parallelism import pin_group_parallelism
+
+    return (
+        pin_group_parallelism(df, keys)
+        .groupBy(*keys)
+        .applyInPandas(run, schema=out_schema)
+    )
