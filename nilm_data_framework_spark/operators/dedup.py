@@ -309,3 +309,61 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTER assignment: hash-min connected components over the
+    similarity graph — (node, cluster_id) with cluster_id = min node id in
+    the component; nodes with no edges are their own singleton cluster.
+
+    This is the step a real dedup pipeline runs between pair generation
+    (minhash_lsh_pairs / simhash_near_pairs) and survivor selection: pairs
+    alone over-delete (A~B, B~C transitively groups A,C even when the A-C
+    pair was never emitted).
+
+    Algorithm: iterative hash-min label propagation — each round every node
+    takes min(own label, neighbor labels); converges in graph-diameter
+    rounds. Near-dup components are dense and tiny (documents mutually
+    similar), so diameter is small (≤ ~4 observed) and rounds stay few at
+    any corpus size — the 100 TB cost model is rounds × (one edge-join
+    shuffle + one aggregate), with the label frame 2 longs per node.
+    Lineage is cut per round with localCheckpoint (NOT CacheManager-
+    registered, so nothing leaks into a shared session); the edge list is
+    checkpointed once so pair generation (the expensive part) runs exactly
+    once, not per round. For adversarially chainy graphs the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") halves diameter per round — documented
+    escalation, not needed for dedup graphs.
+    """
+    sym = (
+        edges.select(F.col(edge_a).alias("src"), F.col(edge_b).alias("dst"))
+        .union(edges.select(F.col(edge_b).alias("src"), F.col(edge_a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("dst", "node")
+        )
+        stepped = labels.join(nbr_min, on="node", how="left").select(
+            "node",
+            "comp",
+            F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp_new"),
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        if stepped.filter(F.col("comp_new") < F.col("comp")).limit(1).count() == 0:
+            return stepped.select("node", F.col("comp").alias("cluster_id"))
+        labels = stepped.select("node", F.col("comp_new").alias("comp"))
+    return labels.select("node", F.col("comp").alias("cluster_id"))

@@ -140,15 +140,17 @@ def _minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int
     return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
 
 
-def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, thr: float = 0.5) -> str:
+def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """The shared CTE chain replaying the MinHash-LSH pipeline in DuckDB up
+    to ``verified(id_a, id_b, jaccard)``; composed by the pairs oracle and
+    the connected-components oracles below."""
     p = D._MERSENNE_P
     rows_per = num_hashes // bands
     sig_items = ", ".join(
         f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {p}))"
         for a, b in _minhash_params(num_hashes)
     )
-    return f"""
-    WITH toked AS (
+    return f"""toked AS (
       SELECT doc_id AS id,
              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
       FROM documents
@@ -186,10 +188,38 @@ def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, thr: float = 0.5) 
       FROM cand c
       JOIN sh sa ON sa.id = c.id_a
       JOIN sh sb ON sb.id = c.id_b
-    )
+    )"""
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4, thr: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_ctes(num_hashes, bands)}
     SELECT id_a, id_b, round(jaccard, 4) AS jaccard
     FROM verified WHERE jaccard >= {thr}
     """
+
+
+def _components_ctes(thr: float = 0.5) -> str:
+    """Recursive transitive closure over the verified MinHash pairs →
+    ``comp(doc_id, cluster_id)`` for every document (singletons = self)."""
+    return f"""pairs AS (
+      SELECT id_a, id_b FROM verified WHERE jaccard >= {thr}
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             coalesce(least(r.u, min(r.v)), d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN walk r ON r.u = d.doc_id
+      GROUP BY d.doc_id, r.u
+    )"""
 
 
 @query(
@@ -459,4 +489,52 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("lang").agg(
         F.count(F.when(keep, 1)).alias("n_keep"),
         F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# --- near-dup clustering (connected components) -------------------------------
+# Pairs alone under-specify dedup: A~B and B~C must group {A,B,C} even when
+# the A-C pair was never emitted. The cluster step is hash-min label
+# propagation (operators/dedup.py::connected_components); the oracle replays
+# the FULL pipeline — shingles → signatures → banding → verify → recursive
+# transitive closure — in DuckDB, so cluster ids are hash-checked end-to-end.
+
+
+def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
+    return D.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", edge_a="id_a", edge_b="id_b"
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_components_ctes()}
+    SELECT doc_id, cluster_id FROM comp
+    """,
+    survey_ref="§2.10 near-dup clustering (LSH pairs → connected components)",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_clusters(spark, sf_dir)
+
+
+@query(
+    "neardup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_components_ctes()}
+    SELECT cluster_id AS survivor_doc_id, count(*) AS n_members
+    FROM comp GROUP BY cluster_id
+    """,
+    survey_ref="§2.10 near-dup survivor selection (keep min-id per cluster)",
+)
+def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = _doc_clusters(spark, sf_dir)
+    return comps.groupBy(F.col("cluster_id").alias("survivor_doc_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
     )

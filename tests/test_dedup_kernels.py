@@ -225,3 +225,33 @@ def test_minhash_leaves_no_cached_plans(spark):
     out = D.minhash_lsh_pairs(_pdf(spark))
     assert out.count() > 0
     assert cm.isEmpty(), "minhash_lsh_pairs leaked a cached plan"
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C must cluster {A,B,C} together even though the A-C pair was
+    never emitted; disjoint pairs and edge-less nodes keep their own ids."""
+    import pandas as pd
+
+    nodes = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3, 4, 5, 6, 9]}))
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]})
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in D.connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Diameter > 2 exercises multiple propagation rounds."""
+    import pandas as pd
+
+    n = 12
+    nodes = spark.createDataFrame(pd.DataFrame({"id": list(range(n))}))
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    out = D.connected_components(nodes, edges, id_col="id").collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert len(out) == n
