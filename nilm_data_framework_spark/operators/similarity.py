@@ -281,3 +281,156 @@ def kmeans_step(
     assigned = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     flat = assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
     return flat.groupBy("cid", "pos").agg(F.avg("val").alias("c_val"))
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_sub: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "hash",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebook: ``ksub`` sampled corpus vectors
+    (:func:`sample_centroids` — constant-cost or oracle-replayable) split
+    into ``n_sub`` contiguous subvectors: ``codebook[m][j]`` is subspace
+    ``m`` of sample ``j``. A k-means-refined codebook (per-subspace
+    :func:`kmeans_step` on the slices) drops in without changing any
+    downstream plan shape."""
+    samples = sample_centroids(corpus, ksub, id_col, vec_col, method, seed)
+    dim = len(samples[0])
+    dsub = dim // n_sub
+    return [
+        [s[m * dsub : (m + 1) * dsub] for s in samples] for m in range(n_sub)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out: str = "codes",
+) -> DataFrame:
+    """PQ encode: ``codes[m] = argmin_j L2²(sub_m(vec), codebook[m][j])``
+    (ties → smallest j, via struct ordering on (dist, j)).
+
+    The code array is M small ints per vector — at 100 TB this is the point:
+    the corpus compresses ~dim·4/M bytes per vector (64-dim float → 8 bytes
+    at M=8), the codes table rewrites once, and queries scan codes instead
+    of raw vectors. Pure JVM column arithmetic; the codebook ships as one
+    SQL literal (see :func:`array_lit`)."""
+    n_sub = len(codebook)
+    dsub = len(codebook[0][0])
+    cb = array_lit(codebook)  # [M][K][dsub]
+    sub = lambda v, mi: F.slice(v, mi * dsub + 1, dsub)  # noqa: E731
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda mi: F.array_min(
+            F.transform(
+                F.element_at(cb, mi + 1),
+                lambda c, j: F.struct(
+                    l2_sq(sub(F.col(vec_col), mi), c).alias("d"), j.alias("j")
+                ),
+            )
+        )["j"],
+    )
+    return df.withColumn(out, codes)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[list[float]]] | None = None,
+    codebook_method: str = "hash",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: corpus vectors are replaced by their code
+    arrays; per (query, corpus) pair the asymmetric distance is
+    ``Σ_m L2²(sub_m(q), codebook[m][codes[m]])`` — table lookups against the
+    broadcast codebook, never the raw corpus floats. Smallest distance
+    wins; ties break on match_id.
+
+    Scale: encode once (narrow projection, no shuffle), store codes; query
+    scoring reads M ints/vector instead of dim floats (~32× less IO at
+    dim=64/M=8) with the query side broadcast — same scan-once shape as
+    brute force but over the compressed table. Compose with IVF bucketing
+    for sub-linear candidate generation (IVF-PQ)."""
+    cbook = codebook if codebook is not None else pq_codebook(
+        corpus, n_sub, ksub, id_col, vec_col, codebook_method, seed
+    )
+    dsub = len(cbook[0][0])
+    cb = array_lit(cbook)
+    encoded = pq_encode(corpus, cbook, vec_col).select(
+        F.col(id_col).alias("match_id"), F.col("codes").alias("codes")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(cbook) - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + l2_sq(
+            F.slice(F.col("qv"), mi * dsub + 1, dsub),
+            F.element_at(F.element_at(cb, mi + 1), F.element_at("codes", mi + 1) + 1),
+        ),
+    )
+    scored = encoded.join(
+        F.broadcast(q), F.col("match_id") != F.col("query_id")
+    ).withColumn("approx_d", adc)
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_d").asc(), F.col("match_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "approx_d", "rk")
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank: int = 50,
+    n_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[list[float]]] | None = None,
+    codebook_method: str = "hash",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — how production PQ is actually used
+    (FAISS IVF-PQ style): the compressed-domain ADC scan picks ``rerank``
+    candidates per query, then ONLY those candidates load their raw vectors
+    for exact L2 scoring and the final top-k. The expensive exact math
+    touches Q×rerank rows instead of Q×N; the N-sized scan reads codes
+    (M ints) not vectors (dim floats). Ties break on match_id at both
+    stages, so the result is deterministic and oracle-replayable."""
+    shortlist = pq_topk(
+        corpus, queries, rerank, n_sub, ksub, id_col, vec_col,
+        codebook, codebook_method, seed,
+    ).select("query_id", "match_id")
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    exact = (
+        shortlist.join(c, "match_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("dist", l2_sq(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("match_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "dist", "rk")
+    )

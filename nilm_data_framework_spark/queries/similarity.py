@@ -276,3 +276,162 @@ def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = S.kmeans_step(emb, cents_df)
     return out.select("cid", "pos", F.round("c_val", 4).alias("c_val"))
+
+
+# --- product quantization (ADC) ----------------------------------------------
+# The PQ codebook is the same content-addressed sample as IVF's centroids
+# (md5-prefix filter + ordered take — operators/similarity.py::
+# sample_centroids, method="hash"), so codebook construction, encoding
+# (argmin per subspace) and asymmetric-distance scoring all replay in
+# DuckDB. Sum orders are pinned (list_aggregate over the subspace list =
+# Spark's sequential F.aggregate) so distances are bit-comparable.
+
+_PQ_M = 8       # subspaces (64-dim → 8 dims each)
+_PQ_K = 16      # codes per subspace
+_PQ_DSUB = 8
+
+
+@query(
+    "pq_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    samp AS (
+      SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+      FROM e WHERE md5(CAST(vec_id AS VARCHAR)) < '2'
+    ),
+    cbl AS (
+      SELECT list(v ORDER BY rn) AS cbv FROM samp WHERE rn <= {_PQ_K}
+    ),
+    enc AS (
+      SELECT e.vec_id, ms.m, cb.j,
+             list_aggregate(list_transform(range(1, {_PQ_DSUB} + 1),
+               i -> (e.v[ms.m * {_PQ_DSUB} + i] - cbl.cbv[cb.j + 1][ms.m * {_PQ_DSUB} + i])
+                  * (e.v[ms.m * {_PQ_DSUB} + i] - cbl.cbv[cb.j + 1][ms.m * {_PQ_DSUB} + i])),
+               'sum') AS d
+      FROM e CROSS JOIN range(0, {_PQ_M}) ms(m)
+             CROSS JOIN range(0, {_PQ_K}) cb(j) CROSS JOIN cbl
+    ),
+    codes AS (
+      SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+        SELECT vec_id, m, j AS code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM enc
+      ) WHERE rn = 1 GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, ca.vec_id AS match_id,
+             list_aggregate(list_transform(range(0, {_PQ_M}), m ->
+               list_aggregate(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+                 (q.qv[m * {_PQ_DSUB} + i] - cbl.cbv[ca.codes[m + 1] + 1][m * {_PQ_DSUB} + i])
+               * (q.qv[m * {_PQ_DSUB} + i] - cbl.cbv[ca.codes[m + 1] + 1][m * {_PQ_DSUB} + i])),
+               'sum')), 'sum') AS approx_d
+      FROM codes ca CROSS JOIN cbl CROSS JOIN q
+      WHERE ca.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, match_id, approx_d,
+             row_number() OVER (PARTITION BY query_id ORDER BY approx_d, match_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, match_id, round(approx_d, 4) AS approx_d, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    """,
+    survey_ref="§2.10 similarity search: product quantization / ADC (compressed-domain top-k)",
+)
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.pq_topk(emb, queries_df, k=TOP_K, n_sub=_PQ_M, ksub=_PQ_K)
+    return out.select(
+        "query_id", "match_id", F.round("approx_d", 4).alias("approx_d"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+_PQ_RERANK = 50
+
+
+@query(
+    "pq_topk_rerank",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    samp AS (
+      SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+      FROM e WHERE md5(CAST(vec_id AS VARCHAR)) < '2'
+    ),
+    cbl AS (
+      SELECT list(v ORDER BY rn) AS cbv FROM samp WHERE rn <= {_PQ_K}
+    ),
+    enc AS (
+      SELECT e.vec_id, ms.m, cb.j,
+             list_aggregate(list_transform(range(1, {_PQ_DSUB} + 1),
+               i -> (e.v[ms.m * {_PQ_DSUB} + i] - cbl.cbv[cb.j + 1][ms.m * {_PQ_DSUB} + i])
+                  * (e.v[ms.m * {_PQ_DSUB} + i] - cbl.cbv[cb.j + 1][ms.m * {_PQ_DSUB} + i])),
+               'sum') AS d
+      FROM e CROSS JOIN range(0, {_PQ_M}) ms(m)
+             CROSS JOIN range(0, {_PQ_K}) cb(j) CROSS JOIN cbl
+    ),
+    codes AS (
+      SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+        SELECT vec_id, m, j AS code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM enc
+      ) WHERE rn = 1 GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, ca.vec_id AS match_id,
+             list_aggregate(list_transform(range(0, {_PQ_M}), m ->
+               list_aggregate(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+                 (q.qv[m * {_PQ_DSUB} + i] - cbl.cbv[ca.codes[m + 1] + 1][m * {_PQ_DSUB} + i])
+               * (q.qv[m * {_PQ_DSUB} + i] - cbl.cbv[ca.codes[m + 1] + 1][m * {_PQ_DSUB} + i])),
+               'sum')), 'sum') AS approx_d
+      FROM codes ca CROSS JOIN cbl CROSS JOIN q
+      WHERE ca.vec_id <> q.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY approx_d, match_id) AS rk
+        FROM scored
+      ) WHERE rk <= {_PQ_RERANK}
+    ),
+    exact AS (
+      SELECT s.query_id, s.match_id,
+             list_aggregate(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i])), 'sum') AS dist
+      FROM shortlist s
+      JOIN e c ON c.vec_id = s.match_id
+      JOIN q ON q.query_id = s.query_id
+    ),
+    reranked AS (
+      SELECT query_id, match_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, match_id) AS rk
+      FROM exact
+    )
+    SELECT query_id, match_id, round(dist, 4) AS dist, rk
+    FROM reranked WHERE rk <= {TOP_K}
+    """,
+    survey_ref="§2.10 similarity search: PQ shortlist + exact re-rank (IVF-PQ shape)",
+)
+def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.pq_rerank_topk(
+        emb, queries_df, k=TOP_K, rerank=_PQ_RERANK, n_sub=_PQ_M, ksub=_PQ_K
+    )
+    return out.select(
+        "query_id", "match_id", F.round("dist", 4).alias("dist"),
+        F.col("rk").cast("long").alias("rk"),
+    )

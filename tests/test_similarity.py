@@ -98,3 +98,55 @@ def test_cosine_expression(spark):
     got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()
     assert abs(got[0]["c"] - 0.0) < 1e-12
     assert abs(got[1]["c"] - 1.0) < 1e-12
+
+
+def test_pq_soundness_and_l2_recall(spark):
+    """PQ/ADC: every reported approx distance must equal the NumPy ADC
+    distance for the same codebook and codes (encode + lookup parity), and
+    compressed-domain top-k must retain reasonable L2 recall."""
+    df, emb = _load(spark)
+    df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qids = [i for i in sorted(emb) if i < 8]
+    n_sub, ksub, dsub = 8, 16, 8
+    cbook = S.pq_codebook(df, n_sub, ksub)
+    cb = np.array(cbook)  # [M][K][dsub]
+    # NumPy twin: encode all vectors, then ADC distances
+    codes = {}
+    for vid, v in emb.items():
+        v = v.astype(np.float64)
+        codes[vid] = [
+            int(np.argmin(((v[m * dsub:(m + 1) * dsub] - cb[m]) ** 2).sum(axis=1)))
+            for m in range(n_sub)
+        ]
+    rows = S.pq_topk(df, df.filter(F.col("vec_id") < 8), k=5,
+                     n_sub=n_sub, ksub=ksub, codebook=cbook).collect()
+    for r in rows:
+        q = emb[r["query_id"]].astype(np.float64)
+        expect = sum(
+            float(((q[m * dsub:(m + 1) * dsub] - cb[m][codes[r["match_id"]][m]]) ** 2).sum())
+            for m in range(n_sub)
+        )
+        assert abs(r["approx_d"] - expect) < 1e-9
+    # recall vs true L2 top-5 (ADC approximates L2, not cosine). Raw ADC
+    # ranking is weak on near-uniform random vectors (distance
+    # concentration), which is exactly why production PQ re-ranks: the
+    # shortlist+exact-rerank path must hit decent recall.
+    true = {}
+    ids = sorted(emb)
+    mat = np.stack([emb[i].astype(np.float64) for i in ids])
+    for q in qids:
+        d = ((mat - emb[q].astype(np.float64)) ** 2).sum(axis=1)
+        order = [ids[j] for j in np.argsort(d, kind="stable") if ids[j] != q]
+        true[q] = set(order[:5])
+    rer = S.pq_rerank_topk(df, df.filter(F.col("vec_id") < 8), k=5, rerank=50,
+                           n_sub=n_sub, ksub=ksub, codebook=cbook).collect()
+    # soundness: re-ranked distances are the TRUE L2 distances
+    for r in rer:
+        q, m = emb[r["query_id"]].astype(np.float64), emb[r["match_id"]].astype(np.float64)
+        assert abs(r["dist"] - float(((q - m) ** 2).sum())) < 1e-9
+    by_q: dict[int, set[int]] = {}
+    for r in rer:
+        by_q.setdefault(r["query_id"], set()).add(r["match_id"])
+    hits = sum(len(by_q.get(q, set()) & true[q]) for q in qids)
+    total = sum(len(true[q]) for q in qids)
+    assert hits / total >= 0.4, f"PQ+rerank recall too low: {hits}/{total}"
