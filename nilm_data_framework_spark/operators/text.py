@@ -187,6 +187,24 @@ def word_ngrams(text: Column, n: int) -> Column:
     )
 
 
+def word_ngrams_all(text: Column, n: int) -> Column:
+    """ALL word n-gram occurrences (repeats kept) — the counting twin of
+    :func:`word_ngrams` for repetition statistics. Same one-shot token
+    let-binding."""
+    grams_of = lambda tk: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+    )
+    return F.flatten(
+        F.transform(
+            F.array(tokens(text)),
+            lambda tk: F.when(F.size(tk) >= n, grams_of(tk)).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -229,4 +247,83 @@ def tfidf_top_terms(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+def ngram_overlap_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Eval-set decontamination: (train_id, eval_id, n_shared) pairs where a
+    training document shares >= ``min_shared`` distinct word n-grams with an
+    eval/benchmark document — the contamination screen every serious LLM
+    data pipeline runs before training (the n-gram-collision method used for
+    GPT-3/PaLM-style eval decontamination).
+
+    Scale shape: explode distinct n-grams per side, hash each gram to 64
+    bits (md5 prefix — shuffles 8 bytes instead of arbitrary-length
+    strings), inner-join on the hash, count distinct hashes per (train,
+    eval) pair. Cost is bounded by collision volume, not |train| × |eval|:
+    only grams that actually occur on both sides produce join rows. The
+    gram hash join key is uniform (cryptographic hash), so no skew surface
+    beyond genuinely ubiquitous grams — mitigate those by raising ``n``
+    (standard practice: 8-13 gram windows at production scale; n=3 keeps
+    the gate-scale fixture non-vacuous).
+    """
+    from nilm_data_framework_spark.operators.dedup import _md5_64
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(word_ngrams(F.col(text), n)).alias("_g"),  # already distinct
+        ).select(out_id, _md5_64(F.col("_g")).alias("_h"))
+
+    tg, eg = grams(train, "train_id"), grams(eval_df, "eval_id")
+    return (
+        tg.join(eg, "_h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.countDistinct("_h").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def repetition_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals: for word ``n``-grams,
+    ``dup_frac`` = fraction of gram occurrences that are repeats of an
+    earlier gram (1 - distinct/total) and ``top_frac`` = occupancy of the
+    single most-frequent gram. Filtering on these catches boilerplate /
+    template / keyboard-mash documents that perplexity-free pipelines
+    (Gopher §A1.1, RefinedWeb) drop before training.
+
+    Shape: explode grams → (doc, gram) count → per-doc aggregate. Two hash
+    aggregations, both keyed on (doc, gram) / doc — linear, no skew beyond
+    genuinely giant documents (bound those upstream with a length cap).
+    """
+    g = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams_all(F.col(text), n)).alias("g"),
+    )
+    per_gram = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 4).alias("dup_frac"),
+            F.round(F.col("top_c") / F.col("n_grams"), 4).alias("top_frac"),
+        )
     )

@@ -538,3 +538,64 @@ def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy(F.col("cluster_id").alias("survivor_doc_id")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+# --- eval-set decontamination -------------------------------------------------
+
+
+@query(
+    "decontamination_pairs",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS g
+      FROM toked WHERE len(toks) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h FROM grams
+    ),
+    ev AS (SELECT doc_id AS eval_id, h FROM hashed WHERE doc_id % 40 = 0),
+    tr AS (SELECT doc_id AS train_id, h FROM hashed WHERE doc_id % 40 <> 0)
+    SELECT tr.train_id, ev.eval_id, count(DISTINCT tr.h) AS n_shared
+    FROM tr JOIN ev USING (h)
+    GROUP BY 1, 2 HAVING count(DISTINCT tr.h) >= 2
+    """,
+    survey_ref="§2.10 eval-set decontamination (train-eval n-gram collision screen)",
+)
+def decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 40 == 0)
+    tr = docs.filter(F.col("doc_id") % 40 != 0)
+    return T.ngram_overlap_pairs(tr, ev, n=3, min_shared=2)
+
+
+@query(
+    "repetition_scores",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM toked WHERE len(toks) >= 2
+    ),
+    per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+    SELECT doc_id, sum(c) AS n_grams,
+           round(1.0 - count(*) / sum(c), 4) AS dup_frac,
+           round(max(c) / sum(c), 4) AS top_frac
+    FROM per_gram GROUP BY doc_id
+    """,
+    survey_ref="§2.10 intra-doc repetition signals (Gopher-style dup/top n-gram fractions)",
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_scores(_docs(spark, sf_dir), n=2)

@@ -34,6 +34,53 @@ _EVENTS_LONG_TS = (
 _SINK = "streaming_resample_equiv_sink"
 
 
+def _stream_dir(sf_dir: str) -> str:
+    """The file-stream source requires a DIRECTORY basePath (it monitors for
+    new files); events.parquet is a single file, so stream a temp dir
+    holding a symlink to it — zero copy, and exactly how an unbounded
+    deployment would look (files arriving in a watched directory)."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_equiv_{hashlib.md5(src.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Streaming scan of the events table; ts is TIMESTAMP(NANOS) → long
+    under nanosAsLong, converted exactly as sources/testdata.py:load_table
+    does for batch."""
+    return (
+        spark.readStream.schema(_EVENTS_LONG_TS)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_memory_sink(agg, name: str):
+    """Drain a bounded stream into a fresh memory sink (stop any stale query
+    of the same name first) and block until complete."""
+    for q in agg.sparkSession.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 @query(
     "streaming_resample_equiv",
     oracle="""
@@ -48,49 +95,68 @@ _SINK = "streaming_resample_equiv_sink"
 )
 def streaming_resample_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_session_confs(spark)
-    # The file-stream source requires a DIRECTORY basePath (it monitors for
-    # new files); events.parquet is a single file, so stream a temp dir
-    # holding a symlink to it — zero copy, and exactly how an unbounded
-    # deployment would look (files arriving in a watched directory).
-    import hashlib
-    import tempfile
-
-    src = os.path.join(sf_dir, "events.parquet")
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"stream_equiv_{hashlib.md5(src.encode()).hexdigest()[:12]}",
-    )
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    # ts is TIMESTAMP(NANOS) → long under nanosAsLong, converted exactly as
-    # sources/testdata.py:load_table does for batch.
-    stream = (
-        spark.readStream.schema(_EVENTS_LONG_TS)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "3600 seconds").alias("w"), "event_type")
         .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
     )
-    # restartable in a shared session: stop a stale query of the same name
-    for q in spark.streams.active:
-        if q.name == _SINK:
-            q.stop()
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _run_to_memory_sink(agg, _SINK)
     return spark.table(_SINK).select(
         "event_type",
         F.col("w.start").alias("bucket_ts"),
         "avg_value",
         "n",
+    )
+
+
+_SESS_SINK = "streaming_sessionize_equiv_sink"
+
+
+@query(
+    "streaming_sessionize_equiv",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           round(avg(cnt), 4) AS avg_session_events
+    FROM (SELECT user_id, session_id, count(*) AS cnt FROM sess GROUP BY ALL)
+    GROUP BY user_id
+    """,
+    survey_ref="§2.9 streaming session windows (session_window; batch twin of W5/sessionize)",
+    tags=("streaming",),
+)
+def streaming_sessionize_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, gap) on a real stream == gaps-and-islands batch
+    sessionization. Boundary semantics: Spark's session window is
+    [start, end) with end = last_ts + gap, so an event arriving EXACTLY gap
+    after the previous one opens a new session — the batch oracle therefore
+    breaks on ``delta >= gap`` (the batch `sessionize` twin uses ``>`` with
+    event_id tie-breaks; both are valid reference semantics, pinned
+    explicitly in each oracle)."""
+    _ensure_session_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    per_session = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "1800 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    _run_to_memory_sink(per_session, _SESS_SINK)
+    return (
+        spark.table(_SESS_SINK)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("cnt"), 4).alias("avg_session_events"),
+        )
     )

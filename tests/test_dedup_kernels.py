@@ -255,3 +255,42 @@ def test_connected_components_long_chain_converges(spark):
     out = D.connected_components(nodes, edges, id_col="id").collect()
     assert {r["cluster_id"] for r in out} == {0}
     assert len(out) == n
+
+
+def test_ngram_overlap_pairs_counts(spark):
+    """Decontamination: shared-distinct-n-gram counts, threshold filter."""
+    import pandas as pd
+
+    from nilm_data_framework_spark.operators.text import ngram_overlap_pairs
+
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "completely different words entirely here now"],
+    }))
+    ev = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["quick brown fox jumps high over anything"],
+    }))
+    rows = {(r["train_id"], r["eval_id"]): r["n_shared"]
+            for r in ngram_overlap_pairs(train, ev, n=3, min_shared=2).collect()}
+    # shared 3-grams between doc1 and eval: "quick brown fox", "brown fox jumps"
+    assert rows == {(1, 100): 2}
+
+
+def test_repetition_scores_known_doc(spark):
+    import pandas as pd
+
+    from nilm_data_framework_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["spam spam spam spam eggs", "all words differ here"],
+    }))
+    out = {r["doc_id"]: r for r in repetition_scores(df, n=2).collect()}
+    # doc1 2-grams: [spam spam, spam spam, spam spam, spam eggs] → 4 total,
+    # 2 distinct, top count 3
+    assert out[1]["n_grams"] == 4
+    assert abs(out[1]["dup_frac"] - 0.5) < 1e-9
+    assert abs(out[1]["top_frac"] - 0.75) < 1e-9
+    assert out[2]["dup_frac"] == 0.0
