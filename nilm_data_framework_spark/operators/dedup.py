@@ -92,6 +92,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → signature → band →
     bucket-join → exact-Jaccard verify.
@@ -118,11 +119,11 @@ def minhash_lsh_pairs(
     # is scoped: the result is materialized eagerly below (localCheckpoint)
     # and sh is unpersisted before returning, so no cached blocks outlive the
     # call in a shared session.
-    sh = (
-        df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), shingle_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
+    sh = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    if materialize:
+        sh = sh.persist()
     try:
         hashed = sh.select(
             "id", F.transform("sh", lambda s: _md5_64(s) % _MERSENNE_P).alias("hs")
@@ -178,12 +179,19 @@ def minhash_lsh_pairs(
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard")
         )
+        if not materialize:
+            # lazy form: full Catalyst plan preserved (plan inspection /
+            # composition into larger pipelines); the shingle subtree is
+            # evaluated once per branch instead of cached — callers that
+            # execute it should prefer materialize=True.
+            return result
         # Materialize now (blocks are owned by the returned plan's RDD and
         # reclaimed by the ContextCleaner when it is GC'd), so sh's cache can
         # be released immediately instead of leaking into the session.
         return result.localCheckpoint(eager=True)
     finally:
-        sh.unpersist()
+        if materialize:
+            sh.unpersist()
 
 
 def ngram_jaccard_pairs(
