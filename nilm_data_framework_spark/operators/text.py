@@ -327,3 +327,39 @@ def repetition_scores(
             F.round(F.col("top_c") / F.col("n_grams"), 4).alias("top_frac"),
         )
     )
+
+
+# PII patterns kept to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB) so the oracle replays the exact redaction.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    out: str = "redacted",
+) -> DataFrame:
+    """PII scrub: mask emails and IPv4 literals with typed placeholders and
+    count occurrences per document — the pre-training privacy pass (C4 and
+    most production pipelines run exactly this shape; real deployments add
+    more pattern families, NER-based names, etc. — same plan, more rows in
+    PII_PATTERNS).
+
+    Pure JVM regexp expressions (no Python): counts via regexp_count, masks
+    via chained regexp_replace. Narrow projection — preserves partitioning,
+    zero shuffle at any scale.
+    """
+    email, ip = PII_PATTERNS["email"], PII_PATTERNS["ip"]
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text), email, "<EMAIL>"), ip, "<IP>"
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.col(text), F.lit(ip)).alias("n_ips"),
+        redacted.alias(out),
+    )

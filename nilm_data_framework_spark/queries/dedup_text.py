@@ -599,3 +599,57 @@ def decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_scores(_docs(spark, sf_dir), n=2)
+
+
+# --- PII redaction ------------------------------------------------------------
+# The synthetic corpus contains no PII, which would make the scrub vacuous;
+# both engines therefore inject the same deterministic email+IP into every
+# 9th document (the _DUPED pattern) and the check compares occurrence
+# counts AND the md5 of the fully redacted text — placement-exact parity.
+
+
+@query(
+    "pii_redaction",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    redacted AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS n_emails,
+             len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+               AS n_ips,
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+      FROM injected
+    )
+    SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips,
+           md5(redacted) AS redacted_md5
+    FROM redacted
+    """,
+    survey_ref="§2.10 PII scrub (email/IP masking, pre-training privacy pass)",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".17"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = T.redact_pii(docs)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", F.md5("redacted").alias("redacted_md5")
+    )

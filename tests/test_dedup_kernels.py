@@ -294,3 +294,20 @@ def test_repetition_scores_known_doc(spark):
     assert abs(out[1]["dup_frac"] - 0.5) < 1e-9
     assert abs(out[1]["top_frac"] - 0.75) < 1e-9
     assert out[2]["dup_frac"] == 0.0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    import pandas as pd
+
+    from nilm_data_framework_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["mail a.b+c@site.org or x@y.io from 192.168.1.1 now",
+                 "nothing sensitive here 1234"],
+    }))
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_ips"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL> from <IP> now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 0
+    assert out[2]["redacted"] == "nothing sensitive here 1234"
