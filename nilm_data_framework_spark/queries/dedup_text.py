@@ -653,3 +653,127 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_emails", "n_ips", F.md5("redacted").alias("redacted_md5")
     )
+
+
+# --- end-to-end training-set materialization ----------------------------------
+# The capstone composition: what an LLM data pipeline actually ships —
+# quality gate → near-dup survivor pick (connected components) → eval-set
+# removal + decontamination screen → PII scrub → per-language stats of the
+# materialized training set. Every stage is an operator proven above; the
+# oracle replays the ENTIRE composition (including MinHash + recursive
+# closure) in one DuckDB query, so the final training-set accounting is
+# hash-checked end to end.
+
+
+@query(
+    "training_set_materialize",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_components_ctes()},
+    quality AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tok,
+             (len(toks) BETWEEN 10 AND 1000
+              AND CASE WHEN len(toks) > 0
+                       THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END > 0.3
+              AND CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                            / length(text) ELSE 0.0 END < 0.2) AS keep
+      FROM (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+      )
+    ),
+    surv AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+    g3 AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))) AS g
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ) WHERE len(toks) >= 3
+      )
+    ),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id AS train_id
+      FROM (SELECT * FROM g3 WHERE doc_id % 40 <> 0) tr
+      JOIN (SELECT * FROM g3 WHERE doc_id % 40 = 0) ev USING (h)
+      GROUP BY tr.doc_id, ev.doc_id HAVING count(DISTINCT h) >= 2
+    ),
+    kept AS (
+      SELECT q.doc_id, q.lang, q.n_tok,
+             CASE WHEN q.doc_id % 9 = 0
+                  THEN q.text || ' contact user' || CAST(q.doc_id AS VARCHAR)
+                       || '@example.com at 10.0.' || CAST(q.doc_id % 256 AS VARCHAR) || '.17'
+                  ELSE q.text END AS text
+      FROM quality q
+      JOIN surv USING (doc_id)
+      WHERE q.keep AND q.doc_id % 40 <> 0
+        AND q.doc_id NOT IN (SELECT train_id FROM contaminated)
+    ),
+    red AS (
+      SELECT doc_id, lang, n_tok,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+             + len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+               AS n_pii
+      FROM kept
+    )
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(sum(n_pii) AS BIGINT) AS n_pii_masked
+    FROM red GROUP BY lang
+    """,
+    survey_ref="§2.10 end-to-end training-set materialization (quality → dedup → decontam → PII)",
+)
+def training_set_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    q = T.quality_features(docs)
+    keep = (
+        F.col("q_tokens").between(10, 1000)
+        & (F.col("q_distinct_token_ratio") > 0.3)
+        & (F.col("q_punct_ratio") < 0.2)
+    )
+    quality_ids = q.filter(keep).select("doc_id", "lang", "q_tokens")
+    surv = (
+        _doc_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    ev = docs.filter(F.col("doc_id") % 40 == 0)
+    tr = docs.filter(F.col("doc_id") % 40 != 0)
+    contaminated = (
+        T.ngram_overlap_pairs(tr, ev, n=3, min_shared=2)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        quality_ids.join(surv, "doc_id")
+        .filter(F.col("doc_id") % 40 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.concat(
+                    F.col("text"), F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com at 10.0."),
+                    (F.col("doc_id") % 256).cast("string"), F.lit(".17"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+    )
+    red = T.redact_pii(kept).join(
+        kept.select("doc_id", "lang", "q_tokens"), "doc_id"
+    )
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_tokens").alias("sum_tokens"),
+        F.sum(F.col("n_emails") + F.col("n_ips")).alias("n_pii_masked"),
+    )
