@@ -49,6 +49,11 @@ HEADLINE = [
     "sliding_windows_grouped",
     "pairwise_corr_onepass",
     "tensor_export_flat",
+    # round-2 additions: clustering / compressed ANN / end-to-end pipeline
+    "neardup_clusters",
+    "pq_topk_rerank",
+    "decontamination_pairs",
+    "training_set_materialize",
 ]
 
 

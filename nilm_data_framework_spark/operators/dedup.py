@@ -349,15 +349,31 @@ def connected_components(
     large-star/small-star algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond") halves diameter per round — documented
     escalation, not needed for dedup graphs.
+
+    Only edge-touching nodes enter the loop: a singleton's label can never
+    change (no neighbors), so the full node set joins in exactly once at the
+    end (anti-join, AQE-decided strategy). At 100 TB this is the difference
+    between iterating over the whole corpus and iterating over the (tiny)
+    near-dup subgraph — rounds cost O(pairs), not O(corpus).
     """
     sym = (
         edges.select(F.col(edge_a).alias("src"), F.col(edge_b).alias("dst"))
         .union(edges.select(F.col(edge_b).alias("src"), F.col(edge_a).alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    touched = sym.select("src").distinct().withColumnRenamed("src", "node")
+    labels = touched.select(
+        "node", F.col("node").alias("comp")
     ).localCheckpoint(eager=True)
+
+    def with_singletons(looped: DataFrame) -> DataFrame:
+        singles = (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(touched, on="node", how="left_anti")
+            .select("node", F.col("node").alias("cluster_id"))
+        )
+        return looped.unionByName(singles)
+
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["src"] == labels["node"])
@@ -372,6 +388,8 @@ def connected_components(
         )
         stepped = stepped.localCheckpoint(eager=True)
         if stepped.filter(F.col("comp_new") < F.col("comp")).limit(1).count() == 0:
-            return stepped.select("node", F.col("comp").alias("cluster_id"))
+            return with_singletons(
+                stepped.select("node", F.col("comp").alias("cluster_id"))
+            )
         labels = stepped.select("node", F.col("comp_new").alias("comp"))
-    return labels.select("node", F.col("comp").alias("cluster_id"))
+    return with_singletons(labels.select("node", F.col("comp").alias("cluster_id")))
