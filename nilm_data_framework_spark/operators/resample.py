@@ -110,3 +110,106 @@ def resample_mean_guarded(
         *keys, F.col(ts).alias("bucket_ts"), F.col(value).alias("power")
     )
     return resampled.unionByName(passthrough)
+
+
+def resample_interpolate(
+    readings: DataFrame,
+    keys: list[str],
+    seconds: int,
+    ts: str = "ts",
+    value: str = "power",
+    mean_round_dp: int | None = None,
+) -> DataFrame:
+    """A1 extension: resample to a dense per-key grid with linear
+    interpolation of empty buckets (pandas ``resample().mean()
+    .interpolate()`` — the gap-fill step the reference's fillna(0)
+    convention papers over, UnifiedNILM/UnifiedNILM.py:66-124).
+
+    Output: ``keys..., bucket_ts timestamp, power double, filled boolean``
+    — one row per grid slot from each key's first to last bucket; ``filled``
+    marks interpolated rows. Interior gaps get the linear blend of the
+    nearest real buckets; leading/trailing slots (nothing to blend on one
+    side) carry the nearest real value.
+
+    With ``mean_round_dp`` set, the whole blend runs in 10^dp fixed-point:
+    bucket means become integer ticks and interior gaps get the FLOOR of the
+    exact rational ``(pv*(ne-e) + nv*(e-pe)) / (ne-pe)``. Grid epochs ×
+    hourly buckets make blend weights dyadic rationals (10800/57600 = 3/16),
+    which lands float lerps of dp-rounded inputs EXACTLY on decimal rounding
+    boundaries where engines disagree (47.00375 → 47.0038 vs 47.0037);
+    integer arithmetic has no boundary to disagree on, so the result is
+    bit-identical in any engine. Without it, a plain double lerp is used.
+
+    Plan: tumbling-window mean (one shuffle) → per-key min/max epoch (agg on
+    the already-small bucket frame) → ``sequence()`` + explode builds the
+    grid JVM-side (no driver loop, no crossJoin) → left join buckets →
+    two same-partitioning window passes (asc + desc) carry (epoch, value) of
+    the nearest real sample in each direction. Everything after the first
+    shuffle is keyed identically, so AQE reuses one exchange for the windows.
+    The grid size is bounded by (span / seconds) per key — at 100 TB,
+    partition count follows key cardinality, not raw readings.
+    """
+    agg = resample_mean(readings, keys, seconds, ts, value, out_value="_v")
+    scale = None
+    if mean_round_dp is not None:
+        # Fixed-point ticks: round the mean to dp decimals, then scale to an
+        # exact integer (round again to absorb the *10^dp float ulp).
+        scale = 10**mean_round_dp
+        agg = agg.withColumn(
+            "_v", F.round(F.round("_v", mean_round_dp) * scale).cast("long")
+        )
+    epoch = F.col("bucket_ts").cast("long")
+    buckets = agg.withColumn("_e", epoch)
+    grid = (
+        buckets.groupBy(*keys)
+        .agg(F.min("_e").alias("_lo"), F.max("_e").alias("_hi"))
+        .select(
+            *keys,
+            F.explode(F.sequence("_lo", "_hi", F.lit(seconds))).alias("_e"),
+        )
+    )
+    joined = grid.join(buckets.select(*keys, "_e", "_v"), on=[*keys, "_e"], how="left")
+    w_back = Window.partitionBy(*keys).orderBy("_e")
+    w_fwd = Window.partitionBy(*keys).orderBy(F.col("_e").desc())
+    real_e = F.when(F.col("_v").isNotNull(), F.col("_e"))
+    prev_v = F.last("_v", ignorenulls=True).over(w_back)
+    prev_e = F.last(real_e, ignorenulls=True).over(w_back)
+    next_v = F.last("_v", ignorenulls=True).over(w_fwd)
+    next_e = F.last(real_e, ignorenulls=True).over(w_fwd)
+    if scale is not None:
+        # Integer blend: floor of the exact rational — no float boundary.
+        carried = joined.select(
+            *keys,
+            "_e",
+            "_v",
+            prev_v.alias("_pv"),
+            prev_e.alias("_pe"),
+            next_v.alias("_nv"),
+            next_e.alias("_ne"),
+        )
+        lerp_ticks = F.expr("(_pv * (_ne - _e) + _nv * (_e - _pe)) div (_ne - _pe)")
+        ticks = (
+            F.when(F.col("_v").isNotNull(), F.col("_v"))
+            .when(F.col("_pe").isNull(), F.col("_nv"))
+            .when(F.col("_ne").isNull(), F.col("_pv"))
+            .otherwise(lerp_ticks)
+        )
+        return carried.select(
+            *keys,
+            F.col("_e").cast("timestamp").alias("bucket_ts"),
+            (ticks.cast("double") / scale).alias(value),
+            F.col("_v").isNull().alias("filled"),
+        )
+    lerp = prev_v + (next_v - prev_v) * (
+        (F.col("_e") - prev_e).cast("double") / (next_e - prev_e).cast("double")
+    )
+    return joined.select(
+        *keys,
+        F.col("_e").cast("timestamp").alias("bucket_ts"),
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(prev_e.isNull(), next_v)
+        .when(next_e.isNull(), prev_v)
+        .otherwise(lerp)
+        .alias(value),
+        F.col("_v").isNull().alias("filled"),
+    )

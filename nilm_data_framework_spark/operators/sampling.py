@@ -1,0 +1,123 @@
+"""Training-data sampling & packing: deterministic data-mixture sampling and
+sequence packing for LLM training pipelines (§2.10 extensions).
+
+The reference framework's sampling surface is torch ``random_split``
+(bert_single_appliance/train_bert_single.py:108-115); these operators are the
+corpus-scale generalizations a 100 TB pipeline needs on top of it:
+
+- **Stratified hash sampling** — per-stratum keep rates (the "data mixture"
+  step: weight sources/languages differently). Seeded RNG sampling is not
+  reproducible across engines or under re-partitioning; an md5-derived
+  uniform fraction is. Narrow projection: no shuffle, no join, stable under
+  appends.
+- **Sequence packing** — GPT-style concat-and-chunk: documents are laid out
+  head-to-tail per shard in a deterministic order and cut into fixed
+  token-budget chunks (documents may span chunk boundaries). One window
+  shuffle per shard; the running offset is a plain prefix sum, so the whole
+  assignment is expressible in any engine with window functions (fully
+  oracle-checkable, unlike first-fit heuristics whose sequential state is
+  not SQL-expressible).
+
+Both are pure column algebra — JVM-side, whole-stage-codegen friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^32 — the md5-prefix space used for the uniform fraction.
+_HASH_SPACE = 4294967296.0
+
+
+def hash_fraction(id_col: Column, salt: str = "") -> Column:
+    """Uniform [0, 1) fraction derived from md5 of the id (+ optional salt).
+
+    Cross-engine reproducible (DuckDB: ``('0x' || substr(md5(x), 1, 8))::
+    BIGINT / 4294967296.0``) and independent of partitioning — unlike
+    ``df.sample`` whose Bernoulli draw depends on Spark's partition-seeded
+    RNG. Use distinct salts for independent draws from the same ids.
+    """
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_HASH_SPACE)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; strata not in the
+    map get ``default_rate``. The keep decision is ``hash_fraction(id) <
+    rate``, so resampling with a larger rate strictly grows the kept set
+    (nested samples — handy for scaling-law subsets) and the result is
+    identical at any scale factor, partitioning, or engine.
+
+    Plan shape: a single ``when`` chain over a literal rate table — narrow
+    projection, no shuffle, no join. At 100 TB this is the only shape that
+    doesn't move data: the alternative broadcast-join of a rates dim costs a
+    build side for no benefit at typical strata counts (≤ thousands).
+    """
+    frac = hash_fraction(F.col(id_col), salt)
+    rate: Column | None = None
+    for value, r in rates.items():
+        cond = F.col(strata_col) == value
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+    return df.filter(frac < rate)
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """GPT-style sequence packing: concat docs per shard, chunk at ``budget``.
+
+    Documents in each shard are laid head-to-tail in ``order_col`` order;
+    chunk k covers token offsets [k*budget, (k+1)*budget). Adds:
+
+    - ``pack_offset``  — the doc's start offset in the shard's token stream,
+    - ``pack_chunk``   — the chunk its first token lands in,
+    - ``pack_chunks_spanned`` — how many chunks the doc crosses (≥ 1; the
+      concat-and-chunk convention splits docs at chunk boundaries rather
+      than padding, exactly what GPT-2/3-style pretraining does).
+
+    One shuffle: the prefix sum is a running window per shard. Shards are
+    the unit of parallelism — at 100 TB pick shard = (source, hash bucket)
+    so no single window partition exceeds an executor; packing is
+    embarrassingly parallel across shards by construction (real pipelines
+    pack per output file anyway).
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.col(tokens_col).cast("long")
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("pack_offset", start)
+        .withColumn("pack_chunk", F.floor(F.col("pack_offset") / budget))
+        .withColumn(
+            "pack_chunks_spanned",
+            F.when(toks <= 0, F.lit(1)).otherwise(
+                F.floor((F.col("pack_offset") + toks - 1) / budget)
+                - F.col("pack_chunk")
+                + 1
+            ),
+        )
+    )

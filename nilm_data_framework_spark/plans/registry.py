@@ -84,6 +84,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_assets,
         nilm_windows,
         relational,
+        sampling_packing,
         similarity,
         streaming_equiv,
         tensor_pipeline,

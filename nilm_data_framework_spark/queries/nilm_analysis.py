@@ -736,3 +736,64 @@ def pairwise_corr_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
         seconds=86400,
     )
     return out.select("a", "b", F.round("pearson", 4).alias("pearson"))
+
+
+# --- A1 extension: dense-grid resample with linear gap interpolation ---------
+# pandas `resample().mean().interpolate()` — the gap-fill the reference's
+# downstream fillna(0) convention papers over (UnifiedNILM.py:66-124). The
+# hourly grid spans each user's first→last bucket; interior holes get the
+# linear blend of the nearest real buckets, edges carry the nearest value.
+
+
+@query(
+    "resample_interpolated",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS e,
+             CAST(round(round(avg(value), 4) * 10000) AS BIGINT) AS v
+      FROM events GROUP BY ALL
+    ),
+    bounds AS (SELECT user_id, min(e) AS lo, max(e) AS hi FROM agg GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + 1, 3600)) AS e FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.e, a.v
+      FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.e = a.e
+    ),
+    c AS (
+      SELECT user_id, e, v,
+             last_value(v IGNORE NULLS) OVER w_back AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+               OVER w_back AS pe,
+             last_value(v IGNORE NULLS) OVER w_fwd AS nv,
+             last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+               OVER w_fwd AS ne
+      FROM j
+      WINDOW w_back AS (PARTITION BY user_id ORDER BY e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_fwd AS (PARTITION BY user_id ORDER BY e DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, e AS bucket_s,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                     WHEN pe IS NULL THEN nv
+                     WHEN ne IS NULL THEN pv
+                     ELSE (pv * (ne - e) + nv * (e - pe)) // (ne - pe)
+                END AS DOUBLE) / 10000.0 AS power,
+           v IS NULL AS filled
+    FROM c
+    """,
+    survey_ref="§2.4 A1 extension: dense-grid resample + linear interpolation",
+)
+def resample_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = rs.resample_interpolate(
+        _events(spark, sf_dir), ["user_id"], 3600, ts="ts", value="value",
+        mean_round_dp=4,
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("value").alias("power"),
+        "filled",
+    )

@@ -1,0 +1,199 @@
+"""§2.10 training-data sampling, packing, and sketch-accuracy queries.
+
+Data-mixture sampling and sequence packing are the two steps between a
+cleaned corpus (quality → dedup → decontam, see dedup_text.py) and actual
+training batches; the sketch checks attest that the approximate aggregates
+we'd switch to at 100 TB (HLL distinct, percentile_approx) stay inside
+their advertised error against the exact answers the oracle can replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import sampling as SM
+from nilm_data_framework_spark.operators import text as T
+from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.sources.testdata import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", parallelize=True)
+
+
+# --- deterministic data-mixture sampling -------------------------------------
+
+# Classic rebalancing mixture: downweight the dominant language, keep the
+# small ones nearly whole; zh exercises the default-rate path.
+_RATES = {"en": 0.5, "de": 0.9, "es": 0.9, "fr": 0.9}
+_RATES_SQL = (
+    "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.9 WHEN 'es' THEN 0.9 "
+    "WHEN 'fr' THEN 0.9 ELSE 0.1 END"
+)
+_FRAC_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_FRAC_SQL} < {_RATES_SQL}
+    """,
+    survey_ref="§2.10 data-mixture stratified sampling (deterministic hash keep)",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return SM.stratified_sample(d, "lang", _RATES, id_col="doc_id", default_rate=0.1)
+
+
+@query(
+    "mixture_summary",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE {_FRAC_SQL} < {_RATES_SQL}
+    GROUP BY lang
+    """,
+    survey_ref="§2.10 data-mixture audit (per-stratum kept volume)",
+)
+def mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    kept = SM.stratified_sample(d, "lang", _RATES, id_col="doc_id", default_rate=0.1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+# --- sequence packing (GPT-style concat-and-chunk) ---------------------------
+
+_BUDGET = 512
+_TOKS_SQL = "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS n_toks FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS pack_offset
+      FROM t
+    )
+    SELECT doc_id, source, n_toks, pack_offset,
+           CAST(floor(pack_offset / {_BUDGET}) AS BIGINT) AS pack_chunk,
+           CAST(CASE WHEN n_toks <= 0 THEN 1
+                ELSE floor((pack_offset + n_toks - 1) / {_BUDGET})
+                     - floor(pack_offset / {_BUDGET}) + 1 END AS BIGINT)
+             AS pack_chunks_spanned
+    FROM p
+    """,
+    survey_ref="§2.10 sequence packing (concat-and-chunk token layout)",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    return SM.pack_concat_chunks(
+        d, shard_col="source", order_col="doc_id", tokens_col="n_toks", budget=_BUDGET
+    )
+
+
+@query(
+    "packing_chunk_inventory",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS n_toks FROM documents
+    ),
+    p AS (
+      SELECT source, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS pack_offset
+      FROM t
+    )
+    SELECT source, CAST(floor(pack_offset / {_BUDGET}) AS BIGINT) AS pack_chunk,
+           count(*) AS n_docs_starting,
+           CAST(sum(n_toks) AS BIGINT) AS toks_starting
+    FROM p GROUP BY source, pack_chunk
+    """,
+    survey_ref="§2.10 sequence packing (chunk inventory / shard audit)",
+)
+def packing_chunk_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    packed = SM.pack_concat_chunks(
+        d, shard_col="source", order_col="doc_id", tokens_col="n_toks", budget=_BUDGET
+    )
+    return packed.groupBy("source", "pack_chunk").agg(
+        F.count(F.lit(1)).alias("n_docs_starting"),
+        F.sum("n_toks").alias("toks_starting"),
+    )
+
+
+# --- sketch-vs-exact accuracy attestations -----------------------------------
+# The scale path for distinct counts / quantiles is a mergeable sketch
+# (HLL++, percentile_approx). Sketches are engine-specific, so they can't be
+# hash-compared to DuckDB directly; instead the query RETURNS the exact
+# answer plus a boolean "sketch within advertised error" — the oracle replays
+# the exact side and asserts TRUE. A sketch drifting out of tolerance at any
+# scale factor fails the gate loudly instead of silently.
+
+
+@query(
+    "approx_distinct_check",
+    oracle="""
+    SELECT lang, count(DISTINCT text) AS n_exact, TRUE AS within_tol
+    FROM documents GROUP BY lang
+    """,
+    survey_ref="§2.4 A14 distinct at scale (HLL++ vs exact attestation)",
+)
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang").agg(
+        F.countDistinct("text").alias("n_exact"),
+        F.approx_count_distinct("text", 0.02).alias("_approx"),
+    )
+    return per.select(
+        "lang",
+        "n_exact",
+        (F.abs(F.col("_approx") - F.col("n_exact")) <= 0.05 * F.col("n_exact")).alias(
+            "within_tol"
+        ),
+    )
+
+
+@query(
+    "approx_quantile_check",
+    oracle="""
+    SELECT lang, round(median(n_chars), 1) AS med_exact, TRUE AS within_tol
+    FROM documents GROUP BY lang
+    """,
+    survey_ref="§2.4 A10 quantile at scale (percentile_approx vs exact attestation)",
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang").agg(
+        F.expr("median(n_chars)").alias("_exact"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("_approx"),
+    )
+    return per.select(
+        "lang",
+        F.round("_exact", 1).alias("med_exact"),
+        (F.abs(F.col("_approx") - F.col("_exact")) <= 0.05 * F.col("_exact")).alias(
+            "within_tol"
+        ),
+    )
