@@ -217,3 +217,40 @@ def test_queries_run_on_caller_built_session(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_mixture_sample_is_narrow(spark):
+    # stratified hash sampling must not move data: a when-chain over an md5
+    # fraction is a pure filter+project — a hash/range exchange means someone
+    # turned the rate table into a join. (The loader's RoundRobin repartition
+    # for tiny single-file scans is a test-harness artifact, not a shuffle
+    # the operator asked for.)
+    plan = _plan(spark, "mixture_sample")
+    assert "Arguments: hashpartitioning" not in plan
+    assert "Arguments: rangepartitioning" not in plan
+
+
+def test_sequence_packing_single_shuffle(spark):
+    # one prefix-sum window per shard: exactly one hash-partitioned exchange.
+    plan = _plan(spark, "sequence_packing")
+    n = plan.count("Arguments: hashpartitioning")
+    assert n == 1, f"sequence_packing should shuffle once, saw {n}"
+    assert "Arguments: rangepartitioning" not in plan  # no global sort
+
+
+def test_pq_scan_never_shuffles_corpus(spark):
+    # ADC scoring joins the broadcast query side against the coded corpus:
+    # the corpus must stream (broadcast NLJ / broadcast hash), never
+    # sort-merge — a corpus shuffle defeats the compressed-scan design.
+    for name in ("pq_topk", "pq_topk_rerank"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, f"{name} shuffles the corpus"
+
+
+def test_interpolation_reuses_partitioning(spark):
+    # grid build + neighbor-carry windows are all keyed on user_id: the two
+    # window passes must not introduce extra hash exchanges beyond the
+    # initial bucket agg + grid/bucket join pair.
+    plan = _plan(spark, "resample_interpolated")
+    n = plan.count("Arguments: hashpartitioning")
+    assert n <= 4, f"resample_interpolated shuffles {n}×, expected ≤4"
