@@ -434,3 +434,103 @@ def pq_rerank_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "match_id", "dist", "rk")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rerank: int = 20,
+    n_sub: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebook: list[list[list[float]]] | None = None,
+    method: str = "hash",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (FAISS IVFPQ shape) — coarse
+    quantizer prunes to ``n_probe`` inverted lists per query, the ADC scan
+    scores ONLY those candidates against the broadcast codebook, and the
+    exact re-rank touches just Q×``rerank`` raw vectors.
+
+    This is the 100 TB read path promised in SCALE.md: the corpus is stored
+    once as (cid, codes) — partitionable BY cid, so probing = partition
+    pruning — and a query reads M ints per candidate in probed lists only.
+    Cost per query: n_probe/n_centroids of the codes table + ``rerank`` raw
+    vectors, vs the full float corpus for brute force. Every choice
+    (centroid sample, codebook, ties) is deterministic → DuckDB replays the
+    whole composition.
+    """
+    cents = centroids if centroids is not None else sample_centroids(
+        corpus, n_centroids, id_col, vec_col, method, seed
+    )
+    cent_arr = array_lit(cents)
+    cbook = codebook if codebook is not None else pq_codebook(
+        corpus, n_sub, ksub, id_col, vec_col, method, seed
+    )
+    dsub = len(cbook[0][0])
+    cb = array_lit(cbook)
+
+    def nearest(vec: Column, n: int) -> Column:
+        scored = F.transform(
+            cent_arr,
+            lambda cv, i: F.struct(
+                (-cosine(vec, cv)).alias("negcos"), i.cast("integer").alias("cid")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    # stored form of the corpus: (cid, codes) — encode + assign, one narrow pass
+    coded = pq_encode(corpus, cbook, vec_col).select(
+        F.col(id_col).alias("match_id"),
+        nearest(F.col(vec_col), 1)[0]["cid"].alias("cid"),
+        "codes",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.transform(nearest(F.col(vec_col), n_probe), lambda s: s["cid"])
+        ).alias("cid"),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(cbook) - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + l2_sq(
+            F.slice(F.col("qv"), mi * dsub + 1, dsub),
+            F.element_at(F.element_at(cb, mi + 1), F.element_at("codes", mi + 1) + 1),
+        ),
+    )
+    # each corpus vector lives in exactly one list and probe cids are
+    # distinct per query → (query_id, match_id) is already unique, no dedup
+    scored = (
+        coded.join(F.broadcast(q), on="cid")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("approx_d", adc)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d").asc(), F.col("match_id")
+    )
+    shortlist = (
+        scored.withColumn("_rk", F.row_number().over(w_adc))
+        .filter(F.col("_rk") <= rerank)
+        .select("query_id", "match_id")
+    )
+    c_raw = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    q_raw = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    exact = (
+        shortlist.join(c_raw, "match_id")
+        .join(F.broadcast(q_raw), "query_id")
+        .withColumn("dist", l2_sq(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("match_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "dist", "rk")
+    )

@@ -435,3 +435,123 @@ def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "match_id", F.round("dist", 4).alias("dist"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+# --- IVF-PQ: the full production composition ----------------------------------
+# Coarse-quantizer pruning (IVF) + compressed-domain ADC within probed lists
+# (PQ) + exact re-rank — the FAISS IVFPQ read path. Centroids and codebook
+# are the same deterministic hash sample, so DuckDB replays pruning,
+# encoding, ADC, and re-rank end-to-end.
+
+_IVFPQ_RERANK = 20
+_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "ivf_pq_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT v AS cv, rn - 1 AS cid FROM (
+        SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+        FROM e WHERE md5(CAST(vec_id AS VARCHAR)) < '2'
+      ) WHERE rn <= 16
+    ),
+    cassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC, c.cid) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, cid FROM (
+        SELECT e.vec_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS.format(a="e.v", b="c.cv")} DESC, c.cid) AS rn
+        FROM e, cents c WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rn <= 4
+    ),
+    samp AS (
+      SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+      FROM e WHERE md5(CAST(vec_id AS VARCHAR)) < '2'
+    ),
+    cbl AS (
+      SELECT list(v ORDER BY rn) AS cbv FROM samp WHERE rn <= {_PQ_K}
+    ),
+    enc AS (
+      SELECT e.vec_id, ms.m, cb.j,
+             list_aggregate(list_transform(range(1, {_PQ_DSUB} + 1),
+               i -> (e.v[ms.m * {_PQ_DSUB} + i] - cbl.cbv[cb.j + 1][ms.m * {_PQ_DSUB} + i])
+                  * (e.v[ms.m * {_PQ_DSUB} + i] - cbl.cbv[cb.j + 1][ms.m * {_PQ_DSUB} + i])),
+               'sum') AS d
+      FROM e CROSS JOIN range(0, {_PQ_M}) ms(m)
+             CROSS JOIN range(0, {_PQ_K}) cb(j) CROSS JOIN cbl
+    ),
+    codes AS (
+      SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+        SELECT vec_id, m, j AS code,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM enc
+      ) WHERE rn = 1 GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT qp.query_id, ca.vec_id AS match_id,
+             list_aggregate(list_transform(range(0, {_PQ_M}), m ->
+               list_aggregate(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+                 (q.qv[m * {_PQ_DSUB} + i] - cbl.cbv[ca.codes[m + 1] + 1][m * {_PQ_DSUB} + i])
+               * (q.qv[m * {_PQ_DSUB} + i] - cbl.cbv[ca.codes[m + 1] + 1][m * {_PQ_DSUB} + i])),
+               'sum')), 'sum') AS approx_d
+      FROM cassign a
+      JOIN qprobe qp ON a.cid = qp.cid
+      JOIN codes ca ON ca.vec_id = a.vec_id
+      JOIN q ON q.query_id = qp.query_id
+      CROSS JOIN cbl
+      WHERE a.vec_id <> qp.query_id
+    ),
+    shortlist AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY approx_d, match_id) AS rk
+        FROM scored
+      ) WHERE rk <= {_IVFPQ_RERANK}
+    ),
+    exact AS (
+      SELECT s.query_id, s.match_id,
+             list_aggregate(list_transform(range(1, 65),
+               i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i])), 'sum') AS dist
+      FROM shortlist s
+      JOIN e c ON c.vec_id = s.match_id
+      JOIN q ON q.query_id = s.query_id
+    ),
+    reranked AS (
+      SELECT query_id, match_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, match_id) AS rk
+      FROM exact
+    )
+    SELECT query_id, match_id, round(dist, 4) AS dist, rk
+    FROM reranked WHERE rk <= {TOP_K}
+    """,
+    survey_ref="§2.10 similarity search: IVF-PQ (probe pruning + ADC + exact re-rank)",
+)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.ivf_pq_topk(
+        emb, queries_df, k=TOP_K, n_centroids=16, n_probe=4,
+        rerank=_IVFPQ_RERANK, n_sub=_PQ_M, ksub=_PQ_K,
+    )
+    return out.select(
+        "query_id", "match_id", F.round("dist", 4).alias("dist"),
+        F.col("rk").cast("long").alias("rk"),
+    )

@@ -150,3 +150,36 @@ def test_pq_soundness_and_l2_recall(spark):
     hits = sum(len(by_q.get(q, set()) & true[q]) for q in qids)
     total = sum(len(true[q]) for q in qids)
     assert hits / total >= 0.4, f"PQ+rerank recall too low: {hits}/{total}"
+
+
+def test_ivf_pq_soundness_and_candidate_scoping(spark):
+    """IVF-PQ composition: re-ranked distances are TRUE L2 distances, every
+    returned match lies in a probed inverted list of its query, and the
+    shortlist bound (k ≤ rerank per query) holds."""
+    df, emb = _load(spark)
+    df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = df.filter(F.col("vec_id") < 8)
+    rows = S.ivf_pq_topk(df, queries, k=5, n_centroids=16, n_probe=4, rerank=20).collect()
+    assert rows, "IVF-PQ returned nothing"
+    for r in rows:
+        q = emb[r["query_id"]].astype(np.float64)
+        m = emb[r["match_id"]].astype(np.float64)
+        assert abs(r["dist"] - float(((q - m) ** 2).sum())) < 1e-9
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # candidate scoping: match's nearest centroid ∈ query's probed centroids
+    cents = np.array(S.sample_centroids(df, 16))
+
+    def cos_to_cents(v):
+        v = v.astype(np.float64)
+        num = cents @ v
+        den = np.linalg.norm(cents, axis=1) * np.linalg.norm(v)
+        return num / den
+
+    for qid, rs in by_q.items():
+        assert len(rs) <= 5
+        probed = set(np.argsort(-cos_to_cents(emb[qid]), kind="stable")[:4])
+        for r in rs:
+            mcid = int(np.argmax(cos_to_cents(emb[r["match_id"]])))
+            assert mcid in probed, f"match {r['match_id']} outside probed lists"
