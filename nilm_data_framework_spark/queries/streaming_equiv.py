@@ -65,16 +65,19 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     )
 
 
-def _run_to_memory_sink(agg, name: str):
+def _run_to_memory_sink(agg, name: str, output_mode: str = "complete"):
     """Drain a bounded stream into a fresh memory sink (stop any stale query
-    of the same name first) and block until complete."""
+    of the same name first) and block until complete. ``complete`` retains
+    all state (full unification checks); ``append`` exercises watermark
+    eviction — state is dropped and emitted as the watermark passes, which
+    is what the late-data query needs."""
     for q in agg.sparkSession.streams.active:
         if q.name == name:
             q.stop()
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -159,4 +162,96 @@ def streaming_sessionize_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sessions"),
             F.round(F.avg("cnt"), 4).alias("avg_session_events"),
         )
+    )
+
+
+# --- watermark late-data DROP semantics --------------------------------------
+# The two queries above prove batch-stream unification on fully-drained
+# input; this one proves the WATERMARK actually drops post-eviction late
+# data. Three files stream in deterministic (mtime) order, one per
+# micro-batch:
+#   a.parquet  events < Jan 20      — advances the watermark to maxA-1h
+#   b.parquet  events >= Jan 20     — its batch EVICTS+EMITS all windows
+#                                     ending <= maxA-1h, wm -> maxB-1h
+#   c.parquet  shifted-id copies of day-1 events — every row's window was
+#                                     evicted a batch ago -> ALL dropped
+# Empirically pinned semantics (probed before writing this): a late row
+# merges fine while its window state is live (eviction happens at END of
+# the batch whose wm passed the window end; in-batch arrivals still merge)
+# and is dropped only once the state is gone. Hence the oracle is the plain
+# batch aggregate over the REAL events with the emission cutoff
+# window_end <= max(ts)-1h — the injected late file must leave no trace.
+
+_LATE_SINK = "streaming_late_drop_sink"
+_EVENTS_TS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build the 3-file late-arrival fixture from the batch events table
+    (Spark writes; single part files moved into the watched dir with
+    strictly increasing mtimes so FileStreamSource order is deterministic)."""
+    import glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    from nilm_data_framework_spark.sources.testdata import load_table
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"late_drop_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    if os.path.exists(os.path.join(d, "c.parquet")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    slices = {
+        "a": ev.filter(F.col("ts") < F.lit("2024-01-20")),
+        "b": ev.filter(F.col("ts") >= F.lit("2024-01-20")),
+        "c": ev.filter(F.col("ts") < F.lit("2024-01-02")).withColumn(
+            "event_id", F.col("event_id") + F.lit(1000000)
+        ),
+    }
+    for i, (name, df) in enumerate(slices.items()):
+        # stage OUTSIDE the watched dir: the file source must never see a
+        # partial listing of in-flight writes
+        stage = os.path.join(tempfile.gettempdir(), f"{os.path.basename(d)}_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"{name}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    return d
+
+
+@query(
+    "streaming_late_data_drop",
+    oracle="""
+    WITH wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+             count(*) AS n, round(avg(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT * FROM agg WHERE bucket_ts + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+    """,
+    survey_ref="§2.9 watermark semantics: post-eviction late data dropped (append mode)",
+    tags=("streaming",),
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    d = _late_stream_dir(spark, sf_dir)
+    stream = spark.readStream.schema(_EVENTS_TS).option("maxFilesPerTrigger", 1).parquet(d)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "3600 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    _run_to_memory_sink(agg, _LATE_SINK, output_mode="append")
+    return spark.table(_LATE_SINK).select(
+        F.col("w.start").alias("bucket_ts"), "event_type", "n", "avg_value"
     )
