@@ -78,6 +78,38 @@ def stratified_sample(
     return df.filter(frac < rate)
 
 
+def bottom_k_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-``k`` uniform sample per stratum: keep the ``k`` rows with the
+    smallest ``md5(id + salt)`` in each stratum — a deterministic reservoir
+    (bottom-k / KMV sketch). Complements :func:`stratified_sample`: rate-based
+    sampling gives a *fraction* per stratum, bottom-k gives a *fixed count*
+    (eval-set carving, per-domain probes, scaling-law subsets of equal size).
+
+    Cross-engine replayable (row_number over the md5 order) and append-
+    monotone: adding rows can only displace current members with smaller
+    hashes, never reshuffle the survivors' relative order.
+
+    Scale shape: one shuffle on the stratum key, then a per-partition
+    top-k. Bottom-k is associative (union → take k smallest), so at 100 TB
+    the same result is computable as partial bottom-k per input partition →
+    merge, without sorting whole strata; the window form here lets Catalyst
+    pick the physical strategy (rank-limit pushdown in Spark 3.5+/4.x).
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def pack_concat_chunks(
     df: DataFrame,
     shard_col: str,

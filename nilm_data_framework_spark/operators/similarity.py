@@ -255,6 +255,76 @@ def ivf_topk(
     )
 
 
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties → lower
+    centroid index), via a per-row argmax over a one-call centroid literal —
+    no shuffle, no join; the centroid list rides into the task closure like
+    a broadcast variable. Returns (id, vec, cid)."""
+    cent_arr = array_lit(centroids)
+    scored = F.transform(
+        cent_arr,
+        lambda cv, i: F.struct(
+            (-cosine(F.col(vec_col), cv)).alias("negcos"),
+            i.cast("integer").alias("cid"),
+        ),
+    )
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_sort(scored)[0]["cid"].alias("cid"),
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    centroid_method: str = "hash",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-level
+    semantic deduplication made tractable by k-means blocking. Every vector
+    is assigned to its nearest centroid; within each cluster, a vector is
+    DROPPED when a lower-id clustermate has cosine >= ``threshold`` with it
+    (keep-min-id, the same survivor rule as exact dedup). Returns survivors
+    as (id, cid).
+
+    Scale shape — the whole point of the paper: candidate pairs form ONLY
+    inside a cluster (equi-join on cid), never across the corpus, so the
+    quadratic term is bounded by the largest cluster, which k (``n_centroids``)
+    controls; at 100 TB you raise k so clusters stay ~1e4-1e5 vectors.
+    Assignment itself is a shuffle-free per-row argmax
+    (:func:`assign_centroids`); the survivor pick is one left_anti join on
+    the dropped-id set. Centroids come pre-trained in production
+    (``centroids=``); the default is the oracle-replayable hash sample.
+    """
+    cents = centroids if centroids is not None else sample_centroids(
+        corpus, n_centroids, id_col, vec_col, centroid_method
+    )
+    assigned = assign_centroids(corpus, cents, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("_id_a"), F.col("cid"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_id_b"), F.col("cid"), F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, "cid").join(dropped, id_col, "left_anti")
+
+
 def kmeans_step(
     corpus: DataFrame,
     centroids: DataFrame,

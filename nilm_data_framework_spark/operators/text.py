@@ -329,6 +329,80 @@ def repetition_scores(
     )
 
 
+def frequent_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate phrase detection — the phrase-level analog
+    of C4's repeated-line removal (C4 drops any line occurring >= 3 times in
+    the corpus; here the unit is a word ``n``-gram because the corpus has no
+    line structure): returns the 63-bit hash of every distinct ``n``-gram
+    that occurs in at least ``min_docs`` distinct documents, with its
+    document frequency.
+
+    Scale shape: explode per-doc DISTINCT grams (so the count IS document
+    frequency — no countDistinct needed), hash each gram to 8 bytes before
+    the shuffle (the gram text never crosses the wire), one partial+final
+    hash aggregation on the hash, HAVING filter. Linear in corpus token
+    count; the aggregation key is a cryptographic hash, so no skew surface.
+    """
+    from nilm_data_framework_spark.operators.dedup import _md5_64
+
+    g = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text), n)).alias("_g"),  # distinct per doc
+    )
+    return (
+        g.select(_md5_64(F.col("_g")).alias("gram_h"))
+        .groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_coverage(
+    df: DataFrame,
+    frequent: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document boilerplate coverage against a frequent-gram set from
+    :func:`frequent_ngrams`: how many of the document's distinct ``n``-grams
+    are corpus-frequent, and the coverage ratio — the per-doc score a C4-
+    style cleaner thresholds on before dropping/trimming boilerplate-heavy
+    documents.
+
+    Scale shape: one explode + hash join on the 8-byte gram hash + one
+    aggregation keyed on the doc id. The frequent set grows with the corpus
+    (it is NOT broadcast-hinted — AQE decides from its actual size); the
+    join is hash-keyed and uniform. Documents with fewer than ``n`` tokens
+    produce no grams and are absent from the output by construction.
+    """
+    from nilm_data_framework_spark.operators.dedup import _md5_64
+
+    g = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text), n)).alias("_g"),
+    ).select(F.col(id_col), _md5_64(F.col("_g")).alias("gram_h"))
+    flagged = g.join(
+        frequent.select("gram_h", F.lit(1).alias("_b")), "gram_h", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_b"), F.lit(0)).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio", F.round(F.col("n_boiler") / F.col("n_grams"), 4)
+        )
+    )
+
+
 # PII patterns kept to syntax valid in BOTH Java regex (Spark) and RE2
 # (DuckDB) so the oracle replays the exact redaction.
 PII_PATTERNS = {

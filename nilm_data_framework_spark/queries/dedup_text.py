@@ -777,3 +777,61 @@ def training_set_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q_tokens").alias("sum_tokens"),
         F.sum(F.col("n_emails") + F.col("n_ips")).alias("n_pii_masked"),
     )
+
+
+# --- cross-document boilerplate (C4 repeated-line removal, phrase-level) ------
+# C4 drops any LINE that occurs >= 3 times in the corpus; this corpus has no
+# line structure, so the unit is the word 3-gram — same pipeline shape
+# (global frequency over exploded units → per-doc coverage), same purpose
+# (template/boilerplate text suppression before training).
+
+_GRAMS3 = """
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(toks) - 2, 0) + 1),
+        i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+      ) WHERE len(toks) >= 3
+"""
+
+
+@query(
+    "boilerplate_phrases",
+    oracle=f"""
+    WITH g AS ({_GRAMS3})
+    SELECT CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h,
+           count(*) AS n_docs
+    FROM g GROUP BY gram_h HAVING count(*) >= 3
+    """,
+    survey_ref="§2.10 boilerplate phrase detection (C4 repeated-line removal, phrase unit)",
+)
+def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.frequent_ngrams(_docs(spark, sf_dir), n=3, min_docs=3)
+
+
+@query(
+    "boilerplate_doc_ratio",
+    oracle=f"""
+    WITH g AS ({_GRAMS3}),
+    gh AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+      FROM g
+    ),
+    freq AS (
+      SELECT gram_h, TRUE AS b FROM gh GROUP BY gram_h HAVING count(*) >= 3
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           round(sum(CASE WHEN b THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+             AS boiler_ratio
+    FROM gh LEFT JOIN freq USING (gram_h)
+    GROUP BY doc_id
+    """,
+    survey_ref="§2.10 per-doc boilerplate coverage (threshold input for C4-style cleaning)",
+)
+def boilerplate_doc_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    freq = T.frequent_ngrams(docs, n=3, min_docs=3)
+    return T.boilerplate_coverage(docs, freq, n=3)

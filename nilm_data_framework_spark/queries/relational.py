@@ -226,6 +226,107 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- correlated-subquery shapes (EXISTS / NOT EXISTS / scalar) ------------------------
+# TPC-H Q4/Q17/Q22 shapes adapted to this schema. The point of the family:
+# Catalyst DECORRELATES these — EXISTS becomes a left-semi hash join, NOT
+# EXISTS a left-anti join, the correlated scalar aggregate a grouped
+# aggregation joined back on the correlation key — so the physical plans are
+# the same shuffle-bounded joins as the hand-written forms, with no
+# per-row subquery execution anywhere (the reference engine has no subquery
+# surface at all; pandas would evaluate these as Python loops).
+
+
+@query(
+    "late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="§2.3 extension: EXISTS correlated subquery (Q4 shape → left-semi join)",
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    # EXISTS == left_semi: each order survives if ANY lineitem shipped > 90
+    # days after the order date. One hash shuffle on the orderkey; the
+    # non-equi part of the predicate is evaluated inside the join.
+    late = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+_SMALL_QTY_SQL = """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query(
+    "small_quantity_revenue",
+    oracle=_SMALL_QTY_SQL,
+    survey_ref="§2.3 extension: correlated scalar subquery (Q17 shape; Catalyst decorrelation)",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same SQL text runs on both engines (like sql_api_revenue). Catalyst
+    # rewrites the correlated scalar aggregate into a grouped agg over
+    # lineitem joined back on l_partkey — check .explain(): no per-row
+    # subquery node survives optimization.
+    from nilm_data_framework_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SMALL_QTY_SQL)
+
+
+@query(
+    "lapsed_rich_customers",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    survey_ref="§2.3 extension: NOT EXISTS + uncorrelated scalar (Q22 shape → anti join)",
+)
+def lapsed_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # The scalar is ONE row — broadcasting it is scale-safe at any sf
+    # (unlike the sf-scaled dims this file deliberately leaves to AQE).
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_ab"))
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    lapsed = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+    )
+    return lapsed.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 # --- rollup (grouping sets extension) ------------------------------------------------
 
 @query(

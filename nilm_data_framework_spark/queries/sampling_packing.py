@@ -71,6 +71,28 @@ def mixture_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- fixed-count per-stratum reservoir (bottom-k sketch) ---------------------
+
+_RES_K = 40
+
+
+@query(
+    "reservoir_per_key",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {_RES_K}
+    """,
+    survey_ref="§2.10 bottom-k per-stratum reservoir (fixed-count uniform sample)",
+)
+def reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return SM.bottom_k_per_stratum(d, "lang", _RES_K, id_col="doc_id")
+
+
 # --- sequence packing (GPT-style concat-and-chunk) ---------------------------
 
 _BUDGET = 512

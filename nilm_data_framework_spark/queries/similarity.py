@@ -278,6 +278,50 @@ def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cid", "pos", F.round("c_val", 4).alias("c_val"))
 
 
+# --- SemDeDup: semantic dedup via k-means blocking ---------------------------
+
+_SEMDEDUP_TAU = 0.35
+_COS_SQL = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT v AS cv, rn - 1 AS cid FROM (
+        SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+        FROM e WHERE md5(CAST(vec_id AS VARCHAR)) < '2'
+      ) WHERE rn <= 16
+    ),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_COS_SQL.format(a="e.v", b="c.cv")} DESC,
+                                           c.cid) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= {_SEMDEDUP_TAU}
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cid FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    survey_ref="§2.10 SemDeDup: embedding dedup with k-means blocking (arXiv:2303.09540)",
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semantic_dedup(
+        _emb(spark, sf_dir), n_centroids=16, threshold=_SEMDEDUP_TAU
+    )
+
+
 # --- product quantization (ADC) ----------------------------------------------
 # The PQ codebook is the same content-addressed sample as IVF's centroids
 # (md5-prefix filter + ordered take — operators/similarity.py::

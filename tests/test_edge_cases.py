@@ -82,3 +82,28 @@ def test_ewma_matches_pandas(spark):
     )
     expected = pdf["v"].ewm(alpha=0.3, adjust=False).mean().tolist()
     assert got == pytest.approx(expected, abs=1e-12)
+
+
+def test_boilerplate_detection_contract(spark):
+    from nilm_data_framework_spark.operators.text import (
+        boilerplate_coverage,
+        frequent_ngrams,
+    )
+
+    # "the quick brown" occurs in 3 docs → boilerplate at min_docs=3;
+    # everything else is unique. Doc 3 is too short for any 3-gram.
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "the quick brown dog sleeps"),
+        (2, "see the quick brown cat"),
+        (3, "hi there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    freq = frequent_ngrams(df, n=3, min_docs=3)
+    assert freq.count() == 1  # only "the quick brown"
+
+    cov = {r["doc_id"]: r for r in boilerplate_coverage(df, freq, n=3).collect()}
+    assert 3 not in cov  # too short → no grams → absent
+    assert cov[0]["n_grams"] == 3 and cov[0]["n_boiler"] == 1
+    assert cov[2]["n_grams"] == 3 and cov[2]["n_boiler"] == 1
+    assert abs(cov[1]["boiler_ratio"] - round(1 / 3, 4)) < 1e-9

@@ -254,3 +254,50 @@ def test_interpolation_reuses_partitioning(spark):
     plan = _plan(spark, "resample_interpolated")
     n = plan.count("Arguments: hashpartitioning")
     assert n <= 4, f"resample_interpolated shuffles {n}×, expected ≤4"
+
+
+def test_subquery_shapes_decorrelate(spark):
+    # Catalyst must rewrite the subquery family into joins — a surviving
+    # per-row subquery node would re-execute the inner query per outer row.
+    S = SPECS
+
+    def opt(name):
+        df = S[name].spark(spark, SF_DIR)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    q17 = opt("small_quantity_revenue")
+    # correlated scalar avg → grouped aggregate joined back on the key
+    assert "Aggregate [l_partkey" in q17, "Q17 scalar subquery not decorrelated"
+    assert "Join Inner" in q17
+    assert "Subquery" not in q17, "per-row subquery survived optimization"
+
+    assert "Join LeftSemi" in opt("late_shipment_priority"), "EXISTS not a semi join"
+    lapsed = opt("lapsed_rich_customers")
+    assert "Join LeftAnti" in lapsed, "NOT EXISTS not an anti join"
+
+
+def test_boilerplate_aggregates_on_hash(spark):
+    # frequency counting happens on the 8-byte gram hash with map-side
+    # partial aggregation; the gram strings never cross an exchange.
+    plan = _plan(spark, "boilerplate_phrases")
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation on gram hash"
+    assert "CartesianProduct" not in plan
+    cov = _plan(spark, "boilerplate_doc_ratio")
+    assert "CartesianProduct" not in cov
+
+
+def test_semantic_dedup_pairs_form_within_clusters(spark):
+    # the pair join must be keyed on cid (k-means blocking) — never a
+    # cartesian across the corpus; assignment itself adds no exchange
+    # before the pair join's.
+    plan = _plan(spark, "semantic_dedup_survivors")
+    assert "CartesianProduct" not in plan, "SemDeDup pairs crossed the corpus"
+
+
+def test_reservoir_single_shuffle(spark):
+    # bottom-k per stratum: one hash exchange on the stratum key, then a
+    # per-partition rank filter. A range exchange would mean a global sort.
+    plan = _plan(spark, "reservoir_per_key")
+    n = plan.count("Arguments: hashpartitioning")
+    assert n == 1, f"reservoir should shuffle once, saw {n}"
+    assert "Arguments: rangepartitioning" not in plan

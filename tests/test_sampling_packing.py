@@ -110,3 +110,35 @@ def test_resample_interpolate_float_path_matches_fixed_point(spark):
     assert fx.keys() == fl.keys()
     for k in fx:
         assert abs(fx[k] - fl[k]) < 1e-4
+
+
+def test_bottom_k_per_stratum_counts_and_monotonicity(spark):
+    from nilm_data_framework_spark.operators.sampling import bottom_k_per_stratum
+
+    d = _docs(spark)  # 400 ids over en/de/zh
+    k = 20
+    out = bottom_k_per_stratum(d, "lang", k, id_col="doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert all(len(v) == k for v in per.values()), "not exactly k per stratum"
+
+    # append-monotone: sampling a SUPERSET corpus can only displace members
+    # with smaller hashes — every survivor of the big sample that existed in
+    # the small corpus must also survive the small sample.
+    small = _docs(spark, 200)
+    out_small = bottom_k_per_stratum(small, "lang", k, id_col="doc_id").collect()
+    per_small = {}
+    for r in out_small:
+        per_small.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang, big_ids in per.items():
+        survived_from_small = {i for i in big_ids if i < 200}
+        assert survived_from_small <= per_small[lang]
+
+
+def test_bottom_k_stratum_smaller_than_k(spark):
+    from nilm_data_framework_spark.operators.sampling import bottom_k_per_stratum
+
+    d = _docs(spark, 9)  # 3 per stratum
+    out = bottom_k_per_stratum(d, "lang", 20, id_col="doc_id").collect()
+    assert len(out) == 9, "stratum smaller than k must keep every row"

@@ -183,3 +183,41 @@ def test_ivf_pq_soundness_and_candidate_scoping(spark):
         for r in rs:
             mcid = int(np.argmax(cos_to_cents(emb[r["match_id"]])))
             assert mcid in probed, f"match {r['match_id']} outside probed lists"
+
+
+def test_semantic_dedup_survivor_rule(spark):
+    # hand-built fixture: ids 0/1 identical (same cluster, cos=1) → 1 drops;
+    # id 2 orthogonal-ish → survives. Centroids passed explicitly so the
+    # clustering is pinned.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(
+        df, threshold=0.9, centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    )
+    got = {(r["vec_id"], r["cid"]) for r in out.collect()}
+    # 1 dropped (dup of 0); 3 dropped (cos with 2 ≈ 0.98/sqrt(1.0404) ≈ 0.961)
+    assert got == {(0, 0), (2, 1)}, got
+
+
+def test_semantic_dedup_cross_cluster_pairs_never_compared(spark):
+    # two identical vectors forced into DIFFERENT clusters must BOTH survive:
+    # blocking means near-dups split across clusters are not compared (the
+    # recall/cost trade SemDeDup makes explicit).
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(
+        df, threshold=0.5,
+        centroids=[[1.0, 0.999, 0.0, 0.0], [0.999, 1.0, 0.0, 0.0]],
+    )
+    # tie-break on cosine is identical for both rows (same vector) → both go
+    # to the SAME cluster (lower cid) and one drops: this pins the tie rule.
+    got = sorted(r["vec_id"] for r in out.collect())
+    assert got == [0], got
