@@ -604,3 +604,47 @@ def ivf_pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "match_id", "dist", "rk")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the ``k``
+    most cosine-similar corpus vectors with a DIFFERENT label — the standard
+    batch-mining step for embedding-model training (high-similarity,
+    wrong-class examples are the gradient-rich negatives). Same plan shape
+    as :func:`brute_force_topk` — anchor side broadcast, corpus scanned once
+    and never shuffled by pair — plus the label-mismatch predicate evaluated
+    inside the broadcast join, so disqualified pairs die before scoring.
+
+    At 100 TB the anchor set is a training batch (10³-10⁴ rows, genuinely
+    broadcast-sized by construction); for anchor sets that outgrow broadcast,
+    the LSH/IVF bucketed paths compose the same way (mismatch filter inside
+    the bucket join).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("c_label") != F.col("q_label")
+    ).withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )

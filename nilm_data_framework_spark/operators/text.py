@@ -437,3 +437,64 @@ def redact_pii(
         F.regexp_count(F.col(text), F.lit(ip)).alias("n_ips"),
         redacted.alias(out),
     )
+
+
+def token_pair_counts(
+    df: DataFrame,
+    text: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the inner loop of BPE
+    tokenizer training (one merge iteration scores every adjacent pair and
+    merges the argmax; training a tokenizer ON the corpus is a standard
+    pre-training step the reference never needed, word-level BERT inputs at
+    train_bert_single.py:62-78 being its closest analog). Returns
+    (pair, n_occurrences, n_docs) for pairs seen ``min_count``+ times.
+
+    Scale shape: one explode of per-doc bigram arrays (repeats kept —
+    occurrence counting, :func:`word_ngrams_all`) and ONE partial+final hash
+    aggregation. The hottest pairs ("of the") are exactly the ones map-side
+    combine absorbs: every task emits each pair at most once per partition,
+    so reducer skew is bounded by n_partitions, not pair frequency. Linear
+    in corpus token count; no join anywhere.
+    """
+    pairs = df.select(F.explode(word_ngrams_all(F.col(text), 2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document mean token surprisal −Σc·ln p(w) / Σc under the corpus's
+    own unigram MLE — the perplexity-style quality score (CCNet/Gopher rank
+    documents by LM perplexity; a unigram LM keeps it closed-form and
+    cross-engine replayable, no KenLM shipping). Low = stopword-heavy
+    mainstream text, high = rare-token soup (gibberish, boilerplate codes).
+    Returns (id, n_tok, surprisal) with surprisal rounded to 4dp.
+
+    Scale shape: tokens reduce to per-doc (token, count) FIRST (one agg),
+    so the vocabulary join touches |doc×distinct-token| rows, not raw token
+    occurrences; the corpus-total is a 1-row broadcast (same rule as tf-idf's
+    corpus count). The vocab join key is Zipf-skewed ("the" appears in every
+    doc) — that join is AQE-decided and AQE skew-split handles the hot keys;
+    the vocab table itself grows ~log with the corpus, never hint-broadcast.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("tok"))
+    doc_tok = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    scored = doc_tok.join(vocab, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.sum("c").alias("n_tok_doc"),
+        F.round(
+            -F.sum(F.col("c") * F.log(F.col("n_tok") / F.col("n_total")))
+            / F.sum("c"),
+            4,
+        ).alias("surprisal"),
+    )

@@ -298,3 +298,36 @@ def ewma(
         .groupBy(*keys)
         .applyInPandas(run, schema=out_schema)
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attr: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Changelog → slowly-changing-dimension type-2 validity intervals: per
+    ``key``, collapse consecutive runs of equal ``attr`` and emit one row per
+    run with [valid_from, valid_to) bounds (valid_to NULL for the current
+    run). The batch form of "latest-state + history" dimension maintenance a
+    warehouse MERGE would do incrementally; generalizes the reference's
+    keep-first dedup (P10/W2) from "one survivor" to "one row per value run".
+
+    Scale shape: exactly one shuffle on ``key`` serving three same-
+    partitioning window passes (lag to find run starts, lead for the next
+    run's start); Catalyst reuses the single sort. Runs per key << rows per
+    key, so output shrinks. At 100 TB keys are users/devices — millions of
+    small partitions, no single-key concentration.
+    """
+    order = [F.col(ts)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = F.coalesce(F.lag(attr).over(w) != F.col(attr), F.lit(True))
+    starts = df.withColumn("_chg", changed).filter(F.col("_chg"))
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return starts.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+    )

@@ -835,3 +835,48 @@ def boilerplate_doc_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     freq = T.frequent_ngrams(docs, n=3, min_docs=3)
     return T.boilerplate_coverage(docs, freq, n=3)
+
+
+# --- tokenizer training + LM-quality scoring (§2.10 extensions) ---------------------
+
+@query(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH tk AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tks
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(tks[1:len(tks)-1]) || ' ' || unnest(tks[2:len(tks)]) AS pair
+      FROM tk WHERE len(tks) >= 2
+    )
+    SELECT pair, count(*) AS n FROM pairs GROUP BY pair HAVING count(*) >= 3
+    """,
+    survey_ref="§2.10 tokenizer training: BPE pair-frequency iteration",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_pair_counts(_docs(spark, sf_dir), min_count=3)
+
+
+@query(
+    "unigram_surprisal_score",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), dc AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    ), vocab AS (
+      SELECT tok, sum(c)::BIGINT AS n_tok FROM dc GROUP BY tok
+    ), tot AS (
+      SELECT sum(n_tok)::BIGINT AS n_total FROM vocab
+    )
+    SELECT doc_id, sum(c)::BIGINT AS n_tok_doc,
+           round(-sum(c * ln(n_tok / n_total)) / sum(c), 4) AS surprisal
+    FROM dc JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    survey_ref="§2.10 quality scoring: unigram-LM surprisal (perplexity-filter proxy)",
+)
+def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.unigram_surprisal(_docs(spark, sf_dir))

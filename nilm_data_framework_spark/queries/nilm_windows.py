@@ -283,3 +283,36 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value").over(w), 4).alias("running_max"),
         F.count(F.lit(1)).over(w).alias("n_so_far"),
     )
+
+
+# --- SCD2 validity intervals (changelog → dimension history; W1/W2/P10 family) ------
+
+@query(
+    "scd2_user_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), starts AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+    FROM starts
+    """,
+    survey_ref="§2.5 extension: SCD2 run-collapse intervals (changelog→history)",
+)
+def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    iv = W.scd2_intervals(
+        ev, key="user_id", ts="ts", attr="event_type", tiebreak=["event_id"]
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+    )

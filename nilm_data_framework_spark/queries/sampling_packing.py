@@ -219,3 +219,49 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_tol"
         ),
     )
+
+
+@query(
+    "equidepth_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT l_returnflag,
+             ntile(10) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT l_returnflag, bin, count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM binned GROUP BY l_returnflag, bin
+    """,
+    survey_ref="§2.4 extension: equi-depth histogram (per-group deciles)",
+)
+def equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equi-depth (equal-count) histogram: decile bins of
+    l_extendedprice within each returnflag, with per-bin count and value
+    range — the binning a feature-engineering / drift-monitoring pass
+    computes per segment (reference analog: the interval histogram A7,
+    which is equi-WIDTH; equi-depth is its rank-based dual).
+
+    Scale: one shuffle on the group key; each group sorts independently
+    (ntile), so parallelism follows group cardinality — the global-sort
+    degenerate case (one giant group) swaps to percentile_approx boundaries
+    + range assignment, whose error bound `approx_quantile_check` attests
+    next to this query. Deterministic tie-break via the lineitem PK.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    binned = li.select(
+        "l_returnflag", F.ntile(10).over(w).alias("bin"), "l_extendedprice"
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )

@@ -599,3 +599,40 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "match_id", F.round("dist", 4).alias("dist"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+# --- contrastive hard-negative mining (§2.10 extension) ------------------------------
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             list_dot_product(q.qv, c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS cos
+      FROM embeddings c, q WHERE c.label <> q.q_label
+    ),
+    ranked AS (
+      SELECT query_id, match_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, match_id, round(cos, 4) AS cosine, rk
+    FROM ranked WHERE rk <= {TOP_K}
+    """,
+    survey_ref="§2.10 similarity search: contrastive hard-negative mining",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.hard_negatives(emb, anchors, k=TOP_K)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("long").alias("rk"),
+    )

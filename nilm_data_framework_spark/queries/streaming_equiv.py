@@ -255,3 +255,80 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_LATE_SINK).select(
         F.col("w.start").alias("bucket_ts"), "event_type", "n", "avg_value"
     )
+
+
+# --- streaming dedup (stateful distinct-keys) --------------------------------
+# dropDuplicates on a stream keeps the first ARRIVAL per key — which row that
+# is depends on partition/batch order, so the check aggregates to an output
+# that is invariant to the survivor choice: distinct (user_id, event_type)
+# counts per type. State = one entry per distinct key (bounded by key-domain
+# cardinality, the right state bound for entity-keyed dedup; content-hash
+# dedup over unbounded keys uses dropDuplicatesWithinWatermark + the batch
+# exact-dedup backfill instead).
+
+_DEDUP_SINK = "streaming_dedup_equiv_sink"
+
+
+@query(
+    "streaming_dedup_equiv",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="§2.9 streaming dedup (stateful dropDuplicates; batch twin of P10/W2)",
+    tags=("streaming",),
+)
+def streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    _run_to_memory_sink(deduped, _DEDUP_SINK, output_mode="append")
+    return (
+        spark.table(_DEDUP_SINK)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- stream-static join ------------------------------------------------------
+# The enrichment topology every deployment runs: an unbounded fact stream
+# joined to a slowly-changing dim snapshot. Stream-static inner joins are
+# STATELESS — each micro-batch probes the current dim (broadcast if small,
+# shuffle otherwise, AQE-decided per batch), so this scales with batch size,
+# not stream history.
+
+_SJOIN_SINK = "streaming_static_join_sink"
+
+
+@query(
+    "streaming_static_join_equiv",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY ALL
+    """,
+    survey_ref="§2.9 stream-static enrichment join (streaming J1 analog)",
+    tags=("streaming",),
+)
+def streaming_static_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nilm_data_framework_spark.sources.testdata import load_table
+
+    _ensure_session_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    joined = stream.join(dim, stream["user_id"] == dim["c_custkey"])
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    _run_to_memory_sink(agg, _SJOIN_SINK)
+    return spark.table(_SJOIN_SINK).select("segment", "event_type", "n", "sum_value")

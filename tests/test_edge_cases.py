@@ -107,3 +107,48 @@ def test_boilerplate_detection_contract(spark):
     assert cov[0]["n_grams"] == 3 and cov[0]["n_boiler"] == 1
     assert cov[2]["n_grams"] == 3 and cov[2]["n_boiler"] == 1
     assert abs(cov[1]["boiler_ratio"] - round(1 / 3, 4)) < 1e-9
+
+
+def test_scd2_intervals_collapses_runs(spark):
+    # A→A→B→A per one key: 3 intervals, consecutive-equal collapsed, last open.
+    rows = [(1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"), (2, 5, "X")]
+    df = spark.createDataFrame(rows, "k long, t long, a string")
+    out = (
+        W.scd2_intervals(df, key="k", ts="t", attr="a")
+        .orderBy("k", "valid_from")
+        .collect()
+    )
+    got = [(r["k"], r["a"], r["valid_from"], r["valid_to"]) for r in out]
+    assert got == [
+        (1, "A", 10, 30),
+        (1, "B", 30, 40),
+        (1, "A", 40, None),
+        (2, "X", 5, None),
+    ]
+
+
+def test_hard_negatives_never_returns_same_label(spark):
+    from nilm_data_framework_spark.operators.similarity import hard_negatives
+
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(df, df.filter("vec_id < 2"), k=3)
+    joined = out.join(
+        df.select(F.col("vec_id").alias("match_id"), F.col("label").alias("m_label")),
+        "match_id",
+    ).join(
+        df.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")),
+        "query_id",
+    )
+    assert joined.filter("m_label = q_label").count() == 0
+    assert out.groupBy("query_id").count().filter("count != 3").count() == 0
+
+
+def test_unigram_surprisal_uniform_vs_rare(spark):
+    from nilm_data_framework_spark.operators.text import unigram_surprisal
+
+    # doc 0 = common tokens only; doc 1 contains a hapax → higher surprisal.
+    rows = [(0, "a a b b"), (1, "a b zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["surprisal"] for r in unigram_surprisal(df).collect()}
+    assert got[1] > got[0] > 0

@@ -301,3 +301,44 @@ def test_reservoir_single_shuffle(spark):
     n = plan.count("Arguments: hashpartitioning")
     assert n == 1, f"reservoir should shuffle once, saw {n}"
     assert "Arguments: rangepartitioning" not in plan
+
+
+def _n_nodes(plan: str, node: str) -> int:
+    # formatted explain prints each node twice (tree + detail); count the
+    # numbered detail headers only.
+    import re
+
+    return len(re.findall(rf"\(\d+\) {node}\b", plan))
+
+
+def test_bpe_pair_counts_single_agg_no_join(spark):
+    # Tokenizer pair counting must be explode + ONE partial+final hash agg:
+    # no join, no window — reducer skew bounded by map-side combine. (The
+    # second exchange is the small-file parallelize repartition, not part of
+    # the aggregation shape.)
+    plan = _plan(spark, "bpe_pair_counts")
+    assert "Join" not in plan and "Window" not in plan
+    assert _n_nodes(plan, "Exchange") <= 2, "pair counting should shuffle once post-scan"
+
+
+def test_unigram_surprisal_broadcasts_only_corpus_total(spark):
+    # The 1-row corpus total is the ONLY forced broadcast; the vocab join
+    # (grows with the corpus) must stay AQE-decided, not hint-broadcast.
+    plan = _plan(spark, "unigram_surprisal_score")
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 1  # crossJoin(total)
+
+
+def test_scd2_single_shuffle_per_key(spark):
+    # Both window passes (lag for run starts, lead for valid_to) must share
+    # the user_id partitioning: one exchange, not one per window.
+    plan = _plan(spark, "scd2_user_intervals")
+    assert _n_nodes(plan, "Window") == 2
+    assert _n_nodes(plan, "Exchange") == 1, "SCD2 windows should reuse one shuffle"
+
+
+def test_hard_negatives_corpus_never_shuffled(spark):
+    # Anchor side broadcasts; the corpus is scanned once and only shuffles
+    # for the per-anchor top-k window (bounded by n_anchors, not corpus).
+    plan = _plan(spark, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
