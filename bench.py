@@ -54,6 +54,10 @@ HEADLINE = [
     "pq_topk_rerank",
     "decontamination_pairs",
     "training_set_materialize",
+    # round-2 batch 2: tokenizer/LM-quality/span-dedup text kernels
+    "bpe_pair_counts",
+    "unigram_surprisal_score",
+    "span_dedup_summary",
 ]
 
 

@@ -10,7 +10,7 @@ and DuckDB) so the exact variants stay oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nilm_data_framework_spark.operators.text import word_ngrams
@@ -393,3 +393,107 @@ def connected_components(
             )
         labels = stepped.select("node", F.col("comp_new").alias("comp"))
     return with_singletons(labels.select("node", F.col("comp").alias("cluster_id")))
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    span: int = 20,
+) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499 — their unit is a 50-token
+    window over a suffix array; here fixed ``span``-token chunks, the
+    shuffle-friendly approximation): chunk every document into consecutive
+    ``span``-token spans, keep only the FIRST occurrence of each distinct
+    span corpus-wide (order = (doc_id, position)), and return per-doc
+    accounting plus the md5 of the surviving text — so repeated boilerplate
+    inside otherwise-unique documents is removed, not just whole-doc dups.
+
+    Scale shape: explode to one row per span (linear in corpus tokens), ONE
+    window over the span text (the survivor pick — same shuffle an exact
+    groupBy dedup pays), one doc-keyed final agg. No joins. The window key
+    is the span content: near-uniform cardinality, no skew surface. At
+    100 TB the span rows are (8B id, 4B pos, ~100B text) — the reconstruction
+    agg keeps only rn=1 spans, so state shrinks with dedup rate.
+    """
+    spans_of = lambda tk: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.ceil(F.size(tk) / span).cast("int") - 1),
+        lambda i: F.array_join(F.slice(tk, i * F.lit(span) + 1, span), " "),
+    )
+    from nilm_data_framework_spark.operators.text import tokens
+
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.array(tokens(F.col(text))),
+                lambda tk: F.when(F.size(tk) > 0, spans_of(tk)).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )[0]
+        ).alias("pos", "span_text"),
+    )
+    w = Window.partitionBy("span_text").orderBy(F.col(id_col), F.col("pos"))
+    ranked = chunked.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("span_text"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: near-identical STRING pairs by
+    cheap blocking + Levenshtein verify — the string-similarity sibling of
+    the MinHash document path (same blocking discipline, different
+    verifier). Returns (nm_a, nm_b, dist) with nm_a < nm_b and
+    dist <= ``max_dist``.
+
+    Deliberately operates on DISTINCT values: identical strings are exact-
+    dedup's job (:func:`dedup_exact`), and distinct-value cardinality is
+    what stays sub-linear in row count at 100 TB (a vocabulary, not a
+    table) — blocking the raw rows would rebuild the quadratic blowup
+    inside every repeated-value block. Survivor pairs map back to rows via
+    an equi-join on the string, which is how production stacks apply the
+    match. Blocking key = (length bucket, first ``prefix_len`` chars):
+    substitutions never change length and rarely the prefix; recall is
+    bounded by design — production unions several cheap blockings (prefix,
+    suffix, phonetic), each this same plan under a different key. The
+    Levenshtein verify is a JVM built-in running codegen-side on the
+    in-block candidates alone.
+    """
+    names = df.select(F.col(name_col).alias("nm")).distinct()
+    blocked = names.select(
+        "nm",
+        F.concat_ws(
+            "_",
+            F.floor(F.length("nm") / 2).cast("string"),
+            F.substring("nm", 1, prefix_len),
+        ).alias("blk"),
+    )
+    a = blocked.select(F.col("nm").alias("nm_a"), "blk")
+    b = blocked.select(F.col("nm").alias("nm_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("nm_a") < F.col("nm_b"))
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("nm_a", "nm_b", "dist")
+    )

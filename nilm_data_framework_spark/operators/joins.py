@@ -235,3 +235,79 @@ def asof_join_cogrouped(
         .cogroup(right.groupBy(*keys))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    hash_col: str = "_h",
+) -> DataFrame:
+    """Snapshot differencing / CDC generation: given two snapshots that each
+    carry a precomputed row-content hash column ``hash_col`` (caller builds
+    it from the compared columns — integer-stable encodings, not raw double
+    rendering), emit one row per key whose content differs:
+    change_type ∈ {added, removed, changed}. The batch producer of the
+    changelog that :func:`~nilm_data_framework_spark.sources.canonical.
+    merge_upsert_partitioned` and the SCD2 operator consume.
+
+    Scale shape: ONE full-outer shuffle join on the PK; both sides carry only
+    (keys, 16-byte hash) — content columns never move. Output is bounded by
+    the churn rate, not table size. At 100 TB both snapshots are the same
+    bucketed/partitioned layout, so the join co-locates and the exchange
+    drops entirely (bucketed canonical tables, sources/canonical.py).
+    """
+    o = old.select(*keys, F.col(hash_col).alias("_ha"))
+    n = new.select(*keys, F.col(hash_col).alias("_hb"))
+    j = o.join(n, on=keys, how="full_outer")
+    return j.filter(~F.col("_ha").eqNullSafe(F.col("_hb"))).select(
+        *keys,
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    )
+
+
+def range_join_bucketed(
+    fact: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str,
+    start: str = "start_ts",
+    end: str = "end_ts",
+    grid_s: int = 86400,
+) -> DataFrame:
+    """Range join, fact-fact scale path: grid-bucket both sides and
+    EQUI-join on the cell, with the range predicate as a residual filter —
+    the shuffle-partitionable form of :func:`range_join` for interval sets
+    too large to broadcast (the broadcast-NLJ form stops scaling once the
+    interval side outgrows executor memory; this form never materializes a
+    nested loop).
+
+    Each interval explodes to the grid cells it covers (half-open
+    [start, end)); each fact row keys on its own cell, so every matching
+    (fact, interval) pair meets in EXACTLY one cell — no post-join dedup.
+    Cell width trades interval-replication (end-start)/grid_s against
+    per-cell fanout; pick it near the median interval length. Both sides
+    shuffle once on the cell key; AQE handles hot cells (a flash-sale day)
+    via skew splitting, and the residual predicate runs codegen-side.
+
+    Intervals must be non-empty (start < end); callers validate upstream.
+    """
+    us = grid_s * 1_000_000
+    f = fact.withColumn(
+        "_cell", F.floor(F.unix_micros(F.col(fact_ts)) / F.lit(us))
+    )
+    iv = intervals.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start)) / F.lit(us)),
+                F.floor((F.unix_micros(F.col(end)) - 1) / F.lit(us)),
+            )
+        ),
+    )
+    joined = f.join(iv, on="_cell").filter(
+        (F.col(fact_ts) >= F.col(start)) & (F.col(fact_ts) < F.col(end))
+    )
+    return joined.drop("_cell")

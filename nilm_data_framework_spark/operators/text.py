@@ -498,3 +498,47 @@ def unigram_surprisal(
             4,
         ).alias("surprisal"),
     )
+
+
+# Fixed inference weights for the quality-classifier score: a logistic model
+# over the quality_features signals (the shape of fastText/DCLM-style
+# quality classifiers at the filtering stage — training happens offline;
+# the PIPELINE op is vectorized inference over every document). Literal
+# rationals so the score replays bit-stably cross-engine.
+QUALITY_CLF_WEIGHTS: dict[str, float] = {
+    "q_stopword_ratio": 4.0,
+    "q_distinct_token_ratio": 2.0,
+    "q_punct_ratio": -6.0,
+    "q_upper_ratio": -2.0,
+    "q_mean_token_len": -0.25,
+}
+QUALITY_CLF_BIAS: float = 0.5
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering, inference side: sigmoid(w·x + b) over
+    the :func:`quality_features` signals with fixed offline-trained weights
+    — the FineWeb-Edu/DCLM-style classifier gate (reference analog: the
+    BERT *data* path stops at features; classifier filtering is the LLM-
+    pipeline extension). Returns (id, quality_score, keep).
+
+    Scale shape: pure narrow column arithmetic over the feature projection —
+    no shuffle, no Python, whole-stage-codegen end to end; the weight vector
+    is a plan literal. At 100 TB this is a map-only pass, the cheapest
+    possible filtering stage.
+    """
+    feats = quality_features(df, text=text)
+    z = F.lit(QUALITY_CLF_BIAS)
+    for c, w in QUALITY_CLF_WEIGHTS.items():
+        z = z + F.lit(w) * F.col(c)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        F.col(id_col),
+        F.round(score, 4).alias("quality_score"),
+        (score >= threshold).alias("keep"),
+    )

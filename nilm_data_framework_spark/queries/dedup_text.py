@@ -880,3 +880,78 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def unigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_surprisal(_docs(spark, sf_dir))
+
+
+@query(
+    "quality_classifier",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN length(text)::DOUBLE / len(toks) ELSE 0.0 END AS mean_tok,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END AS punct,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END AS upper_r,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+                       / len(toks) ELSE 0.0 END AS stop_r,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS dtr
+      FROM t
+    ), z AS (
+      SELECT doc_id,
+             0.5 + 4.0*stop_r + 2.0*dtr + (-6.0)*punct + (-2.0)*upper_r + (-0.25)*mean_tok AS z
+      FROM f
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+           (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+    FROM z
+    """,
+    survey_ref="§2.10 model-based quality filtering (classifier inference gate)",
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_classifier_score(_docs(spark, sf_dir))
+
+
+@query(
+    "span_dedup_summary",
+    oracle=f"""
+    WITH base AS ({_DUPED}),
+    tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM base
+    ),
+    positions AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST(ceil(len(toks) / 20.0) AS INT) - 1)) AS pos
+      FROM tk WHERE len(toks) > 0
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[pos*20+1 : pos*20+20], ' ') AS span_text
+      FROM positions
+    ),
+    ranked AS (
+      SELECT doc_id, pos, span_text,
+             row_number() OVER (PARTITION BY span_text ORDER BY doc_id, pos) AS rn
+      FROM spans
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY pos), ''))
+             AS kept_md5
+    FROM ranked GROUP BY doc_id
+    """,
+    survey_ref="§2.10 span-level exact dedup (Lee et al. 2021 chunk approximation)",
+)
+def span_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_dedup(_docs_with_dups(spark, sf_dir), span=20)

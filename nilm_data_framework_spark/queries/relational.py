@@ -644,3 +644,153 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REVENUE_SQL)
+
+
+# --- snapshot differencing (CDC generation; J-ext) ----------------------------------
+# Two synthetic snapshots derived deterministically from `orders`: the "new"
+# snapshot drops every 97th order (removed), bumps every 50th price
+# (changed), and appends shifted-key copies of every 61st (added). Row
+# content is hashed over integer-stable encodings (cents, not double
+# rendering) so both engines hash identically.
+
+_DIFF_HASH_OLD = (
+    "md5(concat_ws('|', o_custkey, o_orderstatus, CAST(o_totalprice * 100 AS BIGINT)))"
+)
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH old AS (
+      SELECT o_orderkey, {_DIFF_HASH_OLD} AS _h FROM orders
+    ), new AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_custkey, o_orderstatus,
+                 CAST((CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice + 10 ELSE o_totalprice END) * 100 AS BIGINT))) AS _h
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, {_DIFF_HASH_OLD} AS _h
+      FROM orders WHERE o_orderkey % 61 = 0
+    )
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old._h IS NULL THEN 'added'
+                WHEN new._h IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old._h IS DISTINCT FROM new._h
+    """,
+    survey_ref="§2.3 extension: snapshot diff / CDC generation (feeds MERGE + SCD2)",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nilm_data_framework_spark.operators.joins import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            (F.col("o_totalprice") * 100).cast("long"),
+        )
+    )
+    old = o.select("o_orderkey", h.alias("_h"))
+    bumped = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            (
+                (
+                    F.when(F.col("o_orderkey") % 50 == 0, F.col("o_totalprice") + 10)
+                    .otherwise(F.col("o_totalprice"))
+                )
+                * 100
+            ).cast("long"),
+        )
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey", bumped.alias("_h"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 61 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"), h.alias("_h")
+            )
+        )
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+@query(
+    "range_join_campaigns_bucketed",
+    oracle="""
+    WITH campaigns(campaign_id, start_ts, end_ts) AS (
+      VALUES (1, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+             (2, TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+             (3, TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'),
+             (4, TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29')
+    )
+    SELECT c.campaign_id, e.event_type, count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN campaigns c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+    GROUP BY ALL
+    """,
+    survey_ref="§2.3 extension: range join scale path (grid-cell equi-join; same oracle as the broadcast form)",
+)
+def range_join_campaigns_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as `range_join_campaigns`, different physical strategy:
+    grid-bucketed equi-join (shuffle-partitionable, fact-fact capable)
+    instead of broadcast NLJ — both verified against the identical oracle,
+    which is exactly the two-implementations-one-contract pattern the
+    operator docstrings promise."""
+    from nilm_data_framework_spark.operators.joins import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    campaigns = spark.createDataFrame(
+        _CAMPAIGNS, "campaign_id int, start_ts string, end_ts string"
+    ).select(
+        "campaign_id",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    joined = range_join_bucketed(ev, campaigns, fact_ts="ts", grid_s=86400)
+    return joined.groupBy("campaign_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+# --- fuzzy string matching (entity resolution; §2.10-adjacent dedup family) ---------
+# The synthetic part names contain no near-miss variants (distinct names
+# differ by >2 edits), so both engines union in typo'd copies of every 20th
+# part (4th char → 'x') — the _DUPED pattern from the document dedup family.
+
+
+@query(
+    "fuzzy_part_names",
+    oracle="""
+    WITH base AS (
+      SELECT p_name FROM part
+      UNION ALL
+      SELECT concat(substr(p_name, 1, 3), 'x', substr(p_name, 5))
+      FROM part WHERE p_partkey % 20 = 0
+    ),
+    n AS (SELECT DISTINCT p_name AS nm FROM base),
+    b AS (
+      SELECT nm,
+             concat(CAST(floor(length(nm) / 2) AS INT), '_', substr(nm, 1, 2)) AS blk
+      FROM n
+    )
+    SELECT a.nm AS nm_a, b2.nm AS nm_b, levenshtein(a.nm, b2.nm) AS dist
+    FROM b a JOIN b b2 ON a.blk = b2.blk AND a.nm < b2.nm
+    WHERE levenshtein(a.nm, b2.nm) <= 2
+    """,
+    survey_ref="§2.10 fuzzy string matching (blocked Levenshtein; entity resolution)",
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nilm_data_framework_spark.operators.dedup import fuzzy_name_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    typod = p.filter(F.col("p_partkey") % 20 == 0).select(
+        F.expr("concat(substr(p_name,1,3),'x',substr(p_name,5))").alias("p_name")
+    )
+    base = p.select("p_name").unionByName(typod)
+    out = fuzzy_name_pairs(base, "p_name", max_dist=2)
+    return out.select("nm_a", "nm_b", F.col("dist").cast("long").alias("dist"))

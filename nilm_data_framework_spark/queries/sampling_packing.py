@@ -265,3 +265,84 @@ def equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "heavy_hitters_check",
+    oracle="""
+    WITH freq AS (
+      SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+    ), tot AS (SELECT sum(n) AS total FROM freq)
+    SELECT l_suppkey, n, TRUE AS in_sketch
+    FROM freq CROSS JOIN tot WHERE n > 0.01 * total
+    """,
+    survey_ref="§2.4 extension: heavy hitters at scale (freqItems sketch vs exact attestation)",
+)
+def heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection, sketch-attested like the other approx checks:
+    exact support counts for keys above a 1% support threshold, each flagged
+    with membership in Spark's one-pass `freqItems` sketch (Karp et al.
+    frequent-items; the sketch GUARANTEES a superset at the given support,
+    so `in_sketch` must be uniformly TRUE — which the DuckDB oracle asserts
+    by construction). At 100 TB the sketch is the answer (single pass, no
+    shuffle of the key column beyond partial merges); the exact groupBy twin
+    here is what the gate can hash-check.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = set(li.stat.freqItems(["l_suppkey"], 0.01).collect()[0][0])
+    freq = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    hitters = freq.crossJoin(F.broadcast(total)).filter(
+        F.col("n") > 0.01 * F.col("total")
+    )
+    sketch_arr = F.array(*[F.lit(int(x)) for x in sorted(sketch)])
+    return hitters.select(
+        "l_suppkey", "n", F.array_contains(sketch_arr, F.col("l_suppkey")).alias("in_sketch")
+    )
+
+
+@query(
+    "key_skew_audit",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT count(*) AS n_keys, sum(n) AS total, max(n) AS max_n
+      FROM per_key
+    )
+    SELECT n_keys::BIGINT AS n_keys, total::BIGINT AS total_rows,
+           max_n AS max_key_rows,
+           round(max_n / (total / n_keys), 4) AS max_over_mean,
+           round((SELECT sum(n) FROM (SELECT n FROM per_key ORDER BY n DESC LIMIT 10))
+                 / total, 4) AS top10_share
+    FROM stats
+    """,
+    survey_ref="§2.4 extension: join/groupBy key-skew audit (pre-shuffle hot-key detection)",
+)
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight check every 100 TB shuffle wants: per-key row counts
+    reduced to skew indicators — max/mean ratio and top-10-key share. This
+    is how you decide between a plain shuffle join, AQE skew splitting, and
+    explicit salting (`operators/skew.py::salted_join`) BEFORE burning a
+    cluster-day. One partial+final agg on the key + a tiny top-k; the
+    indicator frame is O(1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top10 = per_key.orderBy(F.col("n").desc()).limit(10).agg(
+        F.sum("n").alias("top10")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+    )
+    return stats.crossJoin(F.broadcast(top10)).select(
+        F.col("n_keys"),
+        F.col("total").alias("total_rows"),
+        F.col("max_n").alias("max_key_rows"),
+        F.round(F.col("max_n") / (F.col("total") / F.col("n_keys")), 4).alias(
+            "max_over_mean"
+        ),
+        F.round(F.col("top10") / F.col("total"), 4).alias("top10_share"),
+    )

@@ -332,3 +332,65 @@ def streaming_static_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory_sink(agg, _SJOIN_SINK)
     return spark.table(_SJOIN_SINK).select("segment", "event_type", "n", "sum_value")
+
+
+# --- stream-stream join ------------------------------------------------------
+# The funnel/attribution topology: two unbounded streams inner-joined on an
+# entity key with an event-time range bound. Both sides carry watermarks and
+# the join condition bounds b.ts to [a.ts, a.ts + 30min], so Spark can size
+# the join state to the window + watermark and EVICT — the state never grows
+# with stream length, which is the whole 100 TB story for stream-stream
+# joins (unbounded-state joins are rejected by the engine in append mode).
+
+_SSJOIN_SINK = "streaming_stream_join_sink"
+
+
+@query(
+    "streaming_stream_join_equiv",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+           epoch_us(a.ts) AS view_ts_us, epoch_us(b.ts) AS purchase_ts_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+    survey_ref="§2.9 stream-stream range join (watermark-bounded state; batch twin of J-ext range join)",
+    tags=("streaming",),
+)
+def streaming_stream_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    _run_to_memory_sink(joined, _SSJOIN_SINK, output_mode="append")
+    return spark.table(_SSJOIN_SINK).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("view_ts")).alias("view_ts_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_ts_us"),
+    )

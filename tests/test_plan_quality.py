@@ -342,3 +342,44 @@ def test_hard_negatives_corpus_never_shuffled(spark):
     plan = _plan(spark, "hard_negative_mining")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_one_window_no_join(spark):
+    # Span dedup = explode + ONE window on span content + final agg: the
+    # shuffle bound must match exact whole-doc dedup (no joins anywhere).
+    plan = _plan(spark, "span_dedup_summary")
+    assert "Join" not in plan
+    assert _n_nodes(plan, "Window") == 1
+
+
+def test_snapshot_diff_moves_only_hashes(spark):
+    # The full-outer CDC join must carry (key, 16-byte hash) only — no
+    # content column may reach the exchange.
+    plan = _plan(spark, "snapshot_diff_orders")
+    assert _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "ShuffledHashJoin") == 1
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("o_comment" not in l for l in read), "content columns not pruned"
+
+
+def test_quality_classifier_is_map_only(spark):
+    plan = _plan(spark, "quality_classifier")
+    assert _n_nodes(plan, "Exchange") <= 1  # only the small-file parallelize
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_bucketed_range_join_is_equi_join(spark):
+    # The scale-path range join must plan as an EQUI join on the grid cell
+    # (hash/broadcast-hash), never a nested loop or cartesian — that's its
+    # entire reason to exist next to the broadcast-NLJ form.
+    plan = _plan(spark, "range_join_campaigns_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_fuzzy_pairs_block_before_verify(spark):
+    # Candidates must form via an equi-join on the block key; Levenshtein
+    # runs as a post-join filter — never a cross product.
+    plan = _plan(spark, "fuzzy_part_names")
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan.lower()

@@ -306,3 +306,60 @@ def test_ola_h5_transform(spark, tmp_path):
     assert a == b
 
     assert infer_sample_rate_str(pd.to_datetime([100], unit="s")) == "unknown"
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """MERGE semantics (update-else-insert) + the cost bound: untouched
+    partitions' files must be byte-identical after the merge."""
+    import glob
+    import hashlib
+
+    from nilm_data_framework_spark.sources.canonical import (
+        merge_upsert_partitioned,
+        read_readings,
+    )
+
+    schema = "dataset string, house_id int, channel_id int, ts long, value double"
+    base = spark.createDataFrame(
+        [
+            ("refit", 1, 1, 100, 1.0),
+            ("refit", 1, 1, 200, 2.0),
+            ("refit", 2, 1, 100, 3.0),
+            ("refit", 2, 2, 100, 4.0),
+        ],
+        schema,
+    )
+    out = str(tmp_path / "readings")
+    (
+        base.repartition("dataset", "house_id")
+        .write.mode("overwrite")
+        .partitionBy("dataset", "house_id")
+        .parquet(out)
+    )
+
+    def digest(pattern):
+        return {
+            p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in sorted(glob.glob(pattern, recursive=True))
+        }
+
+    untouched_before = digest(f"{out}/dataset=refit/house_id=2/**/*.parquet")
+
+    # one UPDATE (house 1 ts=200 → 20.0) and one INSERT (house 1 ts=300)
+    changes = spark.createDataFrame(
+        [("refit", 1, 1, 200, 20.0), ("refit", 1, 1, 300, 30.0)], schema
+    )
+    merge_upsert_partitioned(spark, changes, out)
+
+    back = {
+        (r["house_id"], r["channel_id"], r["ts"]): r["value"]
+        for r in read_readings(spark, out).collect()
+    }
+    assert back == {
+        (1, 1, 100): 1.0,
+        (1, 1, 200): 20.0,
+        (1, 1, 300): 30.0,
+        (2, 1, 100): 3.0,
+        (2, 2, 100): 4.0,
+    }
+    assert digest(f"{out}/dataset=refit/house_id=2/**/*.parquet") == untouched_before

@@ -154,3 +154,66 @@ def test_streaming_session_windows(spark, tmp_path):
     # session end extends gap past the last event
     assert rows[0]["session_end"].timestamp() - 1700000060.0 == 300.0
     q.stop()
+
+
+def test_foreachbatch_merge_upsert_sink(spark, tmp_path):
+    """The exactly-once sink topology: stream micro-batches applied to the
+    canonical store via MERGE in foreachBatch. Replaying the same batch must
+    be idempotent (upsert, not append) — the property that makes the sink
+    safe under Structured Streaming's at-least-once batch redelivery."""
+    from nilm_data_framework_spark.sources.canonical import (
+        merge_upsert_partitioned,
+        read_readings,
+    )
+
+    schema = "dataset string, house_id int, channel_id int, ts long, value double"
+    base = spark.createDataFrame(
+        [("refit", 1, 1, 100, 1.0), ("refit", 2, 1, 100, 3.0)], schema
+    )
+    store = str(tmp_path / "store")
+    (
+        base.repartition("dataset", "house_id")
+        .write.mode("overwrite")
+        .partitionBy("dataset", "house_id")
+        .parquet(store)
+    )
+
+    # changelog stream: two files → two micro-batches
+    src = tmp_path / "changes"
+    src.mkdir()
+    spark.createDataFrame(
+        [("refit", 1, 1, 100, 10.0), ("refit", 1, 1, 200, 2.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [("refit", 1, 1, 200, 20.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        f"{src}/b*"
+    )
+
+    def apply_batch(batch_df, batch_id):
+        merge_upsert_partitioned(spark, batch_df, store)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = {
+        (r["house_id"], r["ts"]): r["value"]
+        for r in read_readings(spark, store).collect()
+    }
+    assert final == {(1, 100): 10.0, (1, 200): 20.0, (2, 100): 3.0}
+
+    # idempotent replay: re-applying the last batch changes nothing
+    last = spark.createDataFrame([("refit", 1, 1, 200, 20.0)], schema)
+    merge_upsert_partitioned(spark, last, store)
+    again = {
+        (r["house_id"], r["ts"]): r["value"]
+        for r in read_readings(spark, store).collect()
+    }
+    assert again == final
