@@ -193,3 +193,28 @@ def pairwise_corr_onepass(
         for j in range(i + 1, len(cols))
     ]
     return spark.createDataFrame(rows, "a string, b string, pearson double")
+
+
+def weighted_mean_udaf():
+    """§2.8 UDAF surface: a GROUPED_AGG pandas UDF (Arrow-batched custom
+    aggregate) computing a weight-normalized mean from a (value, weight)
+    struct column. The declarative twin is sum(v*w)/sum(w) — registered
+    queries use THAT (built-ins win; SURVEY §2.8's 'no UDAF needed' stance);
+    this exists as the sanctioned escape hatch for aggregates with no
+    built-in form (trimmed means, online quantile sketches, custom decay)
+    and is parity-tested against the twin in tests/test_kernels.py.
+
+    Scale: GROUPED_AGG ships each group's column slices through Arrow once —
+    same shuffle as a native agg, but no partial aggregation (full groups
+    must co-locate), which is exactly why built-ins stay the default.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: hint-based inference needs module-global pandas;
+    # the explicit form keeps the import function-local.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_mean(v, w):
+        tw = w.sum()
+        return float((v * w).sum() / tw) if tw else float("nan")
+
+    return weighted_mean

@@ -193,3 +193,46 @@ def test_window_count_formula_property(spark, n, seq_len, step):
     grp_n = W.sliding_windows_grouped(df, ["k"], seq_len, step, ts="t", value="v").count()
     assert sql_n == expected
     assert grp_n == expected
+
+
+def test_weighted_mean_udaf_matches_declarative_twin(spark):
+    """§2.8 UDAF escape hatch == built-in sum(v*w)/sum(w), per group."""
+    from nilm_data_framework_spark.operators.aggregates import weighted_mean_udaf
+
+    rows = [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0), ("b", 0.0, 0.5)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    wm = weighted_mean_udaf()
+    got = {
+        r["k"]: r["wm"]
+        for r in df.groupBy("k").agg(wm("v", "w").alias("wm")).collect()
+    }
+    want = {
+        r["k"]: r["wm"]
+        for r in df.groupBy("k")
+        .agg((F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("wm"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_python_udtf_chunker(spark):
+    """§2.8 UDTF surface (Spark 4 Python UDTF): one input row → N chunk
+    rows. The lateral-join form mirrors what explode+transform does
+    declaratively — built-ins remain the default; the UDTF is the escape
+    hatch for generators with per-row state or ragged output built-ins
+    can't express."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_id: int, chunk: string")
+    class Chunker:
+        def eval(self, text: str, size: int):
+            toks = text.split()
+            for i in range(0, len(toks), size):
+                yield i // size, " ".join(toks[i : i + size])
+
+    out = Chunker(lit("a b c d e"), lit(2)).collect()
+    assert [(r["chunk_id"], r["chunk"]) for r in out] == [
+        (0, "a b"), (1, "c d"), (2, "e"),
+    ]

@@ -363,3 +363,29 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         (2, 2, 100): 4.0,
     }
     assert digest(f"{out}/dataset=refit/house_id=2/**/*.parquet") == untouched_before
+
+
+def test_canonical_schema_evolution_merge(spark, tmp_path):
+    """Stores live for years; readers must survive columns ADDED over time.
+    Parquet mergeSchema unions the file schemas: old files surface the new
+    column as NULL, new files carry it — no rewrite of history. (At 100 TB
+    schema merging is a FOOTER-only operation, but it's off by default
+    because listing every footer has a cost — turn it on per-read, or pin
+    the merged schema explicitly once known.)"""
+    v1 = spark.createDataFrame(
+        [("refit", 1, 1, 100, 1.0)],
+        "dataset string, house_id int, channel_id int, ts long, value double",
+    )
+    v2 = spark.createDataFrame(
+        [("refit", 2, 1, 100, 2.0, "W")],
+        "dataset string, house_id int, channel_id int, ts long, value double, unit string",
+    )
+    out = str(tmp_path / "evolving")
+    v1.write.mode("overwrite").partitionBy("dataset", "house_id").parquet(out)
+    v2.write.mode("append").partitionBy("dataset", "house_id").parquet(out)
+
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    rows = {r["house_id"]: r for r in back.collect()}
+    assert "unit" in back.columns
+    assert rows[1]["unit"] is None and rows[2]["unit"] == "W"
+    assert rows[1]["value"] == 1.0 and rows[2]["value"] == 2.0
