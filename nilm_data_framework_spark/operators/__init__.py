@@ -12,4 +12,7 @@ Each module maps to a SURVEY.md §2 block:
   multimodal  — §2.10 opaque binary columns + mapInPandas decode plumbing
   tensorize   — §3 entry point 3: windowed (X, Y) tensor export
   skew        — SCALE.md salted-join escalation for pathological hot keys
+  sampling    — §2.10 mixture sampling, per-stratum reservoirs, packing
+  splits      — §2.10 content-hash train/val/test splits
+  parallelism — small-input parallelize helpers for compute-heavy stages
 """
