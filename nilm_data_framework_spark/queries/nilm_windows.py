@@ -316,3 +316,65 @@ def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
         F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
     )
+
+
+# --- funnel conversion (business-analytics composition of the range-join family) ----
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH conv AS (
+      SELECT a.event_id, strftime(a.ts, '%Y-%m-%d') AS d,
+             max(CASE WHEN b.event_id IS NOT NULL THEN 1 ELSE 0 END) AS converted
+      FROM (SELECT * FROM events WHERE event_type = 'view') a
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id AND b.ts >= a.ts
+       AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      GROUP BY 1, 2
+    )
+    SELECT d, count(*) AS n_views, sum(converted)::BIGINT AS n_converted,
+           round(sum(converted) / count(*), 4) AS conversion_rate
+    FROM conv GROUP BY d
+    """,
+    survey_ref="§2.3/§2.4 composition: funnel conversion (time-bounded attribution, batch twin of the stream-stream join)",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution funnel: per day, how many 'view' events saw a 'purchase'
+    by the same user within 30 minutes. The time-bounded LEFT join on the
+    entity key is the batch twin of `streaming_stream_join_equiv`'s inner
+    form; per-view dedup (max over matches) then a day rollup. Scale: the
+    join shuffles on user_id (entity-bounded partitions); the range bound
+    keeps per-user match fanout small, and the per-view aggregate collapses
+    it before the day rollup."""
+    ev = _events(spark, sf_dir)
+    # distinct column names on each side: a self-join on shared lineage
+    # otherwise degrades `user_id == user_id` to a trivially-true predicate
+    # (Spark resolves both sides to the SAME attribute), silently turning
+    # the entity join into a pure range join.
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id"), F.col("user_id").alias("v_uid"), F.col("ts").alias("v_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = views.join(
+        buys,
+        on=(
+            (F.col("v_uid") == F.col("p_uid"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES"))
+        ),
+        how="left",
+    )
+    per_view = j.groupBy(
+        F.col("event_id"), F.date_format("v_ts", "yyyy-MM-dd").alias("d")
+    ).agg(
+        F.max(F.when(F.col("p_id").isNotNull(), 1).otherwise(0)).alias("converted")
+    )
+    return per_view.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias("conversion_rate"),
+    )
