@@ -346,3 +346,57 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("top10") / F.col("total"), 4).alias("top10_share"),
     )
+
+
+@query(
+    "source_mixture_drift",
+    oracle="""
+    WITH a AS (
+      SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source
+    ), b AS (
+      SELECT source, count(*)::DOUBLE AS n FROM documents
+      WHERE doc_id % 3 <> 0 GROUP BY source
+    ), tot AS (
+      SELECT (SELECT sum(n) FROM a) AS ta, (SELECT sum(n) FROM b) AS tb
+    )
+    SELECT a.source,
+           round(a.n / ta, 4) AS p_ref,
+           round(coalesce(b.n, 0) / tb, 4) AS p_new,
+           round((a.n / ta) * ln((a.n / ta) / (coalesce(b.n, 0.5) / tb)), 6)
+             AS kl_term
+    FROM a LEFT JOIN b USING (source) CROSS JOIN tot
+    """,
+    survey_ref="§2.10 pipeline monitoring: source-mixture drift (per-source KL contribution)",
+)
+def source_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture drift monitor: per-source share in a reference snapshot
+    vs a new snapshot (here: a deterministic 2/3 subset standing in for
+    \"yesterday's crawl\"), with each source's KL-divergence contribution
+    p_ref·ln(p_ref/p_new) — the alarm a production pipeline raises when a
+    crawl's composition shifts before training sees it. Missing sources get
+    a half-count floor (the standard additive smoothing for empty cells).
+
+    Scale: two partial+final aggs on the source key (low cardinality) + a
+    broadcast-sized totals row + one dim-sized join — O(sources) output, no
+    fact-table shuffle beyond the aggs.
+    """
+    docs = _docs(spark, sf_dir)
+    a = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_a"))
+    b = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_b"))
+    )
+    tot = a.agg(F.sum("n_a").alias("ta")).crossJoin(
+        b.agg(F.sum("n_b").alias("tb"))
+    )
+    j = a.join(b, "source", "left").crossJoin(F.broadcast(tot))
+    p_ref = F.col("n_a") / F.col("ta")
+    p_new = F.coalesce(F.col("n_b"), F.lit(0.0)) / F.col("tb")
+    p_new_sm = F.coalesce(F.col("n_b"), F.lit(0.5)) / F.col("tb")
+    return j.select(
+        "source",
+        F.round(p_ref, 4).alias("p_ref"),
+        F.round(p_new, 4).alias("p_new"),
+        F.round(p_ref * F.log(p_ref / p_new_sm), 6).alias("kl_term"),
+    )
