@@ -53,6 +53,7 @@ def query(
 # entries in iteration order, so each round we front-load queries that lack a
 # driver-recorded result; previously-recorded ones go last. Union over
 # rounds → every query gets a driver-attested row.
+# Round-1 recordings (all PASS):
 _DRIVER_RECORDED = frozenset({
     "exact_dup_groups", "dedup_exact_survivors", "doc_fingerprint",
     "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
@@ -70,6 +71,27 @@ _DRIVER_RECORDED = frozenset({
     "dedup_keep_first", "pivot_wide", "asof_join_last_purchase",
     "multimodal_features", "multimodal_frame_sample", "lag_delta",
     "topk_by_value", "sliding_windows",
+}) | frozenset({
+    # Round-2 recordings (all PASS except repetition_scores, which is
+    # deliberately OMITTED here: its oracle was fixed after round 2 — the
+    # DuckDB HUGEINT sum needed CAST(... AS BIGINT) — so it must be
+    # front-loaded again for a green driver-attested row).
+    "neardup_clusters", "neardup_survivors", "decontamination_pairs",
+    "pii_redaction", "training_set_materialize", "boilerplate_phrases",
+    "boilerplate_doc_ratio", "bpe_pair_counts", "unigram_surprisal_score",
+    "quality_classifier", "span_dedup_summary", "resample_interpolated",
+    "run_length_filter", "run_segments", "median_smooth", "truncate_to_min",
+    "sessionize", "running_total", "scd2_user_intervals", "funnel_conversion",
+    "pricing_summary", "shipping_priority", "local_supplier_volume",
+    "forecast_revenue", "large_volume_orders", "late_shipment_priority",
+    "small_quantity_revenue", "lapsed_rich_customers", "rollup_returns",
+    "set_intersect_users", "set_except_users", "union_label_sets",
+    "semi_anti_customers", "label_subset_users", "common_channel_best_pick",
+    "range_join_campaigns", "cube_returns", "rank_analytics",
+    "sql_api_revenue", "snapshot_diff_orders", "range_join_campaigns_bucketed",
+    "fuzzy_part_names", "mixture_sample", "mixture_summary",
+    "reservoir_per_key", "sequence_packing", "packing_chunk_inventory",
+    "approx_distinct_check", "approx_quantile_check",
 })
 
 

@@ -590,7 +590,7 @@ def decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toked WHERE len(toks) >= 2
     ),
     per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
-    SELECT doc_id, sum(c) AS n_grams,
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
            round(1.0 - count(*) / sum(c), 4) AS dup_frac,
            round(max(c) / sum(c), 4) AS top_frac
     FROM per_gram GROUP BY doc_id

@@ -27,10 +27,6 @@ from pyspark.sql import functions as F
 from nilm_data_framework_spark.plans.registry import query
 from nilm_data_framework_spark.sources.testdata import _ensure_session_confs
 
-_EVENTS_LONG_TS = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
 _SINK = "streaming_resample_equiv_sink"
 
 
@@ -55,14 +51,22 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    """Streaming scan of the events table; ts is TIMESTAMP(NANOS) → long
-    under nanosAsLong, converted exactly as sources/testdata.py:load_table
-    does for batch."""
-    return (
-        spark.readStream.schema(_EVENTS_LONG_TS)
-        .parquet(_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    """Streaming scan of the events table. The file-stream source needs an
+    explicit schema, but the generator's physical ts type has varied across
+    testdata drops (TIMESTAMP(NANOS) → long under nanosAsLong; plain
+    timestamp[us] → TIMESTAMP_NTZ), so take the schema from a metadata-only
+    batch read of the same file and normalize ts exactly as
+    sources/testdata.py:load_table does for batch."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    src_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(src_schema).parquet(_stream_dir(sf_dir))
+    t = src_schema["ts"].dataType
+    if isinstance(t, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(t, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory_sink(agg, name: str, output_mode: str = "complete"):

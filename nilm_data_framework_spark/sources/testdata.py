@@ -9,7 +9,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from nilm_data_framework_spark.schema import TESTDATA_TABLES
 
@@ -40,11 +40,21 @@ def load_table(
         raise KeyError(f"unknown testdata table {name!r}; expected one of {TESTDATA_TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) parquet; with nanosAsLong it scans as
-    # long nanos — convert via exact integer division (`div`, not `/`:
-    # long→double would drop low bits above 2^53).
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.ts arrives in whatever physical type the generator chose —
+    # normalize every observed variant to session-UTC TIMESTAMP so the
+    # downstream unix_micros/window exprs see one type:
+    #  * TIMESTAMP(NANOS): with nanosAsLong it scans as long nanos —
+    #    convert via exact integer division (`div`, not `/`: long→double
+    #    would drop low bits above 2^53).
+    #  * timestamp[us] without tz: Spark infers TIMESTAMP_NTZ; cast to
+    #    TIMESTAMP — with the session timezone pinned UTC this preserves
+    #    the wall-clock, matching DuckDB's naive read of the same file.
+    if name == "events":
+        t = df.schema["ts"].dataType
+        if isinstance(t, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(t, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if parallelize:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
