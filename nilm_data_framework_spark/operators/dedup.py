@@ -101,9 +101,14 @@ def minhash_lsh_pairs(
     Scale shape: signatures and band buckets are pure per-row column
     arithmetic over a hashed-shingle array (no shuffle at all until the
     banded self-join), the self-join carries only (id, band, bucket), and
-    shingle sets are joined back for the candidate pairs alone (AQE turns
-    those into broadcasts when the candidate set is small). The candidate
-    set is the shuffle, not N². rows_per_band = num_hashes // bands.
+    the verify joins back HASHED shingle sets (8-byte longs, 60-bit md5
+    prefixes — not the raw shingle strings) for the candidate pairs alone
+    (AQE turns those into broadcasts when the candidate set is small). The
+    candidate set is the shuffle, not N², and at 100 TB the verify shuffle
+    carries ~8 B per shingle instead of the shingle text; Jaccard over the
+    hashed sets equals Jaccard over the string sets absent 60-bit
+    collisions (~n²/2^61 per doc — negligible at any realistic shingle
+    count). rows_per_band = num_hashes // bands.
     """
     import random
 
@@ -113,21 +118,27 @@ def minhash_lsh_pairs(
         (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
         for _ in range(num_hashes)
     ]
-    # sh feeds the banded branch and both verify sides; persist so the
-    # shingle computation isn't re-run per branch — Spark only reuses
-    # identical exchange subtrees, not arbitrary common subplans. The persist
-    # is scoped: the result is materialized eagerly below (localCheckpoint)
-    # and sh is unpersisted before returning, so no cached blocks outlive the
-    # call in a shared session.
+    # hashed feeds the banded branch and both verify sides; persist so the
+    # shingle+hash computation isn't re-run per branch — Spark only reuses
+    # identical exchange subtrees, not arbitrary common subplans. Persisting
+    # the HASHED form (array<long>) instead of the raw shingle strings keeps
+    # the cache footprint at 8 B/shingle. The persist is scoped: the result
+    # is materialized eagerly below (localCheckpoint) and hashed is
+    # unpersisted before returning, so no cached blocks outlive the call in
+    # a shared session. array_distinct guards the (astronomically rare)
+    # within-doc hash collision so |hs| is a true set cardinality.
     sh = df.select(
         F.col(id_col).alias("id"), word_ngrams(F.col(text), shingle_n).alias("sh")
     ).filter(F.size("sh") > 0)
+    # hs keeps the FULL 60-bit md5 residue (the % p reduction happens inside
+    # the signature transform) so the verify step compares near-collision-
+    # free values, not 31-bit ones.
+    hashed = sh.select(
+        "id", F.array_distinct(F.transform("sh", _md5_64)).alias("hs")
+    )
     if materialize:
-        sh = sh.persist()
+        hashed = hashed.persist()
     try:
-        hashed = sh.select(
-            "id", F.transform("sh", lambda s: _md5_64(s) % _MERSENNE_P).alias("hs")
-        )
         # single nested HOF over a one-call params literal: sig[i] = min over
         # shingle hashes of (h*a_i + b_i) mod p; bucket per band = joined slice.
         # (Building 16 separate transform expressions costs ~1 s of Py4J plan
@@ -135,10 +146,16 @@ def minhash_lsh_pairs(
         params_lit = F.expr(
             "array(" + ",".join(f"array({a}L,{b}L)" for a, b in params) + ")"
         )
+        # (x % p) first: x is the 60-bit residue, and (x % p) * a stays
+        # under 2^62 — no long overflow.
         sig = F.transform(
             params_lit,
             lambda ab: F.array_min(
-                F.transform("hs", lambda x: (x * ab[0] + ab[1]) % F.lit(_MERSENNE_P))
+                F.transform(
+                    "hs",
+                    lambda x: ((x % F.lit(_MERSENNE_P)) * ab[0] + ab[1])
+                    % F.lit(_MERSENNE_P),
+                )
             ),
         )
         buckets = F.transform(
@@ -169,11 +186,11 @@ def minhash_lsh_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
-        sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-        sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-        verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        hs_a = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+        hs_b = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+        verified = cand.join(hs_a, "id_a").join(hs_b, "id_b")
+        inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+        union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
         result = (
             verified.withColumn("jaccard", inter / union)
             .filter(F.col("jaccard") >= jaccard_threshold)
@@ -186,12 +203,12 @@ def minhash_lsh_pairs(
             # execute it should prefer materialize=True.
             return result
         # Materialize now (blocks are owned by the returned plan's RDD and
-        # reclaimed by the ContextCleaner when it is GC'd), so sh's cache can
-        # be released immediately instead of leaking into the session.
+        # reclaimed by the ContextCleaner when it is GC'd), so hashed's cache
+        # can be released immediately instead of leaking into the session.
         return result.localCheckpoint(eager=True)
     finally:
         if materialize:
-            sh.unpersist()
+            hashed.unpersist()
 
 
 def ngram_jaccard_pairs(

@@ -413,7 +413,6 @@ PII_PATTERNS = {
 
 def redact_pii(
     df: DataFrame,
-    id_col: str = "doc_id",
     text: str = "text",
     out: str = "redacted",
 ) -> DataFrame:
@@ -425,14 +424,17 @@ def redact_pii(
 
     Pure JVM regexp expressions (no Python): counts via regexp_count, masks
     via chained regexp_replace. Narrow projection — preserves partitioning,
-    zero shuffle at any scale.
+    zero shuffle at any scale. All columns other than ``text`` pass through
+    unchanged (a pipeline stage must not drop the metadata travelling with
+    the document), so composed pipelines never need a join-back on id.
     """
     email, ip = PII_PATTERNS["email"], PII_PATTERNS["ip"]
     redacted = F.regexp_replace(
         F.regexp_replace(F.col(text), email, "<EMAIL>"), ip, "<IP>"
     )
+    passthrough = [c for c in df.columns if c != text]
     return df.select(
-        F.col(id_col),
+        *passthrough,
         F.regexp_count(F.col(text), F.lit(email)).alias("n_emails"),
         F.regexp_count(F.col(text), F.lit(ip)).alias("n_ips"),
         redacted.alias(out),

@@ -146,8 +146,10 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
     the connected-components oracles below."""
     p = D._MERSENNE_P
     rows_per = num_hashes // bands
+    # (x % p) first — x is the full 60-bit md5 residue; (x % p) * a < 2^62
+    # stays inside BIGINT, mirroring the Spark operator exactly.
     sig_items = ", ".join(
-        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {p}))"
+        f"list_min(list_transform(hs, x -> ((x % {p}) * {a} + {b}) % {p}))"
         for a, b in _minhash_params(num_hashes)
     )
     return f"""toked AS (
@@ -163,8 +165,8 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
       FROM toked WHERE len(toks) >= 3
     ),
     hs AS (
-      SELECT id, list_transform(
-               sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p}) AS hs
+      SELECT id, list_distinct(list_transform(
+               sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs
       FROM sh
     ),
     sig AS (SELECT id, [{sig_items}] AS sig FROM hs),
@@ -181,13 +183,16 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     ),
     verified AS (
+      -- verify on the HASHED shingle sets, mirroring the Spark operator:
+      -- identical md5-residue values in both engines, so jaccard matches
+      -- bit-for-bit (and equals string-set jaccard absent 61-bit collisions)
       SELECT c.id_a, c.id_b,
-             len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
-               / (len(sa.sh) + len(sb.sh)
-                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+             len(list_filter(ha.hs, x -> list_contains(hb.hs, x)))::DOUBLE
+               / (len(ha.hs) + len(hb.hs)
+                  - len(list_filter(ha.hs, x -> list_contains(hb.hs, x)))) AS jaccard
       FROM cand c
-      JOIN sh sa ON sa.id = c.id_a
-      JOIN sh sb ON sb.id = c.id_b
+      JOIN hs ha ON ha.id = c.id_a
+      JOIN hs hb ON hb.id = c.id_b
     )"""
 
 
@@ -769,9 +774,11 @@ def training_set_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("text")),
         )
     )
-    red = T.redact_pii(kept).join(
-        kept.select("doc_id", "lang", "q_tokens"), "doc_id"
-    )
+    # redact_pii passes lang/q_tokens through, so the whole upstream
+    # (quality gate, clusters, decontamination screen) is referenced exactly
+    # once — a join-back on doc_id here would make Spark evaluate every
+    # non-checkpointed subtree twice.
+    red = T.redact_pii(kept)
     return red.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("q_tokens").alias("sum_tokens"),
