@@ -58,6 +58,10 @@ HEADLINE = [
     "bpe_pair_counts",
     "unigram_surprisal_score",
     "span_dedup_summary",
+    # round-3 additions: incremental-ingest dedup + LM corpus statistics
+    "incremental_neardup_pairs",
+    "bigram_surprisal_score",
+    "oov_rate",
 ]
 
 

@@ -83,6 +83,90 @@ def minhash_signature(
     return F.transform(sig, lambda m: F.coalesce(m, F.lit(_MERSENNE_P)))
 
 
+def _minhash_hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text: str, shingle_n: int
+) -> DataFrame:
+    """(id, hs) — distinct 60-bit hashed shingle sets; empty docs dropped.
+    hs keeps the FULL md5 residue (the % p reduction happens inside the
+    signature transform) so verify compares near-collision-free values,
+    not 31-bit ones. array_distinct guards the (astronomically rare)
+    within-doc hash collision so |hs| is a true set cardinality."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    return sh.select("id", F.array_distinct(F.transform("sh", _md5_64)).alias("hs"))
+
+
+def _banded(
+    hashed: DataFrame, params: list[tuple[int, int]], bands: int, rows_per: int
+) -> DataFrame:
+    """(id, band, bucket) — LSH band buckets from the minhash signature.
+    Single nested HOF over a one-call params literal: sig[i] = min over
+    shingle hashes of ((x % p) * a_i + b_i) mod p ((x % p) first: x is the
+    60-bit residue, (x % p) * a stays under 2^62 — no long overflow).
+    Building num_hashes separate transform expressions instead costs ~1 s
+    of Py4J plan construction and a much larger tree for Catalyst."""
+    params_lit = F.expr(
+        "array(" + ",".join(f"array({a}L,{b}L)" for a, b in params) + ")"
+    )
+    sig = F.transform(
+        params_lit,
+        lambda ab: F.array_min(
+            F.transform(
+                "hs",
+                lambda x: ((x % F.lit(_MERSENNE_P)) * ab[0] + ab[1])
+                % F.lit(_MERSENNE_P),
+            )
+        ),
+    )
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bnd: F.struct(
+            bnd.alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), bnd * rows_per + 1, rows_per),
+                    lambda m: m.cast("string"),
+                ),
+                "_",
+            ).alias("bucket"),
+        ),
+    )
+    # sig projected as a real column (non-cheap, so CollapseProject keeps
+    # it) — evaluated once per row, then sliced per band.
+    return (
+        hashed.select("id", sig.alias("sig"))
+        .select("id", F.explode(buckets).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame, hs_a_src: DataFrame, hs_b_src: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over the hashed shingle sets for candidate pairs only."""
+    hs_a = hs_a_src.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hs_b = hs_b_src.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    verified = cand.join(hs_a, "id_a").join(hs_b, "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -110,14 +194,8 @@ def minhash_lsh_pairs(
     collisions (~n²/2^61 per doc — negligible at any realistic shingle
     count). rows_per_band = num_hashes // bands.
     """
-    import random
-
     rows_per = num_hashes // bands
-    rng = random.Random(seed)
-    params = [
-        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
-        for _ in range(num_hashes)
-    ]
+    params = _minhash_hash_params(num_hashes, seed)
     # hashed feeds the banded branch and both verify sides; persist so the
     # shingle+hash computation isn't re-run per branch — Spark only reuses
     # identical exchange subtrees, not arbitrary common subplans. Persisting
@@ -125,59 +203,12 @@ def minhash_lsh_pairs(
     # the cache footprint at 8 B/shingle. The persist is scoped: the result
     # is materialized eagerly below (localCheckpoint) and hashed is
     # unpersisted before returning, so no cached blocks outlive the call in
-    # a shared session. array_distinct guards the (astronomically rare)
-    # within-doc hash collision so |hs| is a true set cardinality.
-    sh = df.select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    # hs keeps the FULL 60-bit md5 residue (the % p reduction happens inside
-    # the signature transform) so the verify step compares near-collision-
-    # free values, not 31-bit ones.
-    hashed = sh.select(
-        "id", F.array_distinct(F.transform("sh", _md5_64)).alias("hs")
-    )
+    # a shared session.
+    hashed = _hashed_shingles(df, id_col, text, shingle_n)
     if materialize:
         hashed = hashed.persist()
     try:
-        # single nested HOF over a one-call params literal: sig[i] = min over
-        # shingle hashes of (h*a_i + b_i) mod p; bucket per band = joined slice.
-        # (Building 16 separate transform expressions costs ~1 s of Py4J plan
-        # construction and a much larger tree for Catalyst.)
-        params_lit = F.expr(
-            "array(" + ",".join(f"array({a}L,{b}L)" for a, b in params) + ")"
-        )
-        # (x % p) first: x is the 60-bit residue, and (x % p) * a stays
-        # under 2^62 — no long overflow.
-        sig = F.transform(
-            params_lit,
-            lambda ab: F.array_min(
-                F.transform(
-                    "hs",
-                    lambda x: ((x % F.lit(_MERSENNE_P)) * ab[0] + ab[1])
-                    % F.lit(_MERSENNE_P),
-                )
-            ),
-        )
-        buckets = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bnd: F.struct(
-                bnd.alias("band"),
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), bnd * rows_per + 1, rows_per),
-                        lambda m: m.cast("string"),
-                    ),
-                    "_",
-                ).alias("bucket"),
-            ),
-        )
-        # sig projected as a real column (non-cheap, so CollapseProject keeps
-        # it) — evaluated once per row, then sliced per band.
-        banded = (
-            hashed.select("id", sig.alias("sig"))
-            .select("id", F.explode(buckets).alias("bb"))
-            .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        )
+        banded = _banded(hashed, params, bands, rows_per)
         a = banded.alias("a")
         b = banded.alias("b")
         cand = (
@@ -186,16 +217,7 @@ def minhash_lsh_pairs(
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
-        hs_a = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
-        hs_b = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
-        verified = cand.join(hs_a, "id_a").join(hs_b, "id_b")
-        inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-        union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
-        result = (
-            verified.withColumn("jaccard", inter / union)
-            .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
+        result = _verify_pairs(cand, hashed, hashed, jaccard_threshold)
         if not materialize:
             # lazy form: full Catalyst plan preserved (plan inspection /
             # composition into larger pipelines); the shingle subtree is
@@ -209,6 +231,56 @@ def minhash_lsh_pairs(
     finally:
         if materialize:
             hashed.unpersist()
+
+
+def minhash_lsh_join(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """INCREMENTAL near-dup screen: new-batch documents vs an existing
+    reference corpus — (new_id, ref_id, jaccard) for cross-corpus pairs
+    only, never ref×ref.
+
+    This is the shape a production ingest actually runs at 100 TB: the
+    reference corpus was deduped once; each arriving batch is LSH-bucketed
+    with the SAME hash parameters (``seed``) and joined against the stored
+    reference buckets — cost O(|batch| + matching buckets), not a full
+    corpus re-dedup (and a real deployment persists the reference's
+    (id, band, bucket) + (id, hs) tables once — bucketed by (band, bucket)
+    via sources/canonical.py:write_readings_bucketed's layout — so the
+    per-batch join is shuffle-free on the corpus side; here both sides are
+    derived on the fly because the gate tables are plain parquet).
+
+    No self-pairs of the new batch are emitted either (new×new dedup is
+    :func:`minhash_lsh_pairs` on the batch alone); candidate generation is
+    strictly (new.band, new.bucket) == (ref.band, ref.bucket).
+    """
+    rows_per = num_hashes // bands
+    params = _minhash_hash_params(num_hashes, seed)
+    hashed_new = _hashed_shingles(df_new, id_col, text, shingle_n)
+    hashed_ref = _hashed_shingles(df_ref, id_col, text, shingle_n)
+    banded_new = _banded(hashed_new, params, bands, rows_per).alias("a")
+    banded_ref = _banded(hashed_ref, params, bands, rows_per).alias("b")
+    cand = (
+        banded_new.join(
+            banded_ref,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = _verify_pairs(cand, hashed_new, hashed_ref, jaccard_threshold)
+    return out.select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("ref_id"), "jaccard"
+    )
 
 
 def ngram_jaccard_pairs(

@@ -1,0 +1,166 @@
+"""Language-model-adjacent corpus statistics: vocabulary construction,
+out-of-vocabulary rates, and interpolated bigram surprisal.
+
+These are the tokenizer-prep / perplexity-proxy passes an LLM data pipeline
+runs corpus-wide before training (the reference's closest analog is its
+word-level BERT input prep, train_bert_single.py:62-78, which assumes a
+fixed vocab; building the vocab FROM the corpus and scoring documents
+against corpus-level n-gram statistics are the at-scale generalizations).
+
+Scale shape shared by all three: corpus-level count tables are classic
+word-count aggregations (one partial+final hash agg, map-side combine
+absorbs the Zipf head), per-document scoring reduces occurrences to
+per-doc (gram, count) FIRST (same rule as unigram_surprisal /
+tfidf_top_terms in operators/text.py) so count-table joins touch
+|doc × distinct-gram| rows, not raw occurrences. The vocab table is tiny
+(V rows) and broadcast; the n-gram count joins are linear equi-joins on
+the gram key — Zipf-hot keys are AQE skew-split territory, never N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators.text import tokens
+
+
+def vocab_top_tokens(
+    df: DataFrame,
+    text: str = "text",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the ``vocab_size`` most frequent tokens with a
+    total order (count DESC, token ASC) so the cut is deterministic across
+    engines and runs. Returns (tok, c).
+
+    One hash aggregation over exploded tokens, then TakeOrderedAndProject
+    for the top-V (no full sort shuffle; V is small). At 100 TB the agg is
+    the scaling cost — linear, map-side combined.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(vocab_size)
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-V vocab:
+    (id, n_tok, n_oov, oov_rate) — the tokenizer-coverage audit run before
+    committing to a vocab size. Empty documents emit no row (no tokens),
+    matching the SQL unnest semantics.
+
+    The vocab (V rows) is hint-broadcast into the membership join — V is a
+    CONSTANT of the analysis (a LIMIT in the plan), not a function of
+    corpus size, so the hint stays safe at any scale; the plan guard in
+    tests/test_plan_quality.py exempts limit-bounded hint subtrees for
+    exactly this case. Occurrences reduce to per-doc (tok, c) before the
+    join.
+    """
+    vocab = vocab_top_tokens(df, text=text, vocab_size=vocab_size).select("tok")
+    doc_tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    flagged = doc_tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tok"), 4).alias("oov_rate"),
+        )
+    )
+
+
+def doc_bigrams(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """(id, w1, w2, c) — per-document adjacent-token-pair counts, built by
+    zipping the token array against itself shifted by one (pure JVM HOFs,
+    no shuffle) and reducing occurrences per doc."""
+    toks_arr = df.select(F.col(id_col), tokens(F.col(text)).alias("toks"))
+    pairs = (
+        toks_arr.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda w1, w2: F.struct(w1.alias("w1"), w2.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    return pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document average surprisal under an interpolated bigram LM
+    estimated on the corpus itself: for each adjacent pair (w1, w2),
+
+        P(w2 | w1) = 3/4 * c(w1 w2) / c(w1)  +  1/4 * c(w2) / N
+
+    (c(·) = corpus unigram/bigram occurrence counts, N = corpus token
+    count; the interpolation weights are exact rationals so the score
+    replays bit-stably cross-engine). score = Σ c·(−ln P) / Σ c over the
+    document's bigram positions — the perplexity-filter proxy one step up
+    from the unigram version (operators/text.py:unigram_surprisal): a
+    document of individually common but incoherently ordered words now
+    scores high. Returns (id, n_bigrams, bigram_surprisal) with the score
+    rounded to 4dp; documents with < 2 tokens emit no row.
+
+    The unigram interpolation term keeps P > 0 for every observed pair
+    (c(w2) >= 1 corpus-wide by construction) — no extra smoothing floor.
+    Shape: per-doc (w1, w2, c) reduction first, corpus bigram counts from
+    that same reduction (sum of c — one extra linear agg, no second pass
+    over text), two unigram joins, a 1-row broadcast total. All linear.
+    """
+    doc_bi = doc_bigrams(df, id_col=id_col, text=text)
+    bi = doc_bi.groupBy("w1", "w2").agg(F.sum("c").alias("c_bi"))
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("n_total"))
+
+    scored = (
+        doc_bi.join(bi, ["w1", "w2"])
+        .join(
+            uni.select(F.col("tok").alias("w1"), F.col("c_uni").alias("c_w1")), "w1"
+        )
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("c_uni").alias("c_w2")), "w2"
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "p",
+            (F.lit(3) * F.col("c_bi") / (F.lit(4) * F.col("c_w1")))
+            + (F.col("c_w2") / (F.lit(4) * F.col("n_total"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(-F.sum(F.col("c") * F.log(F.col("p"))) / F.sum("c"), 4).alias(
+            "bigram_surprisal"
+        ),
+    )

@@ -110,6 +110,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         streaming_equiv,
         tensor_pipeline,
+        vocab_lm,
     )
 
     ordered = sorted(registry, key=lambda n: (n in _DRIVER_RECORDED,))

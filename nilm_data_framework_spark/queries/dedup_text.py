@@ -140,10 +140,16 @@ def _minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int
     return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
 
 
-def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_ctes(
+    num_hashes: int = 16,
+    bands: int = 4,
+    cand_on: str = "a.id < b.id",
+) -> str:
     """The shared CTE chain replaying the MinHash-LSH pipeline in DuckDB up
     to ``verified(id_a, id_b, jaccard)``; composed by the pairs oracle and
-    the connected-components oracles below."""
+    the connected-components oracles below. ``cand_on`` is the extra
+    candidate-pair predicate: the default self-join half-plane, or a
+    new-batch/reference split for the incremental join oracle."""
     p = D._MERSENNE_P
     rows_per = num_hashes // bands
     # (x % p) first — x is the full 60-bit md5 residue; (x % p) * a < 2^62
@@ -180,7 +186,7 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ON a.band = b.band AND a.bucket = b.bucket AND ({cand_on})
     ),
     verified AS (
       -- verify on the HASHED shingle sets, mirroring the Spark operator:
@@ -235,6 +241,31 @@ def _components_ctes(thr: float = 0.5) -> str:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D.minhash_lsh_pairs(
         _docs(spark, sf_dir), shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@query(
+    "incremental_neardup_pairs",
+    oracle=f"""
+    WITH {_minhash_ctes(cand_on="a.id % 5 = 0 AND b.id % 5 <> 0")}
+    SELECT id_a AS new_id, id_b AS ref_id, round(jaccard, 4) AS jaccard
+    FROM verified WHERE jaccard >= 0.5
+    """,
+    survey_ref="§2.10 incremental dedup: new-batch vs reference corpus LSH join (no full re-dedup per ingest)",
+)
+def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs with doc_id % 5 == 0 play the arriving batch; the rest are the
+    already-deduped reference corpus. Same hash seed on both sides — the
+    property that makes incremental screening sound."""
+    docs = _docs(spark, sf_dir)
+    out = D.minhash_lsh_join(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.5,
     )
     return out.withColumn("jaccard", F.round("jaccard", 4))
 

@@ -296,6 +296,45 @@ def streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_WM_SINK = "streaming_dedup_watermark_sink"
+
+
+@query(
+    "streaming_dedup_watermark_equiv",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT (user_id, CAST(ts AS DATE))) AS n_user_days
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="§2.9 streaming windowed dedup (dropDuplicatesWithinWatermark — state is EVICTED past the horizon, unlike dropDuplicates' unbounded key set)",
+    tags=("streaming",),
+)
+def streaming_dedup_watermark_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user-same-day events count once per type. The operator under
+    test is ``dropDuplicatesWithinWatermark`` — the production form of
+    streaming dedup: ``dropDuplicates`` retains every key ever seen
+    (state grows with stream history, eventually OOM on an unbounded
+    stream), while the watermark variant evicts keys older than the
+    horizon, bounding state by the dedup window. On this bounded replay
+    (single-file source → one micro-batch, watermark only advances after
+    it) no eviction fires mid-batch, so the result equals the batch
+    distinct — which is exactly the equivalence worth attesting.
+    """
+    _ensure_session_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .select("event_type", "user_id", F.to_date("ts").alias("day"), "ts")
+        .dropDuplicatesWithinWatermark(["event_type", "user_id", "day"])
+    )
+    _run_to_memory_sink(deduped, _DEDUP_WM_SINK, output_mode="append")
+    return (
+        spark.table(_DEDUP_WM_SINK)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+    )
+
+
 # --- stream-static join ------------------------------------------------------
 # The enrichment topology every deployment runs: an unbounded fact stream
 # joined to a slowly-changing dim snapshot. Stream-static inner joins are

@@ -101,6 +101,10 @@ def test_no_broadcast_hint_over_sf_scaled_relation(spark):
             prefix = chunk[: m.start()] if m else ""
             if re.search(r"Aggregate \[(?![^\n]*\], \[)", prefix):
                 continue
+            # A GlobalLimit bounds the hinted side to a query constant
+            # (e.g. the top-V vocab in oov_rate) — equally scale-safe.
+            if "GlobalLimit" in prefix:
+                continue
             hit = [mk for mk in _SF_SCALED_MARKERS if mk in leaf]
             assert not hit, (
                 f"{name}: broadcast hint over sf-scaled relation ({hit}): {leaf[:200]}"
@@ -179,6 +183,21 @@ def test_no_query_plans_cartesian(spark):
     for name in SPECS:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_oov_vocab_membership_join_broadcasts(spark):
+    # the top-V vocab is limit-bounded → its broadcast hint must land as a
+    # BroadcastHashJoin; the occurrence side is never shuffled for the
+    # membership test
+    plan = _plan(spark, "oov_rate")
+    assert "BroadcastHashJoin" in plan, "vocab membership join is not broadcast"
+
+
+def test_incremental_lsh_join_is_equi(spark):
+    # candidate generation must be the (band, bucket) equi-join — a nested
+    # loop or cartesian here would be the N² the LSH exists to avoid
+    plan = _plan(spark, "incremental_neardup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan, "incremental LSH join fell back to NLJ"
 
 
 def test_registry_contract():
