@@ -59,6 +59,53 @@ def brute_force_topk(
     )
 
 
+def truncated_prefix_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    prefix_dim: int,
+    shortlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style two-stage ANN (Kusupati et al., arXiv:2205.13147:
+    MRL-trained embeddings rank usefully under prefix truncation): shortlist
+    per query by cosine over the first ``prefix_dim`` dimensions, then
+    re-rank the shortlist with the FULL vector and keep top ``k``.
+
+    Scale shape: identical join topology to :func:`brute_force_topk`
+    (queries broadcast, corpus scanned once, never shuffled by pair), but
+    the first-stage arithmetic touches prefix_dim/dim of the floats — at
+    100 TB the prefix lives as its own column (or a separate narrow table),
+    so column pruning makes the shortlist scan read prefix_dim * 4 bytes
+    per vector instead of the full embedding; only the shortlist rows
+    (|Q| * shortlist of the corpus) ever evaluate the full-width cosine.
+    Both stages break ties on match_id, so shortlist membership and the
+    final ranking are deterministic and cross-engine replayable.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("match_id") != F.col("query_id")).withColumn(
+        "cos_prefix",
+        cosine(F.slice("qv", 1, prefix_dim), F.slice("cv", 1, prefix_dim)),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_prefix").desc(), F.col("match_id")
+    )
+    short = scored.withColumn("rk_p", F.row_number().over(w1)).filter(
+        F.col("rk_p") <= shortlist
+    )
+    rer = short.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [

@@ -576,6 +576,66 @@ def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "neardup_quality_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_components_ctes()},
+    tokc AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, t.n_tok,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY t.n_tok DESC, c.doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM comp c JOIN tokc t USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS survivor_doc_id,
+           CAST(n_members AS BIGINT) AS n_members, n_tok AS survivor_tokens
+    FROM ranked WHERE rk = 1
+    """,
+    survey_ref="§2.10 near-dup survivor selection, keep-BEST policy (argmax quality per cluster, not min-id)",
+)
+def neardup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production survivor rule: within each near-dup cluster keep the
+    highest-quality member (here: most tokens, doc_id tie-break), not the
+    arbitrary min-id — dedup should discard the truncated/mangled copies,
+    not a random one. The rank window partitions by cluster_id: near-dup
+    clusters are tiny by construction, so the window never sees more than
+    a cluster's worth of rows at any corpus size."""
+    from pyspark.sql import Window
+
+    comps = _doc_clusters(spark, sf_dir)
+    tokc = _docs(spark, sf_dir).select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tok")
+    )
+    joined = comps.join(tokc, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.select(
+            "cluster_id",
+            "doc_id",
+            "n_tok",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "n_members",
+            F.col("n_tok").alias("survivor_tokens"),
+        )
+    )
+
+
 # --- eval-set decontamination -------------------------------------------------
 
 

@@ -400,3 +400,53 @@ def source_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_new, 4).alias("p_new"),
         F.round(p_ref * F.log(p_ref / p_new_sm), 6).alias("kl_term"),
     )
+
+
+# --- temperature-scaled mixture weights --------------------------------------
+# Multilingual/multi-source LMs sample sources with probability
+# w_s ∝ p_s^τ (p_s = the source's token share, τ < 1 flattens the
+# distribution toward the tail — the standard mBERT/XLM-R/Gopher recipe for
+# keeping low-resource strata from vanishing). Computing the weights IS a
+# pipeline op: two tiny aggregations over the stratum dim + a 1-row total,
+# never a corpus-wide window; the weights table then drives
+# stratified_sample rate tables at any scale.
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH per AS (
+      SELECT lang,
+             CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tok) AS n_total FROM per),
+    share AS (
+      SELECT lang, n_tok, n_tok / t.n_total AS p
+      FROM per CROSS JOIN tot t
+    ),
+    z AS (SELECT sum(pow(p, 0.7)) AS z FROM share)
+    SELECT s.lang, s.n_tok,
+           round(s.p, 6) AS token_share,
+           round(pow(s.p, 0.7) / z.z, 6) AS sample_weight
+    FROM share s CROSS JOIN z
+    """,
+    survey_ref="§2.10 data-mixture temperature sampling (w ∝ share^τ, τ=0.7 — the multilingual rebalancing recipe)",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("lang").agg(
+        F.sum(T.token_count(F.col("text"))).alias("n_tok")
+    )
+    tot = per.agg(F.sum("n_tok").alias("n_total"))
+    share = per.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_tok") / F.col("n_total")
+    )
+    z = share.agg(F.sum(F.pow("p", F.lit(0.7))).alias("z"))
+    return share.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tok",
+        F.round("p", 6).alias("token_share"),
+        F.round(F.pow("p", F.lit(0.7)) / F.col("z"), 6).alias("sample_weight"),
+    )

@@ -62,6 +62,60 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREFIX_DIM = 16
+_SHORTLIST = 48
+
+
+@query(
+    "truncated_rerank_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id, q.qv, c.cv,
+             list_dot_product(q.qv[1:{_PREFIX_DIM}], c.cv[1:{_PREFIX_DIM}])
+               / (sqrt(list_dot_product(q.qv[1:{_PREFIX_DIM}], q.qv[1:{_PREFIX_DIM}]))
+                  * sqrt(list_dot_product(c.cv[1:{_PREFIX_DIM}], c.cv[1:{_PREFIX_DIM}])))
+               AS cos_prefix
+      FROM c, q WHERE c.vec_id <> q.query_id
+    ),
+    short AS (
+      SELECT query_id, match_id, qv, cv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_prefix DESC, match_id) AS rk_p
+        FROM scored
+      ) WHERE rk_p <= {_SHORTLIST}
+    ),
+    rer AS (
+      SELECT query_id, match_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cos
+      FROM short
+    )
+    SELECT query_id, match_id, round(cos, 4) AS cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, match_id) AS rk
+      FROM rer
+    ) WHERE rk <= {TOP_K}
+    """,
+    survey_ref="§2.10 similarity search: matryoshka prefix shortlist + full-width re-rank (arXiv:2205.13147 serving shape)",
+)
+def truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.truncated_prefix_topk(
+        emb, queries_df, k=TOP_K, prefix_dim=_PREFIX_DIM, shortlist=_SHORTLIST
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
 @query(
     "embedding_neardup_pairs",
     oracle="""

@@ -72,6 +72,34 @@ def test_lsh_recall_and_soundness(spark):
     assert hits / total >= 0.4, f"LSH recall too low: {hits}/{total}"
 
 
+def test_truncated_rerank_recall_and_soundness(spark):
+    """Matryoshka prefix shortlist + full re-rank: every reported cosine is
+    the true full-width cosine, and recall stays reasonable even on
+    ISOTROPIC random vectors — the worst case for prefix truncation (real
+    MRL-trained embeddings concentrate signal in the prefix; random ones
+    spread it uniformly, so 16/64 dims retain only ~sqrt(1/4) of the
+    separation)."""
+    df, emb = _load(spark)
+    qids = [i for i in sorted(emb) if i < 8]
+    true = _np_topk(emb, qids, 5)
+    rows = S.truncated_prefix_topk(
+        df, df.filter(F.col("vec_id") < 8), k=5, prefix_dim=16, shortlist=48
+    ).collect()
+    for r in rows:
+        a = emb[r["query_id"]].astype(np.float64)
+        b = emb[r["match_id"]].astype(np.float64)
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine"] - true_cos) < 1e-9
+    hits = total = 0
+    by_q: dict[int, set[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["match_id"])
+    for q in qids:
+        total += len(true[q])
+        hits += len(by_q.get(q, set()) & set(true[q]))
+    assert hits / total >= 0.35, f"truncated re-rank recall too low: {hits}/{total}"
+
+
 def test_ivf_recall_and_soundness(spark):
     df, emb = _load(spark)
     qids = [i for i in sorted(emb) if i < 8]
