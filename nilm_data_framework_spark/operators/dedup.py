@@ -264,23 +264,31 @@ def minhash_lsh_join(
     """
     rows_per = num_hashes // bands
     params = _minhash_hash_params(num_hashes, seed)
-    hashed_new = _hashed_shingles(df_new, id_col, text, shingle_n)
-    hashed_ref = _hashed_shingles(df_ref, id_col, text, shingle_n)
-    banded_new = _banded(hashed_new, params, bands, rows_per).alias("a")
-    banded_ref = _banded(hashed_ref, params, bands, rows_per).alias("b")
-    cand = (
-        banded_new.join(
-            banded_ref,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
+    # each side's hashed shingles feed its banded branch AND its verify
+    # side — scoped persist (same discipline as minhash_lsh_pairs: eager
+    # localCheckpoint of the result, then unpersist) halves the shingling
+    # work per side.
+    hashed_new = _hashed_shingles(df_new, id_col, text, shingle_n).persist()
+    hashed_ref = _hashed_shingles(df_ref, id_col, text, shingle_n).persist()
+    try:
+        banded_new = _banded(hashed_new, params, bands, rows_per).alias("a")
+        banded_ref = _banded(hashed_ref, params, bands, rows_per).alias("b")
+        cand = (
+            banded_new.join(
+                banded_ref,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    out = _verify_pairs(cand, hashed_new, hashed_ref, jaccard_threshold)
-    return out.select(
-        F.col("id_a").alias("new_id"), F.col("id_b").alias("ref_id"), "jaccard"
-    )
+        out = _verify_pairs(cand, hashed_new, hashed_ref, jaccard_threshold)
+        return out.select(
+            F.col("id_a").alias("new_id"), F.col("id_b").alias("ref_id"), "jaccard"
+        ).localCheckpoint(eager=True)
+    finally:
+        hashed_new.unpersist()
+        hashed_ref.unpersist()
 
 
 def ngram_jaccard_pairs(

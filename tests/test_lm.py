@@ -96,3 +96,6 @@ def test_incremental_join_equals_crossing_subset(spark, docs_df):
     }
     assert inc == expected
     assert inc, "split produced no crossing pairs — fixture is vacuous"
+    # scoped persists: nothing may stay in the CacheManager after the call
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "minhash_lsh_join leaked a cached plan"
