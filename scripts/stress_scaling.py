@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Empirical scaling smoke: replicate the sf0.1 documents corpus k× in
+memory (shifted ids so replicas are distinct documents, suffixed text so
+replicas are not trivial near-dups of the originals) and measure how the
+heavy text operators scale with corpus size.
+
+This is the measured counterpart to SCALE.md's complexity claims: the
+LSH/dedup/LM pipelines are designed linear-in-corpus (candidate generation
+bucket-local, aggregations map-side combined) — a super-linear fit here
+would falsify that long before a cluster does. Run:
+
+    python scripts/stress_scaling.py [k1 k2 ...]   # default 1 2 4 8
+
+Prints one JSON line per (query, k) with rows and wall seconds, then a
+per-query log-log slope estimate (sec ~ corpus^slope; slope ≈ 1 = linear).
+Results are summarized in STRESS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from nilm_data_framework_spark.operators import dedup as D  # noqa: E402
+from nilm_data_framework_spark.operators import lm as L  # noqa: E402
+from nilm_data_framework_spark.operators import text as T  # noqa: E402
+from nilm_data_framework_spark.session import get_session  # noqa: E402
+from nilm_data_framework_spark.sources.testdata import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(docs: DataFrame, k: int) -> DataFrame:
+    """k distinct copies: ids shifted per replica; text of replica r > 0
+    gets a replica-specific suffix token so copies are near-dups of their
+    original (jaccard just below 1) rather than exact dups — the worst
+    realistic case for LSH candidate volume."""
+    parts = [docs]
+    for r in range(1, k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + 10_000_000 * r).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" replica{r}")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # one deterministic shuffle so every k sees the same physical layout
+    # shape (k=1 unshuffled vs k=8 unioned would confound the comparison)
+    return out.repartition(32, "doc_id").localCheckpoint(eager=True)
+
+
+def workloads(docs: DataFrame) -> dict:
+    return {
+        "exact_dup_groups": lambda: D.exact_dup_groups(docs).count(),
+        "minhash_lsh_pairs": lambda: D.minhash_lsh_pairs(docs).count(),
+        "neardup_clusters": lambda: D.connected_components(
+            docs.select("doc_id"),
+            D.minhash_lsh_pairs(docs),
+            id_col="doc_id",
+            edge_a="id_a",
+            edge_b="id_b",
+        ).count(),
+        "bigram_surprisal": lambda: L.bigram_surprisal(docs).count(),
+        "oov_rate": lambda: L.oov_rate(docs, vocab_size=20).count(),
+        "repetition_scores": lambda: T.repetition_scores(docs, n=2).count(),
+    }
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    spark = get_session(app_name="stress-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, SF_DIR, "documents", parallelize=True)
+    base.count()  # warm scan
+
+    results: dict[str, list[tuple[int, float]]] = {}
+    for k in ks:
+        docs = replicate(base, k)
+        n = docs.count()
+        for name, fn in workloads(docs).items():
+            fn()  # warm (codegen, broadcast setup)
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = fn()
+                times.append(time.perf_counter() - t0)
+            sec = min(times)
+            results.setdefault(name, []).append((n, sec))
+            print(json.dumps({"query": name, "k": k, "corpus_rows": n,
+                              "result_rows": rows, "sec": round(sec, 3)}))
+
+    print("\n# log-log slope (sec ~ corpus^slope); <= ~1.1 = scales linearly")
+    for name, pts in results.items():
+        if len(pts) >= 2:
+            (n0, t0), (n1, t1) = pts[0], pts[-1]
+            slope = math.log(t1 / t0) / math.log(n1 / n0)
+            print(json.dumps({"query": name, "slope": round(slope, 2),
+                              "span": f"{n0}->{n1} rows, {t0:.2f}s->{t1:.2f}s"}))
+
+
+if __name__ == "__main__":
+    main()
