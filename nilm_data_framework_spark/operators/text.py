@@ -205,6 +205,53 @@ def word_ngrams_all(text: Column, n: int) -> Column:
     )
 
 
+def doc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    size: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """RAG-style chunking: overlapping ``size``-token windows every
+    ``stride`` tokens, carrying provenance — (id, chunk_idx, start_tok,
+    n_tok, chunk_text). The retrieval-prep twin of the model-input windows
+    (W4 sliding_windows works on numeric series; this is its text-column
+    counterpart feeding chunk embedding + indexing). The final chunks may
+    be shorter than ``size`` (the tail is never dropped); empty documents
+    emit no chunk.
+
+    Pure per-row HOFs (sequence → slice → array_join) + one posexplode —
+    a narrow 1→N map with NO shuffle at any scale; output fan-out is
+    ~n_tok/stride rows per doc. Downstream embedding/indexing partitions
+    by (id, chunk_idx) — provenance is in the row, so no join back to the
+    parent doc is ever needed.
+    """
+    toks_of = lambda tk: F.transform(  # noqa: E731
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)), F.lit(stride)),
+            lambda s: s <= F.size(tk),
+        ),
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.least(F.lit(size), F.size(tk) - s + 1).alias("n_tok"),
+            F.array_join(F.slice(tk, s, size), " ").alias("chunk_text"),
+        ),
+    )
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.flatten(F.transform(F.array(tokens(F.col(text))), toks_of))
+        ).alias("chunk_idx", "ch"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.col("ch.start_tok").alias("start_tok"),
+        F.col("ch.n_tok").alias("n_tok"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

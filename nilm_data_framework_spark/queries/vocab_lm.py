@@ -104,6 +104,44 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.bigram_surprisal(_docs(spark, sf_dir))
 
 
+# --- RAG chunking -------------------------------------------------------------
+
+
+@query(
+    "doc_chunks_inventory",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             i AS chunk_idx,
+             1 + i * 8 AS start_tok,
+             least(16, len(toks) - (1 + i * 8) + 1) AS n_tok,
+             array_to_string(toks[1 + i * 8 : i * 8 + 16], ' ') AS chunk_text
+      FROM toked, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) u(i)
+      WHERE len(toks) > 0 AND 1 + i * 8 <= len(toks)
+    )
+    SELECT doc_id, chunk_idx, start_tok, n_tok, md5(chunk_text) AS chunk_md5
+    FROM chunks
+    """,
+    survey_ref="§2.10 RAG chunking: overlapping token windows w/ provenance (text twin of W4 sliding windows)",
+)
+def doc_chunks_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nilm_data_framework_spark.operators.text import doc_chunks
+
+    out = doc_chunks(_docs(spark, sf_dir), size=16, stride=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 # --- source-level quality gate ------------------------------------------------
 # RefinedWeb/C4 drop whole PROVENANCES (domains, crawls) whose aggregate
 # quality is bad, not just individual documents: compute per-source mean

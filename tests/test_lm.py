@@ -99,3 +99,28 @@ def test_incremental_join_equals_crossing_subset(spark, docs_df):
     # scoped persists: nothing may stay in the CacheManager after the call
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), "minhash_lsh_join leaked a cached plan"
+
+
+def test_doc_chunks_semantics(spark):
+    from nilm_data_framework_spark.operators.text import doc_chunks
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, " ".join(f"t{i}" for i in range(20))), (1, "a b"), (2, "")],
+            columns=["doc_id", "text"],
+        )
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in doc_chunks(df, size=16, stride=8).collect()
+    }
+    # doc 0: 20 tokens -> starts 1, 9, 17 -> lens 16, 12, 4 (tail kept)
+    assert [(rows[(0, i)]["start_tok"], rows[(0, i)]["n_tok"]) for i in range(3)] == [
+        (1, 16), (9, 12), (17, 4)
+    ]
+    assert rows[(0, 2)]["chunk_text"] == "t16 t17 t18 t19"
+    # doc 1: single short chunk; doc 2: empty -> no chunks
+    assert rows[(1, 0)]["n_tok"] == 2
+    assert not any(d == 2 for d, _ in rows)
+    # overlap: chunk 1 of doc 0 starts mid-chunk-0
+    assert rows[(0, 1)]["chunk_text"].startswith("t8 t9")
