@@ -690,3 +690,77 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+@query(
+    "contrastive_triplets",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             c.label = q.q_label AS same,
+             list_dot_product(q.qv, c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+               AS cos
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    ),
+    top AS (
+      SELECT query_id, match_id, same, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id, same
+                                     ORDER BY cos DESC, match_id) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT p.query_id, p.match_id AS pos_id, n.match_id AS neg_id,
+           round(p.cos, 4) AS pos_cos, round(n.cos, 4) AS neg_cos,
+           round(p.cos - n.cos, 4) AS margin
+    FROM (SELECT * FROM top WHERE same) p
+    JOIN (SELECT * FROM top WHERE NOT same) n USING (query_id)
+    """,
+    survey_ref="§2.10 similarity search: contrastive triplet materialization (anchor, hardest positive, hardest negative)",
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data artifact a retrieval/embedding fine-tune consumes:
+    per anchor, the hardest in-class positive and the hardest out-of-class
+    negative with the margin between them (InfoNCE/triplet-loss input;
+    mining strategy per Xiong et al., ANCE, arXiv:2007.00808). Single scored
+    pass — one broadcast of the anchor batch, one corpus scan, one rank
+    window per (anchor, side) — then a self-join of the two 1-row-per-anchor
+    sides. The corpus is never shuffled by pair at any scale."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("match_id"), F.col("label").alias("c_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .withColumn("cos", S.cosine(F.col("qv"), F.col("cv")))
+        .withColumn("same", F.col("c_label") == F.col("q_label"))
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("cos").desc(), F.col("match_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    pos = top.filter(F.col("same")).select(
+        "query_id", F.col("match_id").alias("pos_id"), F.col("cos").alias("p_cos")
+    )
+    neg = top.filter(~F.col("same")).select(
+        "query_id", F.col("match_id").alias("neg_id"), F.col("cos").alias("n_cos")
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id", "pos_id", "neg_id",
+        F.round("p_cos", 4).alias("pos_cos"),
+        F.round("n_cos", 4).alias("neg_cos"),
+        F.round(F.col("p_cos") - F.col("n_cos"), 4).alias("margin"),
+    )
