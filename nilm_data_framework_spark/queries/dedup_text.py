@@ -133,11 +133,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_params(num_hashes: int = 16, seed: int = 42) -> list[tuple[int, int]]:
-    import random
-
-    p = D._MERSENNE_P
-    rng = random.Random(seed)
-    return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    # the ONE source of truth for the hash params is the operator module —
+    # oracle and operator must derive identical (a, b) or the signature
+    # parity silently breaks.
+    return D._minhash_hash_params(num_hashes, seed)
 
 
 def _minhash_ctes(

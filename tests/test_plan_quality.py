@@ -102,8 +102,23 @@ def test_no_broadcast_hint_over_sf_scaled_relation(spark):
             if re.search(r"Aggregate \[(?![^\n]*\], \[)", prefix):
                 continue
             # A GlobalLimit bounds the hinted side to a query constant
-            # (e.g. the top-V vocab in oov_rate) — equally scale-safe.
-            if "GlobalLimit" in prefix:
+            # (e.g. the top-V vocab in oov_rate) — equally scale-safe, but
+            # ONLY if every node between the hint and the limit is a
+            # row-non-increasing unary op: a Join/Union/Generate above the
+            # limit could re-inflate the hinted side past the bound.
+            def _limit_bounds_subtree(pfx: str) -> bool:
+                for ln in pfx.splitlines():
+                    mm = re.search(r"\+- (\w+)", ln)
+                    if not mm:
+                        continue
+                    node = mm.group(1)
+                    if node == "GlobalLimit":
+                        return True
+                    if node not in ("Project", "Filter", "Sort", "LocalLimit"):
+                        return False
+                return False
+
+            if _limit_bounds_subtree(prefix):
                 continue
             hit = [mk for mk in _SF_SCALED_MARKERS if mk in leaf]
             assert not hit, (
