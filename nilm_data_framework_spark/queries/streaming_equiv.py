@@ -296,6 +296,53 @@ def streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDING_SINK = "streaming_sliding_window_sink"
+
+
+@query(
+    "streaming_sliding_window_equiv",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 1]) AS o),
+    w AS (
+      SELECT event_type,
+             date_trunc('hour', ts) - to_hours(o) AS w_start,
+             value
+      FROM events, offs
+    )
+    SELECT event_type, w_start, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM w GROUP BY event_type, w_start
+    """,
+    survey_ref="§2.9 streaming SLIDING windows (window(2h, 1h) — each event in 2 overlapping windows; tumbling is streaming_resample_equiv)",
+    tags=("streaming",),
+)
+def streaming_sliding_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregate: 2-hour windows every hour, so
+    every event lands in exactly two windows (the overlap is what tumbling
+    can't express — rolling rates, moving averages over event time). The
+    batch oracle replays the window assignment as an explicit
+    event x {0,1}-offset expansion. State cost in a real deployment is
+    (windows alive within the watermark) x groups — bounded by the
+    watermark horizon exactly like the tumbling case, just x(size/slide)."""
+    _ensure_session_confs(spark)
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # sum, not avg: the synthetic values carry 2 decimals, so an
+            # 8-element avg lands EXACTLY on the 4dp rounding boundary and
+            # the two engines' summation orders flip the rounding; the sum
+            # of 2dp values is never on a 2dp boundary.
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    _run_to_memory_sink(agg, _SLIDING_SINK)
+    return spark.table(_SLIDING_SINK).select(
+        "event_type", F.col("w.start").alias("w_start"), "n", "sum_value"
+    )
+
+
 _DEDUP_WM_SINK = "streaming_dedup_watermark_sink"
 
 
