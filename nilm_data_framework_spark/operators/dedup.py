@@ -243,6 +243,7 @@ def minhash_lsh_join(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """INCREMENTAL near-dup screen: new-batch documents vs an existing
     reference corpus — (new_id, ref_id, jaccard) for cross-corpus pairs
@@ -267,9 +268,16 @@ def minhash_lsh_join(
     # each side's hashed shingles feed its banded branch AND its verify
     # side — scoped persist (same discipline as minhash_lsh_pairs: eager
     # localCheckpoint of the result, then unpersist) halves the shingling
-    # work per side.
-    hashed_new = _hashed_shingles(df_new, id_col, text, shingle_n).persist()
-    hashed_ref = _hashed_shingles(df_ref, id_col, text, shingle_n).persist()
+    # work per side. materialize=False returns the lazy Catalyst plan
+    # instead (no persist, no checkpoint) so plan-quality tests and
+    # gen_plans can assert the real join topology — an eager checkpoint
+    # collapses .explain to a Scan ExistingRDD and would make any
+    # no-cartesian assertion vacuous.
+    hashed_new = _hashed_shingles(df_new, id_col, text, shingle_n)
+    hashed_ref = _hashed_shingles(df_ref, id_col, text, shingle_n)
+    if materialize:
+        hashed_new = hashed_new.persist()
+        hashed_ref = hashed_ref.persist()
     try:
         banded_new = _banded(hashed_new, params, bands, rows_per).alias("a")
         banded_ref = _banded(hashed_ref, params, bands, rows_per).alias("b")
@@ -283,12 +291,16 @@ def minhash_lsh_join(
             .dropDuplicates(["id_a", "id_b"])
         )
         out = _verify_pairs(cand, hashed_new, hashed_ref, jaccard_threshold)
-        return out.select(
+        out = out.select(
             F.col("id_a").alias("new_id"), F.col("id_b").alias("ref_id"), "jaccard"
-        ).localCheckpoint(eager=True)
+        )
+        if not materialize:
+            return out
+        return out.localCheckpoint(eager=True)
     finally:
-        hashed_new.unpersist()
-        hashed_ref.unpersist()
+        if materialize:
+            hashed_new.unpersist()
+            hashed_ref.unpersist()
 
 
 def ngram_jaccard_pairs(

@@ -92,6 +92,25 @@ _DRIVER_RECORDED = frozenset({
     "fuzzy_part_names", "mixture_sample", "mixture_summary",
     "reservoir_per_key", "sequence_packing", "packing_chunk_inventory",
     "approx_distinct_check", "approx_quantile_check",
+}) | frozenset({
+    # Round-3 recordings (all PASS except tensor_export, OMITTED here: the
+    # real driver's canonicalizer sort_values() crashed on its array<float>
+    # column ("unhashable type: 'list'") — the query now emits JSON strings
+    # and must be front-loaded again for a clean driver-attested row.
+    "incremental_neardup_pairs", "neardup_quality_survivors",
+    "repetition_scores", "equidepth_bins", "heavy_hitters_check",
+    "key_skew_audit", "source_mixture_drift", "mixture_temperature_weights",
+    "cosine_topk_bruteforce", "truncated_rerank_topk",
+    "embedding_neardup_pairs", "cosine_topk_lsh", "cosine_topk_ivf",
+    "kmeans_centroid_update", "semantic_dedup_survivors", "pq_topk",
+    "pq_topk_rerank", "ivf_pq_topk", "hard_negative_mining",
+    "contrastive_triplets", "streaming_resample_equiv",
+    "streaming_sessionize_equiv", "streaming_late_data_drop",
+    "streaming_dedup_equiv", "streaming_sliding_window_equiv",
+    "streaming_dedup_watermark_equiv", "streaming_static_join_equiv",
+    "streaming_stream_join_equiv", "sliding_windows_grouped",
+    "tensor_export_flat", "unpivot_metrics", "vocab_top_tokens", "oov_rate",
+    "bigram_surprisal_score", "doc_chunks_inventory", "source_quality_gate",
 })
 
 

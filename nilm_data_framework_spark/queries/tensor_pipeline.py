@@ -76,7 +76,18 @@ def _tensorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tensor_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array-column export (the S10 sink shape). The scalar-flattened twin
     # below value-checks every element of these windows against DuckDB.
-    return _tensorized(spark, sf_dir)
+    # The driver's canonicalizer sorts every column with pandas
+    # sort_values(), which raises "unhashable type: 'list'" on array
+    # columns (observed: CORRECTNESS_r03 err) — so the driver-facing row
+    # shape serializes the tensors to JSON strings. The array form stays
+    # available via operators.tensorize for the S10 sink itself.
+    t = _tensorized(spark, sf_dir)
+    atomic = [f.name for f in t.schema.fields if not f.dataType.typeName()
+              in ("array", "struct", "map")]
+    nested = [f.name for f in t.schema.fields if f.name not in atomic]
+    return t.select(
+        *atomic, *[F.to_json(F.col(c)).alias(f"{c}_json") for c in nested]
+    )
 
 
 @query(

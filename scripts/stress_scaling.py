@@ -104,9 +104,21 @@ def main() -> None:
     print("\n# log-log slope (sec ~ corpus^slope); <= ~1.1 = scales linearly")
     for name, pts in results.items():
         if len(pts) >= 2:
+            # least-squares over ALL points, not endpoints — sub-second flat
+            # workloads are dominated by fixed job overhead and one noisy
+            # endpoint would silently move the headline slope STRESS.md cites.
+            xs = [math.log(n) for n, _ in pts]
+            ys = [math.log(t) for _, t in pts]
+            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+            sxx = sum((x - mx) ** 2 for x in xs)
+            slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+            pair_slopes = [
+                round(math.log(t1 / t0) / math.log(n1 / n0), 2)
+                for (n0, t0), (n1, t1) in zip(pts, pts[1:])
+            ]
             (n0, t0), (n1, t1) = pts[0], pts[-1]
-            slope = math.log(t1 / t0) / math.log(n1 / n0)
             print(json.dumps({"query": name, "slope": round(slope, 2),
+                              "pair_slopes": pair_slopes,
                               "span": f"{n0}->{n1} rows, {t0:.2f}s->{t1:.2f}s"}))
 
 

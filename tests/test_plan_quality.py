@@ -209,10 +209,39 @@ def test_oov_vocab_membership_join_broadcasts(spark):
 
 
 def test_incremental_lsh_join_is_equi(spark):
-    # candidate generation must be the (band, bucket) equi-join — a nested
-    # loop or cartesian here would be the N² the LSH exists to avoid
-    plan = _plan(spark, "incremental_neardup_pairs")
+    # Candidate generation must be the (band, bucket) equi-join — a nested
+    # loop or cartesian here would be the N² the LSH exists to avoid. The
+    # registered query eager-checkpoints (its .explain is just a Scan
+    # ExistingRDD — no join node can appear), so assert on the operator's
+    # materialize=False lazy plan, which preserves the full Catalyst tree.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from nilm_data_framework_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = D.minhash_lsh_join(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+        jaccard_threshold=0.5,
+        materialize=False,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the lazy plan must actually contain hash-joinable equi-joins...
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, (
+        "lazy LSH-join plan shows no equi-join node — checkpoint leak?"
+    )
+    # ...and never a quadratic fallback
     assert "BroadcastNestedLoopJoin" not in plan, "incremental LSH join fell back to NLJ"
+    assert "CartesianProduct" not in plan, "incremental LSH join plans a cartesian"
 
 
 def test_registry_contract():
