@@ -62,6 +62,12 @@ HEADLINE = [
     "incremental_neardup_pairs",
     "bigram_surprisal_score",
     "oov_rate",
+    # round-4 additions: lakehouse maintenance + curation + robust monitoring
+    "merge_upsert_orders",
+    "zorder_layout_stats",
+    "token_budget_curation",
+    "time_weighted_avg",
+    "int8_quant_fidelity",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Lakehouse table-maintenance operators: MERGE-style upsert, Z-order layout
+keys, and right-to-erasure purges (§2 extensions — the reference framework
+rebuilds its HDF5 store from scratch per run; a 100 TB lakehouse cannot, so
+incremental maintenance is a first-class capability, not an afterthought).
+
+All three are pure DataFrame algebra — the point is that Delta/Iceberg
+`MERGE INTO`, `OPTIMIZE ZORDER BY`, and GDPR deletes are *queries* under the
+hood, and expressing them declaratively lets Catalyst plan them like any
+other join/projection:
+
+- **merge_upsert** — apply a changes batch (inserts + updates) to a snapshot
+  via one full-outer join on the key: exactly the reconciliation MERGE INTO
+  performs before writing. Complements ``snapshot_diff`` (operators/
+  joins.py), which generates the change batch this operator consumes, and
+  ``sources/canonical.py::merge_upsert_partitioned``, the write-path sink
+  that applies one with a touched-partition cost bound.
+- **interleave_bits** — the Z-order (Morton) curve key: interleaving the
+  bits of two bucketized dimensions makes lexicographic file order preserve
+  locality in BOTH dimensions, so min/max file statistics prune scans for
+  predicates on either column. Sorting by the returned key before writing
+  IS the OPTIMIZE ZORDER layout pass.
+- **erase_keys** — anti-join purge of a (small) deletion-key list (AQE
+  elects the broadcast):
+  the GDPR/right-to-erasure pass. At 100 TB the deletion list is always
+  broadcast-sized relative to the fact table, and the anti-join rewrites
+  only the files that contain hits when combined with partition/file pruning
+  on the same key layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """MERGE INTO semantics as a full-outer join: rows present in ``changes``
+    override the snapshot (matched → update), rows only in ``changes`` are
+    inserted, rows only in ``snapshot`` carry over. Adds ``merge_action`` in
+    {'insert','update','carry'} for audit/metrics.
+
+    ``value_cols`` are the columns reconciled with ``coalesce(change,
+    snapshot)``; both inputs must have them plus ``key``.
+
+    Scale: one sort-merge (or AQE-elected broadcast, when the change batch
+    is small — the common case) join on the key. This is precisely the
+    shuffle Delta's MERGE runs; bucketing both sides on the key
+    (sources/canonical.py::write_readings_bucketed) makes it shuffle-free.
+    """
+    s = snapshot.select(key, *value_cols).alias("s")
+    c = changes.select(key, *value_cols).alias("c")
+    sk, ck = F.col(f"s.{key}"), F.col(f"c.{key}")
+    merged = s.join(c, sk == ck, "full_outer").select(
+        F.coalesce(ck, sk).alias(key),
+        *[F.coalesce(F.col(f"c.{v}"), F.col(f"s.{v}")).alias(v) for v in value_cols],
+        F.when(ck.isNotNull() & sk.isNotNull(), F.lit("update"))
+        .when(ck.isNotNull(), F.lit("insert"))
+        .otherwise(F.lit("carry"))
+        .alias("merge_action"),
+    )
+    return merged
+
+
+def interleave_bits(x: Column, y: Column, bits: int) -> Column:
+    """Morton/Z-order key: interleave the low ``bits`` bits of two integer
+    bucket columns (x gets the even bit positions, y the odd). Files cut
+    from the sorted key cover axis-aligned quadrants, so per-file min/max
+    stats stay tight on BOTH source columns — the data-skipping property
+    OPTIMIZE ZORDER BY buys.
+
+    Pure integer bit algebra (shift/and/or), whole-stage-codegen friendly,
+    replayable in any SQL engine; ``bits`` is a static plan constant so the
+    expression tree has exactly ``2·bits`` terms.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def interleave_bits_sql(x: str, y: str, bits: int) -> str:
+    """DuckDB/ANSI twin of :func:`interleave_bits` (oracle replay)."""
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def erase_keys(
+    fact: DataFrame, deletions: DataFrame, key: str
+) -> DataFrame:
+    """Right-to-erasure purge: drop every fact row whose ``key`` appears in
+    the deletion list. Deletion lists are near-always tiny next to the fact
+    table, so AQE elects a broadcast anti-join at runtime (a map-side hash
+    probe, no fact shuffle) — but the hint is deliberately NOT forced: the
+    list's size is data-dependent (an erasure wave after a breach can be
+    large), and the repo rule is that only provably-bounded relations get
+    hard broadcast hints (test_no_broadcast_hint_over_sf_scaled_relation).
+    Pair with the caller keeping before/after counts for the audit trail.
+    """
+    return fact.join(deletions.select(key).distinct(), key, "left_anti")

@@ -213,3 +213,40 @@ def resample_interpolate(
         .alias(value),
         F.col("_v").isNull().alias("filled"),
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    value: str = "value",
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted (LOCF) mean per key over an IRREGULAR series: each
+    reading holds until the next one, so its weight is the interval to its
+    successor — the physically-correct average power between samples, where
+    the plain `avg` the reference computes (UnifiedNILM.py:122) silently
+    over-weights bursts of fast sampling. The final reading of each key has
+    no successor and is excluded (standard for step-function integrals over
+    a half-open observation window).
+
+    Emits per key: ``twa`` (4dp), ``n_intervals``, ``span_s`` (total covered
+    seconds, exact integer). Intervals are exact integer microseconds
+    (unix_micros), so the weights are bit-identical cross-engine.
+
+    Scale: one window shuffle on the key (lead), then a partial+final agg on
+    the same key — AQE coalesces the two stages onto one exchange. This is
+    the continuous-aggregate kernel of a hypertable rollup.
+    """
+    order_cols = [ts] + (order_extra or [])
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    us = F.unix_micros(F.col(ts))
+    dt = (F.lead(us).over(w) - us).cast("double")
+    d = df.withColumn("_dt_us", dt).filter(F.col("_dt_us").isNotNull())
+    return d.groupBy(*keys).agg(
+        F.round(
+            F.sum(F.col(value) * F.col("_dt_us")) / F.sum("_dt_us"), 4
+        ).alias("twa"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        (F.sum("_dt_us").cast("long") / F.lit(1000000)).cast("long").alias("span_s"),
+    )

@@ -110,6 +110,93 @@ def bottom_k_per_stratum(
     )
 
 
+def sequential_poisson_bottom_k(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted fixed-count sample per stratum: Ohlsson's *sequential Poisson
+    sampling* (the order-sampling approximation of probability-proportional-
+    to-size without replacement). Each row draws priority ``u / w`` (u = its
+    deterministic md5 uniform, w = its weight); the ``k`` smallest priorities
+    per stratum win, so a row with twice the weight is ~twice as likely to be
+    picked — the standard importance-weighted corpus subsample (weight by
+    token count, quality score, domain boost...).
+
+    Cross-engine exact: u is an integer-derived fraction and the priority is
+    ONE IEEE division of it by the weight — correctly rounded, bit-identical
+    in any engine — so the induced order (ties broken by id) replays in SQL.
+    Like bottom-k, the selection is associative (merge partial bottom-ks), so
+    at 100 TB it needs no per-stratum sort, just partial top-k merges; the
+    window form lets Catalyst's rank-limit pushdown do that here.
+    Adds ``sample_priority`` (the raw double) and keeps input columns.
+    """
+    u = hash_fraction(F.col(id_col), salt)
+    pri = u / F.col(weight_col).cast("double")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("sample_priority").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_priority", pri)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def budget_prefix_filter(
+    df: DataFrame,
+    strata_col: str,
+    order_cols: list,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget curation: within each stratum, walk rows in ``order_cols``
+    order (best-first — quality score, recency...) and keep the greedy prefix
+    whose *preceding* token mass is under ``budget``. The kept set therefore
+    always reaches the budget (the first overshooting doc is included rather
+    than leaving budget unused) and is fully determined by the ordering —
+    the "fill each language's token quota with its best documents" step of a
+    data-mixture build, as a single window prefix-sum instead of a driver
+    loop.
+
+    One shuffle on the stratum key; the prefix sum is a running window —
+    same scale shape as :func:`pack_concat_chunks`. Adds ``budget_used``
+    (tokens consumed before this row).
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.col(tokens_col).cast("long")).over(w), F.lit(0))
+    return df.withColumn("budget_used", before).filter(F.col("budget_used") < budget)
+
+
+def hash_shard(id_col: Column, n_shards: int, salt: str = "") -> Column:
+    """Deterministic shard id in [0, n_shards): md5-derived integer mod N.
+
+    This is the "globally shuffled shards" step of training-data layout:
+    md5 destroys any source/time ordering of ids, so every shard is an
+    unbiased corpus sample and a training run can stream shards sequentially
+    without a separate shuffle pass. Pure projection — no shuffle to
+    *compute*; writing then uses ``repartition(n_shards, shard)`` so each
+    output file IS one shard. Cross-engine: the same 32-bit md5 prefix used
+    by :func:`hash_fraction`, mod N.
+    """
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+
+
 def pack_concat_chunks(
     df: DataFrame,
     shard_col: str,

@@ -58,6 +58,14 @@ SHOWCASE = [
     ("bigram_surprisal_score", "bigram LM scoring: per-doc pair reduction "
      "feeds linear equi-joins on gram keys; only the 1-row total is "
      "broadcast-nested-loop"),
+    ("merge_upsert_orders", "MERGE reconciliation: ONE full-outer PK join "
+     "(SortMergeJoin — both sides sf-scaled, no forced broadcast); "
+     "coalesce-override + action tagging are projections on top"),
+    ("zorder_layout_stats", "Z-order layout: integer Morton-interleave is a "
+     "narrow codegen projection; only the 1-row extents aggregate is "
+     "broadcast — the fact table never shuffles before the file-stats agg"),
+    ("time_weighted_avg", "LOCF time-weighted mean: lead window and the "
+     "per-key aggregate share one exchange on the series key"),
 ]
 
 
