@@ -68,6 +68,13 @@ HEADLINE = [
     "token_budget_curation",
     "time_weighted_avg",
     "int8_quant_fidelity",
+    # round-4 batch 2: sketch decontamination, data selection, graph step,
+    # binary-quantized ANN, governance report
+    "bloom_decontamination",
+    "dsir_importance_weights",
+    "pagerank_step",
+    "hamming_topk_rerank",
+    "constraint_suite_report",
 ]
 
 

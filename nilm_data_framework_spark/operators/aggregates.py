@@ -218,3 +218,35 @@ def weighted_mean_udaf():
         return float((v * w).sum() / tw) if tw else float("nan")
 
     return weighted_mean
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity: str,
+    ts: str = "ts",
+    period_s: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention matrix: assign each entity to the cohort of its
+    FIRST activity period (epoch // period_s — fixed-width periods avoid
+    week-start/timezone semantics differing across engines), then count
+    distinct active entities per (cohort, period offset). The classic
+    product-analytics triangle view; offset 0 row doubles as cohort size.
+
+    Scale shape: first-touch is one hash agg keyed by entity (min period);
+    activity reduces to DISTINCT (entity, period) before the cohort join —
+    so the join carries entity-periods, not raw events — and the final agg
+    is a plain (cohort, offset) count. All linear, one join keyed on the
+    entity (AQE-decided: the first-touch frame grows with the entity
+    domain, never hint-broadcast per the repo's sf-scaled rule).
+    """
+    period = (F.col(ts).cast("long") / F.lit(period_s)).cast("long")
+    active = df.select(F.col(entity), period.alias("_p")).distinct()
+    first = active.groupBy(entity).agg(F.min("_p").alias("_cohort"))
+    joined = active.join(first, entity)
+    return (
+        joined.groupBy(
+            F.col("_cohort").alias("cohort_period"),
+            (F.col("_p") - F.col("_cohort")).alias("period_offset"),
+        )
+        .agg(F.countDistinct(entity).alias("n_active"))
+    )

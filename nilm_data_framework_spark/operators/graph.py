@@ -1,0 +1,90 @@
+"""Graph propagation operators (§2 extension beyond connected components).
+
+The near-dup clustering path (operators/dedup.py::connected_components)
+already iterates min-label propagation; this module adds the other classic
+bulk-synchronous graph kernel a data-curation stack needs: **PageRank-style
+score propagation** over an entity graph (domain authority for crawl
+prioritization, supplier/part centrality, citation weighting for corpus
+reweighting — the "quality via link structure" signal family).
+
+Scale shape (one iteration): out-degrees are ONE hash agg over edges; the
+contribution pass is ONE equi-join (edge src → rank) + ONE hash agg on dst.
+Everything is linear in |E| with map-side partial aggregation; the rank
+vector is O(|V|) and joins by key (AQE-decided strategy — the vertex table
+grows with data, so no forced broadcast, per the repo's sf-scaled-relation
+rule). Hub vertices (Zipf in-degree) are absorbed by partial aggs; hot
+SOURCE vertices in the join are AQE-skew-split. A full power iteration loops
+this step with lineage cuts (same localCheckpoint discipline as
+connected_components); convergence typically needs O(10) rounds independent
+of |V|, so the 100 TB cost is ~10 linear passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_iteration(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    ranks: DataFrame | None = None,
+) -> DataFrame:
+    """One PageRank power-iteration step over an edge list.
+
+    Vertices are the union of src/dst endpoints; ``ranks`` (vertex, rank)
+    defaults to the uniform 1/N start vector. Dangling vertices (no
+    out-edges) redistribute their mass uniformly — the standard stochastic
+    fix, computed as one scalar aggregate. Returns (vertex, rank) with
+    ranks UNROUNDED (callers round at the query edge per repo float rules).
+
+    Determinism note: the per-vertex sum of contributions is a grouped
+    double sum, so cross-engine parity requires the caller to round (the
+    repo convention, 6dp in the shipped query) — same rule as every grouped
+    float agg in this codebase.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    verts = (
+        e.select(F.col("_s").alias("vertex"))
+        .unionByName(e.select(F.col("_d").alias("vertex")))
+        .distinct()
+    )
+    n = verts.agg(F.count(F.lit(1)).alias("_n"))
+    if ranks is None:
+        ranks = verts.crossJoin(F.broadcast(n)).select(
+            "vertex", (F.lit(1.0) / F.col("_n")).alias("rank")
+        )
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # Mass leaving each vertex: rank/outdeg per out-edge. Vertices with no
+    # out-edges keep their rank out of this join — their (dangling) mass is
+    # summed separately below.
+    src_rank = ranks.join(outdeg, ranks["vertex"] == outdeg["_s"], "left")
+    dangling = src_rank.filter(F.col("_deg").isNull()).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass")
+    )
+    contrib = (
+        e.join(
+            src_rank.filter(F.col("_deg").isNotNull()).select(
+                F.col("vertex").alias("_sv"),
+                (F.col("rank") / F.col("_deg")).alias("_share"),
+            ),
+            F.col("_s") == F.col("_sv"),
+        )
+        .groupBy(F.col("_d").alias("vertex"))
+        .agg(F.sum("_share").alias("_in"))
+    )
+    return (
+        verts.join(contrib, "vertex", "left")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "vertex",
+            (
+                (1.0 - damping) / F.col("_n")
+                + F.lit(damping)
+                * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dmass") / F.col("_n"))
+            ).alias("rank"),
+        )
+    )

@@ -164,3 +164,77 @@ def bigram_surprisal(
             "bigram_surprisal"
         ),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., arXiv:2302.03169): score every
+    document by how much more likely its HASHED-BIGRAM profile is under the
+    target distribution than under the raw corpus,
+
+        log w(doc) = Σ_g c_g · [ ln p̂_target(b(g)) − ln p̂_raw(b(g)) ]
+
+    with b(g) = md5-hash of the bigram into ``n_buckets`` buckets and
+    Laplace-smoothed bucket MLEs p̂(b) = (n_b + 1)/(N + B). Sampling
+    proportionally to w (or keeping top-w) selects raw data that LOOKS LIKE
+    the target domain — the data-selection recipe behind DoReMi-era corpus
+    reweighting, entirely in hashed count space (no model inference).
+
+    ``target_pred`` is a Column predicate over ``df`` rows defining the
+    target subset (e.g. a trusted source). Returns (id, n_grams, log_w 4dp);
+    docs with < 2 tokens emit no row.
+
+    Scale shape: per-doc (bucket, c) reduction FIRST; the two bucket-count
+    tables are ≤ B rows each (B is a design constant — broadcast-safe by
+    construction, so the membership join can never blow up no matter the
+    corpus size; that bounded-dimension property is WHY hashed DSIR scales
+    where exact-vocab importance weighting doesn't). One extra linear agg
+    builds the target counts from the same reduction. Logs are rounded at
+    4dp per the repo's surprisal discipline.
+    """
+    doc_bi = doc_bigrams(df, id_col=id_col, text=text)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    # The target flag joins in ONCE at doc granularity, so target and raw
+    # bucket counts come out of a SINGLE aggregation (a conditional sum) —
+    # one count-table join downstream instead of two, and one fewer
+    # re-evaluation of the explode subtree.
+    target_ids = df.filter(target_pred).select(id_col, F.lit(1).alias("_is_t"))
+    flagged = (
+        doc_bi.withColumn("_b", bucket)
+        .groupBy(id_col, "_b")
+        .agg(F.sum("c").alias("c"))
+        .join(target_ids, id_col, "left")
+    )
+    counts = flagged.groupBy("_b").agg(
+        F.sum("c").alias("n_r"),
+        F.sum(F.when(F.col("_is_t") == 1, F.col("c")).otherwise(0)).alias("n_t"),
+    )
+    # Totals get distinct names (_tot_*): Spark resolution is case-insensitive,
+    # so "N_t" would collide with the joined per-bucket "n_t" column.
+    totals = counts.agg(
+        F.sum("n_r").alias("_tot_r"), F.sum("n_t").alias("_tot_t")
+    )
+    b = float(n_buckets)
+    scored = (
+        flagged.join(counts, "_b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_lr",
+            F.log((F.col("n_t") + 1) / (F.col("_tot_t") + F.lit(b)))
+            - F.log((F.col("n_r") + 1) / (F.col("_tot_r") + F.lit(b))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.round(F.sum(F.col("c") * F.col("_lr")), 4).alias("log_w"),
+    )

@@ -250,3 +250,102 @@ def time_weighted_mean(
         F.count(F.lit(1)).alias("n_intervals"),
         (F.sum("_dt_us").cast("long") / F.lit(1000000)).cast("long").alias("span_s"),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    value: str = "value",
+    bucket_s: int = 3600,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per (key,
+    time bucket) keep exactly the four value-extreme/boundary points — min,
+    max, first, last — which is provably sufficient to render the series'
+    line plot pixel-exactly at the bucket resolution. The width-bounded
+    alternative to raw export when a dashboard asks for a year of 1 Hz data.
+
+    Emitted long-form: (keys..., bucket_ts, point_role, ts, value) with one
+    row per role (a point serving several roles appears once per role —
+    simplest deterministic contract). Ties inside a bucket break on
+    (ts, tiebreak) for first/last and (value, ts, tiebreak) for min/max,
+    so selection replays identically cross-engine.
+
+    Scale: all four ranks are computed in ONE pass — the window specs share
+    the (keys, bucket) partitioning, so the plan has a single exchange with
+    the four sorts chained on top (not a 4-branch union that would scan and
+    shuffle the input four times); the role unpivot is a `stack` projection.
+    Output is 4 rows per bucket regardless of input rate — a ~constant-size
+    result per rendered pixel column, which is the whole point at 100 TB.
+    """
+    bkt = (F.col(ts).cast("long") / F.lit(bucket_s)).cast("long")
+    d = df.withColumn("_bkt", bkt)
+    tb = [F.col(tiebreak)] if tiebreak else []
+    part = [*keys, "_bkt"]
+    roles = {
+        "first": [F.col(ts).asc(), *tb],
+        "last": [F.col(ts).desc(), *[c.desc() for c in tb]],
+        "min": [F.col(value).asc(), F.col(ts).asc(), *tb],
+        "max": [F.col(value).desc(), F.col(ts).asc(), *tb],
+    }
+    ranked = d
+    for role, order in roles.items():
+        w = Window.partitionBy(*part).orderBy(*order)
+        ranked = ranked.withColumn(f"_rk_{role}", F.row_number().over(w))
+    stack_args = ", ".join(f"'{role}', _rk_{role}" for role in roles)
+    unpivoted = ranked.select(
+        *keys,
+        F.col("_bkt").alias("bucket"),
+        F.col(ts).alias("point_ts"),
+        F.col(value).alias("point_value"),
+        F.expr(f"stack({len(roles)}, {stack_args})").alias("point_role", "_rk"),
+    )
+    return unpivoted.filter(F.col("_rk") == 1).select(
+        *keys, "bucket", "point_role", "point_ts", "point_value"
+    )
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    value: str = "value",
+    bucket_s: int = 3600,
+    season: int = 24,
+) -> DataFrame:
+    """Forecastability audit: bucket each series (mean per ``bucket_s``),
+    then compare the SEASONAL-naive forecast (value one season of buckets
+    ago) against the plain naive forecast (previous bucket) by mean absolute
+    error. ratio < 1 ⇒ the series has real seasonal structure worth a
+    seasonal model — the MASE-style denominator logic (Hyndman & Koehler
+    2006) as a per-key screening aggregate.
+
+    Errors only count buckets where BOTH forecasts exist (same support, fair
+    comparison). Gaps in the bucket grid make "one season ago" a row-lag
+    approximation; the audit is a screen, not a forecaster. Two window
+    passes share one (key-ordered) shuffle; MAEs are rounded 4dp per repo
+    float discipline. Returns (keys..., n_buckets, mae_naive,
+    mae_seasonal, mase_ratio).
+    """
+    bkt = (F.col(ts).cast("long") / F.lit(bucket_s)).cast("long")
+    series = (
+        df.withColumn("_bkt", bkt)
+        .groupBy(*keys, "_bkt")
+        .agg(F.avg(value).alias("_v"))
+    )
+    w = Window.partitionBy(*keys).orderBy("_bkt")
+    scored = series.withColumn("_prev", F.lag("_v", 1).over(w)).withColumn(
+        "_seas", F.lag("_v", season).over(w)
+    )
+    both = scored.filter(F.col("_prev").isNotNull() & F.col("_seas").isNotNull())
+    return both.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.avg(F.abs(F.col("_v") - F.col("_prev"))), 4).alias("mae_naive"),
+        F.round(F.avg(F.abs(F.col("_v") - F.col("_seas"))), 4).alias("mae_seasonal"),
+        F.round(
+            F.avg(F.abs(F.col("_v") - F.col("_seas")))
+            / F.avg(F.abs(F.col("_v") - F.col("_prev"))),
+            4,
+        ).alias("mase_ratio"),
+    )

@@ -240,3 +240,26 @@ def pack_concat_chunks(
             ),
         )
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    stratum: str,
+    difficulty,
+    n_stages: int,
+    tiebreak,
+    out: str = "stage",
+) -> DataFrame:
+    """Curriculum-learning stage assignment: within each stratum, rank rows
+    easiest-first by ``difficulty`` (a Column; ``tiebreak`` makes the order
+    total) and cut into ``n_stages`` equal-count stages via ntile. A trainer
+    streams stage 1..n in order — the data-side half of curriculum
+    learning (Bengio et al. 2009), here as a deterministic layout decision.
+
+    One window shuffle per stratum; at 100 TB strata are
+    languages/sources (thousands), each far below an executor's capacity,
+    and the ntile boundary replays identically cross-engine because the
+    ordering is total.
+    """
+    w = Window.partitionBy(stratum).orderBy(difficulty, *tiebreak)
+    return df.withColumn(out, F.ntile(n_stages).over(w))

@@ -695,3 +695,90 @@ def hard_negatives(
         .filter(F.col("rk") <= k)
         .select("query_id", "match_id", "cosine", "rk")
     )
+
+
+def sign_words(vec: Column, dim: int, word_bits: int = 32) -> Column:
+    """Binary (1-bit) quantization: pack the sign pattern of ``vec`` into an
+    array of ``dim // word_bits`` non-negative integer words (bit j of word
+    w is set iff vec[w*word_bits + j] >= 0, MSB-first inside the word).
+    32-bit words keep every value exactly representable as a BIGINT in both
+    engines (no signed-64 overflow edge at bit 63).
+
+    The packing is a pure per-row HOF expression — each word is
+    Σ_j sign_bit · 2^(word_bits-1-j), a sum of exact powers of two — so
+    codes are bit-identical cross-engine and the whole binary index is a
+    narrow projection (no shuffle, 32× smaller than float32 vectors)."""
+    def word(w: int) -> Column:
+        # MSB-first: folding acc*2 + bit gives the first element weight
+        # 2^(word_bits-1) — same layout as the oracle's 1<<(word_bits-j) sum.
+        return F.aggregate(
+            F.slice(vec, w * word_bits + 1, word_bits),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2
+            + F.when(v.cast("double") >= 0, 1).otherwise(0).cast("long"),
+        )
+
+    return F.array(*[word(w) for w in range(dim // word_bits)])
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    rerank: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization ANN (the 1-bit extreme of the int8/PQ compression
+    family): shortlist by Hamming distance between sign words —
+    Σ_w bit_count(xor(qw, cw)), integer-exact — then exact cosine re-rank of
+    the ``rerank`` survivors. Charikar's SRP-LSH result makes Hamming on
+    sign bits a cosine proxy (E[hamming] ∝ angle); modern vector DBs ship
+    exactly this as "binary quantization + rescore".
+
+    Ties break (hamming, match_id) / (cosine desc, match_id) so both stages
+    replay deterministically. Scale: the Hamming scan reads dim/8 bytes per
+    vector (32× less than float32), query side broadcast, corpus never
+    shuffled; the exact math touches Q×rerank rows. The sign words are a
+    narrow projection — at 100 TB they live as their own column (column
+    pruning keeps the shortlist scan tiny), same layout argument as the
+    matryoshka prefix path."""
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        sign_words(F.col(vec_col), dim).alias("cw"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_words(F.col(vec_col), dim).alias("qw"),
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "qw", "cw",
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("match_id") != F.col("query_id")
+    ).withColumn("hamming", hamming)
+    w_h = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("match_id")
+    )
+    shortlist = (
+        scored.withColumn("rk_h", F.row_number().over(w_h))
+        .filter(F.col("rk_h") <= rerank)
+        .select("query_id", "match_id", "qv", "cv", "hamming")
+    )
+    rer = shortlist.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(w_c))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "hamming", "cosine", "rk")
+    )

@@ -49,3 +49,21 @@ def hash_split(
         cond = bucket < bound
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return df.withColumn(out, expr)
+
+
+def group_hash_split(
+    df: DataFrame,
+    group_col: str,
+    splits: dict[str, float],
+    out: str = "split",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Leakage-safe split: hash the GROUP key (source/domain/session), not
+    the row id, so every row of a group lands in the same split. Random
+    row-level splits leak near-duplicate rows of one source across
+    train/test (the classic contamination bug group-k-fold exists to
+    prevent); hashing the group key is the deterministic, scale-free form —
+    a narrow projection, stable under appends, no shuffle, identical
+    assignment on every engine.
+    """
+    return hash_split(df, group_col, splits, out=out, n_buckets=n_buckets)

@@ -331,3 +331,47 @@ def scd2_intervals(
         F.col(ts).alias("valid_from"),
         F.lead(ts).over(w2).alias("valid_to"),
     )
+
+
+def sweepline_concurrency(
+    intervals: DataFrame,
+    keys: list[str],
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Per-key PEAK CONCURRENCY over half-open intervals [start, end) via the
+    classic sweep line: +1 at every start, −1 at every end, running prefix
+    sum in time order, max. The interval-overlap aggregate behind "max
+    concurrent sessions/campaigns/connections" — a range-join question
+    answered WITHOUT any join (the naive form is interval × timepoint).
+
+    Determinism: deltas are SUMMED PER TIMESTAMP before the prefix sum, so
+    the running order is over unique (key, t) rows — no tie ambiguity — and
+    the half-open convention means an interval ending exactly when another
+    starts never double-counts. Returns (keys..., peak_concurrency,
+    n_intervals).
+
+    Scale shape: one hash agg (delta per timestamp) + one window shuffle on
+    the key — both linear; the sweep state is a single integer per key. At
+    100 TB the window partitions by key (bounded series each); a single
+    global key would instead use the two-pass prefix-sum decomposition
+    (per-partition partials, then a broadcast cumulative offset).
+    """
+    starts = intervals.select(
+        *keys, F.col(start).alias("_t"), F.lit(1).alias("_d")
+    )
+    ends = intervals.select(*keys, F.col(end).alias("_t"), F.lit(-1).alias("_d"))
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy(*keys, "_t")
+        .agg(F.sum("_d").alias("_delta"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = deltas.withColumn("_open", F.sum("_delta").over(w))
+    counts = intervals.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_intervals"))
+    peaks = running.groupBy(*keys).agg(F.max("_open").alias("peak_concurrency"))
+    return peaks.join(counts, keys)

@@ -125,6 +125,7 @@ def all_queries() -> dict[str, QuerySpec]:
         nilm_ingest,
         multimodal_assets,
         nilm_windows,
+        pipeline_quality,
         relational,
         sampling_packing,
         similarity,

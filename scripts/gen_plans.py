@@ -66,6 +66,18 @@ SHOWCASE = [
      "broadcast — the fact table never shuffles before the file-stats agg"),
     ("time_weighted_avg", "LOCF time-weighted mean: lead window and the "
      "per-key aggregate share one exchange on the series key"),
+    ("bloom_decontamination", "Bloom screen: probe positions equi-join the "
+     "≤m-row bit table (AQE-broadcast); the corpus never self-joins — the "
+     "exact-gram join runs NEXT TO it only to measure false positives"),
+    ("hamming_topk_rerank", "binary-quantized ANN: sign words are a narrow "
+     "codegen projection; the Hamming scan streams against the broadcast "
+     "query side; exact cosine touches only Q x rerank rows"),
+    ("pagerank_step", "PageRank step: out-degrees + contributions are "
+     "linear hash aggs; rank joins by key (AQE-decided, no forced "
+     "broadcast over the sf-scaled vertex table); 1-row N/dangling "
+     "aggregates broadcast"),
+    ("concurrency_peaks", "sweep line: interval overlap WITHOUT a range "
+     "join — delta agg + one window on the group key, no cartesian"),
 ]
 
 

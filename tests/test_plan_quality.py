@@ -446,3 +446,80 @@ def test_fuzzy_pairs_block_before_verify(spark):
     plan = _plan(spark, "fuzzy_part_names")
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan.lower()
+
+
+def test_m4_single_exchange_four_sorts(spark):
+    # All four role ranks share the (key, bucket) partitioning: ONE hash
+    # exchange with the sorts chained — never a 4-branch union re-scanning
+    # and re-shuffling the input per role.
+    plan = _plan(spark, "m4_downsample")
+    assert _n_nodes(plan, "Exchange") == 1
+    assert "Union" not in plan
+
+
+def test_bloom_probe_no_self_join_no_cartesian(spark):
+    # The probe joins positions against the <=m-row bit table and the exact
+    # screen joins grams — both equi-joins; the corpus must never self-join
+    # or plan a nested loop.
+    plan = _plan(spark, "bloom_decontamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_no_forced_broadcast_of_rank_vector(spark):
+    # The rank/out-degree frames grow with the graph — their joins must be
+    # AQE-decided equi-joins; only the 1-row N/dangling aggregates may
+    # broadcast-nested-loop (crossJoin of scalars).
+    plan = _plan(spark, "pagerank_step")
+    assert "CartesianProduct" not in plan
+    # 5 BNLJ = the 1-row scalar crossJoins (N appears 3x across the uniform
+    # start vector, the final assembly, and the query's xN rescale; dangling
+    # mass + its inner N make the rest). Anything above that means a real
+    # relation slipped into a nested loop.
+    bnlj = _n_nodes(plan, "BroadcastNestedLoopJoin")
+    assert bnlj <= 5, f"only scalar crossJoins may be BNLJ, saw {bnlj}"
+    # the rank/contribution joins themselves must be equi-joins
+    assert (
+        _n_nodes(plan, "BroadcastHashJoin")
+        + _n_nodes(plan, "SortMergeJoin")
+        + _n_nodes(plan, "ShuffledHashJoin")
+        >= 2
+    )
+
+
+def test_sweepline_no_range_join(spark):
+    # The whole point: interval overlap WITHOUT an interval join. One
+    # union of deltas, one agg, one window — no join of intervals at all
+    # beyond the final peak+count assembly on the 5-row group dim.
+    plan = _plan(spark, "concurrency_peaks")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _n_nodes(plan, "Window") == 1
+
+
+def test_sign_words_projection_is_narrow(spark):
+    # Sign-word packing must not shuffle: the Hamming scan is the corpus
+    # scan + broadcast of the query side.
+    from pyspark.sql import functions as F
+
+    from nilm_data_framework_spark.operators import similarity as S
+    from nilm_data_framework_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = emb.select(S.sign_words(F.col("embedding"), 64).alias("w"))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert _n_nodes(plan, "Exchange") == 0
+
+
+def test_constraint_suite_single_scan_for_agg_metrics(spark):
+    # The five single-pass metrics must share ONE aggregation over orders;
+    # only the FK check adds a second scan + anti-join.
+    plan = _plan(spark, "constraint_suite_report")
+    assert plan.count("orders.parquet") <= 2  # one metrics scan + one FK scan
+    assert _n_nodes(plan, "BroadcastHashJoin") + _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "ShuffledHashJoin") >= 1
