@@ -75,6 +75,16 @@ HEADLINE = [
     "pagerank_step",
     "hamming_topk_rerank",
     "constraint_suite_report",
+    # round-4 batch 3: PIT lookup, weighted median, CMS, PSI drift
+    "pit_state_lookup",
+    "cms_error_audit",
+    # round-4 batch 4: KMV set algebra, triangle counting, calendar-lag ACF
+    "kmv_distinct_ops",
+    "triangle_count_parts",
+    "acf_hourly",
+    # round-4 batch 5: exact KS drift, Markov transitions
+    "ks_drift_stat",
+    "markov_transitions",
 ]
 
 

@@ -88,3 +88,60 @@ def pagerank_iteration(
             ).alias("rank"),
         )
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected simple graph (edge list
+    with each edge in ONE direction, no self-loops).
+
+    Degree-ordered orientation (the standard distributed algorithm —
+    Suri & Vassilvitskii WWW'11 / Cohen's MapReduce form): orient every
+    edge from its (degree, id)-smaller endpoint to the larger, so each
+    triangle is counted EXACTLY once and the wedge-join fans out only on
+    oriented out-degree, which is O(√m) per vertex for any graph — the
+    hub that breaks the naive wedge count (a Zipf vertex with degree d
+    contributes d² wedges) is capped because high-degree vertices receive
+    almost all their edges INBOUND under the orientation.
+
+    Three linear passes: one degree agg, one wedge self-join on the
+    oriented source, one existence semi-join of wedge closures against the
+    oriented edge set. Returns a single row (n_vertices, n_edges,
+    n_triangles).
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_d"))
+    # orient by (degree, id): attach degrees to both endpoints once
+    du = deg.select(F.col("_u").alias("_a"), F.col("_d").alias("_da"))
+    dv = deg.select(F.col("_u").alias("_b"), F.col("_d").alias("_db"))
+    with_deg = (
+        e.join(du, e["_u"] == du["_a"]).join(dv, e["_v"] == dv["_b"]).select(
+            "_u", "_v", "_da", "_db"
+        )
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(lower_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+    )
+    w1 = oriented.select(F.col("_s"), F.col("_t").alias("_t1"))
+    w2 = oriented.select(F.col("_s"), F.col("_t").alias("_t2"))
+    wedges = w1.join(w2, "_s").filter(F.col("_t1") < F.col("_t2"))
+    closing = oriented.select(
+        F.col("_s").alias("_c1"), F.col("_t").alias("_c2")
+    ).unionByName(
+        # the closing edge's orientation between _t1 and _t2 is unknown —
+        # probe both directions via the symmetrized closure set
+        oriented.select(F.col("_t").alias("_c1"), F.col("_s").alias("_c2"))
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("_t1") == F.col("_c1")) & (F.col("_t2") == F.col("_c2")),
+        "left_semi",
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_v = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_v.crossJoin(F.broadcast(n_e)).crossJoin(F.broadcast(n_tri))

@@ -311,3 +311,54 @@ def range_join_bucketed(
         (F.col(fact_ts) >= F.col(start)) & (F.col(fact_ts) < F.col(end))
     )
     return joined.drop("_cell")
+
+
+def asof_state_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    state_col: str = "state",
+    out: str = "state",
+) -> DataFrame:
+    """Point-in-time (PIT) state lookup: for every left row, the value of
+    ``state_col`` from the key's most recent right row at-or-before the left
+    timestamp — i.e. the SCD2 question "which dimension version was valid at
+    event time" answered WITHOUT materializing validity intervals or running
+    a range join: the SCD2 interval [valid_from, valid_to) containing t is,
+    by construction, the last run START at-or-before t.
+
+    Same union + last(ignorenulls) carry-forward shape as :func:`asof_join`
+    (one shuffle on ``keys``, no range cross-product) but carries a column
+    of ANY type. Left rows before the key's first right row get null.
+
+    Scale: identical to asof_join — the 100 TB form of point-in-time
+    enrichment, because the interval-join alternative shuffles O(facts ×
+    avg overlapping versions) while this moves each row exactly once.
+    """
+    lcols = left.columns
+    state_t = right.schema[state_col].dataType
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(state_t).alias("_sv"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.col(state_col).cast(state_t).alias("_sv"),
+    ).select(*l_tagged.columns)
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("_lastv", F.last("_sv", ignorenulls=True).over(w))
+    return carried.filter(F.col("_is_left") == 1).select(
+        *lcols, F.col("_lastv").alias(out)
+    )

@@ -89,3 +89,296 @@ def cusum_summary(
         ).alias("n_drifted"),
         F.round(F.max(F.abs(F.col("_cusum"))), 2).alias("peak_cusum"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    weight: str,
+    tiebreak: list[str] = (),
+) -> DataFrame:
+    """Per-key weighted median: the smallest value whose cumulative weight
+    reaches half the key's total (the lower weighted median — exact, order-
+    statistic form). Plain `median` treats a 1-second and a 1-hour reading
+    alike; weighting by duration/quantity/tokens makes the estimate
+    physically meaningful for irregular data.
+
+    One shuffle on the key serving a cumulative-sum window in (value,
+    tiebreak) order + a rank-1 filter over the crossing point; the total
+    joins back from a key agg (AQE-decided — the per-key frame is data-
+    dependent, never hint-broadcast). Returns (keys..., wmedian, total_w).
+    """
+    order = [F.col(value), *[F.col(c) for c in tiebreak]]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = df.groupBy(*keys).agg(F.sum(weight).alias("_tw"))
+    cum = df.withColumn("_cw", F.sum(weight).over(w_cum)).join(tot, list(keys))
+    crossed = cum.filter(F.col("_cw") * 2 >= F.col("_tw"))
+    w_pick = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        crossed.withColumn("_rk", F.row_number().over(w_pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *keys,
+            F.col(value).alias("wmedian"),
+            F.col("_tw").alias("total_w"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    split_pred,
+    bin_width: float,
+    n_bins: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population stability index between a reference slice (``split_pred``
+    true) and a comparison slice, over FIXED-width value bins:
+
+        PSI = Σ_b (p_cmp(b) − p_ref(b)) · ln(p_cmp(b) / p_ref(b))
+
+    with add-α smoothing so empty bins stay finite. PSI is the standard
+    "has this feature's distribution moved" monitor (credit-scoring rule of
+    thumb: <0.1 stable, >0.25 investigate); fixed bins keep the boundaries
+    engine-independent (quantile bins would couple the monitor to a
+    percentile implementation). Returns (keys..., psi, n_ref, n_cmp).
+
+    One partial+final agg over (keys, slice, bin) — linear, map-side
+    combined; the per-key bin frame is O(keys × n_bins).
+    """
+    bin_col = F.least(
+        F.floor(F.col(value) / F.lit(bin_width)).cast("long"), F.lit(n_bins - 1)
+    )
+    binned = df.select(
+        *keys,
+        bin_col.alias("_bin"),
+        F.when(split_pred, 1).otherwise(0).alias("_ref"),
+    )
+    counts = binned.groupBy(*keys, "_bin").agg(
+        F.sum("_ref").alias("_nr"),
+        F.sum(1 - F.col("_ref")).alias("_nc"),
+    )
+    tot = counts.groupBy(*keys).agg(
+        F.sum("_nr").alias("_tr"), F.sum("_nc").alias("_tc")
+    )
+    a = float(alpha)
+    b = float(n_bins)
+    scored = counts.join(tot, list(keys)).withColumn(
+        "_pr", (F.col("_nr") + a) / (F.col("_tr") + F.lit(a * b))
+    ).withColumn(
+        "_pc", (F.col("_nc") + a) / (F.col("_tc") + F.lit(a * b))
+    )
+    return scored.groupBy(*keys).agg(
+        F.round(
+            F.sum((F.col("_pc") - F.col("_pr")) * F.log(F.col("_pc") / F.col("_pr"))),
+            4,
+        ).alias("psi"),
+        F.sum("_nr").alias("n_ref"),
+        F.sum("_nc").alias("n_cmp"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    trim: float = 0.1,
+    tiebreak: list[str] = (),
+) -> DataFrame:
+    """Per-key trimmed mean: drop the lowest and highest ``floor(n·trim)``
+    rows (by value with a deterministic tiebreak) and average the rest —
+    the classic robust location estimate between the mean (trim=0) and the
+    median (trim→0.5), immune to the tail garbage a plain mean chases.
+
+    One shuffle on the key serving both the row_number window and the
+    count; the kept-slice mean is a partial+final agg. Returns
+    (keys..., trimmed_mean, n_used). Cross-engine note: the picked slice is
+    exact (integer rank bounds); only the final mean is a float agg —
+    callers round per repo convention.
+    """
+    order = [F.col(value), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wc = Window.partitionBy(*keys)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    cut = F.floor(F.col("_n") * F.lit(float(trim)))
+    kept = ranked.filter(
+        (F.col("_rn") > cut) & (F.col("_rn") <= F.col("_n") - cut)
+    )
+    return kept.groupBy(*keys).agg(
+        F.avg(value).alias("trimmed_mean"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    keys: list[str],
+    t_col: str,
+    x_col: str,
+    lags: list[int],
+) -> DataFrame:
+    """Per-key lag-ℓ autocorrelation over an integer-valued series indexed
+    by an integer time grid (calendar-lag semantics: x_t pairs with
+    x_{t+ℓ} when BOTH grid points exist — gaps drop pairs rather than
+    silently pairing non-adjacent rows, unlike a row-order lag()):
+
+        r_ℓ = Σ_pairs (x_t − x̄)(x_{t+ℓ} − x̄) / Σ_all (x_t − x̄)²
+
+    with x̄ the full-series mean. All aggregates (Σxy, Σx, Σx², pair and
+    series counts) are EXACT integer sums; r_ℓ is assembled from them in
+    one identical double expression, so the 4dp round is cross-engine
+    stable — the same integer-first discipline as resample_interpolated.
+
+    Shape: the lagged pairing is an equi-join of the series with itself
+    shifted by each lag (the lag dim is a literal, broadcast side of a
+    crossJoin), grouped per (key, lag); plus one per-key moment agg joined
+    back (AQE-decided). Everything shuffles on the key — linear, no
+    windows, no dense-grid requirement. Returns (keys..., lag, acf,
+    n_pairs).
+    """
+    spark = series.sparkSession
+    lag_dim = spark.createDataFrame([(int(l),) for l in lags], "lag long")
+    s = series.select(*keys, F.col(t_col).alias("_t"), F.col(x_col).alias("_x"))
+    moments = s.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+    )
+    left = s.crossJoin(F.broadcast(lag_dim)).withColumn(
+        "_tr", F.col("_t") + F.col("lag")
+    )
+    right = s.select(
+        *[F.col(c).alias(f"_r_{c}") for c in keys],
+        F.col("_t").alias("_tr"),
+        F.col("_x").alias("_xr"),
+    )
+    pair_cond = [F.col(c) == F.col(f"_r_{c}") for c in keys]
+    pairs = left.join(right, [*pair_cond, left["_tr"] == right["_tr"]])
+    pagg = pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.col("_x") * F.col("_xr")).alias("_sxy"),
+        F.sum("_x").alias("_sl"),
+        F.sum("_xr").alias("_sr"),
+    )
+    out = pagg.join(moments, list(keys))
+    mean = F.col("_s1").cast("double") / F.col("_n")
+    num = (
+        F.col("_sxy").cast("double")
+        - mean * F.col("_sl")
+        - mean * F.col("_sr")
+        + F.col("_c") * mean * mean
+    )
+    den = F.col("_s2").cast("double") - F.col("_n") * mean * mean
+    return out.select(
+        *keys,
+        "lag",
+        F.round(num / den, 4).alias("acf"),
+        F.col("_c").alias("n_pairs"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    split_pred,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per key between the
+    reference slice (``split_pred`` true) and the comparison slice:
+    D = sup_x |F_ref(x) − F_cmp(x)|, computed EXACTLY — the order-statistic
+    drift monitor next to :func:`psi_drift`'s binned PSI (KS needs no bin
+    choice and catches shape changes PSI's fixed grid can blur).
+
+    Shape: reduce to per-(key, distinct value) counts first (the series
+    compresses to its value support), then ONE cumulative-sum window per
+    key in value order and a max agg. Every ECDF step is an integer ratio
+    (cum/total), so D is deterministic cross-engine; callers round at the
+    query edge. Returns (keys..., ks, n_ref, n_cmp).
+    """
+    tagged = df.select(
+        *keys,
+        F.col(value).alias("_v"),
+        F.when(split_pred, 1).otherwise(0).alias("_ref"),
+    )
+    per_val = tagged.groupBy(*keys, "_v").agg(
+        F.sum("_ref").alias("_ca"),
+        F.sum(1 - F.col("_ref")).alias("_cb"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*keys)
+    cum = per_val.withColumn("_cuma", F.sum("_ca").over(w)).withColumn(
+        "_cumb", F.sum("_cb").over(w)
+    ).withColumn("_na", F.sum("_ca").over(wt)).withColumn(
+        "_nb", F.sum("_cb").over(wt)
+    )
+    d = cum.withColumn(
+        "_d",
+        F.abs(
+            F.col("_cuma").cast("double") / F.col("_na")
+            - F.col("_cumb").cast("double") / F.col("_nb")
+        ),
+    )
+    return d.groupBy(*keys).agg(
+        F.max("_d").alias("ks"),
+        F.max("_na").alias("n_ref"),
+        F.max("_nb").alias("n_cmp"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson χ² test of independence over the (row_col × col_col)
+    contingency table: χ² = Σ_cells (O − E)² / E with E = (row total ×
+    column total) / N — the categorical-drift / association monitor
+    (is event mix independent of weekday?).
+
+    Three linear aggs (cell, row-margin, column-margin — each map-side
+    combined) + margin equi-joins back onto the OBSERVED cells only; the
+    1-row N is a broadcast crossJoin (exempt from the sf-scaled-hint rule
+    — a global aggregate is one row at any scale). EMPTY cells are never
+    materialized: their contribution is (0−E)²/E = E, and ΣE over the full
+    grid is N, so χ² = Σ_observed (O−E)²/E + (N − Σ_observed E) — exact,
+    and the sparse-grid form survives high-cardinality categories where a
+    margin×margin grid rebuild would explode. All counts are exact
+    integers; χ² is one float sum over the observed cells, rounded by the
+    caller per repo convention. Returns one row (chi2 unrounded, dof, n).
+    """
+    cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("_o"))
+    rows = df.groupBy(row_col).agg(F.count(F.lit(1)).alias("_rt"))
+    cols = df.groupBy(col_col).agg(F.count(F.lit(1)).alias("_ct"))
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    j = (
+        cells.join(rows, row_col)
+        .join(cols, col_col)
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("_rt").cast("double") * F.col("_ct") / F.col("_n")
+    contrib = (F.col("_o") - e) * (F.col("_o") - e) / e
+    stats = j.agg(
+        F.sum(contrib).alias("_chi2_obs"),
+        F.sum(e).alias("_e_obs"),
+        F.countDistinct(row_col).alias("_r"),
+        F.countDistinct(col_col).alias("_c"),
+        F.max("_n").alias("n"),
+    )
+    return stats.select(
+        (F.col("_chi2_obs") + (F.col("n") - F.col("_e_obs"))).alias("chi2"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).alias("dof"),
+        "n",
+    )

@@ -28,7 +28,7 @@ the measured FP count next to the exact answer, attesting the advertised
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,3 +109,113 @@ def bloom_probe_docs(
         .filter(F.col("_have") == F.col("_need"))
     )
     return gram_hits.select(*id_cols).distinct()
+
+
+def cms_bucket(item: Column, row: int, width: int) -> Column:
+    """Count-min hash for sketch row ``row``: salted-md5 bucket in
+    [0, width). Same deterministic hash family as :func:`bloom_positions`."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), item)), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    items: DataFrame, item_col: str, count_col: str, depth: int, width: int
+) -> DataFrame:
+    """Build a count-min sketch from (item, count) rows: ``depth`` salted
+    hash rows × ``width`` counters. Output (row, bucket, counter) —
+    at most depth×width rows regardless of input cardinality, the
+    mergeable fixed-size summary (counters of two sketches ADD)."""
+    per_row = None
+    for r in range(depth):
+        p = items.select(
+            F.lit(r).alias("row"),
+            cms_bucket(F.col(item_col), r, width).alias("bucket"),
+            F.col(count_col).alias("_c"),
+        )
+        per_row = p if per_row is None else per_row.unionByName(p)
+    return per_row.groupBy("row", "bucket").agg(F.sum("_c").alias("counter"))
+
+
+def cms_estimate(
+    queries: DataFrame, sketch: DataFrame, item_col: str, depth: int, width: int
+) -> DataFrame:
+    """Estimate each query item's count: min over the sketch rows of the
+    counter at that row's bucket. The sketch is ≤ depth×width rows — AQE
+    elects broadcast for the lookups (derived from sf-scaled data, so no
+    forced hint; size capped by construction, the same argument as the
+    Bloom bit table). Returns the query rows + ``cms_est``."""
+    probes = None
+    for r in range(depth):
+        p = queries.withColumn("row", F.lit(r)).withColumn(
+            "bucket", cms_bucket(F.col(item_col), r, width)
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    joined = probes.join(sketch, ["row", "bucket"])
+    return joined.groupBy(*queries.columns).agg(
+        F.min("counter").alias("cms_est")
+    )
+
+
+# --- KMV (k-minimum-values) distinct sketch -----------------------------------
+#
+# The MERGEABLE distinct-count summary that also supports SET ALGEBRA:
+# keep the k smallest 60-bit hash values of a set; |A| ≈ (k-1)/h_(k)
+# (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 for the union/Jaccard
+# forms). Two sketches union by merging and re-taking the bottom-k, and
+# J(A,B) is estimated by the fraction of the UNION's bottom-k present in
+# both inputs — so |A∩B| ≈ J · |A∪B| without ever touching the raw sets
+# again. HLL++ (approx_count_distinct) estimates ONE set tighter per byte,
+# but cannot intersect; KMV is what a catalog keeps per partition/source so
+# overlap questions ("how many users do these two sources share") are
+# sketch-only. Deterministic salted-md5 hashing keeps every estimate
+# bit-replayable in the DuckDB oracle.
+
+_KMV_SCALE = float(1 << 60)
+
+
+def kmv_hash(item: Column) -> Column:
+    """60-bit md5 prefix as a non-negative long — the uniform [0, 2^60)
+    hash shared by build and oracle (same family as cms_bucket)."""
+    return F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, keys: list[str], item_col: str, k: int) -> DataFrame:
+    """Bottom-k distinct hash values per key group: (keys..., hv, rk).
+
+    One distinct shuffle on (keys, hv) + one per-key sort for the bottom-k
+    pick — at scale the distinct agg is the only data-sized exchange (the
+    window input is already the DEDUPED hash set, and a production variant
+    replaces the full sort with a per-partition bottom-k partial agg; the
+    gate form keeps the sort so the oracle replays row-for-row)."""
+    hashes = df.select(
+        *keys, kmv_hash(F.col(item_col)).alias("hv")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("hv")
+    return (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate per key from a bottom-k sketch: exact size
+    when the group holds fewer than k distinct hashes (the sketch IS the
+    set), else (k-1) · 2^60 / h_(k). Returns (keys..., kmv_est) with the
+    estimate rounded 2dp (double division is IEEE-identical cross-engine
+    given the exact integer inputs)."""
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("hv").alias("_hk")
+    )
+    return agg.select(
+        *keys,
+        F.round(
+            F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(_KMV_SCALE) / F.col("_hk")
+            ),
+            2,
+        ).alias("kmv_est"),
+    )

@@ -375,3 +375,39 @@ def sweepline_concurrency(
     counts = intervals.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_intervals"))
     peaks = running.groupBy(*keys).agg(F.max("_open").alias("peak_concurrency"))
     return peaks.join(counts, keys)
+
+
+def skyline_2d(
+    df: DataFrame,
+    keys: list[str],
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-key 2-D skyline (Pareto frontier, maximize both): keep rows no
+    OTHER row dominates, where q dominates p iff q.x ≥ p.x ∧ q.y ≥ p.y with
+    at least one strict. Ties on both coordinates survive together (neither
+    dominates). Börzsönyi et al. ICDE'01 semantics — the "best tradeoff"
+    selector (quality vs length, recall vs cost) the quadratic NOT-EXISTS
+    formulation answers in O(n²); this is the sort-based O(n log n) form.
+
+    Two windows over ONE shuffle on (keys) sorted by x:
+      • dominated by strictly-larger x: max(y) over the range frame
+        x' ∈ (x, ∞) — a from-the-right running max — ≥ y;
+      • dominated within equal x: max(y) over the (keys, x) partition > y.
+    ``x`` must be numeric (range frame). The oracle twin IS the quadratic
+    NOT EXISTS — equivalence of the two formulations is what the gate
+    checks. Scale: linear + per-key sort; no self-join, no explosion.
+    """
+    w_right = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(x))
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy(*keys, x)
+    flagged = df.withColumn("_my_gt", F.max(F.col(y)).over(w_right)).withColumn(
+        "_my_eq", F.max(F.col(y)).over(w_eq)
+    )
+    return flagged.filter(
+        (F.col("_my_gt").isNull() | (F.col("_my_gt") < F.col(y)))
+        & (F.col("_my_eq") <= F.col(y))
+    ).drop("_my_gt", "_my_eq")

@@ -119,6 +119,7 @@ def all_queries() -> dict[str, QuerySpec]:
     queries first (see _DRIVER_RECORDED)."""
     # Imports are deferred so `import nilm_data_framework_spark` stays cheap.
     from nilm_data_framework_spark.queries import (  # noqa: F401
+        advanced_analytics,
         curation_lakehouse,
         dedup_text,
         nilm_analysis,

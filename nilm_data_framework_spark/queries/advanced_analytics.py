@@ -1,0 +1,789 @@
+"""Round-4 surface, batch 4: advanced analytics extensions (§2 extensions).
+
+Sketch set algebra (KMV distinct/union/Jaccard — the mergeable summary
+family's set-operation member, next to HLL++/CMS/Bloom/freqItems), robust
+estimation (trimmed mean, calendar-lag autocorrelation), order-statistic
+selection (2-D Pareto skyline, window form vs the quadratic NOT-EXISTS
+oracle), graph structure (degree-oriented triangle counting vs the naive
+3-way-join oracle), corpus diversity (token Shannon entropy per source),
+and two more TPC-H join/agg shapes (Q14 promotion share, Q15 top supplier
+via exact integer-cents argmax).
+
+Float discipline follows the repo convention: grouped float sums/avgs
+rounded at the query edge; orderings and argmax picks only over
+cross-engine-exact values (integer cents, md5 residues); log-based scores
+rounded 4dp; ratios derived from ALREADY-ROUNDED aggregates where a
+quotient of two raw float sums would put the round on a boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators import graph as G
+from nilm_data_framework_spark.operators import robust as RB
+from nilm_data_framework_spark.operators import sketches as SK
+from nilm_data_framework_spark.operators import text as T
+from nilm_data_framework_spark.operators import windows as W
+from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.sources.testdata import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", parallelize=True)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# Identical token definition to operators/text.py::tokens (see
+# pipeline_quality._TOKS — kept verbatim so oracles share one vocabulary).
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# Same 60-bit md5-prefix hash family as operators/sketches.py (cms/kmv).
+_HV = "CAST(('0x' || substr(md5(uid), 1, 15)) AS BIGINT)"
+
+
+# --- KMV sketch set algebra ---------------------------------------------------
+
+_KMV_K = 64
+
+# The catalog's named sets: the fixture's FIXED event-type domain
+# (FIXTURES.md — event_type ≈ channel label; other queries hardcode members
+# of this domain too, e.g. tensor_pipeline's 'view'/'click'/'purchase').
+# Using a LITERAL dim (LocalRelation) keeps the pair/membership frames
+# broadcast-safe BY CONSTRUCTION — no hint over anything sf-scaled, which
+# tests/test_plan_quality.py::test_no_broadcast_hint_over_sf_scaled_relation
+# enforces globally.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_TYPE_PAIRS = [
+    (f"{a}|{b}", a, b)
+    for i, a in enumerate(_EVENT_TYPES)
+    for b in _EVENT_TYPES[i + 1:]
+]
+_PAIRS_SQL = "(VALUES " + ", ".join(
+    f"('{s}', '{a}', '{b}')" for s, a, b in _TYPE_PAIRS
+) + ") pairs(set_name, ta, tb)"
+
+
+def _pairs_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_TYPE_PAIRS, "set_name string, ta string, tb string")
+
+
+@query(
+    "kmv_distinct_ops",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+    ),
+    hx AS (SELECT DISTINCT event_type, {_HV} AS hv FROM ev),
+    ssk AS (
+      SELECT event_type AS set_name, hv FROM (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        FROM hx) WHERE rk <= {_KMV_K}
+    ),
+    pairs AS (SELECT * FROM {_PAIRS_SQL}),
+    member AS (
+      SELECT set_name, ta AS event_type FROM pairs
+      UNION ALL SELECT set_name, tb FROM pairs
+    ),
+    merged AS (
+      SELECT DISTINCT m.set_name, s.hv
+      FROM ssk s JOIN member m ON m.event_type = s.set_name
+    ),
+    usk AS (
+      SELECT set_name, hv FROM (
+        SELECT set_name, hv,
+               row_number() OVER (PARTITION BY set_name ORDER BY hv) AS rk
+        FROM merged) WHERE rk <= {_KMV_K}
+    ),
+    allsk AS (SELECT * FROM ssk UNION ALL SELECT * FROM usk),
+    est AS (SELECT set_name, count(*) AS n, max(hv) AS hk FROM allsk GROUP BY 1),
+    ex AS (
+      SELECT event_type AS set_name, count(DISTINCT uid) AS exact_distinct
+      FROM ev GROUP BY 1
+      UNION ALL
+      SELECT m.set_name, count(DISTINCT e.uid)
+      FROM ev e JOIN member m USING (event_type) GROUP BY 1
+    )
+    SELECT est.set_name,
+           round(CASE WHEN est.n < {_KMV_K} THEN CAST(est.n AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0 * 1152921504606846976.0 / est.hk END,
+                 2) AS kmv_est,
+           ex.exact_distinct
+    FROM est JOIN ex ON ex.set_name = est.set_name
+    """,
+    survey_ref="§2.4 extension: KMV distinct sketch + sketch-only set union "
+    "(mergeable bottom-k, estimates attested against exact distinct counts)",
+)
+def kmv_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-64 sketches of the per-event-type user sets, plus
+    SKETCH-ONLY unions for every type pair (bottom-k of a union == bottom-k
+    of the merged bottom-k's — the mergeability that lets a catalog answer
+    overlap questions without re-reading data). Every estimate is reported
+    next to the exact distinct count, so the gate attests the (k-1)/h_(k)
+    estimator's error each round. The pair/membership dims are a LITERAL
+    of the fixed event-type domain (LocalRelation — broadcast-safe by
+    construction, no hint over anything sf-scaled). Operators:
+    operators/sketches.py::kmv_sketch/kmv_estimate."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    singles = SK.kmv_sketch(ev, ["event_type"], "uid", _KMV_K)
+    pairs = _pairs_df(spark)
+    member = pairs.select("set_name", F.col("ta").alias("event_type")).unionByName(
+        pairs.select("set_name", F.col("tb").alias("event_type"))
+    )
+    merged = (
+        singles.join(
+            F.broadcast(member),
+            singles["event_type"] == member["event_type"],
+        )
+        .select("set_name", "hv")
+        .distinct()
+    )
+    w = Window.partitionBy("set_name").orderBy("hv")
+    union_sk = (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+    )
+    sk_all = singles.select(
+        F.col("event_type").alias("set_name"), "hv"
+    ).unionByName(union_sk.select("set_name", "hv"))
+    est = SK.kmv_estimate(sk_all, ["set_name"], _KMV_K)
+    exact = (
+        ev.groupBy(F.col("event_type").alias("set_name"))
+        .agg(F.countDistinct("uid").alias("exact_distinct"))
+        .unionByName(
+            ev.join(F.broadcast(member), "event_type")
+            .groupBy("set_name")
+            .agg(F.countDistinct("uid").alias("exact_distinct"))
+        )
+    )
+    return est.join(exact, "set_name").select(
+        "set_name", "kmv_est", "exact_distinct"
+    )
+
+
+@query(
+    "kmv_jaccard_pairs",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+    ),
+    hx AS (SELECT DISTINCT event_type, {_HV} AS hv FROM ev),
+    ssk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        FROM hx) WHERE rk <= {_KMV_K}
+    ),
+    pairs AS (SELECT * FROM {_PAIRS_SQL}),
+    member AS (
+      SELECT set_name, ta AS event_type FROM pairs
+      UNION ALL SELECT set_name, tb FROM pairs
+    ),
+    merged AS (
+      SELECT DISTINCT m.set_name, s.hv
+      FROM ssk s JOIN member m USING (event_type)
+    ),
+    usk AS (
+      SELECT u.set_name, p.ta, p.tb, u.hv FROM (
+        SELECT set_name, hv,
+               row_number() OVER (PARTITION BY set_name ORDER BY hv) AS rk
+        FROM merged) u
+      JOIN pairs p USING (set_name) WHERE u.rk <= {_KMV_K}
+    ),
+    est AS (
+      SELECT u.set_name,
+             count(*) AS ku,
+             sum(CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+                 THEN 1 ELSE 0 END) AS nboth
+      FROM usk u
+      LEFT JOIN ssk sa ON sa.event_type = u.ta AND sa.hv = u.hv
+      LEFT JOIN ssk sb ON sb.event_type = u.tb AND sb.hv = u.hv
+      GROUP BY 1
+    ),
+    per_user AS (
+      SELECT m.set_name, e.uid, count(DISTINCT e.event_type) AS nt
+      FROM ev e JOIN member m USING (event_type)
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT set_name,
+             sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS i,
+             count(*) AS u
+      FROM per_user GROUP BY 1
+    )
+    SELECT est.set_name,
+           round(CAST(est.nboth AS DOUBLE) / est.ku, 4) AS est_jaccard,
+           round(CAST(ex.i AS DOUBLE) / ex.u, 4) AS exact_jaccard
+    FROM est JOIN ex USING (set_name)
+    """,
+    survey_ref="§2.4 extension: KMV Jaccard between sketched sets "
+    "(Beyer et al. SIGMOD'07 — overlap from bottom-k summaries alone)",
+)
+def kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity of the per-event-type user sets estimated FROM
+    THE SKETCHES ALONE: of the union's bottom-k hashes, the fraction
+    present in both sides' sketches (exact Jaccard reported next to it).
+    The raw sets are touched only by the attestation column — the
+    estimator reads 2·k sketch rows per pair. Operator:
+    operators/sketches.py::kmv_sketch."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    singles = SK.kmv_sketch(ev, ["event_type"], "uid", _KMV_K).select(
+        "event_type", "hv"
+    )
+    pairs = _pairs_df(spark)
+    member = pairs.select("set_name", F.col("ta").alias("event_type")).unionByName(
+        pairs.select("set_name", F.col("tb").alias("event_type"))
+    )
+    merged = (
+        singles.join(F.broadcast(member), "event_type")
+        .select("set_name", "hv")
+        .distinct()
+    )
+    w = Window.partitionBy("set_name").orderBy("hv")
+    usk = (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .join(F.broadcast(pairs), "set_name")
+        .select("set_name", "ta", "tb", "hv")
+    )
+    sa = singles.select(F.col("event_type").alias("_ea"), F.col("hv").alias("_ha"))
+    sb = singles.select(F.col("event_type").alias("_eb"), F.col("hv").alias("_hb"))
+    probed = usk.join(
+        sa, (F.col("_ea") == F.col("ta")) & (F.col("_ha") == F.col("hv")), "left"
+    ).join(sb, (F.col("_eb") == F.col("tb")) & (F.col("_hb") == F.col("hv")), "left")
+    est = probed.groupBy("set_name").agg(
+        F.count(F.lit(1)).alias("_ku"),
+        F.sum(
+            F.when(F.col("_ha").isNotNull() & F.col("_hb").isNotNull(), 1).otherwise(0)
+        ).alias("_both"),
+    )
+    # exact side: per pair, |A∩B| and |A∪B| over the distinct (type, uid) set
+    per_user = (
+        ev.join(F.broadcast(member), "event_type")
+        .groupBy("set_name", "uid")
+        .agg(F.countDistinct("event_type").alias("_nt"))
+    )
+    exact = per_user.groupBy("set_name").agg(
+        F.sum(F.when(F.col("_nt") == 2, 1).otherwise(0)).alias("_i"),
+        F.count(F.lit(1)).alias("_u"),
+    )
+    return est.join(exact, "set_name").select(
+        "set_name",
+        F.round(F.col("_both").cast("double") / F.col("_ku"), 4).alias("est_jaccard"),
+        F.round(F.col("_i").cast("double") / F.col("_u"), 4).alias("exact_jaccard"),
+    )
+
+
+# --- calendar-lag autocorrelation ---------------------------------------------
+
+
+@query(
+    "acf_hourly",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+      FROM s GROUP BY 1
+    ),
+    lags(lag) AS (VALUES (1), (24)),
+    p AS (
+      SELECT l.event_type, g.lag, count(*) AS c, sum(l.x * r.x) AS sxy,
+             sum(l.x) AS sl, sum(r.x) AS sr
+      FROM s l CROSS JOIN lags g
+      JOIN s r ON r.event_type = l.event_type AND r.hour = l.hour + g.lag
+      GROUP BY 1, 2
+    )
+    SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag,
+           round((CAST(p.sxy AS DOUBLE)
+                  - (CAST(m.s1 AS DOUBLE) / m.n) * p.sl
+                  - (CAST(m.s1 AS DOUBLE) / m.n) * p.sr
+                  + p.c * (CAST(m.s1 AS DOUBLE) / m.n)
+                        * (CAST(m.s1 AS DOUBLE) / m.n))
+                 / (CAST(m.s2 AS DOUBLE)
+                    - m.n * (CAST(m.s1 AS DOUBLE) / m.n)
+                          * (CAST(m.s1 AS DOUBLE) / m.n)), 4) AS acf,
+           p.c AS n_pairs
+    FROM p JOIN m USING (event_type)
+    """,
+    survey_ref="§2.4 extension: calendar-lag autocorrelation (exact "
+    "integer moments, hourly + daily seasonality lags)",
+)
+def acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1h and lag-24h autocorrelation of the hourly value total per
+    event type — the seasonality detector behind forecastability screens
+    (a high r_24 says 'same hour yesterday' is a usable predictor; pairs
+    with seasonal_naive_error). The series is an hourly INTEGER-cents sum,
+    so every moment (Σx, Σx², Σx·x_lag, counts) is exact and the single
+    double expression assembling r is cross-engine deterministic.
+    Operator: operators/robust.py::autocorrelation."""
+    ev = _events(spark, sf_dir)
+    series = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("cents").alias("x"))
+    )
+    return RB.autocorrelation(series, ["event_type"], "hour", "x", [1, 24])
+
+
+# --- trimmed mean -------------------------------------------------------------
+
+
+@query(
+    "trimmed_mean_price",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, round(avg(l_extendedprice), 4) AS trimmed_mean,
+           count(*) AS n_used
+    FROM r WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+    GROUP BY 1
+    """,
+    survey_ref="§2.4 extension: 10% trimmed mean (robust location between "
+    "mean and median; exact integer rank bounds)",
+)
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean extended price per return flag: drop the cheapest
+    and most expensive floor(n/10) lines (deterministic tiebreak) and
+    average the middle 80% — the robust center the MAD/median family keeps
+    when tail garbage would drag a plain mean. The kept slice is exact;
+    only the final avg is a rounded float agg. Operator:
+    operators/robust.py::trimmed_mean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = RB.trimmed_mean(
+        li, ["l_returnflag"], "l_extendedprice", trim=0.1,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("trimmed_mean", 4).alias("trimmed_mean"),
+        "n_used",
+    )
+
+
+# --- 2-D Pareto skyline -------------------------------------------------------
+
+
+@query(
+    "pareto_front_docs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, len({_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT lang, doc_id, n_chars, n_tokens FROM d p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d q
+      WHERE q.lang = p.lang
+        AND q.n_chars >= p.n_chars AND q.n_tokens >= p.n_tokens
+        AND (q.n_chars > p.n_chars OR q.n_tokens > p.n_tokens)
+    )
+    """,
+    survey_ref="§2.5 extension: 2-D Pareto skyline (sort-based window form; "
+    "oracle = the quadratic NOT EXISTS formulation)",
+)
+def pareto_front_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier of documents on (n_chars, n_tokens)
+    maximize-both: the docs for which no same-language doc is at least as
+    long AND at least as token-rich with one strict — the skyline selector
+    (Börzsönyi ICDE'01). Spark runs the O(n log n) two-window form over one
+    shuffle; the oracle runs the O(n²) NOT EXISTS — their equivalence is
+    the check. Operator: operators/windows.py::skyline_2d."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars",
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return W.skyline_2d(d, ["lang"], "n_chars", "n_tokens").select(
+        "lang", "doc_id", "n_chars", "n_tokens"
+    )
+
+
+# --- triangle counting --------------------------------------------------------
+
+
+@query(
+    "triangle_count_parts",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a
+      JOIN lineitem b ON b.l_orderkey = a.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ),
+    v AS (SELECT count(DISTINCT x) AS n_vertices FROM
+          (SELECT s AS x FROM e UNION ALL SELECT t FROM e)),
+    ne AS (SELECT count(*) AS n_edges FROM e),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.s = e1.s AND e2.t > e1.t
+      JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t
+    )
+    SELECT v.n_vertices, ne.n_edges, tri.n_triangles FROM v, ne, tri
+    """,
+    survey_ref="§2 extension: triangle counting via degree-ordered "
+    "orientation (oracle = naive ordered 3-way join)",
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-occurrence graph (parts sharing an order
+    are connected; a triangle = three pairwise co-ordered parts — the
+    clustering-structure signal behind community/recommendation features).
+    Edge building fans out only within an order (bounded by order size);
+    counting uses the degree-ordered orientation so hub parts don't
+    explode the wedge join, while the oracle counts the same triangles
+    with the naive ordered 3-way join. Operator:
+    operators/graph.py::triangle_count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("_pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("_pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("_pa") < F.col("_pb"))
+        .select(F.col("_pa").alias("src"), F.col("_pb").alias("dst"))
+        .distinct()
+    )
+    return G.triangle_count(edges)
+
+
+# --- TPC-H Q14: promotion revenue share ---------------------------------------
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    WITH j AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             l_extendedprice * (1 - l_discount) AS rev,
+             p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    agg AS (
+      SELECT ship_month,
+             round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2)
+               AS promo_revenue,
+             round(sum(rev), 2) AS total_revenue,
+             count(*) AS n_lines
+      FROM j GROUP BY 1
+    )
+    SELECT ship_month, promo_revenue, total_revenue,
+           round(100 * promo_revenue / total_revenue, 4) AS promo_share_pct,
+           n_lines
+    FROM agg
+    """,
+    survey_ref="§2.3/§2.4 extension: TPC-H Q14 shape (fact-dim equi-join + "
+    "conditional aggregation, AQE-decided join strategy)",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of revenue from PROMO-type parts (TPC-H Q14 over the
+    full date range): lineitem⋈part equi-join — part is sf-scaled, so NO
+    forced broadcast (AQE picks; per the repo's sf-scaled-relation rule) —
+    then one conditional partial+final agg. The share is derived from the
+    ALREADY-ROUNDED sums so the 4dp quotient can't sit on a float-sum
+    boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return agg.select(
+        "ship_month", "promo_revenue", "total_revenue",
+        F.round(100 * F.col("promo_revenue") / F.col("total_revenue"), 4).alias(
+            "promo_share_pct"
+        ),
+        "n_lines",
+    )
+
+
+# --- TPC-H Q15: top supplier by revenue ---------------------------------------
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH agg AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS rc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+      GROUP BY 1
+    ),
+    mx AS (SELECT max(rc) AS m FROM agg)
+    SELECT s.s_suppkey, s.s_name,
+           round(CAST(a.rc AS DOUBLE) / 10000.0, 2) AS total_revenue
+    FROM agg a JOIN mx ON a.rc = mx.m
+    JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    """,
+    survey_ref="§2.3/§2.4 extension: TPC-H Q15 shape (max-over-aggregate "
+    "argmax via 1-row broadcast; exact integer-cents revenue so the pick "
+    "is deterministic)",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with the highest quarterly revenue (TPC-H Q15):
+    revenue is summed in EXACT integer cents×basis-points so the argmax is
+    never decided by float-sum ordering; the global max is a 1-row
+    aggregate crossJoin-broadcast back onto the supplier aggregate (the
+    scale-safe max-of-agg shape — no global sort, no window over an
+    unpartitioned frame)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev_c = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.floor(F.col("l_discount") * 100).cast("long")
+    )
+    agg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_c).alias("_rc"))
+    )
+    mx = agg.agg(F.max("_rc").alias("_mx"))
+    top = agg.crossJoin(F.broadcast(mx)).filter(F.col("_rc") == F.col("_mx"))
+    return top.join(s, top["l_suppkey"] == s["s_suppkey"]).select(
+        "s_suppkey", "s_name",
+        F.round(F.col("_rc").cast("double") / 10000.0, 2).alias("total_revenue"),
+    )
+
+
+# --- token entropy per source -------------------------------------------------
+
+
+@query(
+    "entropy_by_source",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    per AS (
+      SELECT source, sum(c) AS n_tokens, count(*) AS vocab,
+             sum(c * ln(c)) AS s
+      FROM cnt GROUP BY 1
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+           round(ln(n_tokens) - s / n_tokens, 4) AS entropy
+    FROM per
+    """,
+    survey_ref="§2.10 text analysis extension: token Shannon entropy per "
+    "source (corpus diversity audit; H = ln N − Σc·ln c / N)",
+)
+def entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the diversity
+    audit next to the mixture/temperature weights (a low-entropy source is
+    repetitive boilerplate regardless of its size; pairs with
+    repetition_scores which measures the same thing per doc). Two
+    map-side-combined aggs; H is assembled as ln N − Σ c·ln c / N from one
+    grouped float sum, rounded 4dp per the repo's log-score rule."""
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c") * F.log("c")).alias("_s"),
+    )
+    return per.select(
+        "source", "n_tokens", "vocab",
+        F.round(F.log("n_tokens") - F.col("_s") / F.col("n_tokens"), 4).alias(
+            "entropy"
+        ),
+    )
+
+
+# --- Markov transition matrix -------------------------------------------------
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS c
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(c) AS t FROM cnt GROUP BY 1)
+    SELECT cnt.from_type, cnt.to_type, cnt.c,
+           round(CAST(cnt.c AS DOUBLE) / tot.t, 4) AS p
+    FROM cnt JOIN tot USING (from_type)
+    """,
+    survey_ref="§2.5 extension: first-order Markov transition matrix over "
+    "per-user event sequences (lead window + two hash aggs)",
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities of the per-user
+    event-type sequence (order by ts with event_id tiebreak — the
+    behavioral 'what follows what' matrix behind next-action models and
+    funnel diagnostics). One lead() window over a single shuffle on
+    user_id, then two map-side-combined aggs on the tiny type×type frame;
+    p is an integer-count ratio, deterministic before the 4dp round."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("_next", F.lead("event_type").over(w)).filter(
+        F.col("_next").isNotNull()
+    )
+    cnt = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("_next").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("from_type").agg(F.sum("c").alias("_t"))
+    return cnt.join(tot, "from_type").select(
+        "from_type", "to_type", "c",
+        F.round(F.col("c").cast("double") / F.col("_t"), 4).alias("p"),
+    )
+
+
+# --- mergeable-partial aggregation (materialized-view maintenance) ------------
+
+
+@query(
+    "partial_agg_merge",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, strftime(ts, '%Y-%m') AS month,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, month, day, count(*) AS n, sum(cents) AS s,
+             min(cents) AS mn, max(cents) AS mx
+      FROM base GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, month, sum(n) AS n, sum(s) AS total_cents,
+             min(mn) AS min_cents, max(mx) AS max_cents
+      FROM daily GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT event_type, month, count(*) AS n, sum(cents) AS total_cents,
+             min(cents) AS min_cents, max(cents) AS max_cents
+      FROM base GROUP BY 1, 2
+    )
+    SELECT m.event_type, m.month, CAST(m.n AS BIGINT) AS n,
+           CAST(m.total_cents AS BIGINT) AS total_cents,
+           m.min_cents, m.max_cents,
+           (m.n = d.n AND m.total_cents = d.total_cents
+            AND m.min_cents = d.min_cents AND m.max_cents = d.max_cents)
+             AS consistent
+    FROM merged m JOIN direct d USING (event_type, month)
+    """,
+    survey_ref="§2.4 extension: mergeable-partial aggregation "
+    "(incremental materialized-view maintenance: daily partials re-rolled "
+    "to monthly == direct monthly, attested per gate run)",
+)
+def partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance kernel: daily partial aggregates
+    (count/sum/min/max in exact integer cents) re-aggregated to monthly
+    MUST equal the direct monthly aggregation — the algebraic-aggregate
+    mergeability that lets a 100 TB pipeline maintain rollups by touching
+    only new partitions (same contract Spark's own partial+final agg
+    relies on, here attested across a PERSISTED granularity boundary).
+    The ``consistent`` flag is the per-row attestation."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = base.groupBy("event_type", "month", "day").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("cents").alias("_s"),
+        F.min("cents").alias("_mn"), F.max("cents").alias("_mx"),
+    )
+    merged = daily.groupBy("event_type", "month").agg(
+        F.sum("_n").alias("n"), F.sum("_s").alias("total_cents"),
+        F.min("_mn").alias("min_cents"), F.max("_mx").alias("max_cents"),
+    )
+    direct = base.groupBy("event_type", "month").agg(
+        F.count(F.lit(1)).alias("_dn"), F.sum("cents").alias("_ds"),
+        F.min("cents").alias("_dmn"), F.max("cents").alias("_dmx"),
+    )
+    return merged.join(direct, ["event_type", "month"]).select(
+        "event_type", "month", "n", "total_cents", "min_cents", "max_cents",
+        (
+            (F.col("n") == F.col("_dn"))
+            & (F.col("total_cents") == F.col("_ds"))
+            & (F.col("min_cents") == F.col("_dmn"))
+            & (F.col("max_cents") == F.col("_dmx"))
+        ).alias("consistent"),
+    )
+
+
+# --- vocabulary growth statistics ---------------------------------------------
+
+
+@query(
+    "vocab_growth_stats",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS hapax_share
+    FROM cnt GROUP BY 1
+    """,
+    survey_ref="§2.10 text analysis extension: vocabulary growth stats "
+    "(type-token ratio + hapax share per source — Heaps'-law audit)",
+)
+def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio and hapax-legomena share per source — the
+    vocabulary-richness audit next to entropy_by_source (a synthetic or
+    template-generated source shows abnormally low TTR and hapax share;
+    natural text follows Heaps' law). Two map-side-combined aggs; every
+    reported ratio is an integer-count quotient, deterministic before the
+    4dp round."""
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        hapax.alias("hapax"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 4).alias("ttr"),
+        F.round(
+            hapax.cast("double") / F.count(F.lit(1)), 4
+        ).alias("hapax_share"),
+    )

@@ -72,7 +72,9 @@ SHOWCASE = [
     ("hamming_topk_rerank", "binary-quantized ANN: sign words are a narrow "
      "codegen projection; the Hamming scan streams against the broadcast "
      "query side; exact cosine touches only Q x rerank rows"),
-    ("pagerank_step", "PageRank step: out-degrees + contributions are "
+    ("pagerank_step", "PageRank step: the distinct edge list is "
+     "checkpointed once (every term derives from it — the lazy form "
+     "re-scans the fact table per term); out-degrees + contributions are "
      "linear hash aggs; rank joins by key (AQE-decided, no forced "
      "broadcast over the sf-scaled vertex table); 1-row N/dangling "
      "aggregates broadcast"),

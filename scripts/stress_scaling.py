@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from nilm_data_framework_spark.operators import dedup as D  # noqa: E402
 from nilm_data_framework_spark.operators import lm as L  # noqa: E402
+from nilm_data_framework_spark.operators import sketches as SK  # noqa: E402
 from nilm_data_framework_spark.operators import text as T  # noqa: E402
 from nilm_data_framework_spark.session import get_session  # noqa: E402
 from nilm_data_framework_spark.sources.testdata import load_table  # noqa: E402
@@ -75,7 +76,27 @@ def workloads(docs: DataFrame) -> dict:
         "bigram_surprisal": lambda: L.bigram_surprisal(docs).count(),
         "oov_rate": lambda: L.oov_rate(docs, vocab_size=20).count(),
         "repetition_scores": lambda: T.repetition_scores(docs, n=2).count(),
+        "dsir_importance": lambda: L.dsir_importance(
+            docs, F.col("source") == "src0"
+        ).count(),
+        "bloom_probe": lambda: _bloom_probe(docs),
     }
+
+
+def _bloom_probe(docs: DataFrame) -> int:
+    """Bloom decontamination shape: build on the 1-in-40 eval slice's
+    3-grams, probe the train slice. The probe side grows with k (linear
+    claim); the bit table is capped at m rows by construction."""
+    grams = docs.filter(F.col("doc_id") % 40 != 0).select(
+        "doc_id", F.explode(T.word_ngrams(F.col("text"), 3)).alias("g")
+    )
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 40 == 0)
+        .select(F.explode(T.word_ngrams(F.col("text"), 3)).alias("g"))
+        .distinct()
+    )
+    bits = SK.bloom_build(eval_grams, "g", m=4096, k=3)
+    return SK.bloom_probe_docs(grams, bits, ["doc_id"], "g", m=4096, k=3).count()
 
 
 def main() -> None:

@@ -317,3 +317,110 @@ def test_dsir_prefers_target_lookalikes(spark):
         for r in LM.dsir_importance(df, F.col("source") == "t").collect()
     }
     assert min(out[i] for i in range(100, 105)) > max(out[i] for i in range(200, 205))
+
+
+# --- asof_state_join (point-in-time lookup) -----------------------------------
+
+
+def test_asof_state_join_carries_last_state(spark):
+    from nilm_data_framework_spark.operators import joins as J
+
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "x")], "k long, t long, s string"
+    )
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 15), (1, 25), (2, 14), (2, 16)], "k long, t long"
+    )
+    out = {
+        (r["k"], r["t"]): r["st"]
+        for r in J.asof_state_join(
+            left, right, ["k"], left_ts="t", right_ts="t",
+            state_col="s", out="st",
+        ).collect()
+    }
+    assert out[(1, 5)] is None          # before first state
+    assert out[(1, 10)] == "a"          # at-or-before includes equal ts
+    assert out[(1, 15)] == "a"
+    assert out[(1, 25)] == "b"
+    assert out[(2, 14)] is None
+    assert out[(2, 16)] == "x"
+
+
+# --- weighted median ----------------------------------------------------------
+
+
+def test_weighted_median_known(spark):
+    from nilm_data_framework_spark.operators import robust as RB
+
+    # values 1..4 with weights 1,1,1,5: half of total 8 is 4 -> value 4.
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (1, 2.0, 1.0), (1, 3.0, 1.0), (1, 4.0, 5.0)],
+        "g long, v double, w double",
+    )
+    got = RB.weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert got["wmedian"] == 4.0 and got["total_w"] == 8.0
+
+
+def test_weighted_median_unit_weights_is_lower_median(spark):
+    from nilm_data_framework_spark.operators import robust as RB
+
+    df = spark.createDataFrame(
+        [(1, float(v), 1.0) for v in [7, 1, 5, 3]], "g long, v double, w double"
+    )
+    got = RB.weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert got["wmedian"] == 3.0  # lower median of {1,3,5,7}
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+def test_cms_never_undercounts(spark):
+    from nilm_data_framework_spark.operators import sketches as SK
+
+    items = spark.createDataFrame(
+        [(f"tok{i}", (i % 7) + 1) for i in range(200)], "tok string, c long"
+    )
+    sketch = SK.cms_build(items, "tok", "c", depth=4, width=32)  # forced collisions
+    est = SK.cms_estimate(items, sketch, "tok", depth=4, width=32)
+    bad = est.filter(F.col("cms_est") < F.col("c")).count()
+    assert bad == 0
+
+
+def test_cms_exact_when_no_collisions(spark):
+    from nilm_data_framework_spark.operators import sketches as SK
+
+    items = spark.createDataFrame(
+        [("a", 3), ("b", 5)], "tok string, c long"
+    )
+    sketch = SK.cms_build(items, "tok", "c", depth=4, width=4096)
+    est = {r["tok"]: r["cms_est"] for r in
+           SK.cms_estimate(items, sketch, "tok", depth=4, width=4096).collect()}
+    assert est == {"a": 3, "b": 5}
+
+
+# --- PSI ----------------------------------------------------------------------
+
+
+def test_psi_zero_for_identical_halves(spark):
+    from nilm_data_framework_spark.operators import robust as RB
+
+    # blocks 0-99 / 200-299 are reference, 100-199 / 300-399 comparison:
+    # both see the identical multiset {0..99} x2.
+    rows = [(1, float(v % 100), (v // 100) % 2 == 0) for v in range(400)]
+    df = spark.createDataFrame(rows, "g long, value double, is_ref boolean")
+    got = RB.psi_drift(
+        df, ["g"], "value", F.col("is_ref"), bin_width=25.0, n_bins=4
+    ).collect()[0]
+    assert abs(got["psi"]) < 1e-9
+
+
+def test_psi_positive_under_shift(spark):
+    from nilm_data_framework_spark.operators import robust as RB
+
+    ref = [(1, float(v % 50), True) for v in range(200)]       # low values
+    cmp_ = [(1, 50.0 + float(v % 50), False) for v in range(200)]  # high values
+    df = spark.createDataFrame(ref + cmp_, "g long, value double, is_ref boolean")
+    got = RB.psi_drift(
+        df, ["g"], "value", F.col("is_ref"), bin_width=25.0, n_bins=4
+    ).collect()[0]
+    assert got["psi"] > 1.0  # disjoint supports -> large PSI
