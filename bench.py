@@ -85,6 +85,10 @@ HEADLINE = [
     # round-4 batch 5: exact KS drift, Markov transitions
     "ks_drift_stat",
     "markov_transitions",
+    # round-4 batches 6-7: Q2 argmin, dataset manifest, time-RANGE window
+    "min_cost_supplier",
+    "dataset_manifest",
+    "rolling_hour_sum",
 ]
 
 

@@ -111,3 +111,51 @@ def erase_keys(
     Pair with the caller keeping before/after counts for the audit trail.
     """
     return fact.join(deletions.select(key).distinct(), key, "left_anti")
+
+
+_MANIFEST_MOD = 2147483647  # 2^31 - 1 (Mersenne): sums of ~4e9 residues fit a long
+
+
+def content_checksum(row_repr: Column) -> Column:
+    """Order-independent content checksum term for one row: the 60-bit md5
+    prefix of the row's canonical string, reduced mod 2^31−1. Per-group
+    checksum = sum of terms mod 2^31−1 — commutative and associative, so it
+    is partition-order-independent, MERGEABLE across shards/partials
+    (residues add), and incrementally maintainable (a deleted row's term
+    subtracts). Overflow-safe by construction: 2^31-bounded terms sum past
+    2^63 only after ~4×10⁹ rows PER GROUP — group manifests at that size
+    split by shard first (and the mod can be re-applied per partial).
+    Deterministic salted-md5, same family as the sketch hashes — replays
+    bit-identically in the DuckDB oracle."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long"),
+        F.lit(_MANIFEST_MOD),
+    )
+
+
+def dataset_manifest(
+    df: DataFrame,
+    keys: list[str],
+    row_repr: Column,
+    bytes_col: Column,
+) -> DataFrame:
+    """Per-group dataset manifest: (keys..., n_rows, n_bytes, checksum) —
+    the reproducibility artifact a dataset card / lakehouse snapshot
+    records so two materializations can be compared WITHOUT re-reading
+    either (equal manifests ⇒ identical content up to a ~2^-31-per-group
+    collision bound on the modular sum; the row term is 60-bit md5, so
+    adversarial collisions are not a concern for integrity, only for
+    crypto — which this is not).
+
+    One partial+final hash agg — linear, map-side combined, no shuffle
+    beyond the group exchange. The checksum is order-independent, so the
+    manifest is stable under repartitioning, speculative re-execution, and
+    shard-parallel writes — the property that makes it usable as a
+    cross-cluster equality check."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bytes_col).alias("n_bytes"),
+        F.pmod(F.sum(content_checksum(row_repr)), F.lit(_MANIFEST_MOD)).alias(
+            "checksum"
+        ),
+    )

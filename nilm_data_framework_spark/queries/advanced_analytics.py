@@ -540,7 +540,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mx AS (SELECT max(rc) AS m FROM agg)
     SELECT s.s_suppkey, s.s_name,
-           round(CAST(a.rc AS DOUBLE) / 10000.0, 2) AS total_revenue
+           round(CAST(a.rc AS DOUBLE) / 10000.0, 4) AS total_revenue
     FROM agg a JOIN mx ON a.rc = mx.m
     JOIN supplier s ON s.s_suppkey = a.l_suppkey
     """,
@@ -572,7 +572,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.crossJoin(F.broadcast(mx)).filter(F.col("_rc") == F.col("_mx"))
     return top.join(s, top["l_suppkey"] == s["s_suppkey"]).select(
         "s_suppkey", "s_name",
-        F.round(F.col("_rc").cast("double") / 10000.0, 2).alias("total_revenue"),
+        F.round(F.col("_rc").cast("double") / 10000.0, 4).alias("total_revenue"),
     )
 
 
@@ -786,4 +786,52 @@ def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             hapax.cast("double") / F.count(F.lit(1)), 4
         ).alias("hapax_share"),
+    )
+
+
+# --- time-based RANGE frame: rolling 1-hour sum -------------------------------
+
+
+@query(
+    "rolling_hour_sum",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id, tus,
+           CAST(sum(cents) OVER w AS BIGINT) AS rolling_cents,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="§2.5 extension: time-based RANGE window frame (rolling "
+    "1-hour per-user sum — value-interval frame, not row-count)",
+)
+def rolling_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling 1-hour sum of the user's values (integer cents —
+    exact): the VALUE-interval window frame (rangeBetween on microseconds)
+    that row-count frames (W4 sliding windows) can't express on irregular
+    event times — the rate-limit / recent-activity feature kernel. Rows
+    sharing a timestamp fall in each other's frame regardless of tiebreak,
+    so the result is physical-order-independent by construction. One
+    shuffle on user_id; the frame is computed in a single sorted pass
+    (Spark's sliding range frame), no self-join."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-3600000000, 0)
+    )
+    return base.select(
+        "event_id", "user_id", "tus",
+        F.sum("cents").over(w).alias("rolling_cents"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
     )

@@ -500,3 +500,43 @@ def int8_quant_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("_cos"), 4).alias("avg_fidelity"),
         F.round(F.min("_cos"), 4).alias("min_fidelity"),
     )
+
+
+# --- dataset manifest (reproducibility attestation) ---------------------------
+
+
+@query(
+    "dataset_manifest",
+    oracle="""
+    WITH terms AS (
+      SELECT source, n_chars,
+             CAST(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' || lang || '|' || md5(text)
+             ), 1, 15)) AS BIGINT) % 2147483647 AS term
+      FROM documents
+    )
+    SELECT source, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+           CAST(sum(term) % 2147483647 AS BIGINT) AS checksum
+    FROM terms GROUP BY 1
+    """,
+    survey_ref="§2.1/§2.10 extension: per-source dataset manifest "
+    "(order-independent modular content checksum — the reproducibility "
+    "artifact for comparing two materializations without re-reading them)",
+)
+def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source manifest of the documents table: row count, byte count,
+    and an ORDER-INDEPENDENT modular content checksum (sum of 60-bit md5
+    row terms mod 2^31−1). Equal manifests ⇒ identical content w.h.p. —
+    the check a training run records so 'same data as last week' is a
+    column compare, not a 100 TB diff; the checksum is mergeable across
+    shards and incrementally maintainable (deletes subtract). The row's
+    canonical string hashes md5(text) rather than raw text so the shuffled
+    representation stays narrow. Operator:
+    operators/lakehouse.py::dataset_manifest."""
+    d = _docs(spark, sf_dir)
+    row_repr = F.concat_ws(
+        "|", F.col("doc_id").cast("string"), F.col("lang"), F.md5(F.col("text"))
+    )
+    out = LH.dataset_manifest(d, ["source"], row_repr, F.col("n_chars"))
+    return out.select("source", "n_rows", "n_bytes", "checksum")

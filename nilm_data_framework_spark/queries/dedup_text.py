@@ -1052,3 +1052,85 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def span_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.span_dedup(_docs_with_dups(spark, sf_dir), span=20)
+
+
+# Score subquery shared with quality_classifier's oracle (same fixed
+# weights as operators/text.py::QUALITY_CLF_WEIGHTS) — yields
+# (doc_id, score) for every document.
+_QSCORE_SQL = r"""
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(
+             0.5
+             + 4.0 * (CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> x IN
+                     ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+                      / len(toks) ELSE 0.0 END)
+             + 2.0 * (CASE WHEN len(toks) > 0
+                 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END)
+             + (-6.0) * (CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                      / length(text) ELSE 0.0 END)
+             + (-2.0) * (CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+                      / length(text) ELSE 0.0 END)
+             + (-0.25) * (CASE WHEN len(toks) > 0
+                 THEN length(text)::DOUBLE / len(toks) ELSE 0.0 END)
+           ))), 4) AS score
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+"""
+
+
+@query(
+    "classifier_selection_audit",
+    oracle=f"""
+    WITH sc AS ({_QSCORE_SQL}),
+    dec AS (
+      SELECT s.doc_id, s.score, d.n_chars,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             ntile(10) OVER (ORDER BY s.score, s.doc_id) AS decile
+      FROM sc s JOIN documents d USING (doc_id)
+    )
+    SELECT decile, count(*) AS n,
+           round(sum(score), 4) AS sum_score,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+           round(CAST(sum(is_en) AS DOUBLE) / count(*), 4) AS en_share
+    FROM dec GROUP BY 1
+    """,
+    survey_ref="§2.10 extension: classifier selection-bias audit (score "
+    "deciles × length/language composition — what does the quality gate "
+    "actually select)",
+)
+def classifier_selection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias audit of the quality classifier: documents bucketed
+    into score deciles (deterministic ntile on the 4dp-rounded score with
+    doc_id tiebreak), each decile profiled by length and language mix —
+    the pre-deployment check that a learned data filter isn't silently
+    selecting for 'long English prose' instead of quality (the FineWeb /
+    DCLM ablation discipline). One global-order ntile at gate scale; the
+    100 TB form replaces it with percentile_approx score boundaries + a
+    range assignment (same exact-vs-sketch split as equidepth_bins, whose
+    oracle-checked form this mirrors). Length/language shares are exact
+    integer ratios; only sum_score is a rounded float agg."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    sc = T.quality_classifier_score(d).select("doc_id", "quality_score")
+    joined = sc.join(d.select("doc_id", "n_chars", "lang"), "doc_id")
+    w = Window.orderBy("quality_score", "doc_id")
+    dec = joined.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("quality_score"), 4).alias("sum_score"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias(
+            "avg_chars"
+        ),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("en_share"),
+    )

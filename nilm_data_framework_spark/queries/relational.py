@@ -794,3 +794,109 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = p.select("p_name").unionByName(typod)
     out = fuzzy_name_pairs(base, "p_name", max_dist=2)
     return out.select("nm_a", "nm_b", F.col("dist").cast("long").alias("dist"))
+
+
+# --- Q2 shape: min-cost supplier per part (argmin join) ----------------------------------
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS rc
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, rc FROM (
+        SELECT l_partkey, l_suppkey, rc,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY rc, l_suppkey) AS rn
+        FROM cost) WHERE rn = 1
+    )
+    SELECT b.l_partkey AS p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           round(CAST(b.rc AS DOUBLE) / 10000.0, 4) AS min_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    """,
+    survey_ref="§2.3/§2.5 extension: TPC-H Q2 shape (per-group argmin via "
+    "rank window on exact integer cents, then dim enrichment joins)",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (TPC-H Q2's correlated-min shape,
+    decorrelated): per-(part, supplier) cost reduced FIRST (exact integer
+    cents so the argmin is never a float coin-flip), one rank window per
+    part with a supplier-key tiebreak, then equi-joins to the part and
+    supplier dims — both sf-scaled, both AQE-decided (no forced
+    broadcast). Reference analog: the per-channel best-pick precedence in
+    UnifiedNILM (common_channel_best_pick) — same argmin-per-key kernel,
+    relational dress."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    rev_c = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.floor(F.col("l_discount") * 100).cast("long")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(rev_c).alias("_rc"))
+    w = Window.partitionBy("l_partkey").orderBy("_rc", "l_suppkey")
+    best = cost.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        best.join(p, best["l_partkey"] == p["p_partkey"])
+        .join(s, best["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.round(F.col("_rc").cast("double") / 10000.0, 4).alias("min_cost"),
+        )
+    )
+
+
+# --- Q11 shape: important stock (global-share scalar subquery) ---------------------------
+
+_STOCK_SHARE = 0.0005
+
+
+@query(
+    "important_stock",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                 * CAST(floor(l_quantity) AS BIGINT)) AS vc
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(vc) AS t FROM val)
+    SELECT v.l_partkey AS p_partkey,
+           round(CAST(v.vc AS DOUBLE) / 100.0, 2) AS stock_value
+    FROM val v CROSS JOIN tot
+    WHERE CAST(v.vc AS DOUBLE) > CAST(tot.t AS DOUBLE) * {_STOCK_SHARE}
+    """,
+    survey_ref="§2.3/§2.4 extension: TPC-H Q11 shape (HAVING against a "
+    "global-total scalar subquery — 1-row broadcast threshold)",
+)
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose stock value exceeds a fixed fraction of the GLOBAL
+    total (TPC-H Q11's group-vs-global-scalar shape): per-part value in
+    exact integer cents, the corpus total as a 1-row aggregate broadcast
+    back (scale-safe at any sf — a global agg is one row), threshold
+    comparison in identical double arithmetic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vc = F.floor(F.col("l_extendedprice") * 100).cast("long") * F.floor(
+        F.col("l_quantity")
+    ).cast("long")
+    val = li.groupBy("l_partkey").agg(F.sum(vc).alias("_vc"))
+    tot = val.agg(F.sum("_vc").alias("_t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("_vc").cast("double")
+            > F.col("_t").cast("double") * F.lit(_STOCK_SHARE)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("_vc").cast("double") / 100.0, 2).alias("stock_value"),
+        )
+    )

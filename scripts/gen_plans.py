@@ -80,6 +80,22 @@ SHOWCASE = [
      "aggregates broadcast"),
     ("concurrency_peaks", "sweep line: interval overlap WITHOUT a range "
      "join — delta agg + one window on the group key, no cartesian"),
+    ("pareto_front_docs", "2-D skyline: TWO window functions over ONE "
+     "exchange+sort on (lang, n_chars) — no self-join, no NOT-EXISTS "
+     "anti-join; the quadratic formulation exists only in the oracle"),
+    ("triangle_count_parts", "triangle count: degree-ordered orientation "
+     "makes every join an EQUI-join on vertex ids (wedge self-join + "
+     "left-semi closure probe); no cartesian anywhere, hub fan-out capped "
+     "by orientation"),
+    ("kmv_distinct_ops", "KMV set algebra: ONE distinct on (type, hash); "
+     "pair unions join the ≤k-row sketches to a LITERAL membership dim "
+     "(LocalRelation broadcast — nothing sf-scaled is hinted)"),
+    ("ks_drift_stat", "exact KS: series compressed to per-(key, value) "
+     "counts BEFORE the single cumulative window; max agg on top — one "
+     "exchange end to end"),
+    ("min_cost_supplier", "Q2 argmin: (part, supplier) reduction -> one "
+     "rank window per part -> AQE-decided dim joins (no forced broadcast "
+     "over sf-scaled part/supplier)"),
 ]
 
 

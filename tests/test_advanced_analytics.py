@@ -241,3 +241,29 @@ def test_chisq_perfect_association(spark):
     df = spark.createDataFrame(rows, "r string, c long")
     got = RB.chi_square_independence(df, "r", "c").collect()[0]
     assert got["chi2"] == pytest.approx(60.0)
+
+
+# --- dataset manifest ---------------------------------------------------------
+
+
+def test_manifest_order_independent(spark):
+    from nilm_data_framework_spark.operators import lakehouse as LH
+
+    rows = [(f"s{i % 2}", f"text {i}", i) for i in range(50)]
+    a = spark.createDataFrame(rows, "source string, text string, b long")
+    b = spark.createDataFrame(list(reversed(rows)), "source string, text string, b long").repartition(7)
+    ma = {tuple(r) for r in LH.dataset_manifest(a, ["source"], F.col("text"), F.col("b")).collect()}
+    mb = {tuple(r) for r in LH.dataset_manifest(b, ["source"], F.col("text"), F.col("b")).collect()}
+    assert ma == mb
+
+
+def test_manifest_detects_single_row_change(spark):
+    from nilm_data_framework_spark.operators import lakehouse as LH
+
+    rows = [("s", f"text {i}", 1) for i in range(30)]
+    changed = rows[:15] + [("s", "text 15 CHANGED", 1)] + rows[16:]
+    a = spark.createDataFrame(rows, "source string, text string, b long")
+    b = spark.createDataFrame(changed, "source string, text string, b long")
+    ca = LH.dataset_manifest(a, ["source"], F.col("text"), F.col("b")).collect()[0]
+    cb = LH.dataset_manifest(b, ["source"], F.col("text"), F.col("b")).collect()[0]
+    assert ca["n_rows"] == cb["n_rows"] and ca["checksum"] != cb["checksum"]

@@ -168,3 +168,80 @@ def test_scd2_intervals_tile_the_timeline(spark):
         for cur, nxt in zip(rs, rs[1:]):
             assert cur["valid_to"] == nxt["valid_from"]  # gap-free
             assert cur["a"] != nxt["a"]  # truly collapsed runs
+
+
+# --- batch-4/5 operators: partitioning invariance ----------------------------------------
+
+
+@pytest.mark.parametrize("parts", [1, 13])
+def test_skyline_partitioning_invariance(spark, parts):
+    from nilm_data_framework_spark.operators.windows import skyline_2d
+
+    import random
+
+    rng = random.Random(11)
+    pts = [(i % 3, rng.randint(0, 15), rng.randint(0, 15), i) for i in range(120)]
+    df = spark.createDataFrame(pts, "g long, x long, y long, id long").repartition(
+        parts
+    )
+    got = _sorted_rows(skyline_2d(df, ["g"], "x", "y"))
+    ref = _sorted_rows(
+        skyline_2d(
+            spark.createDataFrame(pts, "g long, x long, y long, id long").coalesce(1),
+            ["g"], "x", "y",
+        )
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("parts", [1, 13])
+def test_triangle_count_partitioning_invariance(spark, parts):
+    from nilm_data_framework_spark.operators.graph import triangle_count
+
+    edges = [(i, (i * i + 1) % 40) for i in range(40)] + [
+        (i, (i + 1) % 40) for i in range(40)
+    ]
+    edges = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+    got = triangle_count(df).collect()[0]
+    ref = triangle_count(
+        spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    ).collect()[0]
+    assert tuple(got) == tuple(ref)
+
+
+@pytest.mark.parametrize("parts", [1, 13])
+def test_kmv_partitioning_invariance(spark, parts):
+    from nilm_data_framework_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    rows = [(f"g{i % 2}", f"item-{i % 500}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, item string").repartition(parts)
+    got = _sorted_rows(kmv_estimate(kmv_sketch(df, ["g"], "item", 64), ["g"], 64))
+    ref = _sorted_rows(
+        kmv_estimate(
+            kmv_sketch(
+                spark.createDataFrame(rows, "g string, item string").coalesce(1),
+                ["g"], "item", 64,
+            ),
+            ["g"], 64,
+        )
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("parts", [1, 13])
+def test_ks_partitioning_invariance(spark, parts):
+    from nilm_data_framework_spark.operators.robust import ks_statistic
+
+    rows = [(i % 4, float((i * 13) % 29), i % 3 == 0) for i in range(600)]
+    df = spark.createDataFrame(rows, "g long, v double, ref boolean").repartition(
+        parts
+    )
+    got = _sorted_rows(ks_statistic(df, ["g"], "v", F.col("ref")))
+    ref = _sorted_rows(
+        ks_statistic(
+            spark.createDataFrame(rows, "g long, v double, ref boolean").coalesce(1),
+            ["g"], "v", F.col("ref"),
+        )
+    )
+    assert got == ref
