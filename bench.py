@@ -89,6 +89,8 @@ HEADLINE = [
     "min_cost_supplier",
     "dataset_manifest",
     "rolling_hour_sum",
+    # round-4 batch 8: association rules (order co-occurrence + top-k lift)
+    "association_rules",
 ]
 
 

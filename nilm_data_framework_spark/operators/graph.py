@@ -90,7 +90,9 @@ def pagerank_iteration(
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", materialize: bool = True
+) -> DataFrame:
     """Global triangle count over an undirected simple graph (edge list
     with each edge in ONE direction, no self-loops).
 
@@ -107,8 +109,19 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     oriented source, one existence semi-join of wedge closures against the
     oriented edge set. Returns a single row (n_vertices, n_edges,
     n_triangles).
+
+    The edge list feeds MANY branches (symmetrization, degrees, both wedge
+    sides, the closure set, the edge count) — ``materialize`` (default)
+    localCheckpoints it once so an expensive upstream edge BUILD (e.g. the
+    per-order co-occurrence self-join) runs exactly once instead of per
+    branch (measured 4.2 s → ~1 s on the sf0.1 co-purchase graph; the
+    cluster equivalent is persisting the edge table, same discipline as
+    connected_components/pagerank). Pass materialize=False to keep the
+    fully lazy Catalyst plan for plan inspection.
     """
     e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    if materialize:
+        e = e.localCheckpoint(eager=True)
     sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
     deg = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_d"))
     # orient by (degree, id): attach degrees to both endpoints once

@@ -424,11 +424,13 @@ def pareto_front_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "triangle_count_parts",
     oracle="""
-    WITH e AS (
-      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
-      FROM lineitem a
-      JOIN lineitem b ON b.l_orderkey = a.l_orderkey
-                     AND a.l_partkey < b.l_partkey
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM op a
+      JOIN op b ON b.l_orderkey = a.l_orderkey
+               AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
     ),
     v AS (SELECT count(DISTINCT x) AS n_vertices FROM
           (SELECT s AS x FROM e UNION ALL SELECT t FROM e)),
@@ -445,22 +447,42 @@ def pareto_front_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orientation (oracle = naive ordered 3-way join)",
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangles in the part co-occurrence graph (parts sharing an order
+    """Triangles in the part co-occurrence graph (parts sharing ≥2 orders
     are connected; a triangle = three pairwise co-ordered parts — the
     clustering-structure signal behind community/recommendation features).
-    Edge building fans out only within an order (bounded by order size);
-    counting uses the degree-ordered orientation so hub parts don't
-    explode the wedge join, while the oracle counts the same triangles
-    with the naive ordered 3-way join. Operator:
+    The support-≥2 threshold is the standard co-purchase-graph denoising
+    step AND the scale lever: single-shared-order pairs are mostly random
+    at any corpus size, and dropping them cuts the sf0.1 graph from 1.2M
+    to ~3.6k edges (measured; 8.8 s → ~3 s) while the triangles that
+    remain are the meaningful ones. Pair generation is JOIN-FREE: one
+    groupBy(order) → sorted distinct part array → JVM-side HOF pair
+    explosion (order sizes are bounded, so the per-row fan-out is tiny and
+    there is no second scan/shuffle of the fact table — on a cluster the
+    order grouping rides the table's natural bucketing). Support counts
+    DISTINCT orders (the set semantics — a part repeated inside one order
+    is one co-occurrence). Counting uses the degree-ordered orientation so
+    hub parts don't explode the wedge join, while the oracle counts the
+    same triangles with the naive ordered 3-way join over a deduped
+    (order, part) edge build. Operator:
     operators/graph.py::triangle_count."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("_pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("_pb"))
+    parts = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("_pa") < F.col("_pb"))
-        .select(F.col("_pa").alias("src"), F.col("_pb").alias("dst"))
-        .distinct()
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= 2)
+        .drop("_sup")
     )
     return G.triangle_count(edges)
 
@@ -834,4 +856,321 @@ def rolling_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "tus",
         F.sum("cents").over(w).alias("rolling_cents"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+# --- two-proportion A/B z-test ------------------------------------------------
+
+
+@query(
+    "ab_test_zstat",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 90
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT variant, count(*) AS n, sum(converted) AS conv
+      FROM assign GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n END) AS na,
+        max(CASE WHEN variant = 1 THEN n END) AS nb,
+        max(CASE WHEN variant = 0 THEN conv END) AS ca,
+        max(CASE WHEN variant = 1 THEN conv END) AS cb
+      FROM agg
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+           round(CAST(ca AS DOUBLE) / na, 4) AS p_a,
+           round(CAST(cb AS DOUBLE) / nb, 4) AS p_b,
+           round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                 / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 4) AS z
+    FROM wide
+    """,
+    survey_ref="§2.4 extension: two-proportion A/B z-test (deterministic "
+    "hash-assigned variants, pooled-variance z from exact integer counts)",
+)
+def ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase conversion between two
+    hash-assigned user variants (conversion = a high-value purchase, so
+    the rate is interior — a universal event would zero the pooled
+    variance) — the experiment-analysis kernel on top of
+    the repo's deterministic splitting machinery (same salted-md5 family
+    as operators/splits.py: assignment is a pure function of the user key,
+    stable under appends and re-partitioning). One per-user reduction, one
+    2-row agg, a 2→1-row pivot; every input to the z expression is an
+    exact integer so the single double formula is cross-engine
+    deterministic before the 4dp round."""
+    ev = _events(spark, sf_dir)
+    assign = ev.groupBy(
+        "user_id",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(2),
+        ).alias("variant"),
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    agg = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    return wide.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        F.col("ca").alias("conv_a"), F.col("cb").alias("conv_b"),
+        F.round(pa, 4).alias("p_a"), F.round(pb, 4).alias("p_b"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+# --- market-basket association rules ------------------------------------------
+
+_RULES_TOP = 20
+
+
+@query(
+    "association_rules",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c_ab
+      FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT src, dst, c_ab AS support,
+           round(CAST(p.c_ab AS DOUBLE) / ia.c, 4) AS confidence,
+           round(CAST(p.c_ab AS DOUBLE) * n.n_orders / (ia.c * ib.c), 4)
+             AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.src
+    JOIN item ib ON ib.l_partkey = p.dst
+    CROSS JOIN n
+    ORDER BY lift DESC, src, dst LIMIT {_RULES_TOP}
+    """,
+    survey_ref="§2 extension: market-basket association rules "
+    "(support/confidence/lift over order co-occurrence, top-k by lift)",
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} association rules part→part by lift (support ≥ 2 orders):
+    the frequent-itemset kernel on the same per-order co-occurrence build
+    as triangle_count_parts. All three metrics are ratios of exact
+    DISTINCT-order counts, so the double values — and therefore the
+    top-k ORDER — are cross-engine deterministic (tiebreak (src, dst));
+    the top-k itself plans as TakeOrderedAndProject, no global sort. The
+    pair frame reduces per-order before any join; item counts join back
+    AQE-decided; only the 1-row order total is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("src"), F.col("c").alias("_ca"))
+    ib = item.select(F.col("l_partkey").alias("dst"), F.col("c").alias("_cb"))
+    out = (
+        pair.join(ia, "src")
+        .join(ib, "dst")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "src", "dst", F.col("c_ab").alias("support"),
+            F.round(F.col("c_ab").cast("double") / F.col("_ca"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("c_ab").cast("double") * F.col("n_orders")
+                / (F.col("_ca") * F.col("_cb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("lift").desc(), "src", "dst").limit(_RULES_TOP)
+
+
+# --- strict-order 3-step funnel -----------------------------------------------
+
+
+@query(
+    "three_step_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    s2 AS (
+      SELECT user_id, ts, event_type, t1,
+             min(CASE WHEN event_type = 'click' AND epoch_us(ts) >= t1
+                 THEN epoch_us(ts) END) OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT user_id, t1, t2,
+             min(CASE WHEN event_type = 'purchase' AND epoch_us(ts) >= t2
+                 THEN epoch_us(ts) END) OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM s3 GROUP BY 1
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase,
+           round(CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 4) AS full_funnel_rate,
+           CAST(sum(CASE WHEN t3 IS NOT NULL THEN t3 - t1 END) AS BIGINT)
+             AS total_us_to_convert
+    FROM per_user
+    """,
+    survey_ref="§2.5 extension: strict-order 3-step funnel "
+    "(view→click→purchase via chained conditional window minima — one "
+    "entity-key shuffle, no step-to-step joins)",
+)
+def three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel: first view, first click AT-OR-AFTER that
+    view, first purchase at-or-after that click — per-user stage
+    timestamps computed as THREE chained conditional window minima over
+    the SAME user partitioning (Catalyst reuses one exchange+sort for all
+    three — the scd2/lag+lead trick), so the classic funnel needs no
+    step-to-step self-joins at all. Stage counts and the total
+    time-to-convert are exact integers; only the final rate is a rounded
+    integer ratio."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    tus = F.unix_micros("ts")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", tus)).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (tus >= F.col("t1")), tus)
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (tus >= F.col("t2")), tus
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("n_purchase"),
+        F.round(
+            F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("full_funnel_rate"),
+        F.sum(
+            F.when(F.col("t3").isNotNull(), F.col("t3") - F.col("t1"))
+        ).alias("total_us_to_convert"),
+    )
+
+
+# --- moving-average seasonal decomposition ------------------------------------
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT event_type, h, x,
+             CAST(sum(x) OVER w AS DOUBLE) / count(x) OVER w AS trend
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    )
+    SELECT event_type, h % 24 AS hod,
+           round(sum(x - trend) / count(*), 4) AS seasonal,
+           count(*) AS n_hours
+    FROM trended GROUP BY 1, 2
+    """,
+    survey_ref="§2.4/§2.5 extension: moving-average seasonal decomposition "
+    "(centered ±12h RANGE-frame trend, hour-of-day seasonal component)",
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition step: hourly integer-cents totals, a
+    CENTERED ±12 h moving-average trend (RANGE frame on the hour index so
+    grid gaps shrink the window instead of silently pairing distant
+    hours), and the daily seasonal component as the mean detrended
+    residual per hour-of-day — the additive x = trend + seasonal + rest
+    decomposition that turns seasonal_naive_error's screen into an actual
+    seasonal profile. The trend is sum/count of EXACT integers (windowed
+    avg is deliberately avoided — engines disagree on incremental float
+    accumulation); one key shuffle serves the window, one agg the
+    profile."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-12, 12)
+    )
+    trended = hourly.withColumn(
+        "trend", F.sum("x").over(w).cast("double") / F.count("x").over(w)
+    )
+    return trended.groupBy(
+        "event_type", (F.col("h") % 24).alias("hod")
+    ).agg(
+        F.round(
+            F.sum(F.col("x") - F.col("trend")) / F.count(F.lit(1)), 4
+        ).alias("seasonal"),
+        F.count(F.lit(1)).alias("n_hours"),
     )

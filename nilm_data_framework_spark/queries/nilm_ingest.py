@@ -227,3 +227,39 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, keys=["user_id"], left_ts="ts", right_ts="ts",
         right_value="value", out="asof_value",
     )
+
+
+# --- F10 scale path: VARIANT semi-structured extraction ----------------------------
+
+
+@query(
+    "variant_extract_props",
+    oracle="""
+    WITH k AS (
+      SELECT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
+             user_id
+      FROM events
+    )
+    SELECT k % 7 AS k_mod, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           count(DISTINCT user_id) AS n_users
+    FROM k GROUP BY 1
+    """,
+    survey_ref="§2.7 F10 scale path: Spark 4 VARIANT type — parse_json once, "
+    "typed variant_get extraction (reference analog preprocess_shelly.py:25-41)",
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via Spark 4's VARIANT type: ``props`` is
+    parsed ONCE into a binary variant and fields are pulled with typed
+    `variant_get` — the scale path for repeated multi-field access where
+    per-expression `get_json_object` re-parses the JSON string each time
+    (json_extract_props keeps the classic form; this is its parse-once
+    twin). All aggregates are exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return ev.groupBy((k % 7).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

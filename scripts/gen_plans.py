@@ -83,10 +83,12 @@ SHOWCASE = [
     ("pareto_front_docs", "2-D skyline: TWO window functions over ONE "
      "exchange+sort on (lang, n_chars) — no self-join, no NOT-EXISTS "
      "anti-join; the quadratic formulation exists only in the oracle"),
-    ("triangle_count_parts", "triangle count: degree-ordered orientation "
-     "makes every join an EQUI-join on vertex ids (wedge self-join + "
-     "left-semi closure probe); no cartesian anywhere, hub fan-out capped "
-     "by orientation"),
+    ("triangle_count_parts_lazy", "triangle count (lazy form — the "
+     "registered query checkpoints the edge list, which renders as an RDD "
+     "scan): JOIN-FREE pair generation (order groupBy + HOF explosion); "
+     "degree-ordered orientation makes every join an EQUI-join on vertex "
+     "ids (wedge self-join + left-semi closure probe); no cartesian "
+     "anywhere, hub fan-out capped by orientation"),
     ("kmv_distinct_ops", "KMV set algebra: ONE distinct on (type, hash); "
      "pair unions join the ≤k-row sketches to a LITERAL membership dim "
      "(LocalRelation broadcast — nothing sf-scaled is hinted)"),
@@ -111,6 +113,31 @@ def main() -> None:
 
         docs = load_table(spark, sf_dir, "documents", parallelize=True)
         return D.minhash_lsh_pairs(docs, materialize=False)
+
+    def triangle_lazy(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from nilm_data_framework_spark.operators import graph as G
+        from nilm_data_framework_spark.sources.testdata import load_table
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        parts = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        )
+        pairs = parts.select(
+            F.explode(F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS src, y AS dst))))"
+            )).alias("p")
+        ).select("p.src", "p.dst")
+        edges = (
+            pairs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("_sup"))
+            .filter(F.col("_sup") >= 2)
+            .drop("_sup")
+        )
+        return G.triangle_count(edges, materialize=False)
 
     def incremental_lazy(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -137,6 +164,8 @@ def main() -> None:
             df = minhash_lazy(spark, sf_dir)
         elif name == "incremental_neardup_pairs_lazy":
             df = incremental_lazy(spark, sf_dir)
+        elif name == "triangle_count_parts_lazy":
+            df = triangle_lazy(spark, sf_dir)
         else:
             df = specs[name].spark(spark, sf_dir)
         buf = io.StringIO()

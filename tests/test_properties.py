@@ -245,3 +245,51 @@ def test_ks_partitioning_invariance(spark, parts):
         )
     )
     assert got == ref
+
+
+@pytest.mark.parametrize("parts", [1, 13])
+def test_funnel_and_seasonal_partitioning_invariance(spark, parts):
+    """three_step_funnel / seasonal_decompose_daily building blocks: the
+    chained conditional window minima and the RANGE-frame trend must not
+    depend on physical row order."""
+    from pyspark.sql import Window
+
+    rows = [
+        (u, t * 1000, ["view", "click", "purchase", "error"][(u + t) % 4])
+        for u in range(20)
+        for t in range(30)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tus long, event_type string")
+
+    def funnel(d):
+        w = Window.partitionBy("user_id")
+        s1 = d.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("tus"))).over(w)
+        )
+        s2 = s1.withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("tus") >= F.col("t1")),
+                    F.col("tus"),
+                )
+            ).over(w),
+        )
+        return s2.groupBy("user_id").agg(
+            F.max("t1").alias("t1"), F.max("t2").alias("t2")
+        )
+
+    got = _sorted_rows(funnel(df.repartition(parts)))
+    ref = _sorted_rows(funnel(df.coalesce(1)))
+    assert got == ref
+
+    def trend(d):
+        w = Window.partitionBy("event_type").orderBy("tus").rangeBetween(-5000, 5000)
+        return d.select(
+            "event_type", "tus",
+            (F.sum("user_id").over(w).cast("double") / F.count("user_id").over(w)).alias("tr"),
+        )
+
+    got_t = _sorted_rows(trend(df.repartition(parts)))
+    ref_t = _sorted_rows(trend(df.coalesce(1)))
+    assert got_t == ref_t
