@@ -646,17 +646,26 @@ def pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lazy form re-scans lineitem and re-runs the distinct agg per term
     # (~17 scans in the static plan; measured 3.1 s → 1.3 s at sf0.1). The
     # cluster equivalent is persisting the edge table between iterations —
-    # the same lineage-cut discipline as connected_components.
+    # the same lineage-cut discipline as connected_components. Vertex ids
+    # stay TAGGED LONGS (2k = supplier k, 2k+1 = part k) through the
+    # distinct and every join/agg — 8-byte fixed-width shuffle keys instead
+    # of strings — and render as the "s{k}"/"p{k}" labels only in the final
+    # projection.
     edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     ).distinct().localCheckpoint(eager=True)
     ranks = G.pagerank_iteration(edges, damping=0.85)
     n = edges.select(F.col("src").alias("vertex")).unionByName(
         edges.select(F.col("dst").alias("vertex"))
     ).distinct().agg(F.count(F.lit(1)).alias("_n"))
+    label = F.when(
+        F.col("vertex") % 2 == 0,
+        F.concat(F.lit("s"), F.expr("vertex div 2")),
+    ).otherwise(F.concat(F.lit("p"), F.expr("vertex div 2")))
     return ranks.crossJoin(F.broadcast(n)).select(
-        "vertex", F.round(F.col("rank") * F.col("_n"), 6).alias("rank_scaled")
+        label.alias("vertex"),
+        F.round(F.col("rank") * F.col("_n"), 6).alias("rank_scaled"),
     )
 
 

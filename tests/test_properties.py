@@ -293,3 +293,62 @@ def test_funnel_and_seasonal_partitioning_invariance(spark, parts):
     got_t = _sorted_rows(trend(df.repartition(parts)))
     ref_t = _sorted_rows(trend(df.coalesce(1)))
     assert got_t == ref_t
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-50, 50), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_weighted_median_equals_reference(spark, vals):
+    """weighted_median == the textbook lower weighted median: smallest v
+    whose cumulative weight (in (v, idx) order) reaches half the total."""
+    from nilm_data_framework_spark.operators.robust import weighted_median
+
+    rows = [(g, float(v), float(w), i) for i, (g, v, w) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, v double, w double, i long")
+    got = {
+        r["g"]: (r["wmedian"], r["total_w"])
+        for r in weighted_median(df, ["g"], "v", "w", tiebreak=["i"]).collect()
+    }
+    by_g = {}
+    for g, v, w, i in rows:
+        by_g.setdefault(g, []).append((v, i, w))
+    for g, items in by_g.items():
+        items.sort()
+        tot = sum(w for _, _, w in items)
+        cum = 0.0
+        for v, _, w in items:
+            cum += w
+            if cum * 2 >= tot:
+                assert got[g] == (v, tot)
+                break
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+    trim=st.sampled_from([0.0, 0.1, 0.25]),
+)
+def test_trimmed_mean_equals_reference(spark, vals, trim):
+    from nilm_data_framework_spark.operators.robust import trimmed_mean
+
+    rows = [(1, float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, v double, i long")
+    got = trimmed_mean(df, ["g"], "v", trim=trim, tiebreak=["i"]).collect()[0]
+    s = sorted(float(v) for v in vals)
+    cut = int(len(s) * trim)
+    kept = s[cut: len(s) - cut]
+    assert got["n_used"] == len(kept)
+    assert got["trimmed_mean"] == pytest.approx(sum(kept) / len(kept))
