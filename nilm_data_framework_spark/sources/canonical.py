@@ -101,3 +101,25 @@ def merge_upsert_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_readings_orc(readings: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Alternate columnar sink: same (dataset, house_id) partitioned layout
+    in ORC. Spark's native ORC writer gives the identical pruning +
+    min/max-statistics story as Parquet (both formats are first-class in
+    the DataSource V2 scan path — predicate pushdown, column pruning, and
+    vectorized reads all apply); interop target for Hive/Trino-flavored
+    lakes that standardized on ORC. Columnar semantics are
+    format-symmetric, which `tests/test_sources.py` pins by round-tripping
+    the same frame through both sinks and comparing exactly."""
+    (
+        readings.repartition("dataset", "house_id")
+        .sortWithinPartitions("channel_id", "ts")
+        .write.mode(mode)
+        .partitionBy("dataset", "house_id")
+        .orc(path)
+    )
+
+
+def read_readings_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -389,3 +389,39 @@ def test_canonical_schema_evolution_merge(spark, tmp_path):
     assert "unit" in back.columns
     assert rows[1]["unit"] is None and rows[2]["unit"] == "W"
     assert rows[1]["value"] == 1.0 and rows[2]["value"] == 2.0
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """S7/S8 alternate format: the ORC sink round-trips the canonical
+    readings frame exactly, and agrees row-for-row with the Parquet sink
+    (same partitioned layout, different container)."""
+    from nilm_data_framework_spark.sources import canonical as C
+
+    rows = [
+        ("refit", 1, 10, 1_700_000_000_000_000 + i * 8_000_000, float(i % 40))
+        for i in range(200)
+    ] + [("ukdale", 2, 3, 1_700_000_000_000_000, 7.5)]
+    df = spark.createDataFrame(
+        rows, "dataset string, house_id int, channel_id int, ts_us long, power double"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+
+    pq = str(tmp_path / "pq")
+    oc = str(tmp_path / "orc")
+    C.write_readings(df, pq)
+    C.write_readings_orc(df, oc)
+
+    def canon(d):
+        return sorted(
+            (r["dataset"], r["house_id"], r["channel_id"], r["ts"], r["power"])
+            for r in d.collect()
+        )
+
+    got_orc = canon(C.read_readings_orc(spark, oc))
+    got_pq = canon(C.read_readings(spark, pq))
+    assert got_orc == got_pq == canon(df)
+
+    # partition pruning works on the ORC layout too
+    pruned = C.read_readings_orc(spark, oc).filter(
+        (F.col("dataset") == "ukdale") & (F.col("house_id") == 2)
+    )
+    assert pruned.count() == 1
