@@ -523,3 +523,48 @@ def test_constraint_suite_single_scan_for_agg_metrics(spark):
     plan = _plan(spark, "constraint_suite_report")
     assert plan.count("orders.parquet") <= 2  # one metrics scan + one FK scan
     assert _n_nodes(plan, "BroadcastHashJoin") + _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "ShuffledHashJoin") >= 1
+
+
+# --- round-4 batch 7-9 plan claims (SCALE.md rows) ----------------------------
+
+
+def test_rolling_hour_sum_single_exchange(spark):
+    # the time-RANGE window claim: ONE hash exchange on user_id serves the
+    # whole frame; no join, no extra shuffle
+    plan = _plan(spark, "rolling_hour_sum")
+    import re
+
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, (
+        f"rolling_hour_sum should shuffle exactly once (user_id), saw "
+        f"{len(shuffles)}"
+    )
+    assert "Join" not in plan
+
+
+def test_three_step_funnel_single_window_exchange(spark):
+    # three chained conditional window minima must share ONE user_id
+    # exchange (the scd2 lag+lead trick) — a second hash exchange before
+    # the final 1-row aggregate means Catalyst stopped merging them
+    plan = _plan(spark, "three_step_funnel")
+    import re
+
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning\(user_id", plan)
+    assert len(hash_exchanges) == 1, (
+        f"funnel windows should share one user_id exchange, saw "
+        f"{len(hash_exchanges)}"
+    )
+    assert "Join" not in plan, "funnel must not plan step-to-step joins"
+
+
+def test_association_rules_topk_no_global_sort(spark):
+    plan = _plan(spark, "association_rules")
+    assert "TakeOrderedAndProject" in plan, "top-k by lift should avoid a global sort"
+
+
+def test_dataset_manifest_pure_aggregation(spark):
+    # one partial+final agg: no sort, no window, no join anywhere
+    plan = _plan(spark, "dataset_manifest")
+    for bad in ("Sort", "Window", "Join"):
+        assert bad not in plan, f"manifest plan contains {bad}"
+    assert "HashAggregate" in plan
