@@ -997,3 +997,76 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = RB.chi_square_independence(base, "r", "c")
     return out.select(F.round("chi2", 4).alias("chi2"), "dof", "n")
+
+
+# --- k-anonymity / l-diversity disclosure-risk audit --------------------------
+
+_KANON_K = 5
+_KANON_BIN = 50.0
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             least(CAST(floor(value / {_KANON_BIN}) AS BIGINT), 9) AS vbin,
+             user_id
+      FROM events
+    ),
+    combos AS (
+      SELECT event_type, dow, vbin, count(*) AS n,
+             count(DISTINCT user_id) AS l_div
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT count(*) AS n_combos,
+           sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS n_unsafe_combos,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS n_unsafe_rows,
+           round(CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)
+                 AS DOUBLE) / sum(n), 4) AS unsafe_row_share,
+           min(l_div) AS min_l_diversity
+    FROM combos
+    """,
+    survey_ref="§2.4 governance extension: k-anonymity / l-diversity "
+    "disclosure-risk audit (quasi-identifier combo sizes + sensitive-value "
+    "diversity — the release-risk measure beside GDPR erasure)",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disclosure-risk audit before releasing an events extract: rows
+    whose quasi-identifier combination (event type × weekday ×
+    fixed-width value decile) occurs fewer than k=5 times are
+    re-identifiable (Sweeney's k-anonymity); min l-diversity reports how
+    many distinct sensitive values (users) the worst combo hides. One
+    combo-grain agg + one O(1)-row reduction, all exact integers —
+    linear at any scale, and the combo frame is bounded by the
+    quasi-identifier domain, not the data. Complements gdpr_erasure_audit
+    (deletion) with the MEASUREMENT side of privacy governance."""
+    ev = _events(spark, sf_dir)
+    q = ev.select(
+        "event_type",
+        ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow"),
+        F.least(
+            F.floor(F.col("value") / F.lit(_KANON_BIN)).cast("long"), F.lit(9)
+        ).alias("vbin"),
+        "user_id",
+    )
+    combos = q.groupBy("event_type", "dow", "vbin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("l_div"),
+    )
+    unsafe_n = F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+    return combos.agg(
+        F.count(F.lit(1)).alias("n_combos"),
+        F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0)).alias(
+            "n_unsafe_combos"
+        ),
+        F.sum("n").alias("n_rows"),
+        unsafe_n.alias("n_unsafe_rows"),
+        F.round(unsafe_n.cast("double") / F.sum("n"), 4).alias(
+            "unsafe_row_share"
+        ),
+        F.min("l_div").alias("min_l_diversity"),
+    )
