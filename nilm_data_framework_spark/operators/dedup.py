@@ -235,7 +235,7 @@ def minhash_lsh_pairs(
 
 def minhash_lsh_join(
     df_new: DataFrame,
-    df_ref: DataFrame,
+    df_ref: DataFrame | None,
     id_col: str = "doc_id",
     text: str = "text",
     shingle_n: int = 3,
@@ -244,6 +244,8 @@ def minhash_lsh_join(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     materialize: bool = True,
+    ref_banded: DataFrame | None = None,
+    ref_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup screen: new-batch documents vs an existing
     reference corpus — (new_id, ref_id, jaccard) for cross-corpus pairs
@@ -253,11 +255,15 @@ def minhash_lsh_join(
     reference corpus was deduped once; each arriving batch is LSH-bucketed
     with the SAME hash parameters (``seed``) and joined against the stored
     reference buckets — cost O(|batch| + matching buckets), not a full
-    corpus re-dedup (and a real deployment persists the reference's
-    (id, band, bucket) + (id, hs) tables once — bucketed by (band, bucket)
-    via sources/canonical.py:write_readings_bucketed's layout — so the
-    per-batch join is shuffle-free on the corpus side; here both sides are
-    derived on the fly because the gate tables are plain parquet).
+    corpus re-dedup.
+
+    The production shape passes ``ref_banded``/``ref_hashed`` — the
+    PERSISTED (id, band, bucket) and (id, hs) tables written once by
+    :func:`write_lsh_reference`, bucketed by their join keys — so the
+    per-batch join needs NO shuffle on the corpus side (only the small new
+    batch is exchanged into the reference's bucketing). When they are None,
+    both sides are derived on the fly from ``df_ref`` (the gate tables are
+    plain parquet).
 
     No self-pairs of the new batch are emitted either (new×new dedup is
     :func:`minhash_lsh_pairs` on the batch alone); candidate generation is
@@ -272,15 +278,26 @@ def minhash_lsh_join(
     # instead (no persist, no checkpoint) so plan-quality tests and
     # gen_plans can assert the real join topology — an eager checkpoint
     # collapses .explain to a Scan ExistingRDD and would make any
-    # no-cartesian assertion vacuous.
+    # no-cartesian assertion vacuous. A persisted reference side is NEVER
+    # re-persisted or re-derived — it is already a bucketed scan.
+    use_persisted_ref = ref_banded is not None and ref_hashed is not None
+    if not use_persisted_ref and df_ref is None:
+        raise ValueError("need df_ref or both ref_banded and ref_hashed")
     hashed_new = _hashed_shingles(df_new, id_col, text, shingle_n)
-    hashed_ref = _hashed_shingles(df_ref, id_col, text, shingle_n)
+    hashed_ref = (
+        ref_hashed if use_persisted_ref
+        else _hashed_shingles(df_ref, id_col, text, shingle_n)
+    )
     if materialize:
         hashed_new = hashed_new.persist()
-        hashed_ref = hashed_ref.persist()
+        if not use_persisted_ref:
+            hashed_ref = hashed_ref.persist()
     try:
         banded_new = _banded(hashed_new, params, bands, rows_per).alias("a")
-        banded_ref = _banded(hashed_ref, params, bands, rows_per).alias("b")
+        banded_ref = (
+            ref_banded if use_persisted_ref
+            else _banded(hashed_ref, params, bands, rows_per)
+        ).alias("b")
         cand = (
             banded_new.join(
                 banded_ref,
@@ -300,7 +317,121 @@ def minhash_lsh_join(
     finally:
         if materialize:
             hashed_new.unpersist()
-            hashed_ref.unpersist()
+            if not use_persisted_ref:
+                hashed_ref.unpersist()
+
+
+def write_lsh_reference(
+    df_ref: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    buckets: int = 16,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist the deduped corpus's LSH state once so per-ingest screens are
+    shuffle-free on the corpus side (the 100 TB layout SCALE.md describes):
+
+    - ``{prefix}_buckets``: (id, band, bucket) bucketed+sorted by
+      (band, bucket) — the candidate join's key layout, pre-materialized.
+    - ``{prefix}_hs``: (id, hs array<long>) bucketed+sorted by id — the
+      verify join's key layout (8 B/shingle, the hashed form).
+    - ``{prefix}_meta``: one row pinning (shingle_n, num_hashes, bands,
+      seed, buckets). Incremental screening is only sound when every batch
+      hashes with the SAME parameters; readers enforce this instead of
+      trusting call sites.
+
+    At 100 TB the corpus side of each batch join is then a bucketed scan
+    feeding the sort-merge join directly — only the (small) batch side is
+    exchanged into the reference's partitioning. Appending a screened batch
+    into the reference is an INSERT of its (id, band, bucket)/(id, hs) rows
+    under the same bucket spec (Spark appends per-bucket files), so the
+    layout is maintained incrementally, never rebuilt.
+
+    ``path`` makes the three tables EXTERNAL under ``{path}/{suffix}``
+    (needed when the session's warehouse dir may not be writable, e.g. a
+    driver-invoked run); None keeps them managed in the warehouse.
+    """
+    rows_per = num_hashes // bands
+    params = _minhash_hash_params(num_hashes, seed)
+
+    def _writer(df, suffix):
+        w = df.write.mode(mode)
+        if path is not None:
+            w = w.option("path", f"{path}/{suffix}")
+        return w
+
+    hashed = _hashed_shingles(df_ref, id_col, text, shingle_n).persist()
+    try:
+        (
+            _writer(_banded(hashed, params, bands, rows_per), "buckets")
+            .bucketBy(buckets, "band", "bucket")
+            .sortBy("band", "bucket")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_buckets")
+        )
+        (
+            _writer(hashed, "hs")
+            .bucketBy(buckets, "id")
+            .sortBy("id")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_hs")
+        )
+        spark = df_ref.sparkSession
+        meta = spark.createDataFrame(
+            [(shingle_n, num_hashes, bands, seed, buckets)],
+            "shingle_n int, num_hashes int, bands int, seed int, buckets int",
+        )
+        _writer(meta, "meta").format("parquet").saveAsTable(f"{table_prefix}_meta")
+    finally:
+        hashed.unpersist()
+
+
+def read_lsh_reference(
+    spark, table_prefix: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(buckets, hs, params) for :func:`minhash_lsh_join`'s persisted path."""
+    meta = spark.table(f"{table_prefix}_meta").head().asDict()
+    return (
+        spark.table(f"{table_prefix}_buckets"),
+        spark.table(f"{table_prefix}_hs"),
+        meta,
+    )
+
+
+def minhash_lsh_join_reference(
+    df_new: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    jaccard_threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-ingest near-dup screen against a :func:`write_lsh_reference`
+    corpus. Hash parameters come from the persisted meta table — the batch
+    side is guaranteed to use the reference's seed/banding, which is the
+    soundness precondition of incremental LSH."""
+    spark = df_new.sparkSession
+    ref_banded, ref_hashed, meta = read_lsh_reference(spark, table_prefix)
+    return minhash_lsh_join(
+        df_new,
+        None,
+        id_col=id_col,
+        text=text,
+        shingle_n=meta["shingle_n"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        seed=meta["seed"],
+        jaccard_threshold=jaccard_threshold,
+        materialize=materialize,
+        ref_banded=ref_banded,
+        ref_hashed=ref_hashed,
+    )
 
 
 def ngram_jaccard_pairs(

@@ -89,8 +89,12 @@ def bloom_probe_docs(
     explode, so the probe is one narrow projection + one inner join against
     the ≤m-row bit table (AQE elects broadcast — the table derives from the
     sf-scaled eval set so no forced hint, but its size is CAPPED at m rows
-    by construction) + ONE (doc, gram) agg: all probed positions are
-    already distinct, so surviving-row count == _need decides the hit.
+    by construction) + ONE (doc, gram) agg. The agg counts DISTINCT
+    surviving positions (not rows): duplicate (doc, gram) input rows would
+    multiply a plain row count past ``_need`` and silently turn a fully-set
+    gram into a miss — a false NEGATIVE, breaking the Bloom contract (r4
+    advisor finding; callers that pre-apply ``array_distinct`` per doc were
+    safe only by accident).
     """
     pos_arr = doc_grams.select(
         *[F.col(c) for c in id_cols],
@@ -105,7 +109,7 @@ def bloom_probe_docs(
     gram_hits = (
         probed.join(bits, "pos")
         .groupBy(*id_cols, "_g", "_need")
-        .agg(F.count(F.lit(1)).alias("_have"))
+        .agg(F.countDistinct("pos").alias("_have"))
         .filter(F.col("_have") == F.col("_need"))
     )
     return gram_hits.select(*id_cols).distinct()

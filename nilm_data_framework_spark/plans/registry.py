@@ -111,6 +111,32 @@ _DRIVER_RECORDED = frozenset({
     "streaming_stream_join_equiv", "sliding_windows_grouped",
     "tensor_export_flat", "unpivot_metrics", "vocab_top_tokens", "oov_rate",
     "bigram_surprisal_score", "doc_chunks_inventory", "source_quality_gate",
+}) | frozenset({
+    # Round-4 recordings. OMITTED on purpose (must be front-loaded for a
+    # fresh driver-attested row in round 5):
+    #  - vocab_growth_stats, three_step_funnel, concurrency_peaks,
+    #    k_anonymity_audit — the four r4 hash_match:false rows (uncast
+    #    DuckDB HUGEINT aggregates + float ratio columns; both fixed via
+    #    operators/exact_math.py e4 integer ratios + CAST AS BIGINT).
+    #  - classifier_selection_audit — green in r4 but its ratio columns
+    #    were hardened to e4 integers (schema changed).
+    #  - variant_extract_props — green in r4 but its oracle switched from
+    #    a formatting-sensitive regexp to semantic json_extract.
+    "kmv_distinct_ops", "kmv_jaccard_pairs", "acf_hourly",
+    "trimmed_mean_price", "pareto_front_docs", "triangle_count_parts",
+    "promo_revenue_share", "top_supplier_revenue", "entropy_by_source",
+    "markov_transitions", "partial_agg_merge", "rolling_hour_sum",
+    "ab_test_zstat", "association_rules", "seasonal_decompose_daily",
+    "token_budget_curation", "weighted_sample_sps", "shard_layout_audit",
+    "bloom_decontamination", "chisq_independence", "cms_error_audit",
+    "cohort_retention", "constraint_suite_report", "curriculum_stages",
+    "cusum_drift_summary", "dataset_manifest", "dsir_importance_weights",
+    "gdpr_erasure_audit", "hamming_topk_rerank", "important_stock",
+    "int8_quant_fidelity", "ks_drift_stat", "leakage_safe_split",
+    "m4_downsample", "mad_outlier_summary", "merge_upsert_orders",
+    "min_cost_supplier", "pagerank_step", "pit_state_lookup",
+    "psi_value_drift", "seasonal_naive_error", "time_weighted_avg",
+    "weighted_median_price", "zorder_layout_stats",
 })
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
 from nilm_data_framework_spark.operators import graph as G
 from nilm_data_framework_spark.operators import robust as RB
 from nilm_data_framework_spark.operators import sketches as SK
@@ -774,14 +775,17 @@ def partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_growth_stats",
     oracle=f"""
     WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
-    cnt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2)
-    SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-           count(*) AS n_types,
-           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
-           round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr,
-           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 4) AS hapax_share
-    FROM cnt GROUP BY 1
+    cnt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      FROM cnt GROUP BY 1
+    )
+    SELECT source, n_tokens, n_types, hapax,
+           {ratio_e4_sql('n_types', 'n_tokens')} AS ttr_e4,
+           {ratio_e4_sql('hapax', 'n_types')} AS hapax_share_e4
+    FROM agg
     """,
     survey_ref="§2.10 text analysis extension: vocabulary growth stats "
     "(type-token ratio + hapax share per source — Heaps'-law audit)",
@@ -790,9 +794,10 @@ def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-token ratio and hapax-legomena share per source — the
     vocabulary-richness audit next to entropy_by_source (a synthetic or
     template-generated source shows abnormally low TTR and hapax share;
-    natural text follows Heaps' law). Two map-side-combined aggs; every
-    reported ratio is an integer-count quotient, deterministic before the
-    4dp round."""
+    natural text follows Heaps' law). Two map-side-combined aggs; the TTR
+    and hapax-share ratios are reported as exact round-half-up 1e-4-scaled
+    BIGINTs (operators/exact_math.py) so the driver's typed hash cannot
+    diverge on float rounding (r4 fix)."""
     d = _docs(spark, sf_dir)
     cnt = (
         d.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
@@ -800,14 +805,15 @@ def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
-    return cnt.groupBy("source").agg(
+    agg = cnt.groupBy("source").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
         hapax.alias("hapax"),
-        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 4).alias("ttr"),
-        F.round(
-            hapax.cast("double") / F.count(F.lit(1)), 4
-        ).alias("hapax_share"),
+    )
+    return agg.select(
+        "source", "n_tokens", "n_types", "hapax",
+        ratio_e4("n_types", "n_tokens").alias("ttr_e4"),
+        ratio_e4("hapax", "n_types").alias("hapax_share_e4"),
     )
 
 
@@ -1026,7 +1032,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "three_step_funnel",
-    oracle="""
+    oracle=f"""
     WITH s1 AS (
       SELECT user_id, ts, event_type,
              min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
@@ -1048,16 +1054,22 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user AS (
       SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
       FROM s3 GROUP BY 1
+    ),
+    agg AS (
+      SELECT count(*) AS n_users,
+             CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+             CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click,
+             CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchase,
+             CAST(sum(CASE WHEN t3 IS NOT NULL THEN t3 - t1 END) AS BIGINT)
+               AS total_us_to_convert
+      FROM per_user
     )
-    SELECT count(*) AS n_users,
-           sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase,
-           round(CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
-                 AS DOUBLE) / count(*), 4) AS full_funnel_rate,
-           CAST(sum(CASE WHEN t3 IS NOT NULL THEN t3 - t1 END) AS BIGINT)
-             AS total_us_to_convert
-    FROM per_user
+    SELECT n_users, n_view, n_click, n_purchase, total_us_to_convert,
+           {ratio_e4_sql('n_purchase', 'n_users')} AS full_funnel_rate_e4
+    FROM agg
     """,
     survey_ref="§2.5 extension: strict-order 3-step funnel "
     "(view→click→purchase via chained conditional window minima — one "
@@ -1070,8 +1082,8 @@ def three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME user partitioning (Catalyst reuses one exchange+sort for all
     three — the scd2/lag+lead trick), so the classic funnel needs no
     step-to-step self-joins at all. Stage counts and the total
-    time-to-convert are exact integers; only the final rate is a rounded
-    integer ratio."""
+    time-to-convert are exact integers; the funnel rate is an exact
+    1e-4-scaled BIGINT (operators/exact_math.py, r4 hash-robustness fix)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id")
     tus = F.unix_micros("ts")
@@ -1095,19 +1107,18 @@ def three_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = s3.groupBy("user_id").agg(
         F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
     )
-    return per_user.agg(
+    agg = per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_view"),
         F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_click"),
         F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("n_purchase"),
-        F.round(
-            F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias("full_funnel_rate"),
         F.sum(
             F.when(F.col("t3").isNotNull(), F.col("t3") - F.col("t1"))
         ).alias("total_us_to_convert"),
+    )
+    return agg.select(
+        "n_users", "n_view", "n_click", "n_purchase", "total_us_to_convert",
+        ratio_e4("n_purchase", "n_users").alias("full_funnel_rate_e4"),
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
 from nilm_data_framework_spark.operators import dedup as D
 from nilm_data_framework_spark.operators import text as T
 from nilm_data_framework_spark.plans.registry import query
@@ -265,6 +266,48 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=4,
         jaccard_threshold=0.5,
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@query(
+    "incremental_neardup_persisted",
+    oracle=f"""
+    WITH {_minhash_ctes(cand_on="a.id % 5 = 0 AND b.id % 5 <> 0")}
+    SELECT id_a AS new_id, id_b AS ref_id, round(jaccard, 4) AS jaccard
+    FROM verified WHERE jaccard >= 0.5
+    """,
+    survey_ref="§2.10 incremental dedup, production layout: reference corpus "
+    "LSH state persisted bucketed by (band,bucket)/(id) via "
+    "operators/dedup.py::write_lsh_reference — per-batch screen is "
+    "shuffle-free on the corpus side",
+)
+def incremental_neardup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same screen as incremental_neardup_pairs (identical oracle — the
+    persisted layout must be RESULT-invariant), but the reference corpus's
+    (id, band, bucket) + (id, hs) tables are written ONCE with
+    write_lsh_reference (bucketed by their join keys) and each batch joins
+    against the stored tables: the corpus side of both the candidate join
+    and the verify join plans with NO Exchange
+    (tests/test_plan_quality.py pins this). Hash params come from the
+    persisted meta table, enforcing same-seed soundness."""
+    import os
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    prefix = f"lsh_ref_{os.getpid()}"
+    path = os.path.join(tempfile.gettempdir(), "nilm_spark_lsh_ref", prefix)
+    D.write_lsh_reference(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        prefix,
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+        buckets=8,
+        path=path,
+    )
+    out = D.minhash_lsh_join_reference(
+        docs.filter(F.col("doc_id") % 5 == 0), prefix, jaccard_threshold=0.5
     )
     return out.withColumn("jaccard", F.round("jaccard", 4))
 
@@ -1093,12 +1136,18 @@ _QSCORE_SQL = r"""
              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_en,
              ntile(10) OVER (ORDER BY s.score, s.doc_id) AS decile
       FROM sc s JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT decile, count(*) AS n,
+             round(sum(score), 4) AS sum_score,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(is_en) AS BIGINT) AS n_en
+      FROM dec GROUP BY 1
     )
-    SELECT decile, count(*) AS n,
-           round(sum(score), 4) AS sum_score,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
-           round(CAST(sum(is_en) AS DOUBLE) / count(*), 4) AS en_share
-    FROM dec GROUP BY 1
+    SELECT decile, n, sum_score, sum_chars, n_en,
+           {ratio_e4_sql('sum_chars', 'n')} AS avg_chars_e4,
+           {ratio_e4_sql('n_en', 'n')} AS en_share_e4
+    FROM agg
     """,
     survey_ref="§2.10 extension: classifier selection-bias audit (score "
     "deciles × length/language composition — what does the quality gate "
@@ -1114,7 +1163,9 @@ def classifier_selection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB form replaces it with percentile_approx score boundaries + a
     range assignment (same exact-vs-sketch split as equidepth_bins, whose
     oracle-checked form this mirrors). Length/language shares are exact
-    integer ratios; only sum_score is a rounded float agg."""
+    round-half-up 1e-4-scaled BIGINTs (operators/exact_math.py — the r4
+    cross-engine rounding trap hits integer quotients at any fixed dp);
+    only sum_score is a rounded float agg."""
     d = _docs(spark, sf_dir)
     from pyspark.sql import Window
 
@@ -1122,15 +1173,14 @@ def classifier_selection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = sc.join(d.select("doc_id", "n_chars", "lang"), "doc_id")
     w = Window.orderBy("quality_score", "doc_id")
     dec = joined.withColumn("decile", F.ntile(10).over(w).cast("long"))
-    return dec.groupBy("decile").agg(
+    agg = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("quality_score"), 4).alias("sum_score"),
-        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias(
-            "avg_chars"
-        ),
-        F.round(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias("en_share"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    return agg.select(
+        "decile", "n", "sum_score", "sum_chars", "n_en",
+        ratio_e4("sum_chars", "n").alias("avg_chars_e4"),
+        ratio_e4("n_en", "n").alias("en_share_e4"),
     )

@@ -236,7 +236,7 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_extract_props",
     oracle="""
     WITH k AS (
-      SELECT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
+      SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
              user_id
       FROM events
     )

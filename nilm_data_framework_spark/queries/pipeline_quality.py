@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
 from nilm_data_framework_spark.operators import aggregates as AG
 from nilm_data_framework_spark.operators import graph as G
 from nilm_data_framework_spark.operators import joins as J
@@ -315,7 +316,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     deltas AS (
-      SELECT o_orderpriority, t, sum(d) AS delta FROM (
+      SELECT o_orderpriority, t, CAST(sum(d) AS BIGINT) AS delta FROM (
         SELECT o_orderpriority, s AS t, 1 AS d FROM iv
         UNION ALL
         SELECT o_orderpriority, e AS t, -1 AS d FROM iv
@@ -323,13 +324,13 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     run AS (
       SELECT o_orderpriority,
-             sum(delta) OVER (PARTITION BY o_orderpriority ORDER BY t
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             CAST(sum(delta) OVER (PARTITION BY o_orderpriority ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS open
       FROM deltas
     ),
     peaks AS (
-      SELECT o_orderpriority, max(open) AS peak_concurrency
+      SELECT o_orderpriority, CAST(max(open) AS BIGINT) AS peak_concurrency
       FROM run GROUP BY o_orderpriority
     )
     SELECT p.o_orderpriority, p.peak_concurrency, c.n_intervals
@@ -1019,16 +1020,20 @@ _KANON_BIN = 50.0
       SELECT event_type, dow, vbin, count(*) AS n,
              count(DISTINCT user_id) AS l_div
       FROM q GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT count(*) AS n_combos,
+             CAST(sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unsafe_combos,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+               AS n_unsafe_rows,
+             CAST(min(l_div) AS BIGINT) AS min_l_diversity
+      FROM combos
     )
-    SELECT count(*) AS n_combos,
-           sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS n_unsafe_combos,
-           CAST(sum(n) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
-             AS n_unsafe_rows,
-           round(CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)
-                 AS DOUBLE) / sum(n), 4) AS unsafe_row_share,
-           min(l_div) AS min_l_diversity
-    FROM combos
+    SELECT n_combos, n_unsafe_combos, n_rows, n_unsafe_rows, min_l_diversity,
+           {ratio_e4_sql('n_unsafe_rows', 'n_rows')} AS unsafe_row_share_e4
+    FROM agg
     """,
     survey_ref="§2.4 governance extension: k-anonymity / l-diversity "
     "disclosure-risk audit (quasi-identifier combo sizes + sensitive-value "
@@ -1058,15 +1063,17 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("l_div"),
     )
     unsafe_n = F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
-    return combos.agg(
+    agg = combos.agg(
         F.count(F.lit(1)).alias("n_combos"),
         F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0)).alias(
             "n_unsafe_combos"
         ),
         F.sum("n").alias("n_rows"),
         unsafe_n.alias("n_unsafe_rows"),
-        F.round(unsafe_n.cast("double") / F.sum("n"), 4).alias(
-            "unsafe_row_share"
-        ),
         F.min("l_div").alias("min_l_diversity"),
+    )
+    return agg.select(
+        "n_combos", "n_unsafe_combos", "n_rows", "n_unsafe_rows",
+        "min_l_diversity",
+        ratio_e4("n_unsafe_rows", "n_rows").alias("unsafe_row_share_e4"),
     )

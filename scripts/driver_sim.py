@@ -15,6 +15,7 @@ import sys
 import time
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -39,10 +40,51 @@ def normalize(rows):
     return sorted(out, key=repr)
 
 
+def dtype_family(dt) -> str:
+    """Collapse a pandas dtype to the family the driver's typed hash sees.
+
+    The round driver hashes TYPED values (pandas/numpy), so a DuckDB HUGEINT
+    column fetched as float64/object hash-mismatches a Spark int64 column
+    even when every value is numerically equal — the exact failure mode of
+    the four r4 flags. Local value comparison (Python `5 == 5.0`) cannot see
+    it; this dtype check can.
+    """
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    return "object"
+
+
+def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    out = []
+    for c in sdf.columns:
+        sf, of = dtype_family(sdf[c].dtype), dtype_family(odf[c].dtype)
+        if sf != of:
+            # An all-null column collapses to float64 NaN (or object None) on
+            # either side regardless of the logical type — not a divergence
+            # the driver can hash differently if BOTH sides are null there.
+            if sdf[c].isna().all() and odf[c].isna().all():
+                continue
+            out.append(f"{c}: spark {sdf[c].dtype}/{sf} vs oracle {odf[c].dtype}/{of}")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_session(app_name="driver-sim")
     spark.sparkContext.setLogLevel("ERROR")
+    import pyspark
+
+    print(
+        f"engines: pyspark {pyspark.__version__}, duckdb {duckdb.__version__}, "
+        f"pandas {pd.__version__}"
+    )
 
     # t1 smoke
     df = entrymod.entry(spark)
@@ -58,6 +100,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     passed = failed = rows_only = 0
     for name, fn in sorted(qs.items()):
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -79,6 +123,11 @@ def main() -> int:
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
         if s_cols != o_cols:
             print(f"FAIL {name}: cols {s_cols} vs {o_cols}")
+            failed += 1
+            continue
+        dt_bad = dtype_mismatches(sdf[s_cols], odf[o_cols])
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
             failed += 1
             continue
         s_rows = normalize([tuple(r) for r in sdf[s_cols].itertuples(index=False)])
