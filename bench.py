@@ -91,6 +91,14 @@ HEADLINE = [
     "rolling_hour_sum",
     # round-4 batch 8: association rules (order co-occurrence + top-k lift)
     "association_rules",
+    # round-5 additions: previously-unbenched r4 registry entries + the
+    # persisted-reference incremental dedup (write + screen, end-to-end)
+    "seasonal_decompose_daily",
+    "three_step_funnel",
+    "k_anonymity_audit",
+    "weighted_median_price",
+    "psi_value_drift",
+    "incremental_neardup_persisted",
 ]
 
 
@@ -123,6 +131,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    import duckdb
+    import pandas
+    import pyspark
+
     print(
         json.dumps(
             {
@@ -131,6 +143,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # engine versions make environment-only divergences (e.g. the
+                # r4 HUGEINT typed-hash flags) diagnosable from the artifact
+                "engines": {
+                    "pyspark": pyspark.__version__,
+                    "duckdb": duckdb.__version__,
+                    "pandas": pandas.__version__,
+                },
             }
         )
     )

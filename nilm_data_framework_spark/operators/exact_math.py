@@ -31,23 +31,37 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
-def ratio_e4(num: str, den: str) -> Column:
-    """Spark side: exact round-half-up of 1e4 * num/den over BIGINT columns.
+def ratio_scaled(num: str, den: str, digits: int = 4) -> Column:
+    """Spark side: exact round-half-up of 10^digits * num/den over BIGINT
+    columns.
 
     ``num``/``den`` are SQL expressions (usually already-aggregated column
-    names) of integer type; den must be > 0. Uses the SQL ``div`` operator so
-    the whole computation stays in 64-bit integer space (no double rounding).
+    names) of integer type; den must be > 0, num >= 0 (round-half-up via
+    floor is only half-up for nonnegative quotients). Uses the SQL ``div``
+    operator so the whole computation stays in 64-bit integer space (no
+    double rounding).
     """
-    return F.expr(f"(({num}) * 20000 + ({den})) div (2 * ({den}))")
+    two_scale = 2 * 10 ** digits
+    return F.expr(f"(({num}) * {two_scale} + ({den})) div (2 * ({den}))")
+
+
+def ratio_scaled_sql(num: str, den: str, digits: int = 4) -> str:
+    """DuckDB twin of :func:`ratio_scaled` — BIGINT ``//`` integer division.
+
+    Operands are cast to BIGINT first: DuckDB sums of INTEGER are HUGEINT,
+    and HUGEINT ``//`` results would fetch as object, not int64.
+    """
+    two_scale = 2 * 10 ** digits
+    return (
+        f"CAST((CAST({num} AS BIGINT) * {two_scale} + CAST({den} AS BIGINT))"
+        f" // (2 * CAST({den} AS BIGINT)) AS BIGINT)"
+    )
+
+
+def ratio_e4(num: str, den: str) -> Column:
+    """Four-decimal (basis-point-of-percent) form of :func:`ratio_scaled`."""
+    return ratio_scaled(num, den, 4)
 
 
 def ratio_e4_sql(num: str, den: str) -> str:
-    """DuckDB twin of :func:`ratio_e4` — BIGINT ``//`` integer division.
-
-    Both operands must already be BIGINT (cast sums first: DuckDB sums of
-    INTEGER are HUGEINT, and HUGEINT ``//`` results would fetch as object).
-    """
-    return (
-        f"CAST((CAST({num} AS BIGINT) * 20000 + CAST({den} AS BIGINT))"
-        f" // (2 * CAST({den} AS BIGINT)) AS BIGINT)"
-    )
+    return ratio_scaled_sql(num, den, 4)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_e4
 from nilm_data_framework_spark.operators.text import tokens
 
 
@@ -85,7 +86,9 @@ def oov_rate(
             id_col,
             "n_tok",
             "n_oov",
-            F.round(F.col("n_oov") / F.col("n_tok"), 4).alias("oov_rate"),
+            # exact 1e-4-scaled integer ratio (operators/exact_math.py):
+            # immune to the cross-engine float-round trap at any scale
+            ratio_e4("n_oov", "n_tok").alias("oov_rate_e4"),
         )
     )
 

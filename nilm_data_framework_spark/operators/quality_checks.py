@@ -24,6 +24,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_scaled
+
 
 @dataclass(frozen=True)
 class AggCheck:
@@ -45,23 +47,31 @@ def _passed(metric: Column, lo: float | None, hi: float | None) -> Column:
     return cond
 
 
+def _exact_ratio6(num_sql: str, den_sql: str) -> Column:
+    """Ratio metric as (exact e6 integer)/1e6: the integer round happens in
+    64-bit integer space (operators/exact_math.py) and k/1e6 is the SAME
+    IEEE division in Spark and DuckDB, so the 6dp metric can never diverge
+    on a decimal half-boundary (the r4/r5 cross-engine round trap)."""
+    return ratio_scaled(num_sql, den_sql, 6).cast("double") / F.lit(1000000.0)
+
+
 def completeness(col: str) -> Column:
     """Fraction of rows with a non-null value (Deequ Completeness)."""
-    return F.count(col) / F.count(F.lit(1)).cast("double")
+    return _exact_ratio6(f"count({col})", "count(1)")
 
 
 def uniqueness(col: str) -> Column:
     """Fraction of rows whose key value is globally unique would need a
     second agg; the standard scalable proxy is distinct/total (Deequ
     UniqueValueRatio ≈ 1 ⇔ key is unique)."""
-    return F.countDistinct(col) / F.count(F.lit(1)).cast("double")
+    return _exact_ratio6(f"count(distinct {col})", "count(1)")
 
 
 def in_set_ratio(col: str, allowed: list[str]) -> Column:
     """Fraction of rows whose value is in the allowed set."""
-    return (
-        F.sum(F.when(F.col(col).isin(allowed), 1).otherwise(0))
-        / F.count(F.lit(1)).cast("double")
+    in_list = ", ".join(f"'{a}'" for a in allowed)
+    return _exact_ratio6(
+        f"sum(case when {col} in ({in_list}) then 1 else 0 end)", "count(1)"
     )
 
 

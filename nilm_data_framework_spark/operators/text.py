@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deterministic, dependency-free; replace with fastText at deploy.
 STOPWORDS: dict[str, list[str]] = {
@@ -370,8 +372,10 @@ def repetition_scores(
         .select(
             id_col,
             "n_grams",
-            F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 4).alias("dup_frac"),
-            F.round(F.col("top_c") / F.col("n_grams"), 4).alias("top_frac"),
+            # exact 1e-4-scaled integer ratios (operators/exact_math.py):
+            # dup_frac = (occurrences that repeat an earlier gram) / total
+            ratio_e4("n_grams - n_distinct", "n_grams").alias("dup_frac_e4"),
+            ratio_e4("top_c", "n_grams").alias("top_frac_e4"),
         )
     )
 
@@ -445,7 +449,8 @@ def boilerplate_coverage(
             F.coalesce(F.sum("_b"), F.lit(0)).alias("n_boiler"),
         )
         .withColumn(
-            "boiler_ratio", F.round(F.col("n_boiler") / F.col("n_grams"), 4)
+            # exact 1e-4-scaled integer ratio (operators/exact_math.py)
+            "boiler_ratio_e4", ratio_e4("n_boiler", "n_grams")
         )
     )
 

@@ -78,10 +78,10 @@ _DRIVER_RECORDED = frozenset({
     # front-loaded again for a green driver-attested row).
     "neardup_clusters", "neardup_survivors", "decontamination_pairs",
     "pii_redaction", "training_set_materialize", "boilerplate_phrases",
-    "boilerplate_doc_ratio", "bpe_pair_counts", "unigram_surprisal_score",
+    "bpe_pair_counts", "unigram_surprisal_score",
     "quality_classifier", "span_dedup_summary", "resample_interpolated",
     "run_length_filter", "run_segments", "median_smooth", "truncate_to_min",
-    "sessionize", "running_total", "scd2_user_intervals", "funnel_conversion",
+    "sessionize", "running_total", "scd2_user_intervals",
     "pricing_summary", "shipping_priority", "local_supplier_volume",
     "forecast_revenue", "large_volume_orders", "late_shipment_priority",
     "small_quantity_revenue", "lapsed_rich_customers", "rollup_returns",
@@ -98,8 +98,8 @@ _DRIVER_RECORDED = frozenset({
     # column ("unhashable type: 'list'") — the query now emits JSON strings
     # and must be front-loaded again for a clean driver-attested row.
     "incremental_neardup_pairs", "neardup_quality_survivors",
-    "repetition_scores", "equidepth_bins", "heavy_hitters_check",
-    "key_skew_audit", "source_mixture_drift", "mixture_temperature_weights",
+    "equidepth_bins", "heavy_hitters_check",
+    "source_mixture_drift", "mixture_temperature_weights",
     "cosine_topk_bruteforce", "truncated_rerank_topk",
     "embedding_neardup_pairs", "cosine_topk_lsh", "cosine_topk_ivf",
     "kmeans_centroid_update", "semantic_dedup_survivors", "pq_topk",
@@ -109,8 +109,12 @@ _DRIVER_RECORDED = frozenset({
     "streaming_dedup_equiv", "streaming_sliding_window_equiv",
     "streaming_dedup_watermark_equiv", "streaming_static_join_equiv",
     "streaming_stream_join_equiv", "sliding_windows_grouped",
-    "tensor_export_flat", "unpivot_metrics", "vocab_top_tokens", "oov_rate",
+    "tensor_export_flat", "unpivot_metrics", "vocab_top_tokens",
     "bigram_surprisal_score", "doc_chunks_inventory", "source_quality_gate",
+    # (oov_rate, repetition_scores, key_skew_audit were r3-recorded and
+    # funnel_conversion, boilerplate_doc_ratio r2-recorded, but their ratio
+    # columns were hardened to e4 integers in r5 — removed above/below so
+    # the driver re-attests the new schemas)
 }) | frozenset({
     # Round-4 recordings. OMITTED on purpose (must be front-loaded for a
     # fresh driver-attested row in round 5):
@@ -126,10 +130,10 @@ _DRIVER_RECORDED = frozenset({
     "trimmed_mean_price", "pareto_front_docs", "triangle_count_parts",
     "promo_revenue_share", "top_supplier_revenue", "entropy_by_source",
     "markov_transitions", "partial_agg_merge", "rolling_hour_sum",
-    "ab_test_zstat", "association_rules", "seasonal_decompose_daily",
+    "association_rules", "seasonal_decompose_daily",
     "token_budget_curation", "weighted_sample_sps", "shard_layout_audit",
     "bloom_decontamination", "chisq_independence", "cms_error_audit",
-    "cohort_retention", "constraint_suite_report", "curriculum_stages",
+    "cohort_retention", "curriculum_stages",
     "cusum_drift_summary", "dataset_manifest", "dsir_importance_weights",
     "gdpr_erasure_audit", "hamming_topk_rerank", "important_stock",
     "int8_quant_fidelity", "ks_drift_stat", "leakage_safe_split",

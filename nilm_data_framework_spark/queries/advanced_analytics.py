@@ -870,7 +870,7 @@ def rolling_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ab_test_zstat",
-    oracle="""
+    oracle=f"""
     WITH assign AS (
       SELECT user_id,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
@@ -893,8 +893,8 @@ def rolling_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
-           round(CAST(ca AS DOUBLE) / na, 4) AS p_a,
-           round(CAST(cb AS DOUBLE) / nb, 4) AS p_b,
+           {ratio_e4_sql('ca', 'na')} AS p_a_e4,
+           {ratio_e4_sql('cb', 'nb')} AS p_b_e4,
            round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
                  / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
                         * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
@@ -949,7 +949,8 @@ def ab_test_zstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
         F.col("ca").alias("conv_a"), F.col("cb").alias("conv_b"),
-        F.round(pa, 4).alias("p_a"), F.round(pb, 4).alias("p_b"),
+        ratio_e4("ca", "na").alias("p_a_e4"),
+        ratio_e4("cb", "nb").alias("p_b_e4"),
         F.round(z, 4).alias("z"),
     )
 

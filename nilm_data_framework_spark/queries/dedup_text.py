@@ -715,7 +715,7 @@ def decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "repetition_scores",
-    oracle="""
+    oracle=f"""
     WITH toked AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
       FROM documents
@@ -727,11 +727,17 @@ def decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(toks[i:i+1], ' '))) AS g
       FROM toked WHERE len(toks) >= 2
     ),
-    per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
-    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-           round(1.0 - count(*) / sum(c), 4) AS dup_frac,
-           round(max(c) / sum(c), 4) AS top_frac
-    FROM per_gram GROUP BY doc_id
+    per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_c
+      FROM per_gram GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           {ratio_e4_sql('n_grams - n_distinct', 'n_grams')} AS dup_frac_e4,
+           {ratio_e4_sql('top_c', 'n_grams')} AS top_frac_e4
+    FROM agg
     """,
     survey_ref="§2.10 intra-doc repetition signals (Gopher-style dup/top n-gram fractions)",
 )
@@ -961,13 +967,16 @@ def boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     freq AS (
       SELECT gram_h, TRUE AS b FROM gh GROUP BY gram_h HAVING count(*) >= 3
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      FROM gh LEFT JOIN freq USING (gram_h)
+      GROUP BY doc_id
     )
-    SELECT doc_id, count(*) AS n_grams,
-           CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-           round(sum(CASE WHEN b THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
-             AS boiler_ratio
-    FROM gh LEFT JOIN freq USING (gram_h)
-    GROUP BY doc_id
+    SELECT doc_id, n_grams, n_boiler,
+           {ratio_e4_sql('n_boiler', 'n_grams')} AS boiler_ratio_e4
+    FROM agg
     """,
     survey_ref="§2.10 per-doc boilerplate coverage (threshold input for C4-style cleaning)",
 )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
 from nilm_data_framework_spark.operators import selectors as sel
 from nilm_data_framework_spark.operators import windows as W
 from nilm_data_framework_spark.plans.registry import query
@@ -322,7 +323,7 @@ def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "funnel_conversion",
-    oracle="""
+    oracle=f"""
     WITH conv AS (
       SELECT a.event_id, strftime(a.ts, '%Y-%m-%d') AS d,
              max(CASE WHEN b.event_id IS NOT NULL THEN 1 ELSE 0 END) AS converted
@@ -331,10 +332,14 @@ def scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.user_id = b.user_id AND b.ts >= a.ts
        AND b.ts <= a.ts + INTERVAL 30 MINUTE
       GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT d, count(*) AS n_views, sum(converted)::BIGINT AS n_converted
+      FROM conv GROUP BY d
     )
-    SELECT d, count(*) AS n_views, sum(converted)::BIGINT AS n_converted,
-           round(sum(converted) / count(*), 4) AS conversion_rate
-    FROM conv GROUP BY d
+    SELECT d, n_views, n_converted,
+           {ratio_e4_sql('n_converted', 'n_views')} AS conversion_rate_e4
+    FROM agg
     """,
     survey_ref="§2.3/§2.4 composition: funnel conversion (time-bounded attribution, batch twin of the stream-stream join)",
 )
@@ -373,8 +378,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.max(F.when(F.col("p_id").isNotNull(), 1).otherwise(0)).alias("converted")
     )
-    return per_view.groupBy("d").agg(
+    agg = per_view.groupBy("d").agg(
         F.count(F.lit(1)).alias("n_views"),
         F.sum("converted").alias("n_converted"),
-        F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias("conversion_rate"),
+    )
+    return agg.select(
+        "d", "n_views", "n_converted",
+        ratio_e4("n_converted", "n_views").alias("conversion_rate_e4"),
     )

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
+from nilm_data_framework_spark.operators.exact_math import (
+    ratio_e4,
+    ratio_e4_sql,
+    ratio_scaled_sql,
+)
 from nilm_data_framework_spark.operators import aggregates as AG
 from nilm_data_framework_spark.operators import graph as G
 from nilm_data_framework_spark.operators import joins as J
@@ -210,15 +214,19 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "constraint_suite_report",
-    oracle="""
+    oracle=f"""
     SELECT 'completeness_o_custkey' AS check_name,
-           round(count(o_custkey) / count(*)::DOUBLE, 6) AS metric,
-           round(count(o_custkey) / count(*)::DOUBLE, 6) >= 1.0 AS passed
+           round({ratio_scaled_sql('count(o_custkey)', 'count(*)', 6)}
+                 / 1000000.0, 6) AS metric,
+           {ratio_scaled_sql('count(o_custkey)', 'count(*)', 6)}
+                 >= 1000000 AS passed
     FROM orders
     UNION ALL
     SELECT 'unique_o_orderkey',
-           round(count(DISTINCT o_orderkey) / count(*)::DOUBLE, 6),
-           round(count(DISTINCT o_orderkey) / count(*)::DOUBLE, 6) >= 1.0
+           round({ratio_scaled_sql('count(DISTINCT o_orderkey)', 'count(*)', 6)}
+                 / 1000000.0, 6),
+           {ratio_scaled_sql('count(DISTINCT o_orderkey)', 'count(*)', 6)}
+                 >= 1000000
     FROM orders
     UNION ALL
     SELECT 'min_o_totalprice_positive',
@@ -232,10 +240,9 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'status_in_set',
-           round(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
-                 / count(*)::DOUBLE, 6),
-           round(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
-                 / count(*)::DOUBLE, 6) >= 1.0
+           round({ratio_scaled_sql("sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)", 'count(*)', 6)}
+                 / 1000000.0, 6),
+           {ratio_scaled_sql("sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)", 'count(*)', 6)} >= 1000000
     FROM orders
     UNION ALL
     SELECT 'fk_orders_customer', CAST(count(*) AS DOUBLE), count(*) = 0

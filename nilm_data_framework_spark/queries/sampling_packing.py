@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
 from nilm_data_framework_spark.operators import sampling as SM
 from nilm_data_framework_spark.operators import text as T
 from nilm_data_framework_spark.plans.registry import query
@@ -303,18 +304,20 @@ def heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "key_skew_audit",
-    oracle="""
+    oracle=f"""
     WITH per_key AS (
       SELECT user_id, count(*) AS n FROM events GROUP BY user_id
     ), stats AS (
-      SELECT count(*) AS n_keys, sum(n) AS total, max(n) AS max_n
+      SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+             CAST(max(n) AS BIGINT) AS max_n,
+             CAST((SELECT sum(n) FROM
+                   (SELECT n FROM per_key ORDER BY n DESC LIMIT 10)) AS BIGINT)
+               AS top10
       FROM per_key
     )
-    SELECT n_keys::BIGINT AS n_keys, total::BIGINT AS total_rows,
-           max_n AS max_key_rows,
-           round(max_n / (total / n_keys), 4) AS max_over_mean,
-           round((SELECT sum(n) FROM (SELECT n FROM per_key ORDER BY n DESC LIMIT 10))
-                 / total, 4) AS top10_share
+    SELECT n_keys, total AS total_rows, max_n AS max_key_rows,
+           {ratio_e4_sql('max_n * n_keys', 'total')} AS max_over_mean_e4,
+           {ratio_e4_sql('top10', 'total')} AS top10_share_e4
     FROM stats
     """,
     survey_ref="§2.4 extension: join/groupBy key-skew audit (pre-shuffle hot-key detection)",
@@ -341,10 +344,9 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_keys"),
         F.col("total").alias("total_rows"),
         F.col("max_n").alias("max_key_rows"),
-        F.round(F.col("max_n") / (F.col("total") / F.col("n_keys")), 4).alias(
-            "max_over_mean"
-        ),
-        F.round(F.col("top10") / F.col("total"), 4).alias("top10_share"),
+        # exact 1e-4-scaled integer ratios: max/mean == max*n_keys/total
+        ratio_e4("max_n * n_keys", "total").alias("max_over_mean_e4"),
+        ratio_e4("top10", "total").alias("top10_share_e4"),
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
 from nilm_data_framework_spark.operators import lm as L
 from nilm_data_framework_spark.plans.registry import query
 from nilm_data_framework_spark.sources.testdata import load_table
@@ -53,14 +54,18 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tok FROM tok GROUP BY tok
       ORDER BY count(*) DESC, tok ASC LIMIT 20
     ),
-    doc_tok AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
-    SELECT d.doc_id,
-           CAST(sum(d.c) AS BIGINT) AS n_tok,
-           CAST(sum(CASE WHEN v.tok IS NULL THEN d.c ELSE 0 END) AS BIGINT) AS n_oov,
-           round(sum(CASE WHEN v.tok IS NULL THEN d.c ELSE 0 END) / sum(d.c), 4)
-             AS oov_rate
-    FROM doc_tok d LEFT JOIN vocab v USING (tok)
-    GROUP BY d.doc_id
+    doc_tok AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT d.doc_id,
+             CAST(sum(d.c) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN d.c ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM doc_tok d LEFT JOIN vocab v USING (tok)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tok, n_oov,
+           {ratio_e4_sql('n_oov', 'n_tok')} AS oov_rate_e4
+    FROM agg
     """,
     survey_ref="§2.10 tokenizer prep: per-doc OOV rate vs corpus top-20 vocab (top-V; V=20 keeps the gate non-vacuous on the 31-distinct-token synthetic corpus)",
 )

@@ -83,6 +83,120 @@ def workloads(docs: DataFrame) -> dict:
     }
 
 
+def replicate_facts(li: DataFrame, orders: DataFrame, k: int):
+    """k disjoint copies of the (lineitem, orders) fact pair: ALL keys
+    (order, part, supplier) are shifted per replica, so the co-occurrence /
+    supplier→part graphs gain k disjoint isomorphic components and the
+    sweep-line gains k× intervals — vertex, edge, and interval counts all
+    scale linearly with k, which is exactly the claim under test."""
+    SHIFT = 100_000_000
+    li_parts, o_parts = [li], [orders]
+    for r in range(1, k):
+        li_parts.append(
+            li.select(
+                (F.col("l_orderkey") + SHIFT * r).alias("l_orderkey"),
+                (F.col("l_partkey") + SHIFT * r).alias("l_partkey"),
+                (F.col("l_suppkey") + SHIFT * r).alias("l_suppkey"),
+            )
+        )
+        o_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + SHIFT * r).alias("o_orderkey"),
+                "o_orderpriority", "o_orderdate",
+            )
+        )
+    li_out, o_out = li_parts[0].select("l_orderkey", "l_partkey", "l_suppkey"), (
+        o_parts[0].select("o_orderkey", "o_orderpriority", "o_orderdate")
+    )
+    for p in li_parts[1:]:
+        li_out = li_out.unionByName(p)
+    for p in o_parts[1:]:
+        o_out = o_out.unionByName(p)
+    return (
+        li_out.repartition(32, "l_orderkey").localCheckpoint(eager=True),
+        o_out.repartition(32, "o_orderkey").localCheckpoint(eager=True),
+    )
+
+
+def fact_workloads(li: DataFrame, orders: DataFrame) -> dict:
+    """Round-4 families over the replicated facts (mirrors the registered
+    queries' constructions: triangle_count_parts / pagerank_step /
+    association_rules / concurrency_peaks)."""
+    from nilm_data_framework_spark.operators import graph as G
+    from nilm_data_framework_spark.operators import windows as W
+
+    def _pair_edges():
+        parts = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        )
+        pairs = parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        ).select("p.src", "p.dst")
+        return (
+            pairs.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("_sup"))
+            .filter(F.col("_sup") >= 2)
+            .drop("_sup")
+        )
+
+    def _triangles():
+        return G.triangle_count(_pair_edges()).count()
+
+    def _pagerank():
+        edges = li.select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        ).distinct().localCheckpoint(eager=True)
+        return G.pagerank_iteration(edges, damping=0.85).count()
+
+    def _assoc_rules():
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        parts = op.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        )
+        pairs = parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        return (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= 2)
+            .count()
+        )
+
+    def _sweepline():
+        iv = orders.select(
+            "o_orderpriority",
+            F.expr("unix_timestamp(o_orderdate) div 86400").alias("s"),
+            (
+                F.expr("unix_timestamp(o_orderdate) div 86400")
+                + (F.col("o_orderkey") % 28) + 1
+            ).alias("e"),
+        )
+        return W.sweepline_concurrency(
+            iv, ["o_orderpriority"], start="s", end="e"
+        ).count()
+
+    return {
+        "triangle_count_parts": _triangles,
+        "pagerank_step": _pagerank,
+        "association_rules": _assoc_rules,
+        "concurrency_peaks": _sweepline,
+    }
+
+
 def _bloom_probe(docs: DataFrame) -> int:
     """Bloom decontamination shape: build on the 1-in-40 eval slice's
     3-grams, probe the train slice. The probe side grows with k (linear
@@ -106,21 +220,35 @@ def main() -> None:
     base = load_table(spark, SF_DIR, "documents", parallelize=True)
     base.count()  # warm scan
 
+    li_base = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders_base = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+
     results: dict[str, list[tuple[int, float]]] = {}
     for k in ks:
         docs = replicate(base, k)
         n = docs.count()
-        for name, fn in workloads(docs).items():
-            fn()  # warm (codegen, broadcast setup)
-            times = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                rows = fn()
-                times.append(time.perf_counter() - t0)
-            sec = min(times)
-            results.setdefault(name, []).append((n, sec))
-            print(json.dumps({"query": name, "k": k, "corpus_rows": n,
-                              "result_rows": rows, "sec": round(sec, 3)}))
+        li, orders = replicate_facts(li_base, orders_base, k)
+        n_li = li.count()
+        sized = [
+            (workloads(docs), n),
+            (fact_workloads(li, orders), n_li),
+        ]
+        for wl, rows_in in sized:
+            for name, fn in wl.items():
+                fn()  # warm (codegen, broadcast setup)
+                times = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rows = fn()
+                    times.append(time.perf_counter() - t0)
+                sec = min(times)
+                results.setdefault(name, []).append((rows_in, sec))
+                print(json.dumps({"query": name, "k": k, "corpus_rows": rows_in,
+                                  "result_rows": rows, "sec": round(sec, 3)}))
 
     print("\n# log-log slope (sec ~ corpus^slope); <= ~1.1 = scales linearly")
     for name, pts in results.items():

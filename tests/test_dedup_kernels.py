@@ -291,9 +291,9 @@ def test_repetition_scores_known_doc(spark):
     # doc1 2-grams: [spam spam, spam spam, spam spam, spam eggs] → 4 total,
     # 2 distinct, top count 3
     assert out[1]["n_grams"] == 4
-    assert abs(out[1]["dup_frac"] - 0.5) < 1e-9
-    assert abs(out[1]["top_frac"] - 0.75) < 1e-9
-    assert out[2]["dup_frac"] == 0.0
+    assert out[1]["dup_frac_e4"] == 5000
+    assert out[1]["top_frac_e4"] == 7500
+    assert out[2]["dup_frac_e4"] == 0
 
 
 def test_redact_pii_masks_and_counts(spark):

@@ -106,7 +106,7 @@ def test_boilerplate_detection_contract(spark):
     assert 3 not in cov  # too short → no grams → absent
     assert cov[0]["n_grams"] == 3 and cov[0]["n_boiler"] == 1
     assert cov[2]["n_grams"] == 3 and cov[2]["n_boiler"] == 1
-    assert abs(cov[1]["boiler_ratio"] - round(1 / 3, 4)) < 1e-9
+    assert cov[1]["boiler_ratio_e4"] == 3333  # round-half-up(1e4/3)
 
 
 def test_scd2_intervals_collapses_runs(spark):

@@ -43,7 +43,7 @@ def test_vocab_total_order_deterministic(spark, docs_df):
 def test_oov_rate_full_vocab_is_zero(spark, docs_df):
     out = {r["doc_id"]: r for r in L.oov_rate(docs_df, vocab_size=1000).collect()}
     assert set(out) == {0, 1, 2, 3}
-    assert all(r["n_oov"] == 0 and r["oov_rate"] == 0.0 for r in out.values())
+    assert all(r["n_oov"] == 0 and r["oov_rate_e4"] == 0 for r in out.values())
 
 
 def test_oov_rate_counts_occurrences_not_types(spark, docs_df):

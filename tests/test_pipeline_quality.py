@@ -39,6 +39,29 @@ def test_bloom_never_misses_exact_members(spark):
     assert flagged.count() == 50  # every doc's own gram hits
 
 
+def test_bloom_probe_duplicate_doc_grams_no_false_negative(spark):
+    """r4 advisor regression: duplicate (doc, gram) input rows used to
+    double the surviving-row count past _need and silently UNFLAG a
+    fully-set gram — a false negative breaking the Bloom contract. The
+    probe now counts DISTINCT set positions, so callers need not
+    pre-distinct their gram lists."""
+    # doc 1's only overlapping gram appears twice; doc 2 is a clean control
+    doc_grams = spark.createDataFrame(
+        [(1, "shared gram"), (1, "shared gram"), (2, "shared gram")],
+        "doc_id long, g string",
+    )
+    bits = SK.bloom_build(
+        spark.createDataFrame([("shared gram",)], "g string"), "g", m=1024, k=3
+    )
+    flagged = {
+        r["doc_id"]
+        for r in SK.bloom_probe_docs(
+            doc_grams, bits, ["doc_id"], "g", m=1024, k=3
+        ).collect()
+    }
+    assert flagged == {1, 2}
+
+
 def test_bloom_flags_are_superset_of_exact(spark):
     """On the real corpus: bloom-flagged docs ⊇ exact-overlap docs."""
     d = load_table(spark, SF_DIR, "documents")

@@ -568,3 +568,95 @@ def test_dataset_manifest_pure_aggregation(spark):
     for bad in ("Sort", "Window", "Join"):
         assert bad not in plan, f"manifest plan contains {bad}"
     assert "HashAggregate" in plan
+
+
+# --- round-5 plan claims ------------------------------------------------------
+
+
+def test_seasonal_decompose_trend_single_exchange(spark):
+    # the scale-correct shape is exactly TWO exchanges: (event_type, h) for
+    # the map-side-combined hourly reduction over raw events, then ONE
+    # event_type exchange for the ±12h RANGE trend window — and the final
+    # hour-of-day profile agg must REUSE the window's partitioning
+    # (hashpartitioning(event_type) clusters (event_type, hod)), adding none
+    plan = _plan(spark, "seasonal_decompose_daily")
+    import re
+
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^,)]+)", plan)
+    assert [e.split("#")[0] for e in exchanges] == ["event_type", "event_type"], (
+        f"expected [agg (event_type,h), window (event_type)] only, saw "
+        f"{exchanges}"
+    )
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    assert "Join" not in plan, "decomposition must not self-join the series"
+
+
+def test_lsh_reference_corpus_side_never_shuffles(spark, tmp_path):
+    # The persisted incremental-LSH layout (operators/dedup.py::
+    # write_lsh_reference): bucketed-by-join-key reference tables must feed
+    # both per-batch joins WITHOUT an Exchange on the corpus side — the
+    # whole point of persisting the layout. Assert per-join with broadcast
+    # disabled so bucketing (not AQE smallness) is what saves the shuffle.
+    import re
+
+    from pyspark.sql import functions as F
+
+    from nilm_data_framework_spark.operators import dedup as D
+    from nilm_data_framework_spark.sources.testdata import load_table
+
+    # no .limit() here: GlobalLimit plans its own single-partition Exchange,
+    # which would pollute the exchange counts below (sf0.001 docs are small)
+    docs = load_table(spark, SF_DIR, "documents")
+    prefix = "t_lsh_ref_plan"
+    D.write_lsh_reference(
+        docs.filter(F.col("doc_id") % 5 != 0), prefix,
+        num_hashes=16, bands=4, buckets=4, path=str(tmp_path / "ref"),
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ref_banded, ref_hs, meta = D.read_lsh_reference(spark, prefix)
+        assert meta["seed"] == 42 and meta["bands"] == 4
+
+        def n_exchanges(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue()))
+
+        # corpus-side-only probe: agg on the bucket keys needs NO exchange
+        assert n_exchanges(ref_banded.groupBy("band", "bucket").count()) == 0
+
+        # candidate join: exactly ONE exchange — the new batch being
+        # repartitioned into the reference's bucketing
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        hashed_new = D._hashed_shingles(batch, "doc_id", "text", 3)
+        banded_new = D._banded(
+            hashed_new, D._minhash_hash_params(16, 42), 4, 4
+        )
+        cand = banded_new.withColumnRenamed("id", "new_id").join(
+            ref_banded, ["band", "bucket"]
+        )
+        assert n_exchanges(cand) == 1, "corpus side of candidate join shuffled"
+
+        # verify join: the (id, hs) lookup against the reference is also
+        # exchange-free on the corpus side (bucketed+aliased by id)
+        probe_ids = ref_banded.filter(F.col("band") == 0).select(
+            F.col("id").alias("ref_id")
+        )
+        verify = probe_ids.join(
+            ref_hs.select(F.col("id").alias("ref_id"), "hs"), "ref_id"
+        )
+        assert n_exchanges(verify) == 1, "corpus side of verify join shuffled"
+
+        # end-to-end: the reference-driven screen equals the on-the-fly one
+        got = D.minhash_lsh_join_reference(batch, prefix).collect()
+        want = D.minhash_lsh_join(
+            batch, docs.filter(F.col("doc_id") % 5 != 0),
+            num_hashes=16, bands=4,
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        for s in ("buckets", "hs", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
