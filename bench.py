@@ -99,6 +99,11 @@ HEADLINE = [
     "weighted_median_price",
     "psi_value_drift",
     "incremental_neardup_persisted",
+    # round-5 batch 2: attribution/trends/graph/tokenizer extensions
+    "multi_touch_attribution",
+    "custdist_orders",
+    "label_propagation_step",
+    "tokenizer_fertility",
 ]
 
 

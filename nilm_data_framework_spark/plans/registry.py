@@ -81,7 +81,9 @@ _DRIVER_RECORDED = frozenset({
     "bpe_pair_counts", "unigram_surprisal_score",
     "quality_classifier", "span_dedup_summary", "resample_interpolated",
     "run_length_filter", "run_segments", "median_smooth", "truncate_to_min",
-    "sessionize", "running_total", "scd2_user_intervals",
+    "running_total", "scd2_user_intervals",
+    # sessionize (r2) + streaming_sessionize_equiv (r3) re-front-loaded in
+    # r5: avg_session_events hardened to an exact e4 integer.
     "pricing_summary", "shipping_priority", "local_supplier_volume",
     "forecast_revenue", "large_volume_orders", "late_shipment_priority",
     "small_quantity_revenue", "lapsed_rich_customers", "rollup_returns",
@@ -105,7 +107,7 @@ _DRIVER_RECORDED = frozenset({
     "kmeans_centroid_update", "semantic_dedup_survivors", "pq_topk",
     "pq_topk_rerank", "ivf_pq_topk", "hard_negative_mining",
     "contrastive_triplets", "streaming_resample_equiv",
-    "streaming_sessionize_equiv", "streaming_late_data_drop",
+    "streaming_late_data_drop",
     "streaming_dedup_equiv", "streaming_sliding_window_equiv",
     "streaming_dedup_watermark_equiv", "streaming_static_join_equiv",
     "streaming_stream_join_equiv", "sliding_windows_grouped",
@@ -150,6 +152,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so `import nilm_data_framework_spark` stays cheap.
     from nilm_data_framework_spark.queries import (  # noqa: F401
         advanced_analytics,
+        attribution_trends,
         curation_lakehouse,
         dedup_text,
         nilm_analysis,

@@ -1,0 +1,335 @@
+"""Round-5 analytics extensions: multi-touch attribution, outer-join count
+distributions (TPC-H Q13 shape), exact-moment OLS trend screening, one
+label-propagation step, and tokenizer fertility.
+
+Every ratio reported here is either an exact integer or an exact scaled
+integer via operators/exact_math.py — the r4/r5 typed-hash discipline. All
+window families ride a single entity-key exchange; all joins are equi-joins
+with AQE-decided sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
+from nilm_data_framework_spark.operators import text as T
+from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.sources.testdata import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", parallelize=True)
+
+
+# --- multi-touch attribution --------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day lookback
+
+
+@query(
+    "multi_touch_attribution",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_purchase
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_type, tus, event_id, next_purchase
+      FROM tagged
+      WHERE event_type IN ('view', 'click')
+        AND next_purchase IS NOT NULL
+        AND next_purchase - tus <= {_ATTR_WINDOW_US}
+        AND next_purchase > tus
+    ),
+    ranked AS (
+      SELECT event_type, user_id, next_purchase,
+             row_number() OVER (PARTITION BY user_id, next_purchase
+                                ORDER BY tus, event_id) AS rk,
+             count(*) OVER (PARTITION BY user_id, next_purchase) AS n_touch
+      FROM touches
+    ),
+    credited AS (
+      SELECT event_type,
+             CAST(10000 // n_touch
+                  + CASE WHEN rk = 1 THEN 10000 % n_touch ELSE 0 END
+                  AS BIGINT) AS credit_e4
+      FROM ranked
+    )
+    SELECT event_type,
+           count(*) AS n_touches,
+           CAST(sum(credit_e4) AS BIGINT) AS total_credit_e4
+    FROM credited GROUP BY 1
+    """,
+    survey_ref="§2.5 extension: multi-touch (linear) attribution — each "
+    "touch credited to its next purchase within 7 days; exact integer "
+    "basis-point credits summing to 10000 per conversion",
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click is credited to the
+    user's NEXT purchase at most 7 days later; a conversion's 10000 basis
+    points are split floor(10000/n) per touch with the integer remainder
+    assigned to the FIRST touch, so credits are exact integers and sum to
+    exactly 10000 per conversion (auditable — no float leakage). Shape:
+    the touch→conversion assignment is one conditional window minimum over
+    the user-key ordering (the funnel/sessionize exchange, NO touch×
+    purchase range join), then a (user, conversion) window for rank/size,
+    then one global agg. Everything after the reduction is O(touches).
+    At 100 TB this is sessionization's marginal cost — the same single
+    entity-key shuffle."""
+    ev = _events(spark, sf_dir)
+    tus = F.unix_micros("ts")
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tagged = ev.select(
+        "user_id", "event_type", "event_id", tus.alias("tus")
+    ).withColumn(
+        "next_purchase",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("tus"))
+        ).over(w_next),
+    )
+    touches = tagged.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("next_purchase").isNotNull()
+        & (F.col("next_purchase") - F.col("tus") <= _ATTR_WINDOW_US)
+        & (F.col("next_purchase") > F.col("tus"))
+    )
+    w_conv = Window.partitionBy("user_id", "next_purchase")
+    ranked = touches.select(
+        "event_type",
+        F.row_number()
+        .over(w_conv.orderBy("tus", "event_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_conv).alias("n_touch"),
+    )
+    credited = ranked.select(
+        "event_type",
+        (
+            F.expr("10000 div n_touch")
+            + F.when(F.col("rk") == 1, F.expr("10000 % n_touch")).otherwise(0)
+        ).cast("long").alias("credit_e4"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit_e4").alias("total_credit_e4"),
+    )
+
+
+# --- TPC-H Q13 shape: customer order-count distribution -----------------------
+
+
+@query(
+    "custdist_orders",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    survey_ref="§2.3/§2.4 composition: TPC-H Q13 shape — outer-join count "
+    "distribution (customers with zero orders kept by the LEFT join)",
+)
+def custdist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders-per-customer INCLUDING zero-order customers —
+    the double-aggregation-over-outer-join shape (TPC-H Q13) that inner
+    joins silently get wrong. count(o_orderkey) (not count(*)) makes the
+    no-match rows count 0. Two hash aggs; the join shuffles on the customer
+    key; the second agg's frame is O(distinct counts) — tiny. All exact
+    integers."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- exact-moment OLS trend per series ----------------------------------------
+
+
+@query(
+    "ols_trend_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS x,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             AS slope_den
+    FROM daily GROUP BY 1
+    """,
+    survey_ref="§2.4 extension: per-series OLS trend screen via exact "
+    "integer moments (slope = num/den as an exact rational — no float "
+    "regression, no rounding)",
+)
+def ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of each event type's daily integer-cents total,
+    reported as the EXACT rational slope_num/slope_den (n·Σxy − Σx·Σy over
+    n·Σx² − (Σx)²) — the fleet-wide 'is this series drifting' screen run
+    before fitting real models (same role as seasonal_naive_error). Both
+    moments are 64-bit-exact: x is a day index, y integer cents. Two
+    map-side-combined aggs (daily reduction, then per-key moments); the
+    moment frame is O(keys × days). Sign-safe by construction — no integer
+    division is performed, so the Spark-div-truncates vs DuckDB-floors
+    negative-operand divergence cannot arise."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("x"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y"))
+    n = F.count(F.lit(1))
+    return daily.groupBy("event_type").agg(
+        n.alias("n_days"),
+        (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).alias(
+            "slope_num"
+        ),
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).alias(
+            "slope_den"
+        ),
+    )
+
+
+# --- one label-propagation step -----------------------------------------------
+
+
+@query(
+    "label_propagation_step",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    sym AS (
+      SELECT src AS v, dst AS nb FROM e
+      UNION ALL
+      SELECT dst AS v, src AS nb FROM e
+    ),
+    votes AS (SELECT v, nb AS lbl, count(*) AS c FROM sym GROUP BY 1, 2),
+    ranked AS (
+      SELECT v, lbl,
+             row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rk
+      FROM votes
+    ),
+    new_lbl AS (SELECT v, lbl AS new_label FROM ranked WHERE rk = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(sum(CASE WHEN new_label < v THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_decreased,
+           CAST(count(DISTINCT new_label) AS BIGINT) AS n_labels
+    FROM new_lbl
+    """,
+    survey_ref="§2 graph extension: one synchronous label-propagation step "
+    "(majority neighbor label, deterministic (count DESC, label ASC) "
+    "tiebreak) over the supplier→part graph",
+)
+def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous LPA step from the identity labeling (label = vertex
+    id): every vertex adopts its most frequent neighbor label with the
+    deterministic (count DESC, label ASC) tiebreak — the community-
+    detection sibling of pagerank_step/connected_components. Start labels
+    equal vertex ids, so a neighbor's label IS its id and the step needs no
+    label join: one symmetric edge union, one (v, label) count agg, one
+    rank-1 window per vertex, then an O(1)-row summary. Iterating = feeding
+    new_label back through the same plan with localCheckpoint per round
+    (the connected_components discipline). All shuffles are on vertex
+    ids — AQE-skew-splittable; the vote frame is O(edges)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    sym = e.select(F.col("src").alias("v"), F.col("dst").alias("nb")).unionAll(
+        e.select(F.col("dst").alias("v"), F.col("src").alias("nb"))
+    )
+    votes = sym.groupBy("v", F.col("nb").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    new_lbl = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("v", F.col("lbl").alias("new_label"))
+    )
+    return new_lbl.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(
+            F.when(F.col("new_label") < F.col("v"), 1).otherwise(0)
+        ).alias("n_decreased"),
+        F.countDistinct("new_label").alias("n_labels"),
+    )
+
+
+# --- tokenizer fertility per language -----------------------------------------
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_words,
+             len(regexp_extract_all(lower(text),
+                                    '([a-z]+|[0-9]|[^a-z0-9\\s]+)', 1))
+               AS n_pieces
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS total_words,
+             CAST(sum(n_pieces) AS BIGINT) AS total_pieces
+      FROM t GROUP BY 1
+    )
+    SELECT lang, n_docs, total_words, total_pieces,
+           {ratio_e4_sql('total_pieces', 'total_words')} AS fertility_e4
+    FROM agg
+    """,
+    survey_ref="§2.10 tokenizer prep: fertility (BPE-ish pieces per "
+    "whitespace word) per language — the vocab-allocation signal a "
+    "multilingual tokenizer build reads first",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pieces per whitespace
+    word (operators/text.py::bpe_ish_token_count over tokens) — languages
+    with fertility ≫ 1 are under-served by the vocab and get more merges
+    in a multilingual tokenizer build (the XLM-R/NLLB allocation signal).
+    One narrow projection + one agg, map-side combined; the ratio is an
+    exact e4 integer. Linear at any corpus size."""
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang",
+        T.token_count(F.col("text")).alias("n_words"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_pieces").alias("total_pieces"),
+    )
+    return agg.select(
+        "lang", "n_docs", "total_words", "total_pieces",
+        ratio_e4("total_pieces", "total_words").alias("fertility_e4"),
+    )

@@ -217,7 +217,7 @@ def truncate_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sessionize",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
@@ -229,11 +229,16 @@ def truncate_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps
+    ),
+    per AS (SELECT user_id, session_id, count(*) AS cnt FROM sess GROUP BY ALL),
+    agg AS (
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(cnt) AS BIGINT) AS n_events
+      FROM per GROUP BY user_id
     )
-    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
-           round(avg(cnt), 4) AS avg_session_events
-    FROM (SELECT user_id, session_id, count(*) AS cnt FROM sess GROUP BY ALL)
-    GROUP BY user_id
+    SELECT user_id, n_sessions, n_events,
+           {ratio_e4_sql('n_events', 'n_sessions')} AS avg_session_events_e4
+    FROM agg
     """,
     survey_ref="§2.9 session windows (batch twin of W5 ON-segments)",
 )
@@ -249,9 +254,15 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = ev.withColumn("_new", new_sess).withColumn("session_id", F.sum("_new").over(run))
     per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
-    return per_session.groupBy("user_id").agg(
+    agg = per_session.groupBy("user_id").agg(
         F.countDistinct("session_id").alias("n_sessions"),
-        F.round(F.avg("cnt"), 4).alias("avg_session_events"),
+        F.sum("cnt").alias("n_events"),
+    )
+    return agg.select(
+        "user_id", "n_sessions", "n_events",
+        # exact e4 integer (operators/exact_math.py): avg(int)/int at a
+        # fixed dp is the documented cross-engine half-boundary trap
+        ratio_e4("n_events", "n_sessions").alias("avg_session_events_e4"),
     )
 
 

@@ -24,6 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
 from nilm_data_framework_spark.plans.registry import query
 from nilm_data_framework_spark.sources.testdata import _ensure_session_confs
 
@@ -122,7 +123,7 @@ _SESS_SINK = "streaming_sessionize_equiv_sink"
 
 @query(
     "streaming_sessionize_equiv",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
       SELECT user_id, ts,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
@@ -134,11 +135,16 @@ _SESS_SINK = "streaming_sessionize_equiv_sink"
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps
+    ),
+    per AS (SELECT user_id, session_id, count(*) AS cnt FROM sess GROUP BY ALL),
+    agg AS (
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(cnt) AS BIGINT) AS n_events
+      FROM per GROUP BY user_id
     )
-    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
-           round(avg(cnt), 4) AS avg_session_events
-    FROM (SELECT user_id, session_id, count(*) AS cnt FROM sess GROUP BY ALL)
-    GROUP BY user_id
+    SELECT user_id, n_sessions, n_events,
+           {ratio_e4_sql('n_events', 'n_sessions')} AS avg_session_events_e4
+    FROM agg
     """,
     survey_ref="§2.9 streaming session windows (session_window; batch twin of W5/sessionize)",
     tags=("streaming",),
@@ -164,7 +170,11 @@ def streaming_sessionize_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
-            F.round(F.avg("cnt"), 4).alias("avg_session_events"),
+            F.sum("cnt").alias("n_events"),
+        )
+        .select(
+            "user_id", "n_sessions", "n_events",
+            ratio_e4("n_events", "n_sessions").alias("avg_session_events_e4"),
         )
     )
 

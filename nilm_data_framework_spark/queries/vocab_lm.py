@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+from nilm_data_framework_spark.operators.exact_math import (
+    ratio_e4_sql,
+    ratio_scaled,
+    ratio_scaled_sql,
+)
 from nilm_data_framework_spark.operators import lm as L
 from nilm_data_framework_spark.plans.registry import query
 from nilm_data_framework_spark.sources.testdata import load_table
@@ -162,7 +166,7 @@ def doc_chunks_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_quality_gate",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT doc_id, lang, source,
              len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
@@ -170,13 +174,14 @@ def doc_chunks_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     src AS (
-      SELECT source, round(avg(n_tok), 4) AS avg_tok,
+      SELECT source,
+             {ratio_scaled_sql('sum(n_tok)', 'count(*)', 6)} AS avg_tok_e6,
              count(*) AS n_src_docs
       FROM q GROUP BY source
     ),
     ranked AS (
       SELECT source,
-             row_number() OVER (ORDER BY avg_tok DESC, source ASC) AS rk,
+             row_number() OVER (ORDER BY avg_tok_e6 DESC, source ASC) AS rk,
              count(*) OVER () AS n_sources
       FROM src
     ),
@@ -196,8 +201,12 @@ def source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.select(
         "doc_id", "lang", "source", token_count(F.col("text")).alias("n_tok")
     )
-    src = q.groupBy("source").agg(F.round(F.avg("n_tok"), 4).alias("avg_tok"))
-    w = Window.orderBy(F.col("avg_tok").desc(), F.col("source").asc())
+    # rank key = EXACT e6-scaled integer mean (operators/exact_math.py): a
+    # float avg could flip the top-half cut on a cross-engine half-boundary
+    src = q.groupBy("source").agg(
+        F.sum("n_tok").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    ).select("source", ratio_scaled("_sum", "_n", 6).alias("avg_tok_e6"))
+    w = Window.orderBy(F.col("avg_tok_e6").desc(), F.col("source").asc())
     ranked = src.select(
         "source",
         F.row_number().over(w).alias("rk"),

@@ -98,6 +98,18 @@ SHOWCASE = [
     ("min_cost_supplier", "Q2 argmin: (part, supplier) reduction -> one "
      "rank window per part -> AQE-decided dim joins (no forced broadcast "
      "over sf-scaled part/supplier)"),
+    ("incremental_neardup_persisted_lazy", "persisted-reference incremental "
+     "LSH (r5): the corpus side of BOTH joins is a bucketed table scan "
+     "with NO Exchange above it — only the arriving batch is shuffled "
+     "into the reference's (band, bucket) / (id) bucketing (lazy form — "
+     "the registered query materializes)"),
+    ("multi_touch_attribution", "multi-touch attribution: touch-to-"
+     "conversion assignment is a conditional window minimum riding ONE "
+     "user-key exchange — no touch x purchase range join; credits are "
+     "exact integer basis points"),
+    ("custdist_orders", "TPC-H Q13 shape: LEFT join keeps zero-order "
+     "customers; two hash aggs, the second over the O(distinct counts) "
+     "frame"),
 ]
 
 
@@ -159,9 +171,29 @@ def main() -> None:
         "claims; `tests/test_plan_quality.py` asserts the load-bearing\n"
         "properties so they cannot regress silently.\n"
     ]
+    def persisted_lsh_lazy(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from nilm_data_framework_spark.operators import dedup as D
+        from nilm_data_framework_spark.sources.testdata import load_table
+
+        docs = load_table(spark, sf_dir, "documents", parallelize=True)
+        prefix = "plans_lsh_ref"
+        D.write_lsh_reference(
+            docs.filter(F.col("doc_id") % 5 != 0), prefix,
+            buckets=8, path=tempfile.mkdtemp(),
+        )
+        return D.minhash_lsh_join_reference(
+            docs.filter(F.col("doc_id") % 5 == 0), prefix, materialize=False
+        )
+
     for name, why in SHOWCASE:
         if name == "minhash_lsh_pairs_lazy":
             df = minhash_lazy(spark, sf_dir)
+        elif name == "incremental_neardup_persisted_lazy":
+            df = persisted_lsh_lazy(spark, sf_dir)
         elif name == "incremental_neardup_pairs_lazy":
             df = incremental_lazy(spark, sf_dir)
         elif name == "triangle_count_parts_lazy":
