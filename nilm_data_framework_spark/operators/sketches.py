@@ -78,6 +78,7 @@ def bloom_probe_docs(
     gram_col: str,
     m: int,
     k: int,
+    distinct_grams: bool = False,
 ) -> DataFrame:
     """Probe: a gram hits iff ALL k of its positions are set; a doc is
     flagged iff ANY of its grams hits. Returns the distinct flagged
@@ -89,12 +90,16 @@ def bloom_probe_docs(
     explode, so the probe is one narrow projection + one inner join against
     the ≤m-row bit table (AQE elects broadcast — the table derives from the
     sf-scaled eval set so no forced hint, but its size is CAPPED at m rows
-    by construction) + ONE (doc, gram) agg. The agg counts DISTINCT
-    surviving positions (not rows): duplicate (doc, gram) input rows would
-    multiply a plain row count past ``_need`` and silently turn a fully-set
-    gram into a miss — a false NEGATIVE, breaking the Bloom contract (r4
-    advisor finding; callers that pre-apply ``array_distinct`` per doc were
-    safe only by accident).
+    by construction) + ONE (doc, gram) agg. By default the agg counts
+    DISTINCT surviving positions (not rows): duplicate (doc, gram) input
+    rows would multiply a plain row count past ``_need`` and silently turn
+    a fully-set gram into a miss — a false NEGATIVE, breaking the Bloom
+    contract (r4 advisor finding; callers that pre-apply ``array_distinct``
+    per doc were safe only by accident). ``distinct_grams=True`` is the
+    caller's PROMISE that (id_cols, gram) rows are unique (e.g. grams come
+    from an exploded per-doc ``array_distinct``) — the agg then uses the
+    cheaper plain count, which benchmarked ~2x faster at sf0.1 (the
+    distinct agg adds a second partial-aggregation layer).
     """
     pos_arr = doc_grams.select(
         *[F.col(c) for c in id_cols],
@@ -106,10 +111,11 @@ def bloom_probe_docs(
         F.size("_pa").alias("_need"),
         F.explode("_pa").alias("pos"),
     )
+    have = F.count(F.lit(1)) if distinct_grams else F.countDistinct("pos")
     gram_hits = (
         probed.join(bits, "pos")
         .groupBy(*id_cols, "_g", "_need")
-        .agg(F.countDistinct("pos").alias("_have"))
+        .agg(have.alias("_have"))
         .filter(F.col("_have") == F.col("_need"))
     )
     return gram_hits.select(*id_cols).distinct()

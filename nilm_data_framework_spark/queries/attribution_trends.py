@@ -333,3 +333,159 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_docs", "total_words", "total_pieces",
         ratio_e4("total_pieces", "total_words").alias("fertility_e4"),
     )
+
+
+# --- debounce (burst collapse) ------------------------------------------------
+
+_DEBOUNCE_GAP_US = 60 * 1_000_000  # 60 s
+
+
+@query(
+    "debounce_events",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                                 ORDER BY tus, event_id)
+                       >= {_DEBOUNCE_GAP_US}
+                    OR lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                               ORDER BY tus, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM events
+    ),
+    bursts AS (
+      SELECT user_id, event_type, event_id, tus,
+             sum(new_burst) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY tus, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS burst_id
+      FROM seq
+    ),
+    kept AS (
+      SELECT user_id, event_type, burst_id,
+             min(event_id ORDER BY tus, event_id) AS first_event_id,
+             count(*) AS burst_len
+      FROM bursts GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type,
+           count(*) AS n_kept,
+           CAST(sum(burst_len) AS BIGINT) AS n_raw,
+           CAST(max(burst_len) AS BIGINT) AS max_burst
+    FROM kept GROUP BY 1, 2
+    """,
+    survey_ref="§2.5 W5-family extension: debounce / burst collapse (keep "
+    "the first event of every <gap burst — the chattering-sensor cleanup "
+    "the reference's NILM loaders do per-file, as a gaps-and-islands "
+    "window)",
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce per (user, event type): events closer than 60 s to their
+    predecessor belong to the same burst; only the burst's first event
+    survives. A chattering power sensor (or double-fired client event)
+    collapses to one logical event — the same gaps-and-islands kernel as
+    sessionize/run_length_filter, proving the burst grain composes. One
+    (user, type)-key exchange shared by the lag and the running sum; the
+    burst reduction and the per-key summary ride the same partitioning.
+    NOTE burst membership is CHAIN-based (each event within gap of its
+    predecessor extends the burst), which plain windows express exactly —
+    a naive 'within gap of the first event' debounce would need iteration.
+    """
+    ev = _events(spark, sf_dir)
+    tus = F.unix_micros("ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(w)
+    seq = ev.select(
+        "user_id", "event_type", "event_id", tus.alias("tus")
+    ).withColumn(
+        "new_burst",
+        F.when(
+            prev.isNull() | (F.col("tus") - prev >= _DEBOUNCE_GAP_US), 1
+        ).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bursts = seq.withColumn("burst_id", F.sum("new_burst").over(run))
+    kept = bursts.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min_by("event_id", F.struct("tus", "event_id")).alias("first_event_id"),
+        F.count(F.lit(1)).alias("burst_len"),
+    )
+    return kept.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("burst_len").alias("n_raw"),
+        F.max("burst_len").alias("max_burst"),
+    )
+
+
+# --- session bounce rate ------------------------------------------------------
+
+
+@query(
+    "session_bounce_rate",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id))
+                       > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS session_id
+      FROM gaps
+    ),
+    per AS (
+      SELECT user_id, session_id, count(*) AS cnt,
+             strftime(min(ts), '%Y-%m-%d') AS d
+      FROM sess GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT d, count(*) AS n_sessions,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounced
+      FROM per GROUP BY 1
+    )
+    SELECT d, n_sessions, n_bounced,
+           {ratio_e4_sql('n_bounced', 'n_sessions')} AS bounce_rate_e4
+    FROM agg
+    """,
+    survey_ref="§2.5/§2.9 composition: per-day session bounce rate "
+    "(single-event sessions / sessions, exact e4 ratio) on the sessionize "
+    "grain",
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per day-of-first-event: sessions (same 30-min-gap grain
+    as `sessionize`, tie-broken on event_id) containing exactly one event,
+    as an exact e4 share. Proves the session grain composes into product
+    metrics without re-deriving state: the same single user-key exchange
+    feeds the lag, the running sum, and the per-session reduction; only
+    the tiny (day) rollup re-shuffles."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("double") - prev.cast("double") > 1800),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(run)
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("d"),
+    )
+    agg = per.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_bounced"),
+    )
+    return agg.select(
+        "d", "n_sessions", "n_bounced",
+        ratio_e4("n_bounced", "n_sessions").alias("bounce_rate_e4"),
+    )

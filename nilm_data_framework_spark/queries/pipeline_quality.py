@@ -183,7 +183,10 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bits = SK.bloom_build(eval_grams, "g", _BLOOM_M, _BLOOM_K)
     bloom_docs = SK.bloom_probe_docs(
-        grams, bits, ["doc_id"], "g", _BLOOM_M, _BLOOM_K
+        grams, bits, ["doc_id"], "g", _BLOOM_M, _BLOOM_K,
+        # word_ngrams applies array_distinct per doc, so (doc_id, g) rows
+        # are unique — the fast plain-count path is sound here
+        distinct_grams=True,
     ).withColumn("_bloom", F.lit(1))
     exact_docs = (
         grams.join(eval_grams, "g").select("doc_id").distinct()

@@ -27,12 +27,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings", parallelize=True)
 
 
-@query(
-    "cosine_topk_bruteforce",
-    oracle=f"""
+def _brute_oracle_sql(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
+    return f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {N_QUERIES}
+      FROM embeddings WHERE vec_id < {n_queries}
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS match_id,
@@ -48,8 +47,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT query_id, match_id, round(cos, 4) AS cosine, rk
-    FROM ranked WHERE rk <= {TOP_K}
-    """,
+    FROM ranked WHERE rk <= {k}
+    """
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=_brute_oracle_sql(),
     survey_ref="§2.10 similarity search: brute-force cosine top-k baseline",
 )
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,4 +767,56 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_cos", 4).alias("pos_cos"),
         F.round("n_cos", 4).alias("neg_cos"),
         F.round(F.col("p_cos") - F.col("n_cos"), 4).alias("margin"),
+    )
+
+
+# --- ANN recall harness (r5) --------------------------------------------------
+
+
+@query(
+    "ivf_recall_at_k",
+    oracle=f"""
+    SELECT e.query_id,
+           CAST(count(i.match_id) AS BIGINT) AS hits,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST((count(i.match_id) * 20000 + {TOP_K}) // (2 * {TOP_K})
+                AS BIGINT) AS recall_e4
+    FROM ({_brute_oracle_sql()}) e
+    LEFT JOIN ({_ivf_oracle_sql()}) i
+      ON e.query_id = i.query_id AND e.match_id = i.match_id
+    GROUP BY e.query_id
+    """,
+    survey_ref="§2.10 ANN evaluation harness: recall@k of the IVF "
+    "probe-pruned path against the exact brute-force top-k, per query — "
+    "the accuracy/cost dial every approximate index ships with",
+)
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF(16 centroids, 4 probes) vs exact top-k, per query,
+    as an exact e4 integer (hits/k). This is the evaluation harness an ANN
+    deployment runs after every index build — the measurement half of the
+    accuracy/cost dial (tests/test_similarity.py pins aggregate recall
+    floors; this query makes the per-query numbers a first-class,
+    oracle-replayed dataset). Cost: both paths touch only the Q-row query
+    set against the corpus (brute force scans once; IVF scans probed
+    lists); the recall join is |Q|×k rows — negligible."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.brute_force_topk(emb, queries_df, k=TOP_K).select(
+        "query_id", "match_id"
+    )
+    ivf = S.ivf_topk(emb, queries_df, k=TOP_K, n_centroids=16, n_probe=4).select(
+        F.col("query_id").alias("i_qid"), F.col("match_id").alias("i_mid")
+    )
+    hits = exact.join(
+        ivf,
+        (exact["query_id"] == ivf["i_qid"]) & (exact["match_id"] == ivf["i_mid"]),
+        "left",
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.count("i_mid").alias("hits"), F.lit(TOP_K).cast("long").alias("k")
+    )
+    return agg.select(
+        "query_id", "hits", "k", ratio_e4("hits", "k").alias("recall_e4")
     )
