@@ -159,3 +159,47 @@ def dataset_manifest(
             "checksum"
         ),
     )
+
+
+def compact_small_files(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    mode: str = "overwrite",
+) -> None:
+    """Small-file compaction: rewrite ``df`` as sequential files of at most
+    ``max_records_per_file`` rows (``ceil(n / R)`` files — deterministic,
+    which is what makes the audit below oracle-replayable).
+
+    The small-files problem is THE silent lakehouse tax at 100 TB: a
+    streaming ingest or per-partition MERGE leaves thousands of KB-sized
+    parquet files whose footer/open costs dominate scans. Compaction =
+    read + re-bin + rewrite; here the bin rule is row-count (via Spark's
+    ``maxRecordsPerFile``), the production twin of Delta OPTIMIZE /
+    Iceberg rewrite_data_files' size-based binning. At scale the single
+    coalesce(1) writer below becomes ``repartitionByRange(ceil(n/R),
+    sort_key)`` so compaction parallelizes AND re-establishes clustering
+    (compose with the Z-order projection for multi-column locality);
+    row-count binning stands in for byte binning because row width is
+    near-constant per table — swap the constant per deployment.
+    """
+    (
+        df.coalesce(1)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )
+
+
+def compaction_audit(spark, path: str) -> DataFrame:
+    """(n_files, n_rows) of a parquet directory via the file-source
+    metadata column — the before/after evidence row a compaction job logs.
+    One metadata-only projection + a 1-row agg; no data columns are read
+    (column pruning drops everything but ``_metadata.file_path``)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    return df.select(F.col("_metadata.file_path").alias("_f")).agg(
+        F.countDistinct("_f").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

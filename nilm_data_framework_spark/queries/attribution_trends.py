@@ -489,3 +489,103 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", "n_sessions", "n_bounced",
         ratio_e4("n_bounced", "n_sessions").alias("bounce_rate_e4"),
     )
+
+
+# --- salted-join skew path, driver-attested -----------------------------------
+
+
+@query(
+    "salted_join_hot_keys",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, count(*) AS type_total,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS type_cents
+      FROM events GROUP BY 1
+    ),
+    joined AS (
+      SELECT e.user_id, e.event_type, d.type_total, d.type_cents,
+             CAST(floor(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN dim d USING (event_type)
+    )
+    SELECT user_id, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS user_cents,
+           CAST(sum(type_cents) AS BIGINT) AS joined_type_cents
+    FROM joined GROUP BY user_id
+    """,
+    survey_ref="§2.3 skew extension: salted equi-join (operators/skew.py::"
+    "salted_join) driver-attested — the salt must be result-invariant "
+    "against the plain join the oracle runs",
+)
+def salted_join_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zipf-hot-key join through the SALTED path, gate-checked against
+    the plain join: events (every row carries one of 5 event types — a
+    deliberately hot key) join a per-type dim via
+    operators/skew.py::salted_join(n_salts=8), then reduce per user. The
+    oracle runs the unsalted join, so the gate proves the salt is
+    result-invariant (the property that makes salting safe to deploy when
+    one key floods a partition and AQE's skew split isn't enough — e.g. a
+    dominant language/source key at 100 TB). The dim side is replicated
+    8x (5 keys -> 40 rows) — the documented cost of spreading the hot key
+    over 8 partitions."""
+    from nilm_data_framework_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_total"),
+        F.sum("cents").alias("type_cents"),
+    )
+    joined = salted_join(ev, dim, on=["event_type"], n_salts=8)
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("user_cents"),
+        F.sum("type_cents").alias("joined_type_cents"),
+    )
+
+
+# --- small-file compaction audit ----------------------------------------------
+
+_COMPACT_R = 10_000  # rows per output file
+
+
+@query(
+    "compaction_audit",
+    oracle=f"""
+    SELECT CAST(ceil(count(*) / {_COMPACT_R}.0) AS BIGINT) AS n_files,
+           count(*) AS n_rows,
+           CAST({_COMPACT_R} AS BIGINT) AS max_records_per_file
+    FROM events
+    """,
+    survey_ref="§2.1/lakehouse extension: small-file compaction "
+    "(operators/lakehouse.py::compact_small_files — deterministic "
+    "row-count binning, audited via the _metadata file column)",
+)
+def compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end compaction: rewrite the events table as sequential
+    parquet files of <= 10k rows, then audit the layout via the
+    `_metadata.file_path` column (metadata-only scan). ceil(n/R) output
+    files is a CONTRACT of row-count binning, so the oracle computes the
+    expected file count arithmetically — the gate proves the writer's
+    binning, not just the row count. The production form swaps
+    coalesce(1) for repartitionByRange (parallel + re-clustered); see the
+    operator docstring."""
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.operators.lakehouse import (
+        compact_small_files,
+        compaction_audit as audit,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "nilm_spark_compact", f"ev_{os.getpid()}"
+    )
+    compact_small_files(ev, out, _COMPACT_R)
+    return audit(spark, out).select(
+        "n_files", "n_rows",
+        F.lit(_COMPACT_R).cast("long").alias("max_records_per_file"),
+    )
