@@ -16,10 +16,15 @@ BIGINT arithmetic that is bit-identical in both engines:
 
     e4(n, d) = floor((n * 20000 + d) / (2 * d))      -- == round_half_up(1e4*n/d)
 
-No floating point is involved at any scale (BIGINT holds n up to ~4.6e14
-before the *20000 overflows — far beyond any count this engine aggregates
-per group), so the expression survives 100 TB inputs where a double-based
-``floor(x * 1e4 + 0.5)`` would lose exactness past 2^53.
+No floating point is involved at any scale, so the expression survives
+100 TB inputs where a double-based ``floor(x * 1e4 + 0.5)`` would lose
+exactness past 2^53. Overflow bound: the multiply caps operands at
+~9.2e18 / (2*10^digits) — 4.6e14 at 4 digits, 4.6e12 at 6 — far beyond
+any per-GROUP count this engine aggregates, and overflow is LOUD in both
+engines (DuckDB raises; Spark 4 runs ANSI mode by default), never a
+silent wrap. For whole-corpus counts past that bound, decompose:
+``e = (n div d)*10^k + ((n % d)*2*10^k + d) div (2*d)`` — the multiply
+is then bounded by d, not n.
 
 Reference parity: the reference frameworks report these ratios as Python
 floats (e.g. UnifiedNILM.py's summary stats); we deliberately strengthen the

@@ -589,3 +589,62 @@ def compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_files", "n_rows",
         F.lit(_COMPACT_R).cast("long").alias("max_records_per_file"),
     )
+
+
+# --- rolling 7-day distinct users ---------------------------------------------
+
+
+@query(
+    "rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type,
+             epoch_us(ts) // 86400000000 AS d,
+             user_id
+      FROM events
+    ),
+    contrib AS (
+      SELECT DISTINCT event_type, d + o AS td, user_id
+      FROM du, unnest(range(0, 7)) AS u(o)
+    ),
+    observed AS (SELECT DISTINCT event_type, d AS td FROM du)
+    SELECT c.event_type, c.td AS day,
+           count(DISTINCT c.user_id) AS wau
+    FROM contrib c JOIN observed o
+      ON c.event_type = o.event_type AND c.td = o.td
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2.4/§2.5 extension: rolling 7-day DISTINCT user count "
+    "(windowed COUNT DISTINCT — inexpressible as a window frame; solved by "
+    "contribution expansion over the entity-day reduction)",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) per event type, for every
+    observed day: the metric SQL window frames CANNOT express (DISTINCT
+    is not frame-mergeable). The scalable shape: reduce raw events to
+    DISTINCT (type, day, user) FIRST — the only data-sized shuffle — then
+    each entity-day contributes itself to the 7 following days (a
+    bounded ×7 explode over the reduction, NOT over raw events), distinct
+    again, count. The frame after reduction is O(types × active-days ×
+    users-active-that-day), independent of event volume — at 100 TB the
+    raw-event reduction is the entire cost, and it is one map-side-
+    combined distinct. The sketch alternative (mergeable HLL per day,
+    union over the window) trades exactness for an O(days) frame;
+    approx_distinct_check attests exactly that sketch's error."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        "user_id",
+    ).distinct()
+    contrib = du.select(
+        "event_type",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("td"),
+        "user_id",
+    ).distinct()
+    observed = du.select("event_type", F.col("d").alias("td")).distinct()
+    return (
+        contrib.join(observed, ["event_type", "td"])
+        .groupBy("event_type", F.col("td").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

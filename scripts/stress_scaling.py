@@ -197,6 +197,43 @@ def fact_workloads(li: DataFrame, orders: DataFrame) -> dict:
     }
 
 
+def screen_workloads(docs: DataFrame, spark) -> dict:
+    """Incremental near-dup screen of a FIXED batch against a k×-growing
+    reference corpus, both ways. The claim under test: the on-the-fly
+    screen re-shingles the whole corpus per ingest (cost grows with k),
+    while the persisted layout pays corpus-sized work ONCE at write time
+    and the per-batch screen then touches only the batch + matching
+    buckets (cost ~flat in k). The write is excluded from the screen
+    timing — it is the amortized once-per-corpus cost."""
+    # batch = a fixed slice of the ORIGINAL replica only (ids < 10M), so it
+    # does not grow with k; the reference is everything else (grows ~k×)
+    batch = docs.filter(
+        (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 97 == 0)
+    ).localCheckpoint(eager=True)
+    ref = docs.filter(
+        (F.col("doc_id") >= 10_000_000) | (F.col("doc_id") % 97 != 0)
+    )
+    prefix = "stress_lsh_ref"
+
+    def _write_ref():
+        import tempfile
+
+        D.write_lsh_reference(ref, prefix, buckets=16, path=tempfile.mkdtemp())
+        return 0
+
+    def _persisted():
+        return D.minhash_lsh_join_reference(batch, prefix).count()
+
+    def _onthefly():
+        return D.minhash_lsh_join(batch, ref).count()
+
+    return {
+        "incremental_screen_onthefly": _onthefly,
+        "_lsh_ref_write": _write_ref,  # timed but reported for context only
+        "incremental_screen_persisted": _persisted,
+    }
+
+
 def _bloom_probe(docs: DataFrame) -> int:
     """Bloom decontamination shape: build on the 1-in-40 eval slice's
     3-grams, probe the train slice. The probe side grows with k (linear
@@ -236,6 +273,7 @@ def main() -> None:
         sized = [
             (workloads(docs), n),
             (fact_workloads(li, orders), n_li),
+            (screen_workloads(docs, spark), n),
         ]
         for wl, rows_in in sized:
             for name, fn in wl.items():

@@ -116,3 +116,48 @@ def test_no_oracle_rounds_a_bare_integer_quotient():
         f"oracles rounding bare integer quotients (use ratio_scaled_sql): "
         f"{offenders}"
     )
+
+
+# --- randomized cross-engine property (hypothesis) ---------------------------
+
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    num=st.integers(min_value=0, max_value=10**12),
+    den=st.integers(min_value=1, max_value=10**12),
+    digits=st.sampled_from([2, 4, 6]),
+)
+def test_ratio_scaled_sql_equals_fraction_round_half_up(num, den, digits):
+    """DuckDB evaluation of ratio_scaled_sql == exact Fraction round-half-up
+    for arbitrary nonnegative 64-bit-safe operands (the SQL twin carries the
+    oracle side of every registered ratio, so IT is the one to fuzz)."""
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT {ratio_scaled_sql(str(num), str(den), digits)} AS e"
+    ).fetchone()[0]
+    assert got == _py_round_half_up_e(num, den, digits)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_ratio_scaled_spark_equals_fraction_round_half_up(spark, pairs):
+    df = spark.createDataFrame(pairs, "num long, den long")
+    out = df.select("num", "den", ratio_scaled("num", "den", 4).alias("e")).collect()
+    for r in out:
+        assert r["e"] == _py_round_half_up_e(r["num"], r["den"], 4)
