@@ -494,3 +494,68 @@ def streaming_stream_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("view_ts")).alias("view_ts_us"),
         F.unix_micros(F.col("purchase_ts")).alias("purchase_ts_us"),
     )
+
+
+_DEBOUNCE_SINK = "streaming_debounce_equiv_sink"
+_DEBOUNCE_GAP_US = 60 * 1_000_000
+
+
+@query(
+    "streaming_debounce_equiv",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                                 ORDER BY tus, event_id)
+                       >= {_DEBOUNCE_GAP_US}
+                    OR lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                               ORDER BY tus, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM events
+    ),
+    bursts AS (
+      SELECT user_id, event_type, event_id,
+             sum(new_burst) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY tus, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS burst_id
+      FROM seq
+    ),
+    per AS (
+      SELECT user_id, event_type, burst_id, count(*) AS blen
+      FROM bursts GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type,
+           count(*) AS n_kept,
+           CAST(sum(blen) AS BIGINT) AS n_raw,
+           CAST(max(blen) AS BIGINT) AS max_burst
+    FROM per GROUP BY 1, 2
+    """,
+    survey_ref="§2.9 custom stateful operator: streaming chain-debounce "
+    "(streaming/stateful.py::debounce_stream, applyInPandasWithState — "
+    "2-long state per key) == the batch gaps-and-islands debounce",
+)
+def streaming_debounce_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """debounce_stream on a real bounded stream == the batch window-based
+    debounce (same oracle family as debounce_events). The stateful kernel
+    tags every event with its burst id from 2 longs of per-key state; the
+    drained sink then reduces bursts exactly like the batch query — so the
+    gate proves the INCREMENTAL chain state machine matches the
+    gaps-and-islands formulation row-for-row."""
+    _ensure_session_confs(spark)
+    from nilm_data_framework_spark.streaming.stateful import debounce_stream
+
+    stream = _events_stream(spark, sf_dir)
+    tagged = debounce_stream(stream, gap_us=_DEBOUNCE_GAP_US)
+    _run_to_memory_sink(tagged, _DEBOUNCE_SINK, output_mode="append")
+    per = (
+        spark.table(_DEBOUNCE_SINK)
+        .groupBy("user_id", "event_type", "burst_id")
+        .agg(F.count(F.lit(1)).alias("blen"))
+    )
+    return per.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("blen").alias("n_raw"),
+        F.max("blen").alias("max_burst"),
+    )

@@ -180,3 +180,85 @@ def running_totals_v2(events: DataFrame, device: str = "device", value: str = "a
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- streaming chain-debounce (r5) -------------------------------------------
+
+DEBOUNCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("burst_id", LongType()),
+    ]
+)
+
+# state: (last event tus, bursts so far)
+DEBOUNCE_STATE_SCHEMA = StructType(
+    [StructField("last_tus", LongType()), StructField("n_bursts", LongType())]
+)
+
+
+def debounce_stream(
+    events: DataFrame,
+    gap_us: int,
+    user: str = "user_id",
+    etype: str = "event_type",
+    ts: str = "ts",
+    event_id: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of queries/attribution_trends.py::debounce_events:
+    per (user, type), an event starts a NEW burst iff it arrives >= gap_us
+    after its predecessor; otherwise it extends the open burst. Emits every
+    event tagged with its burst_id (append-mode safe: the chain rule
+    decides each event from carried state the moment it is seen — no
+    lookahead). State per key is TWO longs regardless of volume.
+
+    Ordering contract: rows are sorted (tus, event_id) within a batch and
+    the chain carries across batches via last_tus — correct whenever
+    micro-batches arrive per-key time-ordered (true for bounded replays
+    and watermarked, in-order sources). An out-of-order deployment buffers
+    events until the watermark before running the chain — the same caveat
+    as any order-sensitive stateful operator (cf. track_runs).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid, et = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["_tus", "_eid"], kind="mergesort")
+        last_tus, n_bursts = state.get if state.exists else (None, 0)
+        out = []
+        for tus, eid in zip(rows["_tus"], rows["_eid"]):
+            if last_tus is None or tus - last_tus >= gap_us:
+                n_bursts += 1
+            out.append((uid, et, int(eid), int(n_bursts)))
+            last_tus = int(tus)
+        state.update((last_tus, int(n_bursts)))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "event_id", "burst_id"]
+        )
+
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        events[user].alias("user_id"),
+        events[etype].alias("event_type"),
+        events[ts].alias("ts"),
+        F.unix_micros(events[ts]).alias("_tus"),
+        events[event_id].alias("_eid"),
+    ).withWatermark("ts", watermark)
+
+    return prepared.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=DEBOUNCE_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
