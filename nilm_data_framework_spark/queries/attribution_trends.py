@@ -648,3 +648,168 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("td").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+# --- explicit GROUPING SETS (non-hierarchical mix) ----------------------------
+
+
+@query(
+    "grouping_sets_mix",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    survey_ref="§2.4 A-ext: explicit GROUPING SETS — a NON-hierarchical "
+    "grouping mix ((flag), (status), ()) that neither ROLLUP nor a single "
+    "CUBE subset expresses; grouping_id columns disambiguate the frames",
+)
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent single-dimension margins plus the grand total in ONE
+    pass — the report shape (per-flag totals AND per-status totals,
+    side-by-side) that would otherwise be two aggs + a union reading the
+    fact table twice. Spark expands grouping sets with a single Expand node
+    feeding one hash aggregate, so the fact table is still scanned once;
+    sums are exact integer cents. Uses the Spark 4 DataFrame groupingSets
+    API directly (cube/rollup cover only the hierarchical cases)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gs = li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+    return gs.select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+        "g_flag", "g_status", "n", "price_cents",
+    )
+
+
+# --- null-safe join semantics -------------------------------------------------
+
+
+@query(
+    "null_safe_join_rates",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE user_id % 20 END AS cohort,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    dim AS (
+      SELECT cohort, count(*) AS cohort_n,
+             CAST(sum(cents) AS BIGINT) AS cohort_cents
+      FROM keyed GROUP BY cohort
+    )
+    SELECT k.cohort, count(*) AS n_events,
+           CAST(max(d.cohort_n) AS BIGINT) AS cohort_n,
+           CAST(max(d.cohort_cents) AS BIGINT) AS cohort_cents
+    FROM keyed k JOIN dim d ON k.cohort IS NOT DISTINCT FROM d.cohort
+    GROUP BY k.cohort
+    """,
+    survey_ref="§2.3 extension: null-safe equi-join (<=> / IS NOT DISTINCT "
+    "FROM) — the NULL cohort joins its own dim row instead of silently "
+    "dropping, the classic inner-join data-loss bug",
+)
+def null_safe_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort enrichment where one cohort key is legitimately NULL (error
+    events carry no cohort): a plain equi-join silently drops every
+    NULL-key row (NULL = NULL is not true), understating totals; the
+    null-safe operator (Spark `eqNullSafe`, SQL `<=>`) matches NULL to the
+    dim's own NULL row. The dim aggregates to ONE row per cohort
+    (including one NULL row), so null-safe matching stays 1:1 — no
+    null-cross-product. Null-safe equality hashes like any key, so the
+    join still plans as a hash/SMJ equi-join, never a nested loop (the
+    EqualNullSafe predicate is a join KEY in Catalyst)."""
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("long"))
+        .otherwise(F.col("user_id") % 20)
+        .alias("cohort"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dim = keyed.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_n"),
+        F.sum("cents").alias("cohort_cents"),
+    )
+    j = keyed.alias("k").join(
+        dim.alias("d"),
+        F.col("k.cohort").eqNullSafe(F.col("d.cohort")),
+    )
+    return j.groupBy(F.col("k.cohort").alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("d.cohort_n").alias("cohort_n"),
+        F.max("d.cohort_cents").alias("cohort_cents"),
+    )
+
+
+# --- percent_rank / cume_dist in exact integer form ---------------------------
+
+
+@query(
+    "percentile_analytics",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id,
+             rank() OVER w AS rnk,
+             count(*) OVER (PARTITION BY user_id) AS n_rows,
+             count(*) OVER (PARTITION BY user_id ORDER BY value DESC, event_id
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cume_n
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(cume_n AS BIGINT) AS cume_n,
+           CASE WHEN n_rows = 1 THEN CAST(0 AS BIGINT)
+                ELSE {ratio_e4_sql('rnk - 1', 'n_rows - 1')} END
+             AS percent_rank_e4,
+           {ratio_e4_sql('cume_n', 'n_rows')} AS cume_dist_e4
+    FROM base
+    """,
+    survey_ref="§2.5 extension: percent_rank / cume_dist — computed from "
+    "their exact integer definitions ((rank-1)/(n-1); ties-inclusive "
+    "RANGE-frame count / n) so the analytic family is typed-hash-safe",
+)
+def percentile_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist per user's purchase ranking, reported as
+    exact e4 integers built from their DEFINITIONS — rank/row counts — not
+    the built-ins' doubles (which divide engine-side and re-open the
+    half-boundary trap). cume_n uses the ties-inclusive RANGE frame count
+    (exactly cume_dist·n, as an integer). All four windows share the one
+    user-key exchange+sort; percent_rank of a single-row partition is 0 by
+    SQL convention (guarded — the e4 division would hit n-1 = 0)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    base = ev.select(
+        "user_id", "event_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_rows"),
+        F.count(F.lit(1))
+        .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cume_n"),
+    )
+    return base.select(
+        "user_id", "event_id", "rnk", "n_rows", "cume_n",
+        F.when(F.col("n_rows") == 1, F.lit(0).cast("long"))
+        .otherwise(ratio_e4("rnk - 1", "n_rows - 1"))
+        .alias("percent_rank_e4"),
+        ratio_e4("cume_n", "n_rows").alias("cume_dist_e4"),
+    )
