@@ -660,3 +660,31 @@ def test_lsh_reference_corpus_side_never_shuffles(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         for s in ("buckets", "hs", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+
+
+def test_grouping_sets_single_scan_expand(spark):
+    # the non-hierarchical margins must come from ONE scan + Expand + one
+    # partial/final aggregate pair — not a union of per-margin scans
+    plan = _plan(spark, "grouping_sets_mix")
+    import re
+
+    # formatted explain lists each node in the tree AND the details section;
+    # count detail headers only
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, "grouping sets re-scans the fact table"
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)) == 1
+
+
+def test_null_safe_join_is_hash_keyed(spark):
+    # EqualNullSafe must act as a JOIN KEY (hash/SMJ), never degrade to a
+    # nested-loop predicate
+    plan = _plan(spark, "null_safe_join_rates")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
