@@ -104,6 +104,10 @@ HEADLINE = [
     "custdist_orders",
     "label_propagation_step",
     "tokenizer_fertility",
+    # round-5 batch 3: debounce, rolling distinct, exact analytic ranks
+    "debounce_events",
+    "rolling_distinct_users",
+    "percentile_analytics",
 ]
 
 
