@@ -50,16 +50,18 @@ def pivot_wide(
     column: str,
     value: str,
     column_values: list[str] | None = None,
+    fill=0.0,
 ) -> DataFrame:
-    """A4: pivot long→wide (preprocess_shelly.py:64) with fillna(0).
+    """A4: pivot long→wide (preprocess_shelly.py:64) with fillna(``fill``).
 
     Run dedup_mean first so ``first()`` never sees duplicates (the
     non-determinism trap flagged in SURVEY.md §7); passing an explicit
     ``column_values`` list avoids the extra distinct-collection job and
-    fixes the output schema.
+    fixes the output schema. ``fill`` matches the cell dtype (0 for the
+    exact-integer e4 cells the registered query uses since r5).
     """
     piv = df.groupBy(index).pivot(column, column_values)
-    return piv.agg(F.first(value)).na.fill(0.0)
+    return piv.agg(F.first(value)).na.fill(fill)
 
 
 def daily_activity(

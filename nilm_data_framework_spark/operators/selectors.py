@@ -83,11 +83,15 @@ def binarize(df: DataFrame, value: str, threshold: float, out: str = "state") ->
     return df.withColumn(out, (F.col(value) >= F.lit(threshold)).cast("int"))
 
 
-def clip(col: Column, lo: float | None = None, hi: float | None = None) -> Column:
-    """P14: clamp — least(greatest(x, lo), hi) (train_bert_single.py:71-72,276)."""
+def clip(col: Column, lo=None, hi=None) -> Column:
+    """P14: clamp — least(greatest(x, lo), hi) (train_bert_single.py:71-72,276).
+
+    Bounds may be floats, ints, or Columns; int bounds stay integer
+    literals so integer-typed inputs keep an integer result type (the
+    exact-arithmetic paths clamp BIGINT fixed-point values)."""
     out = col
     if lo is not None:
-        out = F.greatest(out, F.lit(float(lo)))
+        out = F.greatest(out, lo if isinstance(lo, Column) else F.lit(lo))
     if hi is not None:
-        out = F.least(out, F.lit(float(hi)))
+        out = F.least(out, hi if isinstance(hi, Column) else F.lit(hi))
     return out

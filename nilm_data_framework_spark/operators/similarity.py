@@ -397,7 +397,15 @@ def kmeans_step(
     w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("cid"))
     assigned = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     flat = assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
-    return flat.groupBy("cid", "pos").agg(F.avg("val").alias("c_val"))
+    # c_val (float mean) drives in-session iteration; c_num/c_den are the
+    # EXACT fixed-point form (sum of 1e-6-truncated components / count) the
+    # driver gate compares — a float mean's accumulation order diverges
+    # across engines at a 4dp round boundary (observed at sf0.1, r5)
+    return flat.groupBy("cid", "pos").agg(
+        F.avg("val").alias("c_val"),
+        F.sum(F.floor(F.col("val") * 1000000).cast("long")).alias("c_num"),
+        F.count(F.lit(1)).alias("c_den"),
+    )
 
 
 def l2_sq(a: Column, b: Column) -> Column:

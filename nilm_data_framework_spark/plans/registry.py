@@ -65,10 +65,10 @@ _DRIVER_RECORDED = frozenset({
     "quantile_99", "pairwise_corr", "distinct_labels", "median_rates",
     "time_range_slice", "label_filter", "multi_exclusion", "corr_two_metrics",
     "aggregate_channel_select", "power_type_device_filter",
-    "binarize_activity", "nilm_end_to_end", "hourly_profile",
+    "nilm_end_to_end", "hourly_profile",
     "string_cleaning", "pairwise_corr_onepass", "metadata_enrichment",
     "device_type_lookup", "keyword_label_map", "json_extract_props",
-    "dedup_keep_first", "pivot_wide", "asof_join_last_purchase",
+    "dedup_keep_first", "asof_join_last_purchase",
     "multimodal_features", "multimodal_frame_sample", "lag_delta",
     "topk_by_value", "sliding_windows",
 }) | frozenset({
@@ -104,15 +104,18 @@ _DRIVER_RECORDED = frozenset({
     "source_mixture_drift", "mixture_temperature_weights",
     "cosine_topk_bruteforce", "truncated_rerank_topk",
     "embedding_neardup_pairs", "cosine_topk_lsh", "cosine_topk_ivf",
-    "kmeans_centroid_update", "semantic_dedup_survivors", "pq_topk",
+    "semantic_dedup_survivors", "pq_topk",
     "pq_topk_rerank", "ivf_pq_topk", "hard_negative_mining",
-    "contrastive_triplets", "streaming_resample_equiv",
-    "streaming_late_data_drop",
+    "contrastive_triplets",
     "streaming_dedup_equiv", "streaming_sliding_window_equiv",
     "streaming_dedup_watermark_equiv", "streaming_static_join_equiv",
     "streaming_stream_join_equiv", "sliding_windows_grouped",
     "tensor_export_flat", "unpivot_metrics", "vocab_top_tokens",
     "bigram_surprisal_score", "doc_chunks_inventory", "source_quality_gate",
+    # (binarize_activity, pivot_wide r1; kmeans_centroid_update,
+    # streaming_resample_equiv, streaming_late_data_drop r3 — all
+    # re-front-loaded in r5: their float-mean outputs flipped a 4dp round
+    # at sf0.1 and were hardened to exact fixed-point integers)
     # (oov_rate, repetition_scores, key_skew_audit were r3-recorded and
     # funnel_conversion, boilerplate_doc_ratio r2-recorded, but their ratio
     # columns were hardened to e4 integers in r5 — removed above/below so

@@ -580,7 +580,8 @@ def power_type_device_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(CASE WHEN value >= 100.0 THEN 1 END) AS n_on,
            count(*) AS n_total,
-           round(sum(least(greatest(value / 1000.0, 0.0), 1.0)), 4) AS sum_clipped
+           CAST(sum(least(greatest(CAST(floor(value * 10) AS BIGINT), 0), 10000))
+                AS BIGINT) AS sum_clipped_e4
     FROM events GROUP BY user_id
     HAVING count(CASE WHEN value >= 100.0 THEN 1 END) > 5
     """,
@@ -588,16 +589,25 @@ def power_type_device_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def binarize_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sel.binarize(_events(spark, sf_dir), "value", 100.0, out="state")
-    clipped = sel.clip(F.col("value") / 1000.0, 0.0, 1.0)
+    # clip in integer 1e-4 space (value/1000 scaled by 1e4 == value*10,
+    # floored): per-element truncation BEFORE the sum makes the clipped
+    # total an exact integer — a float sum's accumulation order diverges
+    # across engines at a 4dp boundary (observed at sf0.1, r5)
+    clipped_e4 = sel.clip(
+        F.floor(F.col("value") * 10).cast("long"), F.lit(0), F.lit(10000)
+    )
     return (
         ev.groupBy("user_id")
         .agg(
             F.sum("state").alias("n_on"),
             F.count(F.lit(1)).alias("n_total"),
-            F.round(F.sum(clipped), 4).alias("sum_clipped"),
+            F.sum(clipped_e4).alias("sum_clipped_e4"),
         )
         .filter(F.col("n_on") > 5)
-        .select("user_id", F.col("n_on").cast("long").alias("n_on"), "n_total", "sum_clipped")
+        .select(
+            "user_id", F.col("n_on").cast("long").alias("n_on"), "n_total",
+            "sum_clipped_e4",
+        )
     )
 
 

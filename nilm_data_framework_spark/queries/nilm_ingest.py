@@ -185,11 +185,16 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_wide",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_ts,
-           coalesce(round(avg(CASE WHEN event_type = 'click' THEN value END), 4), 0.0) AS click,
-           coalesce(round(avg(CASE WHEN event_type = 'error' THEN value END), 4), 0.0) AS error,
-           coalesce(round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4), 0.0) AS purchase,
-           coalesce(round(avg(CASE WHEN event_type = 'signup' THEN value END), 4), 0.0) AS signup,
-           coalesce(round(avg(CASE WHEN event_type = 'view' THEN value END), 4), 0.0) AS "view"
+           coalesce(CASE WHEN count(CASE WHEN event_type = 'click' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'click' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'click' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'click' THEN 1 END)) AS BIGINT) END, 0)
+             AS click,
+           coalesce(CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'error' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'error' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'error' THEN 1 END)) AS BIGINT) END, 0)
+             AS error,
+           coalesce(CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'purchase' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'purchase' THEN 1 END)) AS BIGINT) END, 0)
+             AS purchase,
+           coalesce(CASE WHEN count(CASE WHEN event_type = 'signup' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'signup' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'signup' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'signup' THEN 1 END)) AS BIGINT) END, 0)
+             AS signup,
+           coalesce(CASE WHEN count(CASE WHEN event_type = 'view' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'view' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'view' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'view' THEN 1 END)) AS BIGINT) END, 0)
+             AS "view"
     FROM events GROUP BY hour_ts
     """,
     survey_ref="§2.4 A4 / §2.3 J4 (preprocess_shelly.py:64, UnifiedNILM.py:481-488)",
@@ -197,14 +202,20 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "hour_ts", F.date_trunc("hour", "ts")
-    )
-    # A3 dedup-mean first so the pivot's aggregate is deterministic, then
-    # round before fill so filled zeros stay exact.
-    meaned = agg.dedup_mean(ev, ["hour_ts", "event_type"], "value", out="v").withColumn(
-        "v", F.round("v", 4)
+    ).withColumn("v_u6", F.floor(F.col("value") * 1000000).cast("long"))
+    # A3 dedup-mean first (in exact integer micro-units: the float mean's
+    # accumulation order diverged across engines at a 4dp boundary at
+    # sf0.1, r5), then A4 pivot. Cell = round-half-up e4 of the mean of
+    # 1e-6-truncated values — pure integer arithmetic end to end, so the
+    # pivot's first() sees one deterministic BIGINT per (hour, type).
+    meaned = ev.groupBy("hour_ts", "event_type").agg(
+        F.sum("v_u6").alias("_s"), F.count("v_u6").alias("_n")
+    ).select(
+        "hour_ts", "event_type",
+        F.expr("(2 * _s + 100 * _n) div (200 * _n)").alias("v"),
     )
     return agg.pivot_wide(meaned, index="hour_ts", column="event_type", value="v",
-                          column_values=EVENT_TYPES)
+                          column_values=EVENT_TYPES, fill=0)
 
 
 # --- as-of join (engine extension generalizing J4) --------------------------------------

@@ -321,7 +321,10 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     ),
     flat AS (SELECT cid, v, unnest(range(0, 64)) AS pos FROM assigned)
-    SELECT cid, CAST(pos AS INT) AS pos, round(avg(v[pos + 1]), 4) AS c_val
+    SELECT cid, CAST(pos AS INT) AS pos,
+           CAST(sum(CAST(floor(v[pos + 1] * 1000000) AS BIGINT)) AS BIGINT)
+             AS c_num,
+           count(*) AS c_den
     FROM flat GROUP BY cid, pos
     """,
     survey_ref="§2.10 ANN: one Lloyd iteration refining the IVF coarse quantizer",
@@ -333,7 +336,11 @@ def kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, v) for i, v in enumerate(cents)], "cid int, cv array<double>"
     )
     out = S.kmeans_step(emb, cents_df)
-    return out.select("cid", "pos", F.round("c_val", 4).alias("c_val"))
+    # exact fixed-point centroid means (c_num/c_den): embedding components
+    # are signed, so the rational is emitted as num/den instead of a
+    # scaled-integer round (Spark div truncates, DuckDB // floors — signed
+    # integer division diverges; see operators/exact_math.py)
+    return out.select("cid", "pos", "c_num", "c_den")
 
 
 # --- SemDeDup: semantic dedup via k-means blocking ---------------------------

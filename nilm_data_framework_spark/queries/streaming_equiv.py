@@ -94,7 +94,8 @@ def _run_to_memory_sink(agg, name: str, output_mode: str = "complete"):
     oracle="""
     SELECT event_type,
            date_trunc('hour', ts) AS bucket_ts,
-           round(avg(value), 4) AS avg_value,
+           CAST((2 * sum(CAST(floor(value * 1000000) AS BIGINT)) + 100 * count(*))
+                // (200 * count(*)) AS BIGINT) AS avg_value_e4,
            count(*) AS n
     FROM events GROUP BY ALL
     """,
@@ -104,16 +105,20 @@ def _run_to_memory_sink(agg, name: str, output_mode: str = "complete"):
 def streaming_resample_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_session_confs(spark)
     stream = _events_stream(spark, sf_dir)
+    # exact fixed-point mean (1e-6-truncated integer sum -> round-half-up
+    # e4): a float mean's accumulation order differs between the streaming
+    # state store and the batch oracle, flipping a 4dp round at sf0.1 (r5)
     agg = (
-        stream.withWatermark("ts", "1 hour")
+        stream.withColumn("v_u6", F.floor(F.col("value") * 1000000).cast("long"))
+        .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "3600 seconds").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("v_u6").alias("_s"), F.count(F.lit(1)).alias("n"))
     )
     _run_to_memory_sink(agg, _SINK)
     return spark.table(_SINK).select(
         "event_type",
         F.col("w.start").alias("bucket_ts"),
-        "avg_value",
+        F.expr("(2 * _s + 100 * n) div (200 * n)").alias("avg_value_e4"),
         "n",
     )
 
@@ -248,7 +253,9 @@ def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     WITH wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
     agg AS (
       SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
-             count(*) AS n, round(avg(value), 4) AS avg_value
+             count(*) AS n,
+             CAST((2 * sum(CAST(floor(value * 1000000) AS BIGINT)) + 100 * count(*))
+                  // (200 * count(*)) AS BIGINT) AS avg_value_e4
       FROM events GROUP BY 1, 2
     )
     SELECT * FROM agg WHERE bucket_ts + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
@@ -261,13 +268,15 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _late_stream_dir(spark, sf_dir)
     stream = spark.readStream.schema(_EVENTS_TS).option("maxFilesPerTrigger", 1).parquet(d)
     agg = (
-        stream.withWatermark("ts", "1 hour")
+        stream.withColumn("v_u6", F.floor(F.col("value") * 1000000).cast("long"))
+        .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "3600 seconds").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_u6").alias("_s"))
     )
     _run_to_memory_sink(agg, _LATE_SINK, output_mode="append")
     return spark.table(_LATE_SINK).select(
-        F.col("w.start").alias("bucket_ts"), "event_type", "n", "avg_value"
+        F.col("w.start").alias("bucket_ts"), "event_type", "n",
+        F.expr("(2 * _s + 100 * n) div (200 * n)").alias("avg_value_e4"),
     )
 
 
