@@ -168,6 +168,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         streaming_equiv,
         tensor_pipeline,
+        tpch_extra,
         vocab_lm,
     )
 

