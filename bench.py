@@ -108,6 +108,16 @@ HEADLINE = [
     "debounce_events",
     "rolling_distinct_users",
     "percentile_analytics",
+    # round-5 batch 4: deep TPC-H join shapes (Q7/Q8/Q10/Q19/Q20/Q21)
+    "volume_shipping",
+    "market_share",
+    "returned_items_top",
+    "disjunctive_revenue",
+    "promotion_suppliers",
+    "sole_return_suppliers",
+    # round-5 batch 5: runtime-filter pruning + graph link prediction
+    "runtime_filter_pruned_join",
+    "common_neighbors_linkpred",
 ]
 
 

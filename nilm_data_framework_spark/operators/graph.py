@@ -158,3 +158,50 @@ def triangle_count(
     n_v = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
     n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_v.crossJoin(F.broadcast(n_e)).crossJoin(F.broadcast(n_tri))
+
+
+def common_neighbors_topk(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 15,
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-k NON-adjacent vertex pairs by common-neighbor count — the
+    classic link-prediction score (Liben-Nowell & Kleinberg CIKM'03) over
+    an undirected simple edge list (each edge once, src < dst).
+
+    Shape: symmetrize → one self-join of the adjacency on the shared
+    neighbor (every wedge n—a, n—b emits the candidate pair (a, b)) → hash
+    count per pair → left-anti against the edge set (predict only pairs
+    NOT already linked) → TakeOrdered top-k with (count desc, pair) order.
+
+    Scale: wedge volume is Σ_n deg(n)² — the hub problem. Unlike triangle
+    counting, exact common-neighbor scores genuinely need every wedge, so
+    the scale levers are upstream: the support threshold that denoises the
+    edge build already caps degrees in practice, and production systems
+    cap deg(n) (drop wedges through the top-0.1% hubs — a standard
+    recall trade) or swap in minhash-of-neighborhood sketches. The exact
+    form ships because the gate replays it; the cap is one added filter
+    on the degree agg. ``materialize`` localCheckpoints the edge list once
+    (it feeds the adjacency twice plus the anti-join — same discipline as
+    triangle_count).
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    if materialize:
+        e = e.localCheckpoint(eager=True)
+    sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    a1 = sym.select(F.col("_u").alias("_n"), F.col("_v").alias("v1"))
+    a2 = sym.select(F.col("_u").alias("_n"), F.col("_v").alias("v2"))
+    cand = (
+        a1.join(a2, "_n")
+        .filter(F.col("v1") < F.col("v2"))
+        .groupBy("v1", "v2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    non_adj = cand.join(
+        e,
+        (cand["v1"] == e["_u"]) & (cand["v2"] == e["_v"]),
+        "left_anti",
+    )
+    return non_adj.orderBy(F.col("n_common").desc(), "v1", "v2").limit(k)

@@ -1186,3 +1186,55 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seasonal"),
         F.count(F.lit(1)).alias("n_hours"),
     )
+
+
+# --- common-neighbor link prediction ------------------------------------------
+
+
+@query(
+    "common_neighbors_linkpred",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM op a
+      JOIN op b ON b.l_orderkey = a.l_orderkey
+               AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT s AS u, t AS v FROM e UNION ALL SELECT t, s FROM e),
+    cand AS (
+      SELECT a.v AS v1, b.v AS v2, count(*) AS n_common
+      FROM sym a JOIN sym b ON b.u = a.u AND a.v < b.v
+      GROUP BY 1, 2
+    )
+    SELECT v1, v2, n_common FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = c.v1 AND e.t = c.v2)
+    ORDER BY n_common DESC, v1, v2
+    LIMIT 15
+    """,
+    survey_ref="§2 extension: common-neighbor link prediction "
+    "(Liben-Nowell & Kleinberg) over the part co-purchase graph",
+)
+def common_neighbors_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 15 not-yet-linked part pairs most likely to co-occur next, by
+    common-neighbor count over the same support-≥2 co-purchase graph as
+    triangle_count_parts (recommendation candidate generation / graph
+    densification signal). Counting is all-integer with a (v1, v2)
+    tiebreak, so the top-k cut is deterministic across engines.
+    Operator: operators/graph.py::common_neighbors_topk."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_pa"))
+    b = op.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_pb"))
+    edges = (
+        a.join(b, "_o")
+        .filter(F.col("_pa") < F.col("_pb"))
+        .groupBy(F.col("_pa").alias("src"), F.col("_pb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("src", "dst")
+    )
+    return G.common_neighbors_topk(edges, k=15).select(
+        F.col("v1"), F.col("v2"), F.col("n_common")
+    )

@@ -448,3 +448,60 @@ def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numwait")
     )
     return aggd.orderBy(F.col("numwait").desc(), "s_name").limit(10)
+
+
+# --- runtime Bloom-filter join pruning (100 TB scan-reduction showcase) -------------------
+
+@query(
+    "runtime_filter_pruned_join",
+    oracle=f"""
+    SELECT o.o_orderpriority AS orderpriority,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4,
+           count(*) AS n
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2.3/§4 extension: runtime Bloom-filter semi-join pruning "
+    "(InjectRuntimeFilter) — fact rows discarded at the scan before the "
+    "shuffle",
+)
+def runtime_filter_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by ship year, with the lineitem scan pruned by
+    a runtime Bloom filter built from the filtered orders' keys.
+
+    The RESULT is identical to the plain join (the Bloom filter only
+    discards rows the join would drop anyway — false positives pass
+    through to the exact join); what changes is the 100 TB cost: the fact
+    side sheds non-joining rows at the scan, before paying the shuffle
+    write. Injection is plan-pinned in
+    tests/test_plan_quality.py::test_runtime_bloom_filter_injected; see
+    operators/runtime_filters.py for why the gates are scoped down at
+    test scale.
+    """
+    from nilm_data_framework_spark.operators.runtime_filters import (
+        with_runtime_bloom_filter,
+    )
+
+    def build() -> DataFrame:
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        return (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy(
+                F.col("o_orderpriority").alias("orderpriority"),
+                F.year("l_shipdate").alias("l_year"),
+            )
+            .agg(
+                F.sum(_rev_e4()).alias("revenue_e4"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    return with_runtime_bloom_filter(spark, build)

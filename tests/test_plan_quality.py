@@ -737,3 +737,24 @@ def test_sole_return_suppliers_single_lineitem_shuffle_key(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    # 100 TB scan-reduction showcase: the lineitem side of the urgent-order
+    # join must carry an injected might_contain(bloom, xxhash64(l_orderkey))
+    # filter (InjectRuntimeFilter), pruning fact rows BEFORE the shuffle.
+    # operators/runtime_filters.py scopes the size gates down for exactly
+    # this plan; the session confs must come back untouched.
+    app_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    bc_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    plan = _plan(spark, "runtime_filter_pruned_join")
+    assert "might_contain" in plan, "runtime bloom filter was not injected"
+    assert "xxhash64" in plan
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ) == app_thr, "application-side threshold leaked"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == bc_thr, (
+        "broadcast threshold leaked"
+    )
