@@ -118,6 +118,7 @@ HEADLINE = [
     # round-5 batch 5: runtime-filter pruning + graph link prediction
     "runtime_filter_pruned_join",
     "common_neighbors_linkpred",
+    "topk_per_group_limit",
 ]
 
 

@@ -505,3 +505,63 @@ def runtime_filter_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return with_runtime_bloom_filter(spark, build)
+
+
+# --- per-group top-k with WindowGroupLimit pushdown ---------------------------------------
+
+@query(
+    "topk_per_group_limit",
+    oracle="""
+    SELECT orderpriority, rn, orderkey, totalprice_e2
+    FROM (
+      SELECT o_orderpriority AS orderpriority,
+             o_orderkey AS orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_e2,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    survey_ref="§2.5 W3 extension: per-group top-k via rank window; Spark "
+    "plans WindowGroupLimit (rank-limit pushdown into the sort) — "
+    "plan-pinned",
+)
+def topk_per_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3 orders by value within every priority class (the per-group
+    top-k kernel: retrieval shortlists, per-source best-document picks).
+
+    Scale: Spark rewrites rank-predicate windows into WindowGroupLimit
+    (SPARK-37099) — each partition keeps a running 3-element heap during
+    the sort instead of materializing and ranking every group row, and the
+    limit ALSO applies map-side before the exchange, so the shuffle
+    carries at most 3 rows per (mapper, group). The ranking key is exact
+    integer cents with an orderkey tiebreak — both engines cut identical
+    top-3 sets. Plan-pinned by
+    tests/test_plan_quality.py::test_topk_per_group_uses_window_group_limit.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    price_e2 = F.floor(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        price_e2.desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("orderpriority"),
+            F.col("o_orderkey").alias("orderkey"),
+            price_e2.alias("totalprice_e2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("orderpriority").orderBy(
+                    F.col("totalprice_e2").desc(), "orderkey"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("orderpriority", "rn", "orderkey", "totalprice_e2")
+    )

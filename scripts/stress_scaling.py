@@ -189,11 +189,19 @@ def fact_workloads(li: DataFrame, orders: DataFrame) -> dict:
             iv, ["o_orderpriority"], start="s", end="e"
         ).count()
 
+    def _common_neighbors():
+        return G.common_neighbors_topk(_pair_edges(), k=15).count()
+
     return {
         "triangle_count_parts": _triangles,
         "pagerank_step": _pagerank,
         "association_rules": _assoc_rules,
         "concurrency_peaks": _sweepline,
+        # r5: wedge-join link prediction — replicas add DISJOINT graph
+        # components, so wedge volume (Σ deg²) grows linearly with k and
+        # the measured slope tests that the self-join cost tracks wedge
+        # volume, not |V|²
+        "common_neighbors": _common_neighbors,
     }
 
 
@@ -251,7 +259,15 @@ def _bloom_probe(docs: DataFrame) -> int:
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    # args: replication factors (ints) and/or --only=name1,name2
+    only: set[str] | None = None
+    ks = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            ks.append(int(a))
+    ks = ks or [1, 2, 4, 8]
     spark = get_session(app_name="stress-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     base = load_table(spark, SF_DIR, "documents", parallelize=True)
@@ -277,6 +293,8 @@ def main() -> None:
         ]
         for wl, rows_in in sized:
             for name, fn in wl.items():
+                if only is not None and name not in only:
+                    continue
                 fn()  # warm (codegen, broadcast setup)
                 times = []
                 for _ in range(2):

@@ -758,3 +758,10 @@ def test_runtime_bloom_filter_injected(spark):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == bc_thr, (
         "broadcast threshold leaked"
     )
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    # rank <= k must plan as WindowGroupLimit (map-side + final), never a
+    # full per-group rank materialization.
+    plan = _plan(spark, "topk_per_group_limit")
+    assert "WindowGroupLimit" in plan, "rank-limit pushdown missing"
