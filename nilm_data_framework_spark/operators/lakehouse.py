@@ -203,3 +203,45 @@ def compaction_audit(spark, path: str) -> DataFrame:
         F.countDistinct("_f").alias("n_files"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def merge_accumulate(
+    snapshot: DataFrame | None,
+    changes: DataFrame,
+    key: str,
+    sums: list[str],
+    maxes: list[str],
+) -> DataFrame:
+    """Accumulating MERGE: combine a per-key aggregate state with a new
+    batch's per-key aggregates — ``sums`` columns add, ``maxes`` columns
+    take greatest, unmatched rows pass through. ``snapshot=None`` (first
+    batch) returns ``changes`` as-is.
+
+    This is the foreachBatch upsert kernel of an incremental streaming →
+    lakehouse pipeline: because + and greatest are commutative and
+    associative, the final state is INDEPENDENT of how the input was cut
+    into micro-batches — which is exactly the batch-equivalence property
+    the streaming_merge_upsert_equiv oracle replays.
+
+    Scale: one key-equi join per micro-batch where the left side is the
+    state table and the right the (already reduced) batch aggregate —
+    Delta/Iceberg MERGE's shuffle; with the state table bucketed by key
+    (sources/canonical.py::write_readings_bucketed) the state side never
+    re-shuffles, and AQE broadcasts the typically-small batch side.
+    """
+    if snapshot is None:
+        return changes
+    s = snapshot.alias("s")
+    c = changes.alias("c")
+    sk, ck = F.col(f"s.{key}"), F.col(f"c.{key}")
+    return s.join(c, sk == ck, "full_outer").select(
+        F.coalesce(ck, sk).alias(key),
+        *[
+            (
+                F.coalesce(F.col(f"s.{v}"), F.lit(0))
+                + F.coalesce(F.col(f"c.{v}"), F.lit(0))
+            ).alias(v)
+            for v in sums
+        ],
+        *[F.greatest(F.col(f"s.{v}"), F.col(f"c.{v}")).alias(v) for v in maxes],
+    )

@@ -568,3 +568,112 @@ def streaming_debounce_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("blen").alias("n_raw"),
         F.max("blen").alias("max_burst"),
     )
+
+
+# --- foreachBatch incremental MERGE (streaming -> lakehouse state) -----------------------
+
+_MERGE_STATE_PREFIX = "merge_state_"
+
+
+def _split3_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events cut into 3 files by ``event_id % 3`` (single part files moved
+    into the watched dir with increasing mtimes) — with maxFilesPerTrigger=1
+    the stream runs as 3 micro-batches over disjoint row sets."""
+    import glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    from nilm_data_framework_spark.sources.testdata import load_table
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"split3_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    if os.path.exists(os.path.join(d, "b2.parquet")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(3):
+        stage = os.path.join(
+            tempfile.gettempdir(), f"{os.path.basename(d)}_stage_{i}"
+        )
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(d, f"b{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    return d
+
+
+@query(
+    "streaming_merge_upsert_equiv",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_u6,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    survey_ref="§2.9 + lakehouse extension: foreachBatch incremental MERGE "
+    "— per-batch aggregates accumulated into versioned per-key state; "
+    "final state == the one-shot batch aggregate",
+)
+def streaming_merge_upsert_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production streaming→lakehouse ingest pattern: each micro-batch
+    reduces to per-user aggregates, then MERGEs into a persisted state
+    table (operators/lakehouse.py::merge_accumulate) via ``foreachBatch``
+    — read state vN, combine, write vN+1 (the parquet stand-in for a
+    Delta/Iceberg transactional MERGE). Because + and greatest are
+    commutative-associative, the final state is invariant to the
+    micro-batch cut, which the one-shot batch oracle replays exactly: all
+    value math is exact integer micro-units, so no accumulation-order
+    float drift exists either. The 3-file fixture forces 3 real MERGE
+    rounds (asserted), not one degenerate batch."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from nilm_data_framework_spark.operators import lakehouse as LH
+
+    _ensure_session_confs(spark)
+    d = _split3_stream_dir(spark, sf_dir)
+    state_root = os.path.join(
+        tempfile.gettempdir(),
+        f"{_MERGE_STATE_PREFIX}{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(state_root, ignore_errors=True)
+    versions: list[str] = []
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        agg_b = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("total_u6"),
+            F.max("ts").alias("last_ts"),
+        )
+        prev = spark.read.parquet(versions[-1]) if versions else None
+        merged = LH.merge_accumulate(
+            prev, agg_b, "user_id", sums=["n_events", "total_u6"], maxes=["last_ts"]
+        )
+        out = os.path.join(state_root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    schema = spark.read.parquet(os.path.join(d, "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(versions) == 3, f"expected 3 MERGE rounds, got {len(versions)}"
+    return spark.read.parquet(versions[-1]).select(
+        "user_id", "n_events", "total_u6", "last_ts"
+    )
