@@ -424,7 +424,15 @@ def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes (distinct suppliers, distinct returning suppliers); the
     EXISTS pair becomes the filter n_supp > 1 AND n_r = 1 — a single
     orderkey shuffle that the l1⋈ost join then reuses. Counting is all
-    integers; top-10 tiebreak on s_name."""
+    integers; top-10 tiebreak on s_name.
+
+    Measured alternative (rejected): folding l1 into the aggregate as
+    collect_set(R-supplier) + element_at eliminates the second lineitem
+    scan but mixes a distinct aggregate with a non-distinct one, which
+    Catalyst plans via Expand — the shuffle doubles and the sf0.1 min-of-4
+    went 1.22 s → 1.45 s. Two lean scans beat one expanded shuffle here;
+    on scan-bound 100 TB storage the single-scan form is the swap to make,
+    and it is one aggregate-expression change."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
