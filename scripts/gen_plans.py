@@ -110,6 +110,19 @@ SHOWCASE = [
     ("custdist_orders", "TPC-H Q13 shape: LEFT join keeps zero-order "
      "customers; two hash aggs, the second over the O(distinct counts) "
      "frame"),
+    ("disjunctive_revenue", "TPC-H Q19 shape: the 3-branch cross-side OR "
+     "is Catalyst-extracted into per-side PushedFilters on BOTH scans; "
+     "the full disjunction evaluates once post-join"),
+    ("runtime_filter_pruned_join", "runtime Bloom-filter pruning (r5): "
+     "might_contain(bloom, xxhash64(l_orderkey)) injected into the "
+     "lineitem scan — fact rows shed BEFORE the shuffle; gates scoped "
+     "per-plan and restored (operators/runtime_filters.py)"),
+    ("topk_per_group_limit", "per-group top-k (r5): rank predicate "
+     "rewritten to WindowGroupLimit — map-side k-bounding before the "
+     "exchange, the shuffle carries <= k rows per (mapper, group)"),
+    ("sole_return_suppliers", "TPC-H Q21 shape: the EXISTS/NOT-EXISTS "
+     "pair decorrelated into one per-order distinct-count aggregate — "
+     "equi-joins only, TakeOrderedAndProject top-10"),
 ]
 
 

@@ -352,3 +352,50 @@ def test_trimmed_mean_equals_reference(spark, vals, trim):
     kept = s[cut: len(s) - cut]
     assert got["n_used"] == len(kept)
     assert got["trimmed_mean"] == pytest.approx(sum(kept) / len(kept))
+
+
+@given(
+    cuts=st.lists(st.integers(min_value=1, max_value=5), min_size=1, max_size=4),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_accumulate_invariant_to_batch_cut(spark, cuts, seed):
+    # foreachBatch MERGE property: folding per-batch aggregates through
+    # merge_accumulate must equal the one-shot aggregate REGARDLESS of how
+    # the rows are cut into batches (sizes drawn by hypothesis; exact
+    # integer sums + max, so no accumulation-order escape hatch).
+    from nilm_data_framework_spark.operators.lakehouse import merge_accumulate
+
+    rows = [
+        (i % 7, (i * 37 + seed) % 1000, 100 + (i * 13 + seed) % 50)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k int, v long, t long")
+    one_shot = {
+        r["k"]: (r["n"], r["s"], r["m"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("t").alias("m"))
+        .collect()
+    }
+
+    # cut the row list into batches of the drawn sizes (cycling)
+    batches, i, ci = [], 0, 0
+    while i < len(rows):
+        size = cuts[ci % len(cuts)]
+        batches.append(rows[i : i + size])
+        i += size
+        ci += 1
+    state = None
+    for b in batches:
+        agg_b = (
+            spark.createDataFrame(b, "k int, v long, t long")
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.max("t").alias("m"),
+            )
+        )
+        state = merge_accumulate(state, agg_b, "k", sums=["n", "s"], maxes=["m"])
+    folded = {r["k"]: (r["n"], r["s"], r["m"]) for r in state.collect()}
+    assert folded == one_shot
