@@ -17,7 +17,7 @@ integer-derived inputs), counts and integer math exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nilm_data_framework_spark.operators import lakehouse as LH
