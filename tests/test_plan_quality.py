@@ -715,19 +715,16 @@ def test_returned_items_topk_no_global_sort(spark):
 
 def test_promotion_suppliers_reuses_partkey_exchange(spark):
     # Q20 shape decorrelated: sp (supp,part) aggregate -> per-part total ->
-    # join back on partkey. The per-part total and the re-join share the
-    # partkey hash partitioning, so the sp subtree must appear once and the
-    # plan must not shuffle the qualifying side a second time on partkey.
+    # join back on partkey. sp is localCheckpointed (it feeds both
+    # branches), so the lineitem⋈part subtree must appear as checkpoint
+    # scans, NOT as re-derived parquet scans — only supplier reads parquet.
     import re
 
     plan = _plan(spark, "promotion_suppliers")
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
-    # lineitem + part + (lineitem + part for the total) + supplier: Spark
-    # re-derives the sp subtree per branch unless reused — allow the
-    # re-derivation but never a cartesian / nested loop
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert len(scans) <= 5
+    assert len(scans) == 1, f"expected only the supplier parquet scan, got {len(scans)}"
 
 
 def test_sole_return_suppliers_single_lineitem_shuffle_key(spark):

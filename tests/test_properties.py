@@ -366,8 +366,12 @@ def test_merge_accumulate_invariant_to_batch_cut(spark, cuts, seed):
     # integer sums + max, so no accumulation-order escape hatch).
     from nilm_data_framework_spark.operators.lakehouse import merge_accumulate
 
+    # k == None rows exercise the NULL-key group: merge_accumulate joins
+    # with eqNullSafe, so NULL keys must stay ONE group across any cut
+    # (plain == would fragment them into one row per batch)
     rows = [
-        (i % 7, (i * 37 + seed) % 1000, 100 + (i * 13 + seed) % 50)
+        (None if i % 7 == 6 else i % 7, (i * 37 + seed) % 1000,
+         100 + (i * 13 + seed) % 50)
         for i in range(30)
     ]
     df = spark.createDataFrame(rows, "k int, v long, t long")
