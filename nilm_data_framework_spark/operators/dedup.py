@@ -366,6 +366,14 @@ def write_lsh_reference(
             w = w.option("path", f"{path}/{suffix}")
         return w
 
+    # Torn-write protection: meta is the COMMIT MARKER. Drop any existing
+    # meta BEFORE touching the data tables and rewrite it LAST, so a write
+    # that dies mid-way (new bucket tables, old params) leaves no meta and
+    # read_lsh_reference fails LOUDLY instead of silently screening every
+    # batch with mismatched hash parameters (near-zero candidates = silent
+    # false negatives).
+    df_ref.sparkSession.sql(f"DROP TABLE IF EXISTS {table_prefix}_meta")
+
     hashed = _hashed_shingles(df_ref, id_col, text, shingle_n).persist()
     try:
         (

@@ -70,3 +70,22 @@ def ratio_e4(num: str, den: str) -> Column:
 
 def ratio_e4_sql(num: str, den: str) -> str:
     return ratio_scaled_sql(num, den, 4)
+
+
+def u6_mean_e4(sum_u6: str, n: str) -> Column:
+    """Exact e4 mean of 1e-6-truncated integer values: round_half_up(
+    (sum_u6 / n) / 100 ) == (2*sum_u6 + 100*n) div (200*n), all BIGINT.
+
+    The canonical cross-engine-exact mean: per-row values are floored to
+    integer micro-units BEFORE summing (floor(value * 1e6)), so the sum is
+    exact, and the e4 mean is one integer division — no accumulation-order
+    float drift in either engine. Same num >= 0 precondition as
+    :func:`ratio_scaled` (negative values need num/den columns instead).
+    ``sum_u6``/``n`` are SQL expressions over already-aggregated BIGINTs.
+    """
+    return ratio_scaled(sum_u6, f"100 * ({n})", 0)
+
+
+def u6_mean_e4_sql(sum_u6: str, n: str) -> str:
+    """DuckDB twin of :func:`u6_mean_e4`."""
+    return ratio_scaled_sql(sum_u6, f"100 * ({n})", 0)

@@ -68,8 +68,12 @@ def uniqueness(col: str) -> Column:
 
 
 def in_set_ratio(col: str, allowed: list[str]) -> Column:
-    """Fraction of rows whose value is in the allowed set."""
-    in_list = ", ".join(f"'{a}'" for a in allowed)
+    """Fraction of rows whose value is in the allowed set.
+
+    Values are embedded as SQL string literals with single quotes doubled,
+    so names like O'Brien cannot break (or alter) the generated predicate.
+    """
+    in_list = ", ".join("'{}'".format(str(a).replace("'", "''")) for a in allowed)
     return _exact_ratio6(
         f"sum(case when {col} in ({in_list}) then 1 else 0 end)", "count(1)"
     )

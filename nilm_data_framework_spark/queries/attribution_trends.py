@@ -339,10 +339,12 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEBOUNCE_GAP_US = 60 * 1_000_000  # 60 s
 
-
-@query(
-    "debounce_events",
-    oracle=f"""
+# Shared DuckDB CTE pair (seq + bursts) tagging every event with its
+# chain-debounce burst id at the canonical 60 s gap. debounce_events AND
+# streaming_debounce_equiv both splice THIS string, so the batch and
+# streaming gates can never drift apart on the grain whose equivalence the
+# streaming query exists to prove.
+DEBOUNCE_BURSTS_CTES = f"""
     WITH seq AS (
       SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
              CASE WHEN epoch_us(ts)
@@ -361,17 +363,24 @@ _DEBOUNCE_GAP_US = 60 * 1_000_000  # 60 s
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW) AS burst_id
       FROM seq
-    ),
+    )"""
+
+
+@query(
+    "debounce_events",
+    oracle=f"""
+    {DEBOUNCE_BURSTS_CTES},
     kept AS (
       SELECT user_id, event_type, burst_id,
-             min(event_id ORDER BY tus, event_id) AS first_event_id,
+             first(event_id ORDER BY tus, event_id) AS first_event_id,
              count(*) AS burst_len
       FROM bursts GROUP BY 1, 2, 3
     )
     SELECT user_id, event_type,
            count(*) AS n_kept,
            CAST(sum(burst_len) AS BIGINT) AS n_raw,
-           CAST(max(burst_len) AS BIGINT) AS max_burst
+           CAST(max(burst_len) AS BIGINT) AS max_burst,
+           CAST(sum(first_event_id) AS BIGINT) AS sum_first_ids
     FROM kept GROUP BY 1, 2
     """,
     survey_ref="§2.5 W5-family extension: debounce / burst collapse (keep "
@@ -406,6 +415,9 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bursts = seq.withColumn("burst_id", F.sum("new_burst").over(run))
     kept = bursts.groupBy("user_id", "event_type", "burst_id").agg(
+        # arg-min by (tus, event_id) — the oracle's first(event_id ORDER BY
+        # tus, event_id); checksummed into the output (sum_first_ids) so
+        # the gate actually verifies the survivor PICKS, not only counts
         F.min_by("event_id", F.struct("tus", "event_id")).alias("first_event_id"),
         F.count(F.lit(1)).alias("burst_len"),
     )
@@ -413,6 +425,7 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("burst_len").alias("n_raw"),
         F.max("burst_len").alias("max_burst"),
+        F.sum("first_event_id").alias("sum_first_ids"),
     )
 
 
@@ -768,11 +781,11 @@ def null_safe_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id,
              rank() OVER w AS rnk,
              count(*) OVER (PARTITION BY user_id) AS n_rows,
-             count(*) OVER (PARTITION BY user_id ORDER BY value DESC, event_id
+             count(*) OVER (PARTITION BY user_id ORDER BY value DESC
                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS cume_n
       FROM events WHERE event_type = 'purchase'
-      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY value DESC)
     )
     SELECT user_id, event_id,
            CAST(rnk AS BIGINT) AS rnk,
@@ -793,11 +806,16 @@ def percentile_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact e4 integers built from their DEFINITIONS — rank/row counts — not
     the built-ins' doubles (which divide engine-side and re-open the
     half-boundary trap). cume_n uses the ties-inclusive RANGE frame count
-    (exactly cume_dist·n, as an integer). All four windows share the one
+    (exactly cume_dist·n, as an integer): equal values share rank AND
+    cume_n, matching SQL percent_rank/cume_dist over the value ordering. All four windows share the one
     user-key exchange+sort; percent_rank of a single-row partition is 0 by
     SQL convention (guarded — the e4 division would hit n-1 = 0)."""
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    # ordered by value ONLY: ties must share rank and cume_n (adding the
+    # event_id tie-break made every row its own peer group, degenerating
+    # rank to row_number and cume_n to a running row count — r5 review
+    # fix). event_id stays in the OUTPUT as the row identifier.
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
     base = ev.select(
         "user_id", "event_id",
         F.rank().over(w).cast("long").alias("rnk"),

@@ -292,11 +292,26 @@ def incremental_neardup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
     (tests/test_plan_quality.py pins this). Hash params come from the
     persisted meta table, enforcing same-seed soundness."""
     import os
+    import shutil
     import tempfile
 
     docs = _docs(spark, sf_dir)
     prefix = f"lsh_ref_{os.getpid()}"
-    path = os.path.join(tempfile.gettempdir(), "nilm_spark_lsh_ref", prefix)
+    root = os.path.join(tempfile.gettempdir(), "nilm_spark_lsh_ref")
+    path = os.path.join(root, prefix)
+    # reap layouts left by DEAD processes (pid-keyed so concurrent runs
+    # never collide; without this every driver/bench/test process leaks
+    # its reference tables into /tmp forever)
+    if os.path.isdir(root):
+        for stale in os.listdir(root):
+            pid_str = stale.rsplit("_", 1)[-1]
+            if pid_str.isdigit() and int(pid_str) != os.getpid():
+                try:
+                    os.kill(int(pid_str), 0)
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+                except PermissionError:
+                    pass  # pid exists but is not ours — leave it
     D.write_lsh_reference(
         docs.filter(F.col("doc_id") % 5 != 0),
         prefix,

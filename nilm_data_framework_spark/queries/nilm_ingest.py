@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from nilm_data_framework_spark.operators import aggregates as agg
 from nilm_data_framework_spark.operators import joins as J
 from nilm_data_framework_spark.operators import selectors as sel
+from nilm_data_framework_spark.operators.exact_math import u6_mean_e4, u6_mean_e4_sql
 from nilm_data_framework_spark.plans.registry import query
 from nilm_data_framework_spark.sources.testdata import load_table
 from nilm_data_framework_spark.taxonomy import UNIVERSAL_LABELS, keywords_df, map_universal_label
@@ -181,20 +182,24 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A4/J4 pivot wide (time-axis alignment) -------------------------------------------
 
+
+def _pivot_cell_sql(t: str) -> str:
+    """One pivot cell: exact e4 mean of the type's 1e-6-truncated values
+    (operators/exact_math.py::u6_mean_e4_sql), 0-filled when absent."""
+    n = f"count(CASE WHEN event_type = '{t}' THEN 1 END)"
+    s = f"sum(CASE WHEN event_type = '{t}' THEN CAST(floor(value * 1000000) AS BIGINT) END)"
+    return f'coalesce(CASE WHEN {n} > 0 THEN {u6_mean_e4_sql(s, n)} END, 0) AS "{t}"'
+
+
 @query(
     "pivot_wide",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS hour_ts,
-           coalesce(CASE WHEN count(CASE WHEN event_type = 'click' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'click' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'click' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'click' THEN 1 END)) AS BIGINT) END, 0)
-             AS click,
-           coalesce(CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'error' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'error' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'error' THEN 1 END)) AS BIGINT) END, 0)
-             AS error,
-           coalesce(CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'purchase' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'purchase' THEN 1 END)) AS BIGINT) END, 0)
-             AS purchase,
-           coalesce(CASE WHEN count(CASE WHEN event_type = 'signup' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'signup' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'signup' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'signup' THEN 1 END)) AS BIGINT) END, 0)
-             AS signup,
-           coalesce(CASE WHEN count(CASE WHEN event_type = 'view' THEN 1 END) > 0 THEN CAST((2 * sum(CASE WHEN event_type = 'view' THEN CAST(floor(value * 1000000) AS BIGINT) END) + 100 * count(CASE WHEN event_type = 'view' THEN 1 END)) // (200 * count(CASE WHEN event_type = 'view' THEN 1 END)) AS BIGINT) END, 0)
-             AS "view"
+           {_pivot_cell_sql('click')},
+           {_pivot_cell_sql('error')},
+           {_pivot_cell_sql('purchase')},
+           {_pivot_cell_sql('signup')},
+           {_pivot_cell_sql('view')}
     FROM events GROUP BY hour_ts
     """,
     survey_ref="§2.4 A4 / §2.3 J4 (preprocess_shelly.py:64, UnifiedNILM.py:481-488)",
@@ -212,7 +217,7 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_u6").alias("_s"), F.count("v_u6").alias("_n")
     ).select(
         "hour_ts", "event_type",
-        F.expr("(2 * _s + 100 * _n) div (200 * _n)").alias("v"),
+        u6_mean_e4("_s", "_n").alias("v"),
     )
     return agg.pivot_wide(meaned, index="hour_ts", column="event_type", value="v",
                           column_values=EVENT_TYPES, fill=0)

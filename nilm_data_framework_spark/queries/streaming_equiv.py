@@ -24,7 +24,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
+from nilm_data_framework_spark.operators.exact_math import (
+    ratio_e4,
+    ratio_e4_sql,
+    u6_mean_e4,
+    u6_mean_e4_sql,
+)
 from nilm_data_framework_spark.plans.registry import query
 from nilm_data_framework_spark.sources.testdata import _ensure_session_confs
 
@@ -91,11 +96,10 @@ def _run_to_memory_sink(agg, name: str, output_mode: str = "complete"):
 
 @query(
     "streaming_resample_equiv",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            date_trunc('hour', ts) AS bucket_ts,
-           CAST((2 * sum(CAST(floor(value * 1000000) AS BIGINT)) + 100 * count(*))
-                // (200 * count(*)) AS BIGINT) AS avg_value_e4,
+           {u6_mean_e4_sql('sum(CAST(floor(value * 1000000) AS BIGINT))', 'count(*)')} AS avg_value_e4,
            count(*) AS n
     FROM events GROUP BY ALL
     """,
@@ -118,7 +122,7 @@ def streaming_resample_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_SINK).select(
         "event_type",
         F.col("w.start").alias("bucket_ts"),
-        F.expr("(2 * _s + 100 * n) div (200 * n)").alias("avg_value_e4"),
+        u6_mean_e4("_s", "n").alias("avg_value_e4"),
         "n",
     )
 
@@ -256,13 +260,12 @@ def _late_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "streaming_late_data_drop",
-    oracle="""
+    oracle=f"""
     WITH wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
     agg AS (
       SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
              count(*) AS n,
-             CAST((2 * sum(CAST(floor(value * 1000000) AS BIGINT)) + 100 * count(*))
-                  // (200 * count(*)) AS BIGINT) AS avg_value_e4
+             {u6_mean_e4_sql('sum(CAST(floor(value * 1000000) AS BIGINT))', 'count(*)')} AS avg_value_e4
       FROM events GROUP BY 1, 2
     )
     SELECT * FROM agg WHERE bucket_ts + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
@@ -283,7 +286,7 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run_to_memory_sink(agg, _LATE_SINK, output_mode="append")
     return spark.table(_LATE_SINK).select(
         F.col("w.start").alias("bucket_ts"), "event_type", "n",
-        F.expr("(2 * _s + 100 * n) div (200 * n)").alias("avg_value_e4"),
+        u6_mean_e4("_s", "n").alias("avg_value_e4"),
     )
 
 
@@ -513,31 +516,20 @@ def streaming_stream_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEBOUNCE_SINK = "streaming_debounce_equiv_sink"
-_DEBOUNCE_GAP_US = 60 * 1_000_000
+
+# gap + burst-tagging CTEs are SHARED with the batch debounce_events query
+# (queries/attribution_trends.py) — the whole point of this gate is batch
+# == stream on the same grain, so the grain definition must live once
+from nilm_data_framework_spark.queries.attribution_trends import (  # noqa: E402
+    _DEBOUNCE_GAP_US,
+    DEBOUNCE_BURSTS_CTES,
+)
 
 
 @query(
     "streaming_debounce_equiv",
     oracle=f"""
-    WITH seq AS (
-      SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
-             CASE WHEN epoch_us(ts)
-                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
-                                                 ORDER BY tus, event_id)
-                       >= {_DEBOUNCE_GAP_US}
-                    OR lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
-                                               ORDER BY tus, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_burst
-      FROM events
-    ),
-    bursts AS (
-      SELECT user_id, event_type, event_id,
-             sum(new_burst) OVER (PARTITION BY user_id, event_type
-                                  ORDER BY tus, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND CURRENT ROW) AS burst_id
-      FROM seq
-    ),
+    {DEBOUNCE_BURSTS_CTES},
     per AS (
       SELECT user_id, event_type, burst_id, count(*) AS blen
       FROM bursts GROUP BY 1, 2, 3
