@@ -356,7 +356,18 @@ def write_lsh_reference(
     ``path`` makes the three tables EXTERNAL under ``{path}/{suffix}``
     (needed when the session's warehouse dir may not be writable, e.g. a
     driver-invoked run); None keeps them managed in the warehouse.
+
+    Only ``mode='overwrite'`` is accepted: an append would duplicate every
+    (id, band, bucket)/(id, hs) row (multiplying verify-join matches) and
+    leave two meta rows for ``head()`` to pick between — incremental
+    growth is a bucket-spec INSERT of NEW ids only (see the layout note
+    above), not a re-run of this writer.
     """
+    if mode != "overwrite":
+        raise ValueError(
+            "write_lsh_reference only supports mode='overwrite'; append new "
+            "ids with a bucket-spec INSERT into the existing tables"
+        )
     rows_per = num_hashes // bands
     params = _minhash_hash_params(num_hashes, seed)
 

@@ -1173,12 +1173,18 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- common-neighbor link prediction ------------------------------------------
 
 
-def _copurchase_edges(li: DataFrame) -> DataFrame:
-    """Support-≥2 part co-purchase edge list (src < dst), JOIN-FREE: one
-    groupBy(order) → sorted distinct part array → JVM-side HOF pair
-    explosion (the same kernel triangle_count_parts documents; measured
-    ~20% faster than the (order, part) self-join at sf0.1 because the
-    fact table is scanned and shuffled once, not twice)."""
+def _copurchase_edges(
+    li: DataFrame, min_support: int = 2, support_col: str | None = None
+) -> DataFrame:
+    """Support-thresholded part co-purchase edge list (src < dst),
+    JOIN-FREE: one groupBy(order) → sorted distinct part array → JVM-side
+    HOF pair explosion (the same kernel triangle_count_parts documents;
+    measured ~20% faster than the (order, part) self-join at sf0.1 because
+    the fact table is scanned and shuffled once, not twice). The single
+    implementation is shared by triangle counting, link prediction, and
+    scripts/stress_scaling.py's graph workloads — the slice arithmetic
+    lives here once. ``support_col`` keeps the distinct-order support
+    count in the output (association-rules callers)."""
     parts = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
@@ -1191,12 +1197,12 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
             )
         ).alias("p")
     ).select("p.src", "p.dst")
-    return (
+    out = (
         pairs.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("_sup"))
-        .filter(F.col("_sup") >= 2)
-        .drop("_sup")
+        .agg(F.count(F.lit(1)).alias(support_col or "_sup"))
+        .filter(F.col(support_col or "_sup") >= min_support)
     )
+    return out if support_col else out.drop("_sup")
 
 
 @query(

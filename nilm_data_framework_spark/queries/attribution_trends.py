@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 from nilm_data_framework_spark.operators.exact_math import ratio_e4, ratio_e4_sql
 from nilm_data_framework_spark.operators import text as T
 from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.queries.nilm_windows import (
+    SESSION_IDS_CTES,
+    session_ids,
+)
 from nilm_data_framework_spark.sources.testdata import load_table
 
 
@@ -435,23 +439,7 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "session_bounce_rate",
     oracle=f"""
-    WITH gaps AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-                                                       ORDER BY ts, event_id))
-                       > 1800
-                    OR lag(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    sess AS (
-      SELECT user_id, ts, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND CURRENT ROW) AS session_id
-      FROM gaps
-    ),
+    {SESSION_IDS_CTES},
     per AS (
       SELECT user_id, session_id, count(*) AS cnt,
              strftime(min(ts), '%Y-%m-%d') AS d
@@ -477,19 +465,11 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     as an exact e4 share. Proves the session grain composes into product
     metrics without re-deriving state: the same single user-key exchange
     feeds the lag, the running sum, and the per-session reduction; only
-    the tiny (day) rollup re-shuffles."""
+    the tiny (day) rollup re-shuffles. Grain definition is SHARED with
+    sessionize (queries/nilm_windows.py::session_ids / SESSION_IDS_CTES),
+    so this metric can never drift from the sessionizer."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = F.when(
-        prev.isNull()
-        | (F.col("ts").cast("double") - prev.cast("double") > 1800),
-        1,
-    ).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = ev.withColumn("_new", new_sess).withColumn(
-        "session_id", F.sum("_new").over(run)
-    )
+    sess = session_ids(ev)
     per = sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.date_format(F.min("ts"), "yyyy-MM-dd").alias("d"),
@@ -593,9 +573,13 @@ def compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         compaction_audit as audit,
     )
 
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
     ev = _events(spark, sf_dir)
-    out = os.path.join(
-        tempfile.gettempdir(), "nilm_spark_compact", f"ev_{os.getpid()}"
+    # pid-keyed + dead-owner reaping (same leak class as the LSH reference
+    # layout — without the reap every process leaves an events-sized copy)
+    out = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_compact"), "ev_"
     )
     compact_small_files(ev, out, _COMPACT_R)
     return audit(spark, out).select(

@@ -292,26 +292,18 @@ def incremental_neardup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame
     (tests/test_plan_quality.py pins this). Hash params come from the
     persisted meta table, enforcing same-seed soundness."""
     import os
-    import shutil
     import tempfile
+
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
 
     docs = _docs(spark, sf_dir)
     prefix = f"lsh_ref_{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), "nilm_spark_lsh_ref")
-    path = os.path.join(root, prefix)
-    # reap layouts left by DEAD processes (pid-keyed so concurrent runs
-    # never collide; without this every driver/bench/test process leaks
-    # its reference tables into /tmp forever)
-    if os.path.isdir(root):
-        for stale in os.listdir(root):
-            pid_str = stale.rsplit("_", 1)[-1]
-            if pid_str.isdigit() and int(pid_str) != os.getpid():
-                try:
-                    os.kill(int(pid_str), 0)
-                except ProcessLookupError:
-                    shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
-                except PermissionError:
-                    pass  # pid exists but is not ours — leave it
+    # pid-keyed so concurrent runs never collide; pid_scratch_dir reaps
+    # layouts left by DEAD processes (without it every driver/bench/test
+    # process would leak its reference tables into /tmp forever)
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_lsh_ref"), "lsh_ref_"
+    )
     D.write_lsh_reference(
         docs.filter(F.col("doc_id") % 5 != 0),
         prefix,

@@ -215,13 +215,18 @@ def truncate_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sessionization (batch twin of session_window; W5 family) ---------------------------
 
-@query(
-    "sessionize",
-    oracle=f"""
+SESSION_GAP_S = 1800  # 30-min inactivity gap
+
+# Shared DuckDB CTE pair (gaps + sess) tagging every event with its
+# session_id on the canonical grain (> gap, ordered by ts with event_id
+# tie-break). sessionize AND session_bounce_rate splice THIS string — the
+# session grain lives once, so derived product metrics can never drift
+# from the sessionizer (same rule as DEBOUNCE_BURSTS_CTES).
+SESSION_IDS_CTES = f"""
     WITH gaps AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       > {SESSION_GAP_S} OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sess AS (
@@ -229,7 +234,29 @@ def truncate_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps
-    ),
+    )"""
+
+
+def session_ids(ev: DataFrame) -> DataFrame:
+    """Spark twin of SESSION_IDS_CTES: each event tagged with session_id.
+    One user-key exchange shared by the lag and the running sum."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("double") - prev.cast("double") > SESSION_GAP_S),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(run)
+    )
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+    {SESSION_IDS_CTES},
     per AS (SELECT user_id, session_id, count(*) AS cnt FROM sess GROUP BY ALL),
     agg AS (
       SELECT user_id, count(*) AS n_sessions,
@@ -244,15 +271,7 @@ def truncate_to_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = F.when(
-        prev.isNull() | (F.col("ts").cast("double") - prev.cast("double") > 1800), 1
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    sess = ev.withColumn("_new", new_sess).withColumn("session_id", F.sum("_new").over(run))
+    sess = session_ids(ev)
     per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("cnt"))
     agg = per_session.groupBy("user_id").agg(
         F.countDistinct("session_id").alias("n_sessions"),

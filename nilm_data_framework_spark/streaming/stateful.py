@@ -195,7 +195,7 @@ DEBOUNCE_SCHEMA = StructType(
 
 # state: (last event tus, bursts so far)
 DEBOUNCE_STATE_SCHEMA = StructType(
-    [StructField("last_tus", LongType()), StructField("n_bursts", LongType())]
+    [StructField("last_tus", LongType()), StructField("burst_start", LongType())]
 )
 
 
@@ -221,6 +221,14 @@ def debounce_stream(
     and watermarked, in-order sources). An out-of-order deployment buffers
     events until the watermark before running the chain — the same caveat
     as any order-sensitive stateful operator (cf. track_runs).
+
+    burst_id is the burst's START timestamp (micros), not a running
+    counter: burst starts strictly increase within a key, so ids stay
+    unique ACROSS state timeouts — a counter would restart at 1 after the
+    idle-key timeout removes state, silently merging a post-timeout burst
+    with the key's first burst in any downstream groupBy (r5 review fix).
+    Timeout-driven state removal is therefore safe AND the state bound
+    stays two longs.
     """
 
     def update(
@@ -232,14 +240,14 @@ def debounce_stream(
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["_tus", "_eid"], kind="mergesort")
-        last_tus, n_bursts = state.get if state.exists else (None, 0)
+        last_tus, burst_start = state.get if state.exists else (None, 0)
         out = []
         for tus, eid in zip(rows["_tus"], rows["_eid"]):
             if last_tus is None or tus - last_tus >= gap_us:
-                n_bursts += 1
-            out.append((uid, et, int(eid), int(n_bursts)))
+                burst_start = int(tus)
+            out.append((uid, et, int(eid), int(burst_start)))
             last_tus = int(tus)
-        state.update((last_tus, int(n_bursts)))
+        state.update((last_tus, int(burst_start)))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
         yield pd.DataFrame(
             out, columns=["user_id", "event_type", "event_id", "burst_id"]

@@ -124,26 +124,14 @@ def fact_workloads(li: DataFrame, orders: DataFrame) -> dict:
     association_rules / concurrency_peaks)."""
     from nilm_data_framework_spark.operators import graph as G
     from nilm_data_framework_spark.operators import windows as W
+    from nilm_data_framework_spark.queries.advanced_analytics import (
+        _copurchase_edges,
+    )
 
     def _pair_edges():
-        parts = li.groupBy("l_orderkey").agg(
-            F.array_sort(F.collect_set("l_partkey")).alias("ps")
-        )
-        pairs = parts.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps) - i - 1), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("p")
-        ).select("p.src", "p.dst")
-        return (
-            pairs.groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("_sup"))
-            .filter(F.col("_sup") >= 2)
-            .drop("_sup")
-        )
+        # the SAME kernel the registered queries run (shared impl — the
+        # slice arithmetic lives once, in advanced_analytics.py)
+        return _copurchase_edges(li)
 
     def _triangles():
         return G.triangle_count(_pair_edges()).count()
@@ -156,25 +144,7 @@ def fact_workloads(li: DataFrame, orders: DataFrame) -> dict:
         return G.pagerank_iteration(edges, damping=0.85).count()
 
     def _assoc_rules():
-        op = li.select("l_orderkey", "l_partkey").distinct()
-        parts = op.groupBy("l_orderkey").agg(
-            F.array_sort(F.collect_set("l_partkey")).alias("ps")
-        )
-        pairs = parts.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps) - i - 1), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
-        ).select("p.a", "p.b")
-        return (
-            pairs.groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("sup"))
-            .filter(F.col("sup") >= 2)
-            .count()
-        )
+        return _copurchase_edges(li, support_col="sup").count()
 
     def _sweepline():
         iv = orders.select(
@@ -222,14 +192,30 @@ def screen_workloads(docs: DataFrame, spark) -> dict:
         (F.col("doc_id") >= 10_000_000) | (F.col("doc_id") % 97 != 0)
     )
     prefix = "stress_lsh_ref"
+    # new k => new reference corpus: invalidate the commit marker so the
+    # screen can never run against a PREVIOUS k's persisted layout (matters
+    # under --only filtering, where the write workload itself is skipped)
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_meta")
 
     def _write_ref():
+        import shutil
         import tempfile
 
-        D.write_lsh_reference(ref, prefix, buckets=16, path=tempfile.mkdtemp())
+        # deterministic dir, cleared first: mkdtemp-per-call would orphan
+        # the previous corpus-sized external tables every time overwrite
+        # re-points the catalog entry (3 calls per k — unbounded /tmp
+        # growth over a sweep)
+        path = os.path.join(tempfile.gettempdir(), "stress_lsh_ref_data")
+        shutil.rmtree(path, ignore_errors=True)
+        D.write_lsh_reference(ref, prefix, buckets=16, path=path)
         return 0
 
     def _persisted():
+        # self-healing under --only filtering: the screen depends on the
+        # write having run at the CURRENT k's corpus (the write is its own
+        # timed workload when unfiltered)
+        if not spark.catalog.tableExists(f"{prefix}_meta"):
+            _write_ref()
         return D.minhash_lsh_join_reference(batch, prefix).count()
 
     def _onthefly():
