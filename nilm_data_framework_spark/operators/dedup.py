@@ -331,7 +331,6 @@ def write_lsh_reference(
     bands: int = 4,
     seed: int = 42,
     buckets: int = 16,
-    mode: str = "overwrite",
     path: str | None = None,
 ) -> None:
     """Persist the deduped corpus's LSH state once so per-ingest screens are
@@ -357,22 +356,17 @@ def write_lsh_reference(
     (needed when the session's warehouse dir may not be writable, e.g. a
     driver-invoked run); None keeps them managed in the warehouse.
 
-    Only ``mode='overwrite'`` is accepted: an append would duplicate every
-    (id, band, bucket)/(id, hs) row (multiplying verify-join matches) and
-    leave two meta rows for ``head()`` to pick between — incremental
-    growth is a bucket-spec INSERT of NEW ids only (see the layout note
-    above), not a re-run of this writer.
+    Always writes with overwrite semantics: an append would duplicate
+    every (id, band, bucket)/(id, hs) row (multiplying verify-join
+    matches) and leave two meta rows for ``head()`` to pick between —
+    incremental growth is a bucket-spec INSERT of NEW ids only (see the
+    layout note above), not a re-run of this writer.
     """
-    if mode != "overwrite":
-        raise ValueError(
-            "write_lsh_reference only supports mode='overwrite'; append new "
-            "ids with a bucket-spec INSERT into the existing tables"
-        )
     rows_per = num_hashes // bands
     params = _minhash_hash_params(num_hashes, seed)
 
     def _writer(df, suffix):
-        w = df.write.mode(mode)
+        w = df.write.mode("overwrite")
         if path is not None:
             w = w.option("path", f"{path}/{suffix}")
         return w

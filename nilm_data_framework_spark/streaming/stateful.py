@@ -193,7 +193,8 @@ DEBOUNCE_SCHEMA = StructType(
     ]
 )
 
-# state: (last event tus, bursts so far)
+# state: (last event tus, current burst's START tus — the emitted burst_id;
+# NOT a counter: counters restart after state timeout and collide)
 DEBOUNCE_STATE_SCHEMA = StructType(
     [StructField("last_tus", LongType()), StructField("burst_start", LongType())]
 )

@@ -194,9 +194,15 @@ def main() -> None:
 
         docs = load_table(spark, sf_dir, "documents", parallelize=True)
         prefix = "plans_lsh_ref"
+        from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+        # pid-keyed + dead-owner reaping (mkdtemp-per-run leaked one
+        # corpus-sized external layout per gen_plans invocation)
         D.write_lsh_reference(
-            docs.filter(F.col("doc_id") % 5 != 0), prefix,
-            buckets=8, path=tempfile.mkdtemp(),
+            docs.filter(F.col("doc_id") % 5 != 0), prefix, buckets=8,
+            path=pid_scratch_dir(
+                os.path.join(tempfile.gettempdir(), "plans_lsh_ref"), "ref_"
+            ),
         )
         return D.minhash_lsh_join_reference(
             docs.filter(F.col("doc_id") % 5 == 0), prefix, materialize=False

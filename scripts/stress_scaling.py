@@ -201,11 +201,15 @@ def screen_workloads(docs: DataFrame, spark) -> dict:
         import shutil
         import tempfile
 
-        # deterministic dir, cleared first: mkdtemp-per-call would orphan
-        # the previous corpus-sized external tables every time overwrite
-        # re-points the catalog entry (3 calls per k — unbounded /tmp
-        # growth over a sweep)
-        path = os.path.join(tempfile.gettempdir(), "stress_lsh_ref_data")
+        from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+        # pid-keyed + dead-owner reaping (concurrency-safe, unlike a fixed
+        # shared dir) and cleared before each write — mkdtemp-per-call
+        # would orphan the previous corpus-sized external tables every
+        # time overwrite re-points the catalog entry (3 calls per k)
+        path = pid_scratch_dir(
+            os.path.join(tempfile.gettempdir(), "stress_lsh_ref_data"), "ref_"
+        )
         shutil.rmtree(path, ignore_errors=True)
         D.write_lsh_reference(ref, prefix, buckets=16, path=path)
         return 0
