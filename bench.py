@@ -119,6 +119,8 @@ HEADLINE = [
     "runtime_filter_pruned_join",
     "common_neighbors_linkpred",
     "topk_per_group_limit",
+    # round-5 batch 6: persisted IVF layout (write + partition-pruned probe)
+    "ivf_topk_persisted",
 ]
 
 

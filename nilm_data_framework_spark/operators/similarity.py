@@ -790,3 +790,93 @@ def hamming_rerank_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "match_id", "hamming", "cosine", "rk")
     )
+
+
+def write_ivf_corpus(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF layout SCALE.md's similarity row promises: the
+    corpus WRITTEN partitioned by centroid id, so probing becomes parquet
+    PARTITION PRUNING — a query touching n_probe of n_centroids lists
+    reads only those directories, no filter evaluation over the rest.
+
+    Centroid assignment is the shuffle-free per-row argmax
+    (:func:`assign_centroids`); the only data movement is the writer's
+    own partitioned layout. Same production contract as the persisted LSH
+    reference (operators/dedup.py::write_lsh_reference): centroids are
+    trained once offline and must be the SAME list at write and probe
+    time — :func:`ivf_topk_partitioned` takes them explicitly so the
+    caller owns that invariant.
+    """
+    assign_centroids(corpus, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a :func:`write_ivf_corpus` layout: the probed
+    centroid ids become a LITERAL partition filter on the corpus scan
+    (PushedFilters/PartitionFilters — plan-pinned by
+    tests/test_plan_quality.py::test_ivf_persisted_scan_partition_pruned),
+    so only n_probe/n_centroids of the corpus directories are read.
+
+    The probe set is collected to the driver — bounded by
+    n_probe × |queries| ints (query sets are small by contract, same
+    bounded-collect rule as sample_centroids); results are identical to
+    :func:`ivf_topk` with the same centroids because the per-query
+    candidate join on cid already restricts to each query's own probes.
+    """
+    cent_arr = array_lit(centroids)
+
+    def nearest(vec: Column, n: int) -> Column:
+        scored = F.transform(
+            cent_arr,
+            lambda cv, i: F.struct(
+                (-cosine(vec, cv)).alias("negcos"), i.cast("integer").alias("cid")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.transform(nearest(F.col(vec_col), n_probe), lambda s: s["cid"])
+        ).alias("cid"),
+    )
+    probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(probed))
+        .select(
+            F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"), "cid"
+        )
+    )
+    cand = (
+        c.join(F.broadcast(q), on="cid")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .groupBy("query_id", "match_id")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )

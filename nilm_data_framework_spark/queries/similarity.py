@@ -827,3 +827,42 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "query_id", "hits", "k", ratio_e4("hits", "k").alias("recall_e4")
     )
+
+
+# --- persisted IVF layout: probe = partition pruning --------------------------------
+
+
+@query(
+    "ivf_topk_persisted",
+    oracle=_ivf_oracle_sql(),
+    survey_ref="§2.10 ANN: IVF over the PERSISTED cid-partitioned layout "
+    "(probe = parquet partition pruning; result-invariant vs "
+    "cosine_topk_ivf by construction — same oracle)",
+)
+def ivf_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same search as cosine_topk_ivf, but against the production layout:
+    the corpus is WRITTEN partitioned by centroid id
+    (operators/similarity.py::write_ivf_corpus) and each query's probes
+    become a literal partition filter — the scan reads only the probed
+    directories (plan-pinned). Shares cosine_topk_ivf's oracle verbatim:
+    the persisted layout must be RESULT-invariant, exactly like the
+    persisted LSH reference."""
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    emb = _emb(spark, sf_dir)
+    cents = S.sample_centroids(emb, 16, "vec_id", "embedding", "hash", 42)
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_ivf"), "corpus_"
+    )
+    S.write_ivf_corpus(emb, path, cents)
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.ivf_topk_partitioned(
+        spark, path, queries_df, k=TOP_K, centroids=cents, n_probe=4
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )

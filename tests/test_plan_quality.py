@@ -762,3 +762,15 @@ def test_topk_per_group_uses_window_group_limit(spark):
     # full per-group rank materialization.
     plan = _plan(spark, "topk_per_group_limit")
     assert "WindowGroupLimit" in plan, "rank-limit pushdown missing"
+
+
+def test_ivf_persisted_scan_partition_pruned(spark):
+    # the probed centroid ids must reach the corpus scan as PARTITION
+    # filters (the corpus is written partitioned by cid) — probing n_probe
+    # of n_centroids lists reads only those directories.
+    plan = _plan(spark, "ivf_topk_persisted")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "no PartitionFilters line — cid partitioning not applied"
+    assert any("cid" in l and ("In(" in l or "IN" in l) for l in pf), (
+        f"cid probe-set filter missing from partition filters: {pf}"
+    )
