@@ -123,6 +123,10 @@ SHOWCASE = [
     ("sole_return_suppliers", "TPC-H Q21 shape: the EXISTS/NOT-EXISTS "
      "pair decorrelated into one per-order distinct-count aggregate — "
      "equi-joins only, TakeOrderedAndProject top-10"),
+    ("ivf_topk_persisted", "persisted IVF layout (r5): the corpus scan "
+     "carries the probed centroid ids as PartitionFilters — probing "
+     "n_probe of n_centroids lists reads only those directories; "
+     "result-invariant vs the in-memory IVF (shared oracle)"),
 ]
 
 
