@@ -880,3 +880,22 @@ def ivf_topk_partitioned(
         .filter(F.col("rk") <= k)
         .select("query_id", "match_id", "cosine", "rk")
     )
+
+
+def append_ivf_batch(
+    batch: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow a :func:`write_ivf_corpus` layout: assign the new
+    batch to the SAME centroids and append its rows into the existing cid
+    partition directories (Spark appends per-partition files — the layout
+    maintains itself, never rebuilt; the same incremental contract as the
+    LSH reference's bucket-spec INSERT). The caller owns centroid
+    identity, exactly as for probing; re-clustering (centroid drift after
+    heavy growth) is an offline rebuild, not an append."""
+    assign_centroids(batch, centroids, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(path)

@@ -866,3 +866,40 @@ def ivf_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+@query(
+    "ivf_append_probe_equiv",
+    oracle=_ivf_oracle_sql(),
+    survey_ref="§2.10 ANN: incremental append into the persisted IVF "
+    "layout — write corpus-minus-batch, append the batch, probe; must "
+    "equal the one-shot IVF over the full corpus (same oracle verbatim)",
+)
+def ivf_append_probe_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest invariance for the persisted IVF layout: the
+    corpus is written WITHOUT a ~10% batch, the batch is appended with
+    operators/similarity.py::append_ivf_batch (same centroids), and the
+    partition-pruned probe over the grown layout must hash-match the
+    one-shot IVF oracle over the FULL corpus — proving appends land in the
+    right cid directories and probing sees them (the IVF twin of
+    incremental_neardup_persisted's result-invariance gate)."""
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    emb = _emb(spark, sf_dir)
+    cents = S.sample_centroids(emb, 16, "vec_id", "embedding", "hash", 42)
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_ivf_app"), "corpus_"
+    )
+    S.write_ivf_corpus(emb.filter(F.col("vec_id") % 10 != 7), path, cents)
+    S.append_ivf_batch(emb.filter(F.col("vec_id") % 10 == 7), path, cents)
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.ivf_topk_partitioned(
+        spark, path, queries_df, k=TOP_K, centroids=cents, n_probe=4
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )
