@@ -121,6 +121,12 @@ HEADLINE = [
     "topk_per_group_limit",
     # round-5 batch 6: persisted IVF layout (write + partition-pruned probe)
     "ivf_topk_persisted",
+    # round-5 batch 7 (post-freeze extras): Gram matrix, recursive rollup,
+    # inverted index, temporal embargo split
+    "embedding_gram_matrix",
+    "hierarchy_rollup",
+    "inverted_index_stats",
+    "temporal_embargo_split",
 ]
 
 

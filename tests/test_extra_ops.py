@@ -1,0 +1,103 @@
+"""Kernel tests for the post-freeze extension operators (queries/extra_ops.py):
+transitive closure, Gram matrix, inverted index, temporal embargo split."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators.embed_stats import gram_matrix_u6
+from nilm_data_framework_spark.operators.graph import transitive_closure
+from nilm_data_framework_spark.operators.splits import temporal_embargo_split
+from nilm_data_framework_spark.operators.text import inverted_index
+
+
+def test_transitive_closure_chain_and_forest(spark):
+    # chain 5→4→3→2→1 plus a separate edge 10→9: depths must be exact and
+    # the doubling recombination must not duplicate (node, anc) pairs.
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 9)], "child long, parent long"
+    )
+    rows = {
+        (r.node, r.anc): r.depth
+        for r in transitive_closure(edges, rounds=3).collect()
+    }
+    assert rows[(5, 4)] == 1 and rows[(5, 3)] == 2 and rows[(5, 2)] == 3
+    assert rows[(5, 1)] == 4 and rows[(2, 1)] == 1 and rows[(10, 9)] == 1
+    assert len(rows) == 4 + 3 + 2 + 1 + 1  # chain closure + lone edge
+
+
+def test_transitive_closure_rounds_bound_depth(spark):
+    # rounds=1 covers paths of length ≤ 2 only.
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1)], "child long, parent long"
+    )
+    rows = {(r.node, r.anc) for r in transitive_closure(edges, rounds=1).collect()}
+    assert (4, 2) in rows and (4, 1) not in rows
+
+
+def test_gram_matrix_exact_known(spark):
+    # vectors (1.0, 0.5), (0.25, -0.5) in u6 units: (1e6, 5e5), (25e4, -5e5)
+    df = spark.createDataFrame(
+        [([1.0, 0.5],), ([0.25, -0.5],)], "embedding array<float>"
+    )
+    got = {(r.i, r.j): (r.g, r.n) for r in gram_matrix_u6(df).collect()}
+    q = [(1_000_000, 500_000), (250_000, -500_000)]
+    assert got[(0, 0)] == (q[0][0] ** 2 + q[1][0] ** 2, 2)
+    assert got[(0, 1)] == (q[0][0] * q[0][1] + q[1][0] * q[1][1], 2)
+    assert got[(1, 1)] == (q[0][1] ** 2 + q[1][1] ** 2, 2)
+    assert set(got) == {(0, 0), (0, 1), (1, 1)}  # upper triangle only
+
+
+def test_inverted_index_postings_digest(spark):
+    df = spark.createDataFrame(
+        [(2, "b a a"), (1, "a c"), (3, "c a")], "doc_id long, text string"
+    )
+    got = {r.tok: r for r in inverted_index(df, top_terms=10).collect()}
+    assert got["a"].df == 3 and got["a"].tf_total == 4
+    assert got["b"].df == 1 and got["c"].df == 2
+    # digest = md5 of the NUMERICALLY sorted comma-joined posting list
+    assert got["a"].posting_md5 == hashlib.md5(b"1,2,3").hexdigest()
+    assert got["c"].posting_md5 == hashlib.md5(b"1,3").hexdigest()
+
+
+def test_inverted_index_top_terms_cut(spark):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x"), (3, "x y z")], "doc_id long, text string"
+    )
+    toks = [r.tok for r in inverted_index(df, top_terms=2).collect()]
+    assert toks == ["x", "y"]  # df desc, term asc
+
+
+def test_temporal_embargo_split_exact_cutoff(spark):
+    # 10 events at us=0..9, one user each; k = floor(0.8*10) = 8 → cutoff is
+    # the 8th smallest value (us=7). train: us<7 (7 rows); embargo width 2:
+    # us in [7, 9) (2 rows); test: us>=9 (1 row).
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(10)], "us long, user_id long"
+    )
+    got = {
+        r.split: r
+        for r in temporal_embargo_split(
+            df, "us", "user_id", embargo_us=2
+        ).collect()
+    }
+    assert (got["train"].n_events, got["train"].min_us, got["train"].max_us) == (7, 0, 6)
+    assert (got["embargo"].n_events, got["embargo"].min_us) == (2, 7)
+    assert (got["test"].n_events, got["test"].min_us) == (1, 9)
+    assert got["train"].n_users == 3
+
+
+def test_temporal_embargo_split_ties_by_value(spark):
+    # duplicate timestamps at the cutoff land on ONE side (by value): 4 rows
+    # all at us=5 plus 4 earlier → k = floor(0.8*8) = 6 → cutoff value is 5
+    # (cum count at 5 is 8 ≥ 6); train = us<5 → 4 rows, embargo gets all of
+    # the tied rows.
+    rows = [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (5, 2), (5, 3), (5, 4)]
+    df = spark.createDataFrame(rows, "us long, user_id long")
+    got = {
+        r.split: r.n_events
+        for r in temporal_embargo_split(df, "us", "user_id", embargo_us=10).collect()
+    }
+    assert got == {"train": 4, "embargo": 4}
