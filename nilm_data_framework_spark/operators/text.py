@@ -619,7 +619,19 @@ def inverted_index(
     tok = df.select(
         F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text))).alias("tok")
     )
-    per_doc = tok.groupBy("tok", "_doc").agg(F.count(F.lit(1)).alias("tf"))
+    # ONE exchange for BOTH aggregations: hash-partitioning by tok alone
+    # also satisfies the (tok, _doc) clustering, so the tf agg AND the
+    # per-term posting agg run on the same layout with no second shuffle.
+    # Trade (measured in the plan): the shuffle carries raw token rows
+    # (~1.0× tokens) instead of two combined exchanges (~0.65× tokens
+    # EACH for natural text, where most terms appear once per doc), and
+    # every aggregate stays in one stage. Cost: Zipf head terms hash to
+    # one reducer — the standard lever is a stopword/df-cap filter before
+    # the repartition (any posting-list build ultimately funnels each
+    # term's df to one place regardless of strategy).
+    per_doc = (
+        tok.repartition("tok").groupBy("tok", "_doc").agg(F.count(F.lit(1)).alias("tf"))
+    )
     idx = per_doc.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("tf_total"),

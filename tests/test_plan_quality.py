@@ -774,3 +774,27 @@ def test_ivf_persisted_scan_partition_pruned(spark):
     assert any("cid" in l and ("In(" in l or "IN" in l) for l in pf), (
         f"cid probe-set filter missing from partition filters: {pf}"
     )
+
+
+def test_gram_matrix_join_free_single_agg_exchange(spark):
+    # the d² expansion must come from two CHAINED Generates on the same
+    # row (no self-join), and the only shuffles are the parallelize
+    # repartition + ONE aggregation exchange.
+    import re
+
+    plan = _plan(spark, "embedding_gram_matrix")
+    assert "Join" not in plan, "gram matrix must not self-join"
+    assert len(re.findall(r"^\(\d+\) Generate", plan, flags=re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) <= 2
+
+
+def test_inverted_index_single_agg_exchange(spark):
+    # hash-partitioning by tok serves BOTH the (tok, doc) tf agg and the
+    # per-term posting agg: exactly one agg exchange (plus the parallelize
+    # repartition), and the top-k cut is TakeOrderedAndProject, not a
+    # global sort.
+    import re
+
+    plan = _plan(spark, "inverted_index_stats")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) <= 2
+    assert "TakeOrderedAndProject" in plan
