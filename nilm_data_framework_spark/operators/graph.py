@@ -250,3 +250,50 @@ def transitive_closure(
             .localCheckpoint(eager=True)
         )
     return closure
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling: iteratively drop vertices of degree < k, returning
+    the surviving ``(node, deg)`` rows after ``rounds`` degree passes (the
+    round-(rounds) survivors and their degrees within the round-(rounds-1)
+    surviving subgraph).
+
+    The community-detection / spam-subgraph denoise kernel (a vertex in
+    the k-core has ≥ k neighbors that themselves survive peeling —
+    stronger than a raw degree cut, which round 1 equals). Each round is
+    one hash agg (degrees, map-side combined) + two semi-joins filtering
+    the symmetrized edge list; the edge list feeds the next round's agg
+    AND both semi-joins, so it is localCheckpoint'ed per round. Exact
+    convergence loops until no vertex drops (the connected_components
+    discipline); a fixed ``rounds`` ships because the DuckDB oracle
+    unrolls the same number of passes — both engines compute the
+    identical partial peel.
+    """
+    sym = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    sym = sym.unionByName(
+        sym.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds - 1):
+        keep = (
+            sym.groupBy("_u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("_u")
+        )
+        sym = (
+            sym.join(keep, "_u", "left_semi")
+            .join(keep.withColumnRenamed("_u", "_v"), "_v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.groupBy("_u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("_u").alias("node"), "deg")
+    )

@@ -80,6 +80,82 @@ def workloads(docs: DataFrame) -> dict:
             docs, F.col("source") == "src0"
         ).count(),
         "bloom_probe": lambda: _bloom_probe(docs),
+        # r5 post-freeze: posting lists grow linearly with corpus (term
+        # count saturates on replicated text, but posting/tf volume is the
+        # cost driver); top-k cut is fixed
+        "inverted_index": lambda: T.inverted_index(docs, top_terms=50).count(),
+    }
+
+
+def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
+    parts = [emb.select("vec_id", "embedding")]
+    for r in range(1, k):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + 10_000_000 * r).alias("vec_id"), "embedding"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32, "vec_id").localCheckpoint(eager=True)
+
+
+def replicate_part_edges(part: DataFrame, k: int) -> DataFrame:
+    """k disjoint copies of the part containment forest (keys shifted):
+    closure size grows exactly k× (disjoint components)."""
+    SHIFT = 100_000_000
+    e = part.filter(F.col("p_partkey") >= 10).select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 10").alias("parent"),
+    )
+    parts = [e]
+    for r in range(1, k):
+        parts.append(
+            e.select(
+                (F.col("child") + SHIFT * r).alias("child"),
+                (F.col("parent") + SHIFT * r).alias("parent"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32, "child").localCheckpoint(eager=True)
+
+
+def replicate_events_us(ev: DataFrame, k: int) -> DataFrame:
+    """k replicas with distinct users AND per-replica-shifted microsecond
+    timestamps, so the embargo split's VALUE SUPPORT (distinct times — the
+    input of its one ordered pass) grows k× along with the row count."""
+    parts = [ev]
+    for r in range(1, k):
+        parts.append(
+            ev.select(
+                (F.col("us") + r).alias("us"),
+                (F.col("user_id") + 1_000_000 * r).alias("user_id"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32, "user_id").localCheckpoint(eager=True)
+
+
+def extras_workloads(emb: DataFrame, edges: DataFrame, ev: DataFrame) -> dict:
+    """r5 post-freeze operators (queries/extra_ops.py constructions)."""
+    from nilm_data_framework_spark.operators import embed_stats as ES
+    from nilm_data_framework_spark.operators import splits as SP
+    from nilm_data_framework_spark.operators.graph import transitive_closure
+
+    return {
+        # d fixed → output fixed at d(d+1)/2 rows; cost is the linear scan
+        "gram_matrix": lambda: ES.gram_matrix_u6(emb).count(),
+        # closure rows grow k× (disjoint forests); rounds fixed at 3
+        "transitive_closure": lambda: transitive_closure(edges, rounds=3).count(),
+        # support and rows both grow k×; the ordered pass is over support
+        "embargo_split": lambda: SP.temporal_embargo_split(
+            ev, "us", "user_id"
+        ).count(),
     }
 
 
@@ -274,6 +350,11 @@ def main() -> None:
     orders_base = load_table(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
+    emb_base = load_table(spark, SF_DIR, "embeddings", parallelize=True)
+    part_base = load_table(spark, SF_DIR, "part").select("p_partkey")
+    ev_base = load_table(spark, SF_DIR, "events").select(
+        F.unix_micros("ts").alias("us"), "user_id"
+    )
 
     results: dict[str, list[tuple[int, float]]] = {}
     for k in ks:
@@ -286,6 +367,20 @@ def main() -> None:
             (fact_workloads(li, orders), n_li),
             (screen_workloads(docs, spark), n),
         ]
+        extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
+        if only is None or only & extra_names:
+            emb = replicate_embeddings(emb_base, k)
+            edges = replicate_part_edges(part_base, k)
+            ev = replicate_events_us(ev_base, k)
+            extras = extras_workloads(emb, edges, ev)
+            # each extra scales a DIFFERENT input relation — pair each with
+            # its own row count so the slope fit uses the right x-axis
+            for name, rows_in in (
+                ("gram_matrix", emb.count()),
+                ("transitive_closure", edges.count()),
+                ("embargo_split", ev.count()),
+            ):
+                sized.append(({name: extras[name]}, rows_in))
         for wl, rows_in in sized:
             for name, fn in wl.items():
                 if only is not None and name not in only:
