@@ -235,3 +235,160 @@ def temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"), "user_id"
     )
     return SP.temporal_embargo_split(ev, "us", "user_id")
+
+
+# --- k-core peeling ----------------------------------------------------------
+
+
+_COPURCHASE_EDGE_CTES = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM op a
+      JOIN op b ON b.l_orderkey = a.l_orderkey
+               AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+"""
+
+
+@query(
+    "kcore_parts",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGE_CTES},
+    s0 AS (SELECT s AS u, t AS v FROM e UNION ALL SELECT t, s FROM e),
+    k1 AS (SELECT u FROM s0 GROUP BY u HAVING count(*) >= 3),
+    s1 AS (SELECT s0.u, s0.v FROM s0
+           JOIN k1 a ON s0.u = a.u JOIN k1 b ON s0.v = b.u),
+    k2 AS (SELECT u FROM s1 GROUP BY u HAVING count(*) >= 3),
+    s2 AS (SELECT s1.u, s1.v FROM s1
+           JOIN k2 a ON s1.u = a.u JOIN k2 b ON s1.v = b.u)
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM s2 GROUP BY u HAVING count(*) >= 3
+    """,
+    survey_ref="§2 extension: k-core peeling (3 degree passes, k=3) over "
+    "the co-purchase graph — the community/spam-subgraph denoise kernel; "
+    "each round one hash agg + two semi-joins "
+    "(operators/graph.py::kcore_peel)",
+)
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial 3-core of the part co-purchase graph: survivors of three
+    degree-≥3 peeling rounds with their degree in the last surviving
+    subgraph. The oracle unrolls the identical three passes (recursive
+    CTEs can't express non-monotonic deletion), so both engines compute
+    the same partial peel exactly."""
+    from nilm_data_framework_spark.operators.graph import kcore_peel
+    from nilm_data_framework_spark.queries.advanced_analytics import (
+        _copurchase_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kcore_peel(_copurchase_edges(li), k=3, rounds=3)
+
+
+# --- sequential pattern mining: event-type trigrams --------------------------
+
+
+@query(
+    "event_type_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 20
+    """,
+    survey_ref="§2 extension: sequential pattern mining — per-user ordered "
+    "event-type trigrams, top-20 by support (the 3-step generalization of "
+    "markov_transitions' bigrams; one user-keyed window + one hash agg)",
+)
+def event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step behavior sequences: lead()×2 over the
+    user-keyed exact event order (micros, event_id tiebreak), then one
+    map-side-combined count. One shuffle on user_id (the window) + the
+    agg; top-20 is TakeOrdered. 100 TB shape: both passes are user-local
+    until the final 5³-key count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("trigram")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )
+
+
+# --- cross-source rank calibration (quantile normalization) ------------------
+
+
+@query(
+    "rank_calibration",
+    oracle="""
+    WITH sup AS (
+      SELECT n_chars, count(*) AS c FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS vrank_le FROM sup
+    ),
+    dec AS (
+      SELECT source, n_chars,
+             ntile(10) OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT d.source, CAST(d.decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c.vrank_le) AS BIGINT) AS min_vrank,
+           CAST(max(c.vrank_le) AS BIGINT) AS max_vrank,
+           CAST(sum(c.vrank_le) AS BIGINT) AS sum_vrank
+    FROM dec d JOIN cum c USING (n_chars)
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2.10 curation: quantile normalization / cross-source rank "
+    "calibration — per-source deciles mapped onto the GLOBAL value-rank "
+    "scale (comparing quality scores across heterogeneous sources); the "
+    "only global ordered pass runs over the value support",
+)
+def rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map each source's n_chars deciles onto the global distribution:
+    per-source ntile(10) (source-keyed window, parallel) joined to the
+    global 'docs with value ≤ v' rank built on the VALUE SUPPORT (per-value
+    counts → one cumulative window over |distinct values| rows — the
+    ks_statistic trick, no global row sort). Exact integers throughout."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sup = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sup.select("n_chars", F.sum("c").over(wv).alias("vrank_le"))
+    wd = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    dec = docs.select(
+        "source", "n_chars", F.ntile(10).over(wd).cast("long").alias("decile")
+    )
+    return (
+        dec.join(cum, "n_chars")
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("vrank_le").cast("long").alias("min_vrank"),
+            F.max("vrank_le").cast("long").alias("max_vrank"),
+            F.sum("vrank_le").cast("long").alias("sum_vrank"),
+        )
+    )

@@ -101,3 +101,30 @@ def test_temporal_embargo_split_ties_by_value(spark):
         for r in temporal_embargo_split(df, "us", "user_id", embargo_us=10).collect()
     }
     assert got == {"train": 4, "embargo": 4}
+
+
+def test_kcore_peel_known_graph(spark):
+    # square 1-2-3-4-1 plus pendant 5-1: 2-core removes the pendant, keeps
+    # the cycle with degree 2 each; node 5 (deg 1) and its edge vanish.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1)], "src long, dst long"
+    )
+    from nilm_data_framework_spark.operators.graph import kcore_peel
+
+    got = {r.node: r.deg for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_kcore_peel_cascading_removal(spark):
+    # chain 1-2-3-4: every node has deg <= 2 but a 2-core requires the
+    # cycle; peeling cascades from the endpoints and (given enough rounds)
+    # empties the graph entirely.
+    from nilm_data_framework_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert kcore_peel(edges, k=2, rounds=4).count() == 0
+    # one round = a plain degree cut: only interior nodes survive round 1,
+    # but their degrees (within the restricted graph) already drop
+    assert kcore_peel(edges, k=2, rounds=1).count() == 2

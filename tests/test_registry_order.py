@@ -50,6 +50,9 @@ _POST_FREEZE = {
     "hierarchy_rollup",
     "inverted_index_stats",
     "temporal_embargo_split",
+    "kcore_parts",
+    "event_type_trigrams",
+    "rank_calibration",
 }
 
 
