@@ -392,3 +392,93 @@ def rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vrank_le").cast("long").alias("sum_vrank"),
         )
     )
+
+
+# --- stratified k-fold assignment --------------------------------------------
+
+
+@query(
+    "kfold_assignment",
+    oracle="""
+    WITH folds AS (
+      SELECT lang, doc_id,
+             ntile(5) OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS fold
+      FROM documents
+    )
+    SELECT lang, CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS member_sum
+    FROM folds GROUP BY 1, 2
+    """,
+    survey_ref="§2.10 curation: stratified k-fold cross-validation "
+    "assignment — ntile(5) within stratum over the md5 hash order gives "
+    "exact ±1-balanced folds, deterministic and stable across engines; "
+    "member_sum pins identical fold membership, not just counts",
+)
+def kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-balanced 5-fold CV splits per language stratum: hash-ordered
+    ntile (a pure function of the corpus content — reproducible anywhere,
+    unlike random_split), summarized per (stratum, fold) with an exact
+    membership checksum. Stratum windows are language-keyed → parallel;
+    no global sort. Complements hash_split (fraction-based) with the
+    exact-fold-size contract CV needs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.ntile(5).over(w).cast("long").alias("fold"))
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("member_sum"),
+        )
+    )
+
+
+# --- join-size precomputation from key histograms ----------------------------
+
+
+@query(
+    "join_size_from_histograms",
+    oracle="""
+    WITH ca AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+    cb AS (SELECT user_id % 1500 AS k, count(*) AS c FROM events GROUP BY 1),
+    j AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common_keys,
+             CAST(sum(ca.c * cb.c) AS BIGINT) AS join_rows,
+             CAST(max(ca.c * cb.c) AS BIGINT) AS max_key_rows
+      FROM ca JOIN cb USING (k)
+    )
+    SELECT n_common_keys, join_rows, max_key_rows FROM j
+    """,
+    survey_ref="§2 extension: join-cardinality precomputation from key "
+    "histograms — EXACT output size and worst-key contribution of a join "
+    "computed from two per-key count aggs + a key-level join, WITHOUT "
+    "materializing the join (the join-explosion / skew guard a 100 TB "
+    "pipeline runs before committing to a plan)",
+)
+def join_size_from_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict |orders ⋈ events-on-synthetic-key| exactly: Σ_k ca(k)·cb(k)
+    over the per-key histograms. The histograms are map-side-combined aggs
+    (tiny vs the fact tables), the key join carries |keys| rows, and
+    max_key_rows flags the skew hot spot — all before a single fact-fact
+    join row exists. Exact BIGINT, fully oracle-replayed."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = ev.groupBy((F.col("user_id") % 1500).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    prod = F.col("ca") * F.col("cb")
+    return ca.join(cb, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_keys"),
+        F.sum(prod).cast("long").alias("join_rows"),
+        F.max(prod).cast("long").alias("max_key_rows"),
+    )

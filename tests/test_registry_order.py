@@ -53,6 +53,8 @@ _POST_FREEZE = {
     "kcore_parts",
     "event_type_trigrams",
     "rank_calibration",
+    "kfold_assignment",
+    "join_size_from_histograms",
 }
 
 
