@@ -127,6 +127,13 @@ SHOWCASE = [
      "carries the probed centroid ids as PartitionFilters — probing "
      "n_probe of n_centroids lists reads only those directories; "
      "result-invariant vs the in-memory IVF (shared oracle)"),
+    ("embedding_gram_matrix", "distributed Gram matrix (r5): the d² "
+     "expansion is two chained Generates on the same row — NO self-join; "
+     "map-side partial HashAggregate bounds the single agg exchange at "
+     "d(d+1)/2 rows per partition"),
+    ("inverted_index_stats", "inverted index (r5): ONE exchange "
+     "(hash-partition by term) serves both the (term, doc) tf aggregate "
+     "and the per-term posting aggregate; top-k is TakeOrderedAndProject"),
 ]
 
 
