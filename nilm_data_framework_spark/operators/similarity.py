@@ -812,9 +812,17 @@ def write_ivf_corpus(
     time — :func:`ivf_topk_partitioned` takes them explicitly so the
     caller owns that invariant.
     """
-    assign_centroids(corpus, centroids, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(path)
+    # repartition by cid so each writer task owns whole partition dirs:
+    # without it every upstream task writes a sliver into every cid dir
+    # (tasks × centroids small files — measured 104 files for 500 rows);
+    # with it the layout is one right-sized file per list. The partition
+    # count is pinned (bare repartition("cid") lets AQE COALESCE the
+    # shuffle, re-mixing cids across tasks — measured 4 files/dir). At
+    # 100 TB scale the count per list instead: repartition(K·n_lists,
+    # "cid") for K-way write parallelism per list.
+    assign_centroids(corpus, centroids, id_col, vec_col).repartition(
+        len(centroids), "cid"
+    ).write.mode("overwrite").partitionBy("cid").parquet(path)
 
 
 def ivf_topk_partitioned(
@@ -896,6 +904,6 @@ def append_ivf_batch(
     LSH reference's bucket-spec INSERT). The caller owns centroid
     identity, exactly as for probing; re-clustering (centroid drift after
     heavy growth) is an offline rebuild, not an append."""
-    assign_centroids(batch, centroids, id_col, vec_col).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(path)
+    assign_centroids(batch, centroids, id_col, vec_col).repartition(
+        len(centroids), "cid"
+    ).write.mode("append").partitionBy("cid").parquet(path)
