@@ -482,3 +482,76 @@ def join_size_from_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(prod).cast("long").alias("join_rows"),
         F.max(prod).cast("long").alias("max_key_rows"),
     )
+
+
+# --- streaming sequential-pattern equivalence --------------------------------
+
+
+_TRIGRAM_SINK = "streaming_trigram_equiv_sink"
+
+
+@query(
+    "streaming_trigram_equiv",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL GROUP BY 1
+    """,
+    survey_ref="§2.9 custom stateful operator: streaming 3-step pattern "
+    "tracker (streaming/stateful.py::trigram_stream, applyInPandasWithState"
+    " — two strings of per-user state) == the batch lead()×2 window, "
+    "counted over ALL trigrams",
+)
+def streaming_trigram_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trigram_stream on a real bounded stream == the batch window form of
+    event_type_trigrams (full counts, no top-k cut, so the comparison has
+    no tie sensitivity). Each trigram is emitted the moment its third
+    event arrives, from two carried strings of per-user state — proving
+    the incremental pattern tracker reproduces the batch lead() window
+    row-for-row across micro-batch boundaries."""
+    import hashlib
+
+    from nilm_data_framework_spark.queries.streaming_equiv import (
+        _events_stream,
+        _run_to_memory_sink,
+        _staged_stream_dir,
+    )
+    from nilm_data_framework_spark.sources.testdata import (
+        _ensure_session_confs,
+        load_table,
+    )
+    from nilm_data_framework_spark.streaming.stateful import trigram_stream
+
+    _ensure_session_confs(spark)
+    # three TIME-RANGE slices + maxFilesPerTrigger=1 → three micro-batches
+    # that are per-key time-ordered (the kernel's ordering contract), so
+    # the per-user (t1, t2) state genuinely carries ACROSS batches — a
+    # single-file replay would decide every trigram inside one batch and
+    # leave the state handoff untested
+    ev = load_table(spark, sf_dir, "events")
+    d = _staged_stream_dir(
+        f"trigram_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        {
+            "a": ev.filter(F.col("ts") < F.lit("2024-01-10")),
+            "b": ev.filter(
+                (F.col("ts") >= F.lit("2024-01-10"))
+                & (F.col("ts") < F.lit("2024-01-20"))
+            ),
+            "c": ev.filter(F.col("ts") >= F.lit("2024-01-20")),
+        },
+    )
+    stream = _events_stream(spark, sf_dir, stream_dir=d, max_files_per_trigger=1)
+    tagged = trigram_stream(stream)
+    _run_to_memory_sink(tagged, _TRIGRAM_SINK, output_mode="append")
+    return (
+        spark.table(_TRIGRAM_SINK)
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -56,17 +56,28 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
-def _events_stream(spark: SparkSession, sf_dir: str):
+def _events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
     """Streaming scan of the events table. The file-stream source needs an
     explicit schema, but the generator's physical ts type has varied across
     testdata drops (TIMESTAMP(NANOS) → long under nanosAsLong; plain
     timestamp[us] → TIMESTAMP_NTZ), so take the schema from a metadata-only
     batch read of the same file and normalize ts exactly as
-    sources/testdata.py:load_table does for batch."""
+    sources/testdata.py:load_table does for batch. ``stream_dir`` points at
+    a staged multi-file fixture instead of the default single-file dir;
+    ``max_files_per_trigger`` forces one micro-batch per file (cross-batch
+    state-carry gates)."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
     src_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = spark.readStream.schema(src_schema).parquet(_stream_dir(sf_dir))
+    reader = spark.readStream.schema(src_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(stream_dir or _stream_dir(sf_dir))
     t = src_schema["ts"].dataType
     if isinstance(t, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

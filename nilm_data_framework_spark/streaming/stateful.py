@@ -271,3 +271,80 @@ def debounce_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming sequential-pattern (trigram) tracker (r5 post-freeze) ---------
+
+TRIGRAM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("trigram", StringType()),
+    ]
+)
+
+# state: the key's last TWO event types — everything the 3-step pattern
+# needs, regardless of stream length
+TRIGRAM_STATE_SCHEMA = StructType(
+    [StructField("t1", StringType()), StructField("t2", StringType())]
+)
+
+
+def trigram_stream(
+    events: DataFrame,
+    user: str = "user_id",
+    etype: str = "event_type",
+    ts: str = "ts",
+    event_id: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of queries/extra_ops.py::event_type_trigrams: every
+    event completes the 3-step pattern (prev2, prev1, current) from two
+    carried strings of per-user state — the incremental form of the batch
+    lead()×2 window. Emits one row per completed trigram (append-safe: the
+    pattern is decided the moment its last event arrives).
+
+    Ordering contract as debounce_stream: rows sort (tus, event_id) within
+    a batch, chain carries across batches — correct for per-key
+    time-ordered micro-batch replays. State is deliberately NOT timed out:
+    unlike debounce (where any gap ≥ gap_us starts a fresh burst anyway,
+    so dropping idle state is semantics-preserving), the batch lead()
+    window spans arbitrary gaps — removing state would silently drop every
+    cross-gap trigram and break batch≡stream. State is two short strings
+    per ACTIVE USER (not per event); a production deployment with
+    unbounded key churn adds a TTL and accepts the documented boundary
+    loss.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["_tus", "_eid"], kind="mergesort")
+        t1, t2 = state.get if state.exists else (None, None)
+        out = []
+        for et, eid in zip(rows["_et"], rows["_eid"]):
+            if t1 is not None:
+                out.append((uid, int(eid), f"{t1}>{t2}>{et}"))
+            t1, t2 = t2, et
+        state.update((t1, t2))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "trigram"])
+
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        events[user].alias("user_id"),
+        events[ts].alias("ts"),
+        F.unix_micros(events[ts]).alias("_tus"),
+        events[event_id].alias("_eid"),
+        events[etype].alias("_et"),
+    ).withWatermark("ts", watermark)
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRIGRAM_SCHEMA,
+        stateStructType=TRIGRAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

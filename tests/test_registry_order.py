@@ -55,6 +55,7 @@ _POST_FREEZE = {
     "rank_calibration",
     "kfold_assignment",
     "join_size_from_histograms",
+    "streaming_trigram_equiv",
 }
 
 
