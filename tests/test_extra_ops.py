@@ -8,7 +8,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from nilm_data_framework_spark.operators.embed_stats import gram_matrix_u6
-from nilm_data_framework_spark.operators.graph import transitive_closure
+from nilm_data_framework_spark.operators.graph import kcore_peel, transitive_closure
 from nilm_data_framework_spark.operators.splits import temporal_embargo_split
 from nilm_data_framework_spark.operators.text import inverted_index
 
@@ -128,3 +128,124 @@ def test_kcore_peel_cascading_removal(spark):
     # one round = a plain degree cut: only interior nodes survive round 1,
     # but their degrees (within the restricted graph) already drop
     assert kcore_peel(edges, k=2, rounds=1).count() == 2
+
+
+# --- randomized reference equivalence (hypothesis) ---------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(
+    parents=st.lists(st.integers(0, 24), min_size=1, max_size=25),
+)
+@_HSET
+def test_transitive_closure_matches_reference(spark, parents):
+    # random parent forest on nodes 1..n: parent(i) drawn below i (or i-1's
+    # value clipped) so it's acyclic; reference closure by chain-walking.
+    edges = [(i + 1, min(parents[i], i)) for i in range(len(parents))]
+    edges = [(c, p) for c, p in edges if p >= 0 and p != c]
+    if not edges:
+        return
+    parent = dict(edges)
+    expect = {}
+    for c in parent:
+        node, d = c, 0
+        while node in parent:
+            node = parent[node]
+            d += 1
+            expect[(c, node)] = d
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {
+        (r.node, r.anc): r.depth
+        for r in transitive_closure(df, rounds=5).collect()
+    }
+    assert got == expect
+
+
+@given(
+    us=st.lists(st.integers(0, 50), min_size=2, max_size=60),
+    frac=st.sampled_from([(1, 2), (4, 5), (9, 10)]),
+    embargo=st.integers(1, 10),
+)
+@_HSET
+def test_temporal_embargo_matches_reference(spark, us, frac, embargo):
+    num, den = frac
+    k = (len(us) * num) // den
+    if k == 0:
+        return
+    cutoff = sorted(us)[k - 1]
+    expect = {}
+    for t in us:
+        s = "train" if t < cutoff else ("embargo" if t < cutoff + embargo else "test")
+        expect[s] = expect.get(s, 0) + 1
+    rows = [(t, i % 5) for i, t in enumerate(us)]
+    df = spark.createDataFrame(rows, "us long, user_id long")
+    got = {
+        r.split: r.n_events
+        for r in temporal_embargo_split(
+            df, "us", "user_id", train_num=num, train_den=den, embargo_us=embargo
+        ).collect()
+    }
+    assert got == expect
+
+
+@given(
+    edge_idx=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=1, max_size=30
+    ),
+    k=st.integers(2, 3),
+)
+@_HSET
+def test_kcore_matches_reference_peel(spark, edge_idx, k):
+    edges = sorted({(min(a, b), max(a, b)) for a, b in edge_idx if a != b})
+    if not edges:
+        return
+    # reference: the same FIXED-ROUND partial peel (3 degree passes)
+    from collections import Counter
+
+    surv = edges
+    for _ in range(2):
+        deg = Counter([u for e in surv for u in e])
+        keep = {u for u, d in deg.items() if d >= k}
+        surv = [e for e in surv if e[0] in keep and e[1] in keep]
+    deg = Counter([u for e in surv for u in e])
+    expect = {u: d for u, d in deg.items() if d >= k}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.deg for r in kcore_peel(df, k=k, rounds=3).collect()}
+    assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False, allow_infinity=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@_HSET
+def test_gram_matrix_matches_numpy(spark, vecs):
+    import math
+
+    import numpy as np
+
+    q = np.array(
+        [[math.floor(float(np.float32(x)) * 1_000_000) for x in v] for v in vecs],
+        dtype=np.int64,
+    )
+    expect = q.T @ q
+    df = spark.createDataFrame([(v,) for v in vecs], "embedding array<float>")
+    got = {(r.i, r.j): r.g for r in gram_matrix_u6(df).collect()}
+    for i in range(3):
+        for j in range(i, 3):
+            assert got[(i, j)] == expect[i][j]
