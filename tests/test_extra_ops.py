@@ -249,3 +249,31 @@ def test_gram_matrix_matches_numpy(spark, vecs):
     for i in range(3):
         for j in range(i, 3):
             assert got[(i, j)] == expect[i][j]
+
+
+# --- edge cases --------------------------------------------------------------
+
+
+def test_closure_empty_edges(spark):
+    edges = spark.createDataFrame([], "child long, parent long")
+    assert transitive_closure(edges, rounds=2).count() == 0
+
+
+def test_inverted_index_empty_and_blank_docs(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    assert inverted_index(df).count() == 0
+
+
+def test_gram_matrix_single_vector(spark):
+    df = spark.createDataFrame([([0.5, -0.5],)], "embedding array<float>")
+    got = {(r.i, r.j): (r.g, r.n) for r in gram_matrix_u6(df).collect()}
+    assert got == {
+        (0, 0): (500_000**2, 1),
+        (0, 1): (500_000 * -500_000, 1),
+        (1, 1): (500_000**2, 1),
+    }
+
+
+def test_kcore_all_below_threshold(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert kcore_peel(edges, k=5, rounds=2).count() == 0
