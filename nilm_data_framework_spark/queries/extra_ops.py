@@ -555,3 +555,65 @@ def streaming_trigram_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("trigram")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# --- multiset (ALL) set operations -------------------------------------------
+
+
+@query(
+    "multiset_except_views",
+    oracle="""
+    WITH diff AS (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_unmatched_views
+    FROM diff GROUP BY user_id
+    """,
+    survey_ref="§2.6 extension: MULTISET set algebra — EXCEPT ALL / "
+    "exceptAll (per-occurrence difference: each purchase cancels ONE "
+    "view), the bag semantics the DISTINCT-flavored set_except_users "
+    "can't express",
+)
+def multiset_except_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views per user not matched 1:1 by a purchase: Spark's exceptAll
+    (bag difference — keeps max(views−purchases, 0) copies per user)
+    aggregated to per-user counts. exceptAll plans as a single
+    count-compare generate over one shuffle, linear at 100 TB; this gate
+    pins the occurrence arithmetic against DuckDB's EXCEPT ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return (
+        views.exceptAll(buys)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unmatched_views"))
+    )
+
+
+@query(
+    "multiset_intersect_views",
+    oracle="""
+    WITH paired AS (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_paired
+    FROM paired GROUP BY user_id
+    """,
+    survey_ref="§2.6 extension: MULTISET set algebra — INTERSECT ALL / "
+    "intersectAll (min-occurrence pairing per user)",
+)
+def multiset_intersect_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min(views, clicks) copies per user via intersectAll, aggregated to
+    counts — the bag intersection twin of multiset_except_views."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    return (
+        views.intersectAll(clicks)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paired"))
+    )

@@ -56,6 +56,8 @@ _POST_FREEZE = {
     "kfold_assignment",
     "join_size_from_histograms",
     "streaming_trigram_equiv",
+    "multiset_except_views",
+    "multiset_intersect_views",
 }
 
 
