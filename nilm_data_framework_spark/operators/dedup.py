@@ -750,3 +750,70 @@ def fuzzy_name_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("nm_a", "nm_b", "dist")
     )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Measured recall of the LSH BANDING stage: how many true near-dup
+    pairs (exact Jaccard ≥ threshold over the hashed shingle sets) does
+    the (band, bucket) candidate join surface? The accuracy/cost dial
+    every probabilistic dedup deployment must report — the banding twin
+    of similarity.py's ivf_recall_at_k.
+
+    Ground truth uses SHARED-SHINGLE blocking, which is LOSSLESS for any
+    threshold > 0 (J ≥ t > 0 implies at least one common shingle), so
+    truth is exact without an N² pair scan; its cost is Σ_shingle df² —
+    the same worst-case as the LSH bucket join itself. found ⊆ truth by
+    construction (every verified LSH pair passes the same J filter and
+    thus shares a shingle), so the audit reports true/found/missed counts
+    — precision is 1 by the verify step; recall is the banding's.
+
+    Output: ONE row (n_true_pairs, n_found_pairs, n_missed) — exact
+    integers; the caller derives recall ratios. The hashed-shingle table
+    feeds FIVE branches (truth candidates, banding, both verify sides ×2)
+    → localCheckpoint once (repo lineage rule).
+    """
+    rows_per = num_hashes // bands
+    params = _minhash_hash_params(num_hashes, seed)
+    hashed = _hashed_shingles(df, id_col, text, shingle_n).localCheckpoint(eager=True)
+    ex = hashed.select("id", F.explode("hs").alias("h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    tcand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    truth = _verify_pairs(tcand, hashed, hashed, jaccard_threshold).select(
+        "id_a", "id_b"
+    )
+    banded = _banded(hashed, params, bands, rows_per)
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    found = _verify_pairs(cand, hashed, hashed, jaccard_threshold).select(
+        "id_a", "id_b", F.lit(1).alias("_f")
+    )
+    j = truth.join(found, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.coalesce(F.sum("_f"), F.lit(0)).cast("long").alias("n_found_pairs"),
+        (F.count(F.lit(1)) - F.coalesce(F.sum("_f"), F.lit(0)))
+        .cast("long")
+        .alias("n_missed"),
+    )

@@ -617,3 +617,69 @@ def multiset_intersect_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_paired"))
     )
+
+
+# --- LSH banding recall audit ------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+    from nilm_data_framework_spark.queries.dedup_text import _minhash_ctes
+
+    return f"""
+    WITH {_minhash_ctes()},
+    ext AS (SELECT id, unnest(hs) AS h FROM hs),
+    tcand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM ext a JOIN ext b ON a.h = b.h AND a.id < b.id
+    ),
+    truth AS (
+      SELECT c.id_a, c.id_b FROM tcand c
+      JOIN hs ha ON ha.id = c.id_a
+      JOIN hs hb ON hb.id = c.id_b
+      WHERE len(list_filter(ha.hs, x -> list_contains(hb.hs, x)))::DOUBLE
+            / (len(ha.hs) + len(hb.hs)
+               - len(list_filter(ha.hs, x -> list_contains(hb.hs, x)))) >= 0.5
+    ),
+    found AS (SELECT id_a, id_b, 1 AS f FROM verified WHERE jaccard >= 0.5),
+    joined AS (
+      SELECT t.id_a, t.id_b, f.f FROM truth t
+      LEFT JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+             CAST(coalesce(sum(f), 0) AS BIGINT) AS n_found_pairs,
+             CAST(count(*) - coalesce(sum(f), 0) AS BIGINT) AS n_missed
+      FROM joined
+    )
+    SELECT n_true_pairs, n_found_pairs, n_missed,
+           {ratio_e4_sql('n_found_pairs', 'greatest(n_true_pairs, 1)')}
+             AS recall_e4
+    FROM agg
+    """
+
+
+@query(
+    "lsh_recall_audit",
+    oracle=_lsh_recall_oracle(),
+    survey_ref="§2.10 dedup evaluation harness: recall of the LSH banding "
+    "stage vs exact-Jaccard ground truth (lossless shared-shingle "
+    "blocking) — the accuracy/cost dial of probabilistic dedup, the "
+    "banding twin of ivf_recall_at_k",
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py::lsh_recall_audit at the registered
+    minhash_lsh_pairs parameters (16 hashes, 4 bands, J ≥ 0.5), plus the
+    exact e4 recall ratio. One row; every input to the ratio is an exact
+    integer."""
+    from nilm_data_framework_spark.operators.dedup import lsh_recall_audit as _audit
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    out = _audit(docs, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5)
+    return out.select(
+        "n_true_pairs",
+        "n_found_pairs",
+        "n_missed",
+        ratio_e4("n_found_pairs", "greatest(n_true_pairs, 1)").alias("recall_e4"),
+    )

@@ -58,6 +58,7 @@ _POST_FREEZE = {
     "streaming_trigram_equiv",
     "multiset_except_views",
     "multiset_intersect_views",
+    "lsh_recall_audit",
 }
 
 
