@@ -55,14 +55,20 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- recursive hierarchy: closure + BOM-style rollup -------------------------
 
 
-def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def part_edges(part: DataFrame) -> DataFrame:
     """Synthetic part containment forest: parent(p) = p div 10 (nodes 1-9
-    are roots). Deterministic in both engines (nonnegative div)."""
-    part = load_table(spark, sf_dir, "part")
+    are roots). Deterministic in both engines (nonnegative div). The ONE
+    grain definition — shared by the closure/rollup queries here and by
+    scripts/stress_scaling.py's replicated-forest workload (repo rule:
+    grain definitions live once)."""
     return part.where(F.col("p_partkey") >= 10).select(
         F.col("p_partkey").alias("child"),
         F.expr("p_partkey div 10").alias("parent"),
     )
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return part_edges(load_table(spark, sf_dir, "part"))
 
 
 _CLOSURE_CTES = """
@@ -276,7 +282,7 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result non-vacuous at BOTH gate scales: 1535 rows at sf0.01, 22 at
     sf0.1 — the 3-core empties at sf0.1, where higher part cardinality
     thins co-occurrence support): survivors of three
-    degree-≥3 peeling rounds with their degree in the last surviving
+    degree-≥2 peeling rounds with their degree in the last surviving
     subgraph. The oracle unrolls the identical three passes (recursive
     CTEs can't express non-monotonic deletion), so both engines compute
     the same partial peel exactly."""
@@ -522,7 +528,7 @@ def streaming_trigram_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     from nilm_data_framework_spark.queries.streaming_equiv import (
-        _events_stream,
+        _EVENTS_TS,
         _run_to_memory_sink,
         _staged_stream_dir,
     )
@@ -550,7 +556,16 @@ def streaming_trigram_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c": ev.filter(F.col("ts") >= F.lit("2024-01-20")),
         },
     )
-    stream = _events_stream(spark, sf_dir, stream_dir=d, max_files_per_trigger=1)
+    # the staged fixture is written from load_table output (ts already
+    # normalized to TIMESTAMP), so read it with the NORMALIZED schema —
+    # NOT via _events_stream, whose raw-file schema + raw-variant ts
+    # conversion would mis-handle a TIMESTAMP(NANOS) testdata drop (r5
+    # review fix; same pattern as streaming_late_data_drop)
+    stream = (
+        spark.readStream.schema(_EVENTS_TS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
     tagged = trigram_stream(stream)
     _run_to_memory_sink(tagged, _TRIGRAM_SINK, output_mode="append")
     return (

@@ -56,28 +56,19 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
-def _events_stream(
-    spark: SparkSession,
-    sf_dir: str,
-    stream_dir: str | None = None,
-    max_files_per_trigger: int | None = None,
-):
-    """Streaming scan of the events table. The file-stream source needs an
-    explicit schema, but the generator's physical ts type has varied across
-    testdata drops (TIMESTAMP(NANOS) → long under nanosAsLong; plain
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Streaming scan of the RAW events table. The file-stream source needs
+    an explicit schema, but the generator's physical ts type has varied
+    across testdata drops (TIMESTAMP(NANOS) → long under nanosAsLong; plain
     timestamp[us] → TIMESTAMP_NTZ), so take the schema from a metadata-only
     batch read of the same file and normalize ts exactly as
-    sources/testdata.py:load_table does for batch. ``stream_dir`` points at
-    a staged multi-file fixture instead of the default single-file dir;
-    ``max_files_per_trigger`` forces one micro-batch per file (cross-batch
-    state-carry gates)."""
+    sources/testdata.py:load_table does for batch. STAGED fixtures (written
+    from load_table output, ts already normalized) must NOT go through this
+    helper — read them with the _EVENTS_TS schema directly."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
     src_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    reader = spark.readStream.schema(src_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(stream_dir or _stream_dir(sf_dir))
+    stream = spark.readStream.schema(src_schema).parquet(_stream_dir(sf_dir))
     t = src_schema["ts"].dataType
     if isinstance(t, LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -225,28 +216,49 @@ _EVENTS_TS = (
 
 def _staged_stream_dir(dir_tag: str, slices: dict[str, DataFrame]) -> str:
     """Materialize a multi-file streaming fixture: each slice is written as
-    ONE parquet file moved into the watched dir with strictly increasing
-    mtimes so FileStreamSource order is deterministic. Writes are staged
-    OUTSIDE the watched dir — the file source must never see a partial
-    listing of in-flight writes. Cached on the LAST file's presence (files
-    land in iteration order, so the last one existing implies all do)."""
+    ONE parquet file with strictly increasing mtimes so FileStreamSource
+    order is deterministic. The whole fixture is assembled in a PID-KEYED
+    scratch dir (dead-owner reaped, per the repo's /tmp rule) and PUBLISHED
+    into the shared watched path with one atomic os.rename — concurrent
+    processes can never observe a partial fixture or race on a shared stage
+    dir (r5 review fix); a publish-race loser discards its build and uses
+    the winner's complete fixture. Cached on the LAST file's presence
+    (rename publishes all-or-nothing, so the last file existing implies a
+    complete fixture)."""
     import glob
     import shutil
     import tempfile
 
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
     d = os.path.join(tempfile.gettempdir(), dir_tag)
     names = list(slices)
-    if os.path.exists(os.path.join(d, f"{names[-1]}.parquet")):
+    done = os.path.join(d, f"{names[-1]}.parquet")
+    if os.path.exists(done):
         return d
-    os.makedirs(d, exist_ok=True)
+    build = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "stream_fixture_build"), f"{dir_tag}_"
+    )
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
     for i, (name, df) in enumerate(slices.items()):
-        stage = os.path.join(tempfile.gettempdir(), f"{dir_tag}_stage_{name}")
+        stage = os.path.join(build, f"_stage_{name}")
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dest = os.path.join(d, f"{name}.parquet")
+        dest = os.path.join(build, f"{name}.parquet")
         shutil.move(part, dest)
         shutil.rmtree(stage, ignore_errors=True)
         os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    try:
+        os.rename(build, d)
+    except OSError:
+        if os.path.exists(done):
+            # lost the publish race to a COMPLETE fixture — use the winner's
+            shutil.rmtree(build, ignore_errors=True)
+        else:
+            # d is a stale partial from a crashed pre-atomic build: replace
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(build, d)
     return d
 
 

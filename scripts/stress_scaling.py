@@ -104,11 +104,10 @@ def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
 def replicate_part_edges(part: DataFrame, k: int) -> DataFrame:
     """k disjoint copies of the part containment forest (keys shifted):
     closure size grows exactly k× (disjoint components)."""
+    from nilm_data_framework_spark.queries.extra_ops import part_edges
+
     SHIFT = 100_000_000
-    e = part.filter(F.col("p_partkey") >= 10).select(
-        F.col("p_partkey").alias("child"),
-        F.expr("p_partkey div 10").alias("parent"),
-    )
+    e = part_edges(part)
     parts = [e]
     for r in range(1, k):
         parts.append(
