@@ -211,7 +211,7 @@ def transitive_closure(
     edges: DataFrame,
     child: str = "child",
     parent: str = "parent",
-    rounds: int = 3,
+    rounds: int | None = 3,
 ) -> DataFrame:
     """Ancestor closure over a parent forest via PATH DOUBLING: returns every
     ``(node, anc, depth)`` pair reachable by following parent edges.
@@ -228,28 +228,45 @@ def transitive_closure(
     per round (the repo's many-branch lineage rule).
 
     ``rounds`` bounds the covered depth at 2^rounds; callers own picking it
-    (a production wrapper would loop until a round adds no rows — the same
-    convergence check as operators/dedup.py::connected_components).
+    when the oracle must unroll the identical passes. ``rounds=None`` is
+    the production mode: loop until a round adds no (node, anc) pairs —
+    the same convergence check as operators/dedup.py::connected_components
+    (one count() per round; log₂(max depth)+1 rounds total, so the extra
+    convergence round is a bounded cost).
     """
     closure = edges.select(
         F.col(child).alias("node"),
         F.col(parent).alias("anc"),
         F.lit(1).cast("long").alias("depth"),
     ).localCheckpoint(eager=True)
+    if rounds is None:
+        prev = closure.count()
+        while True:
+            closure = _double_closure(closure)
+            n = closure.count()
+            if n == prev:
+                return closure
+            prev = n
     for _ in range(rounds):
-        a, b = closure.alias("a"), closure.alias("b")
-        doubled = a.join(b, F.col("a.anc") == F.col("b.node")).select(
-            F.col("a.node").alias("node"),
-            F.col("b.anc").alias("anc"),
-            (F.col("a.depth") + F.col("b.depth")).alias("depth"),
-        )
-        closure = (
-            closure.unionByName(doubled)
-            .groupBy("node", "anc")
-            .agg(F.min("depth").alias("depth"))
-            .localCheckpoint(eager=True)
-        )
+        closure = _double_closure(closure)
     return closure
+
+
+def _double_closure(closure: DataFrame) -> DataFrame:
+    """One doubling round: closure ⋈ closure + min-depth dedup, checkpointed
+    (the result feeds both sides of the next join)."""
+    a, b = closure.alias("a"), closure.alias("b")
+    doubled = a.join(b, F.col("a.anc") == F.col("b.node")).select(
+        F.col("a.node").alias("node"),
+        F.col("b.anc").alias("anc"),
+        (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+    )
+    return (
+        closure.unionByName(doubled)
+        .groupBy("node", "anc")
+        .agg(F.min("depth").alias("depth"))
+        .localCheckpoint(eager=True)
+    )
 
 
 def kcore_peel(

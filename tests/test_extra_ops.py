@@ -277,3 +277,14 @@ def test_gram_matrix_single_vector(spark):
 def test_kcore_all_below_threshold(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     assert kcore_peel(edges, k=5, rounds=2).count() == 0
+
+
+def test_transitive_closure_converges_unbounded(spark):
+    # rounds=None loops until fixpoint: a depth-6 chain needs 3 doubling
+    # rounds (+1 to detect convergence) and must produce the full closure.
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(2, 8)], "child long, parent long"
+    )
+    rows = {(r.node, r.anc): r.depth for r in
+            transitive_closure(edges, rounds=None).collect()}
+    assert rows[(7, 1)] == 6 and len(rows) == sum(range(1, 7))
