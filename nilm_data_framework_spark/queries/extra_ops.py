@@ -701,3 +701,54 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_missed",
         ratio_e4("n_found_pairs", "greatest(n_true_pairs, 1)").alias("recall_e4"),
     )
+
+
+# --- sensor coverage gaps ----------------------------------------------------
+
+
+@query(
+    "coverage_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, us - prev_us AS gap_us
+      FROM seq WHERE prev_us IS NOT NULL AND us - prev_us > 3600000000
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps GROUP BY user_id
+    """,
+    survey_ref="§2.4 extension (NILM data availability): per-channel "
+    "coverage-gap report — every inter-reading gap > 1h with exact total/"
+    "max missing micros (the complement of A5 daily-activity islands; the "
+    "sensor-outage audit visualize_sampling_rate.ipynb eyeballs, as a "
+    "scalable query)",
+)
+def coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-availability audit for meter streams: one lag() per channel
+    (exact micros, event_id tiebreak) → gap rows over the 1h threshold →
+    per-channel exact outage stats. One shuffle (the channel-keyed window);
+    the agg rides the same partitioning. At 100 TB this is THE query run
+    before trusting any resample — gaps bias every downstream mean."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select("user_id", "us", F.lag("us").over(w).alias("prev_us"))
+    gaps = seq.where(
+        F.col("prev_us").isNotNull() & (F.col("us") - F.col("prev_us") > 3_600_000_000)
+    ).select("user_id", (F.col("us") - F.col("prev_us")).alias("gap_us"))
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )

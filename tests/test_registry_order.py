@@ -59,6 +59,7 @@ _POST_FREEZE = {
     "multiset_except_views",
     "multiset_intersect_views",
     "lsh_recall_audit",
+    "coverage_gaps",
 }
 
 
