@@ -752,3 +752,47 @@ def coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").cast("long").alias("total_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+# --- per-class embedding statistics ------------------------------------------
+
+
+@query(
+    "label_centroid_stats",
+    oracle="""
+    WITH u AS (
+      SELECT label, CAST(i AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+    )
+    SELECT CAST(label AS BIGINT) AS label, i,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(sum(q * q) AS BIGINT) AS sum_q2
+    FROM u GROUP BY 1, 2
+    """,
+    survey_ref="§2.10 embedding stats: per-class centroid + scatter "
+    "numerators (exact u6 first/second moments per (label, dim)) — the "
+    "class-separability / embedding-quality audit for labeled training "
+    "data; one linear pass, output |labels|·d rows",
+)
+def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(label, dimension) count / Σq / Σq² over 1e-6-floored
+    components: class centroids (sum_q/n) and within-class variance
+    ((sum_q2 − sum_q²/n)/n) derive exactly, and the numerators MERGE
+    associatively across shards (the partial_agg_merge contract). One
+    posexplode + one hash agg whose map-side combine bounds the shuffle
+    at |labels|·d rows per partition — the grouped-first-moment sibling
+    of embedding_gram_matrix."""
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    q = emb.select(
+        F.col("label").cast("long").alias("label"),
+        ES.u6_components("embedding").alias("q"),
+    )
+    flat = q.select("label", F.posexplode("q").alias("i", "qi"))
+    return flat.groupBy("label", F.col("i").cast("int").alias("i")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qi").cast("long").alias("sum_q"),
+        F.sum(F.col("qi") * F.col("qi")).cast("long").alias("sum_q2"),
+    )

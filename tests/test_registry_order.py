@@ -60,6 +60,7 @@ _POST_FREEZE = {
     "multiset_intersect_views",
     "lsh_recall_audit",
     "coverage_gaps",
+    "label_centroid_stats",
 }
 
 
