@@ -382,3 +382,78 @@ def chi_square_independence(
         ((F.col("_r") - 1) * (F.col("_c") - 1)).alias("dof"),
         "n",
     )
+
+
+# Poisson(1) CDF thresholds scaled to the 60-bit md5 hash space
+# (floor(CDF_k * 2^60), k = 0..3; mass above CDF_3 draws weight 4).
+# Precomputed INTEGER literals spliced into BOTH engines, so the inverse-CDF
+# draw is pure integer comparison — no float library involvement anywhere.
+POISSON1_CDF_E60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+)
+
+
+def poisson_bootstrap_sums(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    replicates: int = 20,
+    salt: str = "boot",
+) -> DataFrame:
+    """ONE-PASS Poisson bootstrap: the cluster-scale uncertainty-
+    quantification technique (Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams', Google TR 2012). Classical bootstrap resamples
+    n rows WITH replacement B times — O(B·n) shuffled rows and a global
+    sample per replicate, impossible at 100 TB. The Poisson approximation
+    draws each row's multiplicity in each replicate as iid Poisson(1)
+    (binomial(n, 1/n) → Poisson(1)), making every row's contribution
+    independent: one linear pass computes ALL B replicate sums with
+    map-side combine, shuffling only B rows per partition.
+
+    Weights are drawn DETERMINISTICALLY: w = inverse-Poisson-CDF of the
+    row's salted 60-bit md5 residue, via precomputed integer thresholds
+    (``POISSON1_CDF_E60``) — reproducible anywhere, engine-exact, and
+    capped at 4 (mass 3.7e-5 truncated; bias far below bootstrap noise).
+    Returns one row per replicate: (b, n_eff, total) — exact BIGINTs from
+    which the caller derives replicate means and percentile CIs.
+    """
+    rows = df.select(
+        F.col(key_col).cast("string").alias("_k"), F.col(value_col).alias("_v")
+    ).select(
+        "_k",
+        "_v",
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt), F.col("b").cast("string"), F.lit(":"), F.col("_k")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = POISSON1_CDF_E60
+    w = (
+        F.when(h < t[0], 0)
+        .when(h < t[1], 1)
+        .when(h < t[2], 2)
+        .when(h < t[3], 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    return (
+        rows.select(F.col("b").cast("long").alias("b"), w.alias("_w"), "_v")
+        .groupBy("b")
+        .agg(
+            F.sum("_w").cast("long").alias("n_eff"),
+            F.sum(F.col("_w") * F.col("_v")).cast("long").alias("total"),
+        )
+    )

@@ -796,3 +796,73 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qi").cast("long").alias("sum_q"),
         F.sum(F.col("qi") * F.col("qi")).cast("long").alias("sum_q2"),
     )
+
+
+# --- Poisson bootstrap confidence intervals ----------------------------------
+
+
+def _bootstrap_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+    from nilm_data_framework_spark.operators.robust import POISSON1_CDF_E60
+
+    t0, t1, t2, t3 = POISSON1_CDF_E60
+    return f"""
+    WITH reps AS (SELECT CAST(r.range AS BIGINT) AS b FROM range(0, 20) r),
+    drawn AS (
+      SELECT reps.b,
+             CASE WHEN h < {t0} THEN 0
+                  WHEN h < {t1} THEN 1
+                  WHEN h < {t2} THEN 2
+                  WHEN h < {t3} THEN 3
+                  ELSE 4 END AS w,
+             cents
+      FROM (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+      ) o
+      CROSS JOIN reps,
+      LATERAL (SELECT CAST(('0x' || substr(
+                 md5('boot' || CAST(reps.b AS VARCHAR) || ':' || o.k),
+                 1, 15)) AS BIGINT) AS h) hh
+    ),
+    agg AS (
+      SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+             CAST(sum(w * cents) AS BIGINT) AS total_c
+      FROM drawn GROUP BY b
+    )
+    SELECT b, n_eff, total_c,
+           {ratio_e4_sql('total_c', 'n_eff')} AS mean_c_e4
+    FROM agg
+    """
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=_bootstrap_oracle(),
+    survey_ref="§2.4 extension: ONE-PASS Poisson bootstrap (B=20 "
+    "deterministic replicates of the mean order value) — the cluster-"
+    "scale uncertainty-quantification technique; all B resample sums in "
+    "one linear scan, exact integer weights from md5-inverse-CDF draws",
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/robust.py::poisson_bootstrap_sums over order totals
+    (exact cents): 20 replicate (n_eff, total, exact e4 mean) rows — the
+    replicate-mean spread IS the sampling distribution of the mean (the
+    caller reads percentile CIs off it). Every weight is a deterministic
+    integer-threshold draw, so DuckDB replays the full resampling
+    bit-for-bit."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.operators.robust import poisson_bootstrap_sums
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = poisson_bootstrap_sums(orders, "o_orderkey", "cents", replicates=20)
+    return out.select(
+        "b",
+        "n_eff",
+        F.col("total").alias("total_c"),
+        ratio_e4("total", "n_eff").alias("mean_c_e4"),
+    )

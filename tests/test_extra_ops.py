@@ -288,3 +288,22 @@ def test_transitive_closure_converges_unbounded(spark):
     rows = {(r.node, r.anc): r.depth for r in
             transitive_closure(edges, rounds=None).collect()}
     assert rows[(7, 1)] == 6 and len(rows) == sum(range(1, 7))
+
+
+def test_poisson_bootstrap_weights_distribution(spark):
+    # deterministic draws must approximate Poisson(1): on 2000 keys × 5
+    # replicates, mean weight ≈ 1 and P(w=0) ≈ e^-1 ≈ 0.368.
+    from nilm_data_framework_spark.operators.robust import poisson_bootstrap_sums
+
+    df = spark.createDataFrame([(i, 1) for i in range(2000)], "k long, v long")
+    out = poisson_bootstrap_sums(df, "k", "v", replicates=5).collect()
+    assert len(out) == 5
+    total_w = sum(r.n_eff for r in out)
+    assert abs(total_w / 10_000 - 1.0) < 0.05  # mean weight ~ 1
+    # determinism: same call, same numbers
+    again = poisson_bootstrap_sums(df, "k", "v", replicates=5).collect()
+    assert sorted((r.b, r.n_eff, r.total) for r in out) == sorted(
+        (r.b, r.n_eff, r.total) for r in again
+    )
+    # replicates differ from each other (independent draws per b)
+    assert len({r.n_eff for r in out}) > 1

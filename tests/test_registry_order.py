@@ -61,6 +61,7 @@ _POST_FREEZE = {
     "lsh_recall_audit",
     "coverage_gaps",
     "label_centroid_stats",
+    "poisson_bootstrap_ci",
 }
 
 
