@@ -866,3 +866,59 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("total_c"),
         ratio_e4("total", "n_eff").alias("mean_c_e4"),
     )
+
+
+# --- leave-one-out influence audit -------------------------------------------
+
+
+def _loo_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+
+    return f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(n_chars) AS BIGINT) AS s_g
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s
+      FROM per
+    )
+    SELECT source, n_g,
+           {ratio_e4_sql('s_g', 'n_g')} AS group_mean_e4,
+           {ratio_e4_sql('(s - s_g)', '(n - n_g)')} AS loo_mean_e4
+    FROM per, tot
+    """
+
+
+@query(
+    "leave_one_out_influence",
+    oracle=_loo_oracle(),
+    survey_ref="§2.10 curation diagnostics: leave-one-out influence — each "
+    "source's group mean vs the corpus mean WITHOUT that source, from one "
+    "aggregation pass + algebraic complements (no per-group rescan); the "
+    "'which source drags the distribution' audit",
+)
+def leave_one_out_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife-style influence audit over document lengths: per source,
+    its own exact e4 mean and the corpus mean with the source REMOVED —
+    computed as (total − group) complements of a single groupBy, never by
+    re-scanning per group (the delete-one-group trick that makes
+    influence O(groups), not O(groups·rows), at 100 TB). All inputs to
+    both ratios are exact BIGINTs."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("n_chars").cast("long").alias("s_g"),
+    )
+    tot = per.agg(
+        F.sum("n_g").cast("long").alias("n"), F.sum("s_g").cast("long").alias("s")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_g",
+        ratio_e4("s_g", "n_g").alias("group_mean_e4"),
+        ratio_e4("(s - s_g)", "(n - n_g)").alias("loo_mean_e4"),
+    )

@@ -62,6 +62,7 @@ _POST_FREEZE = {
     "coverage_gaps",
     "label_centroid_stats",
     "poisson_bootstrap_ci",
+    "leave_one_out_influence",
 }
 
 
