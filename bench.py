@@ -131,6 +131,11 @@ HEADLINE = [
     "kcore_parts",
     "rank_calibration",
     "lsh_recall_audit",
+    # round-5 batch 9: retrieval + robustness (BM25, RRF, SQ8 ANN, MAD)
+    "bm25_topk",
+    "rrf_fusion_topk",
+    "sq8_topk_rerank",
+    "mad_outlier_audit",
 ]
 
 

@@ -457,3 +457,87 @@ def poisson_bootstrap_sums(
             F.sum(F.col("_w") * F.col("_v")).cast("long").alias("total"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    tiebreak: str,
+    z: int = 3,
+) -> DataFrame:
+    """Per-key median-absolute-deviation outlier audit over INTEGER values,
+    kept exact end-to-end with the doubled-median trick:
+
+        m2    = lo + hi            (2 × median; lo/hi are the two middle
+                                    order statistics, equal when n is odd)
+        d2_i  = |2·v_i − m2|       (2 × |v_i − median|, still integer)
+        mad22 = lo' + hi' over d2  (4 × MAD)
+        outlier_i  ⇔  |v_i − median| > z·MAD  ⇔  2·d2_i > z·mad22
+
+    No halves are ever materialized, so the whole audit is BIGINT-exact and
+    replays bit-identically cross-engine (the classic robust-statistics
+    outlier gate — Hampel/Iglewicz-Hoaglin — without the float z-score).
+    The exact-integer twin of :func:`mad_outlier_summary` above: that one
+    reports float interpolated percentiles with the 1.4826 Gaussian
+    consistency factor; this one trades the sigma scaling for a typed-hash-
+    exact contract (z applies to raw MAD) on integer-quantized values.
+
+    Plan: both rank windows and both aggregates partition on ``keys``, so
+    ONE exchange serves the entire audit (the second window re-sorts within
+    the same partitioning); the median row-pick is conditional aggregation
+    against a window count, never a self-join. Returns
+    (keys..., n, median2, mad4, n_outliers, max_dev2)."""
+    w_n = Window.partitionBy(*keys)
+    w_v = Window.partitionBy(*keys).orderBy(value, tiebreak)
+    ranked = df.select(
+        *keys,
+        F.col(value).alias("_v"),
+        F.col(tiebreak).alias("_tb"),
+        F.row_number().over(w_v).cast("long").alias("_rk"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("_n"),
+    )
+    lo_rk = F.expr("(_n + 1) div 2")
+    hi_rk = F.expr("_n div 2 + 1")
+    med = ranked.groupBy(*keys).agg(
+        (
+            F.sum(F.when(F.col("_rk") == lo_rk, F.col("_v")).otherwise(0))
+            + F.sum(F.when(F.col("_rk") == hi_rk, F.col("_v")).otherwise(0))
+        )
+        .cast("long")
+        .alias("median2"),
+        F.max("_n").cast("long").alias("n"),
+    )
+    dev = ranked.join(med, list(keys)).select(
+        *keys,
+        "n",
+        "median2",
+        "_tb",
+        F.abs(F.lit(2) * F.col("_v") - F.col("median2")).cast("long").alias("_d2"),
+    )
+    w_d = Window.partitionBy(*keys).orderBy("_d2", "_tb")
+    dranked = dev.withColumn("_rk2", F.row_number().over(w_d).cast("long"))
+    lo2 = F.expr("(n + 1) div 2")
+    hi2 = F.expr("n div 2 + 1")
+    mad = dranked.groupBy(*keys).agg(
+        F.max("n").cast("long").alias("n_"),
+        F.max("median2").cast("long").alias("median2_"),
+        (
+            F.sum(F.when(F.col("_rk2") == lo2, F.col("_d2")).otherwise(0))
+            + F.sum(F.when(F.col("_rk2") == hi2, F.col("_d2")).otherwise(0))
+        )
+        .cast("long")
+        .alias("mad4"),
+    )
+    flagged = dev.join(mad, list(keys)).groupBy(*keys).agg(
+        F.max("n_").cast("long").alias("n"),
+        F.max("median2_").cast("long").alias("median2"),
+        F.max("mad4").cast("long").alias("mad4"),
+        F.sum(
+            (F.lit(2) * F.col("_d2") > F.lit(z) * F.col("mad4")).cast("long")
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.max("_d2").cast("long").alias("max_dev2"),
+    )
+    return flagged

@@ -907,3 +907,115 @@ def append_ivf_batch(
     assign_centroids(batch, centroids, id_col, vec_col).repartition(
         len(centroids), "cid"
     ).write.mode("append").partitionBy("cid").parquet(path)
+
+
+def sq8_dim_stats(corpus: DataFrame, vec_col: str = "embedding") -> list[tuple[int, int]]:
+    """Per-dimension (min, max) of the 1e-6-floored integer components —
+    the codebook of scalar (int8-style) quantization. Returns a
+    ``dim``-long Python list of exact BIGINT bounds.
+
+    The collect here is the sanctioned bounded pattern (cf. the seeded
+    k-means centroids): the result is d rows — a property of the SCHEMA,
+    not the data — produced by one distributed posexplode + (dim) hash agg
+    with map-side combine, so the driver pull is ≤ d tuples at any corpus
+    size. At 100 TB the stats pass is a linear scan whose shuffle is
+    O(d · partitions), and the bounds feed every later quantize as plan
+    literals (the classic train-codebook-once / apply-everywhere split)."""
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+
+    rows = (
+        corpus.select(F.posexplode(u6_components(vec_col)).alias("i", "q"))
+        .groupBy("i")
+        .agg(F.min("q").alias("mn"), F.max("q").alias("mx"))
+        .collect()
+    )
+    stats = sorted((r["i"], (r["mn"], r["mx"])) for r in rows)
+    return [b for _, b in stats]
+
+
+def sq8_codes(vec_col: str, stats: list[tuple[int, int]]) -> Column:
+    """array<bigint> of 0..255 scalar-quantized codes: per dimension,
+    ``(q6 − mn) · 255 div max(mx − mn, 1)`` over the 1e-6-floored integer
+    components. Pure integer arithmetic on nonnegative operands (q6 ≥ mn
+    by construction), so Spark ``div`` (truncate toward zero) and DuckDB
+    ``//`` (floor) agree and the codes replay bit-identically cross-engine.
+    The bounds are plan literals rendered as ONE SQL text expression (the
+    array_lit lesson: no per-element Py4J round-trips)."""
+    mn_sql = "array(" + ",".join(f"{int(m)}L" for m, _ in stats) + ")"
+    span_sql = (
+        "array(" + ",".join(f"{max(int(x) - int(m), 1)}L" for m, x in stats) + ")"
+    )
+    return F.expr(
+        f"transform(transform({vec_col}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+        f"(q, i) -> ((q - element_at({mn_sql}, i + 1)) * 255)"
+        f" div element_at({span_sql}, i + 1))"
+    )
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    stats: list[tuple[int, int]],
+    rerank: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization ANN (the int8 member of the 1-bit/PQ compression
+    family, cf. FAISS ScalarQuantizer / vector-DB "SQ8 + rescore"):
+    shortlist by the integer dot product of 0..255 codes — 8× smaller than
+    float32, exact BIGINT arithmetic (≤ 64·255² per pair, no overflow) —
+    then re-rank the ``rerank`` survivors by the exact dot product of the
+    1e-6 integer components and keep top ``k``.
+
+    Both stages break ties on match_id, so shortlist membership and the
+    final ranking replay deterministically in any engine. Scale shape:
+    identical join topology to :func:`brute_force_topk` — queries
+    broadcast, corpus scanned once, never shuffled by pair; the code
+    column is a narrow projection (column pruning keeps the shortlist
+    scan at d bytes/vector), and only Q·rerank rows evaluate the
+    full-precision dot. Returns (query_id, match_id, dot_u12, rk) with
+    ``dot_u12 = Σ q6·c6`` exact."""
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        u6_components(vec_col).alias("c6"),
+        sq8_codes(vec_col, stats).alias("cc"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        u6_components(vec_col).alias("q6"),
+        sq8_codes(vec_col, stats).alias("qc"),
+    )
+    dot_codes = F.aggregate(
+        F.zip_with("qc", "cc", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("match_id") != F.col("query_id")
+    ).withColumn("dot_sq8", dot_codes)
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("dot_sq8").desc(), F.col("match_id")
+    )
+    shortlist = (
+        scored.withColumn("rk_s", F.row_number().over(w_s))
+        .filter(F.col("rk_s") <= rerank)
+        .select("query_id", "match_id", "q6", "c6")
+    )
+    dot_exact = F.aggregate(
+        F.zip_with("q6", "c6", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rer = shortlist.withColumn("dot_u12", dot_exact)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_u12").desc(), F.col("match_id")
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "dot_u12", "rk")
+    )

@@ -640,3 +640,85 @@ def inverted_index(
         ),
     )
     return idx.orderBy(F.col("df").desc(), "tok").limit(top_terms)
+
+
+def _term_tf(term: str) -> Column:
+    """Exact tf of one literal term over a let-bound ``_toks`` column."""
+
+    def eq_term(t: Column) -> Column:
+        return t == F.lit(term)
+
+    return F.size(F.filter("_toks", eq_term)).cast("long").alias(f"tf_{term}")
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Okapi BM25 scoring of every document against a fixed term query
+    (Robertson & Zaragoza 2009; the Lucene/Elasticsearch default ranking
+    function — the lexical-retrieval half of a RAG stack, beside the
+    ANN family):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))      (Lucene form, ≥ 0)
+
+    Cross-engine determinism: per-term tf and dl are exact integers
+    computed per row (no shuffle — size(filter(tokens))); N, df_t and
+    Σdl come from ONE single-row corpus aggregate broadcast back; the
+    float score is then evaluated in a FIXED term order (t1 + t2 + …,
+    conditional columns — never a shuffled float sum), so both engines
+    execute the identical IEEE op sequence. Ranking downstream must order
+    by the RAW score (bit-stable) with an id tiebreak, not the rounded
+    display value.
+
+    Scale shape: a map-only pass over the corpus + one count-sized agg —
+    the cheapest retrieval primitive there is. At 100 TB the per-(term,
+    doc) postings come from the inverted index instead of re-tokenizing
+    (see ``inverted_index``); this form is the gate because it keeps the
+    whole computation in two scans with zero Python.
+
+    Returns (id, dl, tf_<term>..., bm25) with bm25 rounded 4dp for
+    display and ``bm25_raw`` kept for deterministic ordering."""
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("dl"),
+        # NOTE: term filters are built by a def-closure factory, never a
+        # default-arg lambda — pyspark binds HOF lambda vars by parameter
+        # count, so `lambda t, _term=x:` would be misread as (elem, index).
+        *[_term_tf(t_) for t_ in terms],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t_}") > 0).cast("long")).cast("long").alias(f"df_{t_}")
+            for t_ in terms
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+    avgdl = F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+    score = F.lit(0.0)
+    for t_ in terms:
+        idf = F.expr(
+            f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{t_} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{t_} AS DOUBLE) + 0.5))"
+        )
+        tf = F.col(f"tf_{t_}").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        score = score + idf * ((tf * F.lit(k1 + 1.0)) / denom)
+    return scored.select(
+        F.col(id_col),
+        "dl",
+        *[F.col(f"tf_{t_}") for t_ in terms],
+        score.alias("bm25_raw"),
+        F.round(score, 4).alias("bm25"),
+    )

@@ -922,3 +922,466 @@ def leave_one_out_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_e4("s_g", "n_g").alias("group_mean_e4"),
         ratio_e4("(s - s_g)", "(n - n_g)").alias("loo_mean_e4"),
     )
+
+
+# --- BM25 lexical retrieval --------------------------------------------------
+
+_BM25_TERMS = ["vector", "join", "stream"]
+_BM25_K = 20
+
+
+def _bm25_oracle() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    per_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    score = "\n    + ".join(
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{t} AS DOUBLE) * 2.2) / (CAST(tf_{t} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / {avgdl}))))"
+        for t in _BM25_TERMS
+    )
+    tf_out = ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    per AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         {per_cols}
+      FROM toks
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+      FROM per
+    ),
+    scored AS (
+      SELECT doc_id, dl, {tf_out},
+        ( {score} ) AS bm25_raw
+      FROM per, stats
+    )
+    SELECT doc_id, dl, {tf_out}, round(bm25_raw, 4) AS bm25, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25_raw DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_BM25_K}
+    """
+
+
+@query(
+    "bm25_topk",
+    oracle=_bm25_oracle(),
+    survey_ref="§2.10 text retrieval: Okapi BM25 top-k for a fixed term "
+    "query (Robertson & Zaragoza 2009; the Lucene default) — the lexical "
+    "half of a RAG retrieval stack beside the ANN family; tf/df/dl exact "
+    "integers, score evaluated in a FIXED term order so both engines run "
+    "the identical IEEE op sequence, ranked on the raw (bit-stable) score",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/text.py::bm25_scores + top-k: map-only per-doc tf/dl, one
+    single-row corpus agg broadcast back, fixed-order float score. The
+    global top-k is TakeOrderedAndProject-shaped (rank over one ordering);
+    ordering uses bm25_raw (bit-stable cross-engine; measured min gap
+    between DISTINCT scores is ~2e-6 at sf0.01 vs ~1e-16 engine noise,
+    and equal (tf..., dl) tuples are EXACTLY equal in each engine, so the
+    doc_id tiebreak replays). Reference analog: none (pure LLM-pipeline
+    extension)."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    scored = bm25_scores(docs, _BM25_TERMS)
+    w = Window.orderBy(F.col("bm25_raw").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_K)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            "bm25",
+            "rk",
+        )
+    )
+
+
+# --- reciprocal-rank fusion --------------------------------------------------
+
+
+@query(
+    "rrf_fusion_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, n_tok,
+             CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+               AS rank_chars,
+             CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT)
+               AS rank_tokens
+      FROM toks
+    ),
+    fused AS (
+      SELECT doc_id, rank_chars, rank_tokens,
+             CAST(1000000 // (60 + rank_chars)
+                  + 1000000 // (60 + rank_tokens) AS BIGINT) AS rrf_e6
+      FROM ranked
+    )
+    SELECT doc_id, rank_chars, rank_tokens, rrf_e6, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 20
+    """,
+    survey_ref="§2.10 text retrieval: reciprocal-rank fusion (Cormack et "
+    "al. 2009) of two deterministic rankers — THE standard hybrid "
+    "lexical+vector result merge; each 1/(60+rank) term is an exact "
+    "integer floor(1e6/(60+r)), so the fused score is pure BIGINT and "
+    "the top-k replays bit-identically",
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF over two full rankings of the documents table (by n_chars and
+    by token count, both id-tiebroken): score = Σ 1e6 div (60 + rank).
+    Integer-scaled so no float ever enters the fusion. Plan: two
+    row_number windows over the same single-partition ordering + one
+    projection; at 100 TB each ranker's rank comes from its own engine
+    (ANN top-k / BM25 top-k lists are ≤ k·|queries| rows), so the fusion
+    join is list-sized, never corpus-sized — this gate ranks the WHOLE
+    corpus only to make the oracle total."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    base = docs.select(
+        "doc_id", "n_chars", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    w_c = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    w_t = Window.orderBy(F.col("n_tok").desc(), F.col("doc_id"))
+    ranked = base.select(
+        "doc_id",
+        F.row_number().over(w_c).cast("long").alias("rank_chars"),
+        F.row_number().over(w_t).cast("long").alias("rank_tokens"),
+    )
+    fused = ranked.withColumn(
+        "rrf_e6",
+        F.expr(
+            "1000000 div (60 + rank_chars) + 1000000 div (60 + rank_tokens)"
+        ).cast("long"),
+    )
+    w = Window.orderBy(F.col("rrf_e6").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "rank_chars", "rank_tokens", "rrf_e6", "rk")
+    )
+
+
+# --- scalar-quantization (SQ8) ANN -------------------------------------------
+
+_SQ8_QUERIES = 8
+_SQ8_RERANK = 32
+_SQ8_K = 10
+
+
+@query(
+    "sq8_topk_rerank",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q6
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+    ),
+    dim AS (
+      SELECT i, CAST(min(q6) AS BIGINT) AS mn,
+             CAST(greatest(max(q6) - min(q6), 1) AS BIGINT) AS span
+      FROM u GROUP BY i
+    ),
+    codes AS (
+      SELECT u.vec_id, u.i, ((u.q6 - d.mn) * 255) // d.span AS c
+      FROM u JOIN dim d ON d.i = u.i
+    ),
+    qs AS (SELECT vec_id AS query_id, i, c FROM codes
+           WHERE vec_id < {_SQ8_QUERIES}),
+    d8 AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             CAST(sum(q.c * c.c) AS BIGINT) AS dot8
+      FROM qs q JOIN codes c ON q.i = c.i AND c.vec_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot8 DESC, match_id) AS rs
+        FROM d8) WHERE rs <= {_SQ8_RERANK}
+    ),
+    ex AS (
+      SELECT s.query_id, s.match_id, CAST(sum(a.q6 * b.q6) AS BIGINT) AS dot_u12
+      FROM short s
+      JOIN u a ON a.vec_id = s.query_id
+      JOIN u b ON b.vec_id = s.match_id AND b.i = a.i
+      GROUP BY 1, 2
+    )
+    SELECT query_id, match_id, dot_u12, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_u12 DESC, match_id) AS rk
+      FROM ex) WHERE rk <= {_SQ8_K}
+    """,
+    survey_ref="§2.10 similarity/ANN: int8 scalar-quantization shortlist "
+    "(FAISS ScalarQuantizer / vector-DB 'SQ8 + rescore') + exact integer "
+    "re-rank — the middle member of the 1-bit(hamming)/8-bit(SQ)/PQ "
+    "compression family; codes and both dot products are pure BIGINT, so "
+    "shortlist membership and ranking replay bit-identically",
+)
+def sq8_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.py::sq8_rerank_topk with the codebook trained
+    by sq8_dim_stats (a d-row collect — schema-sized, not data-sized).
+    Queries broadcast, corpus scanned once; the int8 code column is the
+    only thing the shortlist stage reads (8× smaller than float32)."""
+    from nilm_data_framework_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    stats = S.sq8_dim_stats(emb)
+    q = emb.where(F.col("vec_id") < _SQ8_QUERIES)
+    return S.sq8_rerank_topk(
+        emb, q, k=_SQ8_K, stats=stats, rerank=_SQ8_RERANK
+    )
+
+
+# --- Benford first-digit audit -----------------------------------------------
+
+# Expected Benford share log10(1 + 1/d) in e4 units, computed ONCE in Python
+# and injected into BOTH engines as literals — zero cross-engine float risk.
+_BENFORD_E4 = {
+    d: int(__import__("math").floor(__import__("math").log10(1 + 1 / d) * 10000 + 0.5))
+    for d in range(1, 10)
+}
+
+
+def _benford_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+
+    expect = " ".join(
+        f"WHEN {d} THEN {v}" for d, v in _BENFORD_E4.items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS first_digit
+      FROM orders
+    ),
+    counts AS (
+      SELECT first_digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT first_digit, n,
+           {ratio_e4_sql('n', 'total')} AS share_e4,
+           CAST(CASE first_digit {expect} END AS BIGINT) AS benford_e4
+    FROM counts, tot
+    """
+
+
+@query(
+    "benford_digit_audit",
+    oracle=_benford_oracle(),
+    survey_ref="§2.10 quality/fraud audit: Benford first-digit "
+    "distribution of money amounts vs the log10(1+1/d) law — the classic "
+    "fabricated-data detector (Nigrini); counts exact, shares exact e4, "
+    "expected shares injected as Python-computed literals in both engines",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First digit via string head of exact cents (positive BIGINTs render
+    identically in both engines — no float log10 in the digit extraction).
+    One groupBy(9 keys) + broadcast total; a map-side-combined linear scan
+    at any scale. Expected shares are plan literals."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    orders = load_table(spark, sf_dir, "orders")
+    expect = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_E4.items() for x in kv]
+    )
+    digits = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n",
+        ratio_e4("n", "total").alias("share_e4"),
+        expect[F.col("first_digit")].cast("long").alias("benford_e4"),
+    )
+
+
+# --- Gini key-skew (Lorenz inequality of key ownership) ----------------------
+
+
+def _gini_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+
+    return f"""
+    WITH cnt AS (
+      SELECT o_orderpriority AS priority, o_custkey,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT priority, x,
+             CAST(row_number() OVER (PARTITION BY priority
+                                     ORDER BY x, o_custkey) AS BIGINT) AS i
+      FROM cnt
+    ),
+    agg AS (
+      SELECT priority,
+             CAST(max(i) AS BIGINT) AS n_keys,
+             CAST(sum(x) AS BIGINT) AS total_rows,
+             CAST(2 * sum(i * x) - (max(i) + 1) * sum(x) AS BIGINT) AS gnum
+      FROM ranked GROUP BY 1
+    )
+    SELECT priority, n_keys, total_rows,
+           {ratio_e4_sql('gnum', 'n_keys * total_rows')} AS gini_e4
+    FROM agg
+    """
+
+
+@query(
+    "gini_key_skew",
+    oracle=_gini_oracle(),
+    survey_ref="§2.10 skew diagnostics: exact Gini coefficient of per-key "
+    "row ownership (Lorenz form G = (2Σi·x_i − (n+1)Σx_i)/(nΣx_i) over "
+    "ascending-sorted counts) — the single-number partition-skew monitor "
+    "feeding the salting decision that key_skew_audit samples; all "
+    "integer arithmetic",
+)
+def gini_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-priority: Gini of orders-per-customer. One groupBy for
+    counts, one per-group ranked window (ascending, key-tiebroken), one
+    agg. gnum is provably ≥ 0 for ascending-sorted x, so ratio_e4's
+    nonnegative contract holds. At 100 TB the window becomes the
+    equi-depth-histogram approximation (rank from cumulative bucket
+    counts) — this gate is the exact form at per-group cardinality that
+    one reducer comfortably owns (documented in SCALE.md)."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("priority").orderBy("x", "o_custkey")
+    ranked = cnt.select(
+        "priority", "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.groupBy("priority").agg(
+        F.max("i").cast("long").alias("n_keys"),
+        F.sum("x").cast("long").alias("total_rows"),
+        (
+            F.lit(2) * F.sum(F.col("i") * F.col("x"))
+            - (F.max("i") + F.lit(1)) * F.sum("x")
+        )
+        .cast("long")
+        .alias("gnum"),
+    )
+    return agg.select(
+        "priority",
+        "n_keys",
+        "total_rows",
+        ratio_e4("gnum", "n_keys * total_rows").alias("gini_e4"),
+    )
+
+
+# --- MAD robust outlier audit ------------------------------------------------
+
+
+@query(
+    "mad_outlier_audit",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v6,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v6, event_id,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v6, event_id) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN v6 ELSE 0 END)
+                  + sum(CASE WHEN rk = n // 2 + 1 THEN v6 ELSE 0 END)
+                  AS BIGINT) AS median2
+      FROM ranked GROUP BY event_type
+    ),
+    dev AS (
+      SELECT r.event_type, m.n, m.median2, r.event_id,
+             CAST(abs(2 * r.v6 - m.median2) AS BIGINT) AS d2
+      FROM ranked r JOIN med m ON m.event_type = r.event_type
+    ),
+    dranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                        ORDER BY d2, event_id) AS BIGINT) AS rk2
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN rk2 = (n + 1) // 2 THEN d2 ELSE 0 END)
+                  + sum(CASE WHEN rk2 = n // 2 + 1 THEN d2 ELSE 0 END)
+                  AS BIGINT) AS mad4
+      FROM dranked GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+           CAST(max(d.median2) AS BIGINT) AS median2,
+           CAST(max(m.mad4) AS BIGINT) AS mad4,
+           CAST(sum(CASE WHEN 2 * d.d2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(max(d.d2) AS BIGINT) AS max_dev2
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    survey_ref="§2.10 robust statistics: per-group median-absolute-"
+    "deviation outlier audit (Hampel / Iglewicz-Hoaglin) in EXACT integer "
+    "arithmetic via the doubled-median trick (m2 = lo+hi, d2 = |2v−m2|, "
+    "mad4 = lo'+hi'; outlier ⇔ 2·d2 > z·mad4) — the robust twin of the "
+    "variance-based channel_stats z-score, immune to the outliers it hunts",
+)
+def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/robust.py::mad_outliers over 1e-6-floored event values,
+    keyed by event_type with event_id tiebreaks. One exchange (event_type)
+    serves both rank windows and all three aggregates; medians are picked
+    by conditional aggregation against the window count, never a self-join
+    or a percentile UDF."""
+    from nilm_data_framework_spark.operators.robust import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 1000000)
+        .cast("long")
+        .alias("v6"),
+        "event_id",
+    )
+    out = mad_outliers(ev, ["event_type"], "v6", "event_id", z=3)
+    return out.select(
+        "event_type", "n", "median2", "mad4", "n_outliers", "max_dev2"
+    )

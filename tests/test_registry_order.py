@@ -63,6 +63,12 @@ _POST_FREEZE = {
     "label_centroid_stats",
     "poisson_bootstrap_ci",
     "leave_one_out_influence",
+    "bm25_topk",
+    "rrf_fusion_topk",
+    "sq8_topk_rerank",
+    "benford_digit_audit",
+    "gini_key_skew",
+    "mad_outlier_audit",
 }
 
 
