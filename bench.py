@@ -136,6 +136,15 @@ HEADLINE = [
     "rrf_fusion_topk",
     "sq8_topk_rerank",
     "mad_outlier_audit",
+    # round-5 batch 10: embedding eval, diversity, dynamic partition pruning
+    "knn_label_accuracy",
+    "simpson_diversity",
+    "dpp_partition_pruned_join",
+    # round-5 batch 11: allocation, survival, threshold sweep, disorder
+    "hamilton_allocation",
+    "kaplan_meier_survival",
+    "neardup_threshold_sweep",
+    "stream_disorder_footrule",
 ]
 
 

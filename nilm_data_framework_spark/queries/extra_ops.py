@@ -1385,3 +1385,542 @@ def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", "median2", "mad4", "n_outliers", "max_dev2"
     )
+
+
+# --- kNN label-vote classification eval --------------------------------------
+
+_KNN_QUERIES = 50
+_KNN_K = 5
+
+
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, label, CAST(i AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q6
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+    ),
+    d AS (
+      SELECT a.vec_id AS query_id, a.label AS true_label,
+             b.vec_id AS match_id, b.label AS c_label,
+             CAST(sum(a.q6 * b.q6) AS BIGINT) AS dot
+      FROM u a JOIN u b ON a.i = b.i AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_KNN_QUERIES}
+      GROUP BY 1, 2, 3, 4
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, match_id) AS rk
+        FROM d) WHERE rk <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, c_label, CAST(count(*) AS BIGINT) AS votes
+      FROM top GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label, c_label AS pred_label, votes,
+           c_label = true_label AS correct
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, c_label) AS r2
+      FROM votes) WHERE r2 = 1
+    """,
+    survey_ref="§2.10 embedding evaluation: k-NN majority-vote label "
+    "prediction (the standard embedding-quality probe — kNN accuracy is "
+    "THE linear-probe-free eval) over exact u6 integer dot products; "
+    "votes tie-break (count desc, label asc) so predictions replay "
+    "bit-identically",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN label vote per held-out query vector: exact integer dots →
+    per-query top-k (queries broadcast, corpus scanned once, never
+    shuffled by pair — the brute_force_topk topology) → vote counting on
+    (query, label) → deterministic argmax. At 100 TB the neighbor stage
+    swaps to any of the bucketed ANN paths (IVF/SQ8/hamming) unchanged —
+    the vote/argmax layers are candidate-list-sized."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    c = emb.select(
+        F.col("vec_id").alias("match_id"),
+        u6_components("embedding").alias("c6"),
+        F.col("label").alias("c_label"),
+    )
+    q = emb.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        u6_components("embedding").alias("q6"),
+        F.col("label").alias("true_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q6", "c6", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("match_id") != F.col("query_id")
+    ).withColumn("dot", dot)
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("match_id"))
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    votes = top.groupBy("query_id", "true_label", "c_label").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("c_label")
+    )
+    return (
+        votes.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("c_label").alias("pred_label"),
+            "votes",
+            (F.col("c_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+# --- Simpson diversity index -------------------------------------------------
+
+
+def _simpson_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled_sql
+
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    return f"""
+    WITH t AS (
+      SELECT source, unnest({toks}) AS tok FROM documents
+    ),
+    cnt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n_i
+      FROM t GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(n_i) AS BIGINT) AS n_tokens,
+             CAST(sum(n_i * (n_i - 1)) AS BIGINT) AS ssum
+      FROM cnt GROUP BY 1
+    )
+    SELECT source, n_types, n_tokens,
+           {ratio_scaled_sql('ssum', 'n_tokens * (n_tokens - 1)', 6)}
+             AS simpson_e6
+    FROM agg
+    """
+
+
+@query(
+    "simpson_diversity",
+    oracle=_simpson_oracle(),
+    survey_ref="§2.10 corpus diversity: Simpson concentration index "
+    "λ = Σ nᵢ(nᵢ−1) / (N(N−1)) per source — the EXACT-rational companion "
+    "to the float Shannon entropy audit (entropy_by_source): λ is a "
+    "ratio of integer pair counts, so the diversity monitor carries no "
+    "float at all (1/λ = effective vocabulary size)",
+)
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token Simpson index: one explode → (source, tok) hash
+    agg (map-side combined) → per-source agg of pair counts → exact e6
+    ratio. Two shuffles, both on small key spaces; the pair-count form
+    is mergeable (Σ nᵢ(nᵢ−1) from per-shard partials via the same
+    algebra as partial_agg_merge), so 100 TB is a linear pass."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled
+    from nilm_data_framework_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    t = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    cnt = t.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    agg = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("n_i").cast("long").alias("n_tokens"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1)).cast("long").alias("ssum"),
+    )
+    return agg.select(
+        "source",
+        "n_types",
+        "n_tokens",
+        ratio_scaled("ssum", "n_tokens * (n_tokens - 1)", 6).alias("simpson_e6"),
+    )
+
+
+# --- dynamic-partition-pruned join -------------------------------------------
+
+
+@query(
+    "dpp_partition_pruned_join",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_v6
+    FROM events
+    WHERE substr(event_type, 1, 1) = 'c'
+    GROUP BY event_type
+    """,
+    survey_ref="§2 scale optimization (plan-pinned): DYNAMIC PARTITION "
+    "PRUNING — fact written partitioned by join key, dim filtered at "
+    "runtime; Spark injects a dynamicpruning subquery into the fact "
+    "scan's PartitionFilters so unprobed partition directories are never "
+    "read (the third pruning lever beside runtime Bloom filters and "
+    "static partition filters; asserted in test_plan_quality)",
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes a partitioned-by-event_type copy of events to pid-keyed
+    scratch (pinned repartition(5, key) so each writer task owns whole
+    type dirs — the small-file rule), then joins it against a
+    runtime-filtered type dim. The RESULT is partition-layout-invariant
+    (oracle is a plain filtered agg); the PLAN is the deliverable —
+    SubqueryAdaptiveBroadcast dynamicpruning on the fact scan. v6 sums
+    are exact integers."""
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value").cast("double") * 1000000).cast("long").alias("v6"),
+    )
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_dpp"), "events_"
+    )
+    ev.repartition(5, "event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .where(F.substring("event_type", 1, 1) == "c")
+    )
+    return fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v6").cast("long").alias("sum_v6"),
+    )
+
+
+# --- Hamilton largest-remainder allocation -----------------------------------
+
+_HAMILTON_BUDGET = 100_000
+
+
+def _hamilton_oracle() -> str:
+    return f"""
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM per),
+    quota AS (
+      SELECT source, w,
+             ({_HAMILTON_BUDGET} * w) // wtot AS base,
+             ({_HAMILTON_BUDGET} * w) % wtot AS rem
+      FROM per, tot
+    ),
+    left_over AS (
+      SELECT CAST({_HAMILTON_BUDGET} - sum(base) AS BIGINT) AS leftover
+      FROM quota
+    ),
+    ranked AS (
+      SELECT source, w, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM quota
+    )
+    SELECT source, w, CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM ranked, left_over
+    """
+
+
+@query(
+    "hamilton_allocation",
+    oracle=_hamilton_oracle(),
+    survey_ref="§2.10 curation/mixing: Hamilton largest-remainder "
+    "apportionment of a fixed token/sample budget across sources — the "
+    "exact-integer answer to 'allocate B slots ∝ weights with Σ = B "
+    "guaranteed' that float-share rounding cannot give; the allocation "
+    "layer under mixture_temperature_weights and token_budget_curation",
+)
+def hamilton_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment over per-source char
+    mass: base = floor(B·w/W) via BIGINT div, remainder rank breaks the
+    leftover. Everything integer; nonneg operands so Spark div == DuckDB
+    //. Plan: one groupBy + two 1-row broadcasts + a |sources|-row rank
+    window — allocation is dimension-sized at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("w"))
+    tot = per.agg(F.sum("w").cast("long").alias("wtot"))
+    B = _HAMILTON_BUDGET
+    quota = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        F.expr(f"({B} * w) div wtot").cast("long").alias("base"),
+        F.expr(f"({B} * w) % wtot").cast("long").alias("rem"),
+    )
+    left = quota.agg((F.lit(B) - F.sum("base")).cast("long").alias("leftover"))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("source")))
+    ranked = quota.withColumn("rk", rk).crossJoin(F.broadcast(left))
+    return ranked.select(
+        "source",
+        "w",
+        "base",
+        "rem",
+        (F.col("rk") <= F.col("leftover")).cast("long").alias("extra"),
+        (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("long"))
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+# --- Kaplan-Meier survival ---------------------------------------------------
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    bound AS (SELECT max(last_us) AS end_us FROM per),
+    life AS (
+      SELECT user_id, (last_us - first_us) // 3600000000 AS t_h,
+             CASE WHEN end_us - last_us < 86400000000 THEN 1 ELSE 0 END AS censored
+      FROM per, bound
+    ),
+    support AS (
+      SELECT t_h, CAST(count(*) AS BIGINT) AS cnt_all,
+             CAST(sum(1 - censored) AS BIGINT) AS d
+      FROM life GROUP BY t_h
+    ),
+    risk AS (
+      SELECT t_h, d,
+             CAST(sum(cnt_all) OVER (ORDER BY t_h DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+      FROM support
+    ),
+    steps AS (SELECT t_h, d, n_risk FROM risk WHERE d > 0)
+    SELECT CAST(t_h AS BIGINT) AS t_h, d, n_risk,
+           round(product(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                 OVER (ORDER BY t_h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS survival
+    FROM steps
+    """,
+    survey_ref="§2.4 extension (survival analysis): Kaplan-Meier estimator "
+    "of user lifetime with 24h-tail censoring — d/n at-risk counts exact "
+    "integers from value-support cumulative sums (no per-user scan per "
+    "step); the survival product multiplies identical IEEE factors in "
+    "identical ascending order in both engines",
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KM: per-user lifetimes (one groupBy), corpus end bound
+    (1-row broadcast), then the at-risk counts come from ONE descending
+    cumulative window over the lifetime SUPPORT (|distinct hours| rows —
+    the ks_statistic trick), never by rescanning users per step. Output
+    per death-time: t_h, d, n_risk exact; survival = Π(1 − d/n) 4dp."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    bound = per.agg(F.max("last_us").alias("end_us"))
+    life = per.crossJoin(F.broadcast(bound)).select(
+        F.expr("(last_us - first_us) div 3600000000").alias("t_h"),
+        F.when(F.col("end_us") - F.col("last_us") < 86_400_000_000, 1)
+        .otherwise(0)
+        .alias("censored"),
+    )
+    support = life.groupBy("t_h").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_all"),
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t_h").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = support.select(
+        "t_h", "d", F.sum("cnt_all").over(w_desc).cast("long").alias("n_risk")
+    )
+    steps = risk.where(F.col("d") > 0)
+    w_asc = Window.orderBy("t_h").rowsBetween(Window.unboundedPreceding, 0)
+    surv = F.product(
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double")
+    ).over(w_asc)
+    return steps.select(
+        F.col("t_h").cast("long").alias("t_h"),
+        "d",
+        "n_risk",
+        F.round(surv, 4).alias("survival"),
+    )
+
+
+# --- LSH threshold sweep -----------------------------------------------------
+
+_SWEEP_THRESHOLDS = [50, 60, 70, 80, 90]
+
+
+def _sweep_oracle() -> str:
+    from nilm_data_framework_spark.queries.dedup_text import _minhash_ctes
+
+    ts = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+    WITH {_minhash_ctes()},
+    iu AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_filter(ha.hs, x -> list_contains(hb.hs, x)))
+                  AS BIGINT) AS inter,
+             CAST(len(ha.hs) + len(hb.hs)
+                  - len(list_filter(ha.hs, x -> list_contains(hb.hs, x)))
+                  AS BIGINT) AS uni
+      FROM cand c
+      JOIN hs ha ON ha.id = c.id_a
+      JOIN hs hb ON hb.id = c.id_b
+    )
+    SELECT CAST(t AS BIGINT) AS threshold_pct,
+           CAST(sum(CASE WHEN inter * 100 >= t * uni THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs
+    FROM iu CROSS JOIN unnest([{ts}]) u(t)
+    GROUP BY t
+    """
+
+
+@query(
+    "neardup_threshold_sweep",
+    oracle=_sweep_oracle(),
+    survey_ref="§2.10 dedup evaluation: Jaccard-threshold sensitivity "
+    "sweep over the verified LSH candidate set — 5 thresholds from ONE "
+    "candidate generation + verify pass; comparisons are exact "
+    "cross-multiplied integers (inter·100 ≥ t·union), never float "
+    "Jaccard, so the dedup-aggressiveness dial replays bit-identically",
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many near-dup pairs does each threshold keep? The candidate set
+    and hashed-shingle verify are computed ONCE (the banded-LSH pipeline
+    of minhash_lsh_pairs with the verify emitting integer inter/union);
+    the sweep is a 5-way conditional count over that one pass. At 100 TB
+    the sweep costs the same as a single-threshold dedup — the
+    exploration tool for choosing jaccard_threshold before committing a
+    full dedup run."""
+    from nilm_data_framework_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    hashed = D._hashed_shingles(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=True
+    )
+    params = D._minhash_hash_params(16, 42)
+    banded = D._banded(hashed, params, 4, 4)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hs_a = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hs_b = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    iu = (
+        cand.join(hs_a, "id_a")
+        .join(hs_b, "id_b")
+        .select(
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("inter"),
+            (
+                F.size("hs_a") + F.size("hs_b")
+                - F.size(F.array_intersect("hs_a", "hs_b"))
+            )
+            .cast("long")
+            .alias("uni"),
+        )
+    )
+    ts = ",".join(str(t) for t in _SWEEP_THRESHOLDS)
+    swept = iu.select("inter", "uni", F.explode(F.expr(f"array({ts})")).alias("t"))
+    return swept.groupBy(F.col("t").cast("long").alias("threshold_pct")).agg(
+        F.sum(
+            (F.col("inter") * 100 >= F.col("t") * F.col("uni")).cast("long")
+        )
+        .cast("long")
+        .alias("n_pairs")
+    )
+
+
+# --- stream disorder (Spearman footrule) -------------------------------------
+
+
+@query(
+    "stream_disorder_footrule",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rank_ts,
+             CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY event_id) AS BIGINT) AS rank_arrival
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(abs(rank_ts - rank_arrival)) AS BIGINT) AS footrule,
+           CAST((sum(abs(rank_ts - rank_arrival)) * 20000
+                 + greatest((count(*) * count(*)) // 2, 1))
+                // (2 * greatest((count(*) * count(*)) // 2, 1)) AS BIGINT)
+             AS disorder_e4
+    FROM ranked GROUP BY event_type
+    """,
+    survey_ref="§2.9 streaming diagnostics: Spearman-footrule disorder "
+    "between event-time order and arrival order per stream — the exact "
+    "out-of-orderness measure that sizes watermark delay (footrule/max "
+    "as exact e4; max Σ|r−r'| = ⌊n²/2⌋); the rank-based companion of "
+    "streaming_late_data_drop's fixed-delay count",
+)
+def stream_disorder_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rank windows per stream key (one exchange, two sorts) + one
+    agg: footrule = Σ|rank_by_event_time − rank_by_arrival|. Exact
+    integers end-to-end (disorder_e4 via the shared integer-rounding
+    form). At 100 TB this is THE measurement that decides
+    withWatermark's delay before deploying any streaming job."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w_ts = Window.partitionBy("event_type").orderBy("us", "event_id")
+    w_id = Window.partitionBy("event_type").orderBy("event_id")
+    ranked = ev.select(
+        "event_type",
+        F.row_number().over(w_ts).cast("long").alias("rank_ts"),
+        F.row_number().over(w_id).cast("long").alias("rank_arrival"),
+    )
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(F.col("rank_ts") - F.col("rank_arrival")))
+        .cast("long")
+        .alias("footrule"),
+        ratio_e4(
+            "sum(abs(rank_ts - rank_arrival))",
+            "greatest((count(1) * count(1)) div 2, 1)",
+        )
+        .cast("long")
+        .alias("disorder_e4"),
+    )

@@ -798,3 +798,20 @@ def test_inverted_index_single_agg_exchange(spark):
     plan = _plan(spark, "inverted_index_stats")
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) <= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dpp_partition_pruned_join_plan(spark):
+    # The deliverable of dpp_partition_pruned_join IS the plan: the fact
+    # scan must carry a dynamic-pruning subquery in its PartitionFilters
+    # (dim filter arrives at runtime, unprobed partition dirs never read).
+    plan = _plan(spark, "dpp_partition_pruned_join")
+    low = plan.lower()
+    assert "dynamicpruning" in low, "no dynamic partition pruning subquery"
+    assert "PartitionFilters" in plan
+
+
+def test_knn_label_accuracy_broadcasts_queries(spark):
+    # Query side is a bounded top-N slice — must broadcast; the corpus is
+    # scanned once and never shuffled by pair.
+    plan = _plan(spark, "knn_label_accuracy")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -69,6 +69,13 @@ _POST_FREEZE = {
     "benford_digit_audit",
     "gini_key_skew",
     "mad_outlier_audit",
+    "knn_label_accuracy",
+    "simpson_diversity",
+    "dpp_partition_pruned_join",
+    "hamilton_allocation",
+    "kaplan_meier_survival",
+    "neardup_threshold_sweep",
+    "stream_disorder_footrule",
 }
 
 

@@ -217,3 +217,179 @@ def test_rrf_weights_monotone():
     vals = [10**6 // (60 + r) for r in range(1, 501)]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
     assert vals[0] == 16393
+
+
+# --- batch 10: kNN eval / Simpson diversity ----------------------------------
+
+
+def test_knn_label_accuracy_matches_numpy(spark):
+    import numpy as np
+    import duckdb
+
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    out = {
+        r["query_id"]: r
+        for r in all_queries()["knn_label_accuracy"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding, label FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    ).fetchall()
+    u6 = {
+        i: np.floor(np.array(v, dtype=np.float64) * 1e6).astype(np.int64)
+        for i, v, _l in rows
+    }
+    labels = {i: l for i, _v, l in rows}
+    for qid in range(50):
+        scored = sorted(
+            ((int(u6[qid] @ u6[m]), m) for m in u6 if m != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        votes: dict[int, int] = {}
+        for _d, m in scored:
+            votes[labels[m]] = votes.get(labels[m], 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert out[qid]["pred_label"] == pred[0]
+        assert out[qid]["votes"] == pred[1]
+        assert out[qid]["true_label"] == labels[qid]
+        assert out[qid]["correct"] == (pred[0] == labels[qid])
+
+
+def test_simpson_diversity_matches_python(spark):
+    import duckdb
+    from collections import Counter
+
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    out = {
+        r["source"]: r
+        for r in all_queries()["simpson_diversity"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT source, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    by_src: dict[str, Counter] = {}
+    for s, txt in docs:
+        by_src.setdefault(s, Counter()).update(
+            t for t in txt.lower().split() if t
+        )
+    for s, cnt in by_src.items():
+        n = sum(cnt.values())
+        ssum = sum(c * (c - 1) for c in cnt.values())
+        # exact round-half-up of 1e6 * ssum / (n*(n-1))
+        den = n * (n - 1)
+        e6 = (ssum * 2_000_000 + den) // (2 * den)
+        assert out[s]["n_tokens"] == n
+        assert out[s]["n_types"] == len(cnt)
+        assert out[s]["simpson_e6"] == e6
+
+
+# --- batch 11: allocation / survival / sweep / disorder ----------------------
+
+
+def test_hamilton_allocation_invariants(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["hamilton_allocation"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    B = 100_000
+    assert sum(r["alloc"] for r in rows) == B  # the Σ=B guarantee
+    for r in rows:
+        assert r["alloc"] in (r["base"], r["base"] + 1)
+        assert r["extra"] in (0, 1)
+    # proportionality: alloc within 1 of the real quota (Hamilton property)
+    W = sum(r["w"] for r in rows)
+    for r in rows:
+        q = B * r["w"] / W
+        assert q - 1 < r["alloc"] < q + 1
+
+
+def test_kaplan_meier_matches_python(spark):
+    import duckdb
+
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    out = (
+        all_queries()["kaplan_meier_survival"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    con = duckdb.connect()
+    per = con.execute(
+        "SELECT user_id, min(epoch_us(ts)), max(epoch_us(ts)) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') GROUP BY 1"
+    ).fetchall()
+    end_us = max(l for _u, _f, l in per)
+    lives = [
+        ((l - f) // 3_600_000_000, 1 if end_us - l < 86_400_000_000 else 0)
+        for _u, f, l in per
+    ]
+    surv = 1.0
+    expect = []
+    for t in sorted({t for t, c in lives if c == 0}):
+        n_risk = sum(1 for lt, _c in lives if lt >= t)
+        d = sum(1 for lt, c in lives if lt == t and c == 0)
+        surv *= 1.0 - d / n_risk
+        expect.append((t, d, n_risk, round(surv, 4)))
+    got = sorted((r["t_h"], r["d"], r["n_risk"], r["survival"]) for r in out)
+    assert got == sorted(expect)
+
+
+def test_threshold_sweep_monotone(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = sorted(
+        (r["threshold_pct"], r["n_pairs"])
+        for r in all_queries()["neardup_threshold_sweep"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    counts = [n for _t, n in rows]
+    assert counts == sorted(counts, reverse=True)  # stricter threshold ⊆ looser
+    assert rows[0][0] == 50 and len(rows) == 5
+
+
+def test_footrule_zero_for_in_order_stream(spark):
+    df = spark.createDataFrame(
+        [("a", i * 1000, i) for i in range(10)]
+        + [("b", (10 - i) * 1000, i) for i in range(10)],
+        "event_type string, us long, event_id long",
+    )
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    w_ts = Window.partitionBy("event_type").orderBy("us", "event_id")
+    w_id = Window.partitionBy("event_type").orderBy("event_id")
+    ranked = df.select(
+        "event_type",
+        F.row_number().over(w_ts).cast("long").alias("rank_ts"),
+        F.row_number().over(w_id).cast("long").alias("rank_arrival"),
+    )
+    out = {
+        r["event_type"]: r
+        for r in ranked.groupBy("event_type")
+        .agg(
+            F.sum(F.abs(F.col("rank_ts") - F.col("rank_arrival")))
+            .cast("long")
+            .alias("footrule"),
+            ratio_e4(
+                "sum(abs(rank_ts - rank_arrival))",
+                "greatest((count(1) * count(1)) div 2, 1)",
+            ).alias("disorder_e4"),
+        )
+        .collect()
+    }
+    assert out["a"]["footrule"] == 0 and out["a"]["disorder_e4"] == 0
+    # fully reversed stream: footrule = floor(n^2/2) = 50 -> disorder 1.0
+    assert out["b"]["footrule"] == 50 and out["b"]["disorder_e4"] == 10000
