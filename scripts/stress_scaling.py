@@ -158,6 +158,131 @@ def extras_workloads(emb: DataFrame, edges: DataFrame, ev: DataFrame) -> dict:
     }
 
 
+def replicate_events_full(ev: DataFrame, k: int) -> DataFrame:
+    """k replicas of the full event rows: users/event-ids shifted so the
+    per-type windows, per-user lifetimes, and rank windows all see k×
+    rows (types fixed — group COUNT stays 5 while group SIZE grows, which
+    is the claim for the per-key window family)."""
+    parts = [ev]
+    for r in range(1, k):
+        parts.append(
+            ev.select(
+                "event_type",
+                (F.col("us") + r).alias("us"),
+                (F.col("user_id") + 1_000_000 * r).alias("user_id"),
+                (F.col("event_id") + 100_000_000 * r).alias("event_id"),
+                "v6",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32, "event_id").localCheckpoint(eager=True)
+
+
+def replicate_orders_cust(orders: DataFrame, k: int) -> DataFrame:
+    """k replicas with shifted custkeys: the Gini rank window's input (one
+    row per key) grows k×."""
+    parts = [orders]
+    for r in range(1, k):
+        parts.append(
+            orders.select(
+                (F.col("o_custkey") + 10_000_000 * r).alias("o_custkey"),
+                "o_orderpriority",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32, "o_custkey").localCheckpoint(eager=True)
+
+
+def retrieval_workloads(docs: DataFrame, ev: DataFrame, orders: DataFrame) -> dict:
+    """r5 retrieval/robustness batch (queries/extra_ops.py constructions)."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators import robust as RB
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled
+
+    def _simpson():
+        t = docs.select(
+            "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+        )
+        cnt = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n_i"))
+        return cnt.groupBy("source").agg(
+            F.sum(F.col("n_i") * (F.col("n_i") - 1)).alias("ssum")
+        ).count()
+
+    def _km():
+        per = ev.groupBy("user_id").agg(
+            F.min("us").alias("first_us"), F.max("us").alias("last_us")
+        )
+        bound = per.agg(F.max("last_us").alias("end_us"))
+        life = per.crossJoin(F.broadcast(bound)).select(
+            F.expr("(last_us - first_us) div 3600000000").alias("t_h"),
+            F.when(F.col("end_us") - F.col("last_us") < 86_400_000_000, 1)
+            .otherwise(0)
+            .alias("censored"),
+        )
+        support = life.groupBy("t_h").agg(
+            F.count(F.lit(1)).alias("cnt_all"),
+            F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        )
+        w_desc = (
+            Window.orderBy(F.col("t_h").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return support.select(
+            "t_h", "d", F.sum("cnt_all").over(w_desc).alias("n_risk")
+        ).where(F.col("d") > 0).count()
+
+    def _footrule():
+        w_ts = Window.partitionBy("event_type").orderBy("us", "event_id")
+        w_id = Window.partitionBy("event_type").orderBy("event_id")
+        ranked = ev.select(
+            "event_type",
+            F.row_number().over(w_ts).cast("long").alias("rank_ts"),
+            F.row_number().over(w_id).cast("long").alias("rank_arrival"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.sum(F.abs(F.col("rank_ts") - F.col("rank_arrival"))).alias("f")
+        ).count()
+
+    def _gini():
+        cnt = orders.groupBy(
+            F.col("o_orderpriority").alias("priority"), "o_custkey"
+        ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+        w = Window.partitionBy("priority").orderBy("x", "o_custkey")
+        ranked = cnt.select(
+            "priority", "x", F.row_number().over(w).cast("long").alias("i")
+        )
+        return ranked.groupBy("priority").agg(
+            ratio_scaled(
+                "2 * sum(i * x) - (max(i) + 1) * sum(x)",
+                "max(i) * sum(x)",
+            ).alias("g")
+        ).count()
+
+    return {
+        # per-type windows: group size grows k x (types fixed) -> n log n sort
+        "mad_outlier_audit": lambda: RB.mad_outliers(
+            ev, ["event_type"], "v6", "event_id"
+        ).count(),
+        # map-side-combined token aggs, source count fixed
+        "simpson_diversity": _simpson,
+        # map-only scoring + one count-sized agg
+        "bm25_topk": lambda: T.bm25_scores(
+            docs, ["vector", "join", "stream"]
+        ).count(),
+        # user agg + support-sized window (support grows with shifted us)
+        "kaplan_meier": _km,
+        # two rank windows per type + one agg
+        "stream_disorder": _footrule,
+        # per-key counts -> per-group rank window over k x keys
+        "gini_key_skew": _gini,
+    }
+
+
 def replicate_facts(li: DataFrame, orders: DataFrame, k: int):
     """k disjoint copies of the (lineitem, orders) fact pair: ALL keys
     (order, part, supplier) are shifted per replica, so the co-occurrence /
@@ -357,6 +482,16 @@ def main() -> None:
     ev_base = load_table(spark, SF_DIR, "events").select(
         F.unix_micros("ts").alias("us"), "user_id"
     )
+    ev_full_base = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "user_id",
+        "event_id",
+        F.floor(F.col("value").cast("double") * 1000000).cast("long").alias("v6"),
+    )
+    orders_cust_base = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
 
     results: dict[str, list[tuple[int, float]]] = {}
     for k in ks:
@@ -369,6 +504,25 @@ def main() -> None:
             (fact_workloads(li, orders), n_li),
             (screen_workloads(docs, spark), n),
         ]
+        retrieval_names = {
+            "mad_outlier_audit", "simpson_diversity", "bm25_topk",
+            "kaplan_meier", "stream_disorder", "gini_key_skew",
+        }
+        if only is None or only & retrieval_names:
+            ev_full = replicate_events_full(ev_full_base, k)
+            orders_cust = replicate_orders_cust(orders_cust_base, k)
+            rw = retrieval_workloads(docs, ev_full, orders_cust)
+            n_ev = ev_full.count()
+            n_oc = orders_cust.count()
+            for name, rows_in in (
+                ("mad_outlier_audit", n_ev),
+                ("simpson_diversity", n),
+                ("bm25_topk", n),
+                ("kaplan_meier", n_ev),
+                ("stream_disorder", n_ev),
+                ("gini_key_skew", n_oc),
+            ):
+                sized.append(({name: rw[name]}, rows_in))
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)
