@@ -134,6 +134,22 @@ SHOWCASE = [
     ("inverted_index_stats", "inverted index (r5): ONE exchange "
      "(hash-partition by term) serves both the (term, doc) tf aggregate "
      "and the per-term posting aggregate; top-k is TakeOrderedAndProject"),
+    ("dpp_partition_pruned_join", "dynamic partition pruning (r5): the "
+     "fact scan's PartitionFilters carry a dynamicpruning subquery "
+     "(SubqueryAdaptiveBroadcast) — unprobed partition directories are "
+     "never read; the runtime twin of the static partition filter"),
+    ("bm25_topk", "BM25 retrieval (r5): map-only per-doc tf/dl (no "
+     "explode, no shuffle before the 1-row corpus agg); the single-row "
+     "stats frame broadcasts back (BroadcastNestedLoopJoin of a 1-row "
+     "side); global top-k is one rank window"),
+    ("sq8_topk_rerank", "SQ8 quantized ANN (r5): 0..255 codes are a "
+     "narrow codegen projection from plan-literal bounds; the integer-dot "
+     "scan streams against the broadcast query side; exact u6 re-rank "
+     "touches only Q x rerank rows"),
+    ("mad_outlier_audit", "exact MAD audit (r5): both rank windows and "
+     "all three aggregates ride ONE exchange on the group key; medians "
+     "picked by conditional aggregation, never a percentile UDF or "
+     "self-join"),
 ]
 
 
