@@ -145,6 +145,18 @@ HEADLINE = [
     "kaplan_meier_survival",
     "neardup_threshold_sweep",
     "stream_disorder_footrule",
+    # round-5 batch 12: RFM cube, dedup provenance, MMR re-rank, SAX motifs
+    "rfm_segmentation",
+    "neardup_source_matrix",
+    "mmr_diversified_topk",
+    "sax_motifs",
+    # round-5 batch 13: streaming PAA twin, label-noise screen
+    "streaming_paa_equiv",
+    "label_noise_screen",
+    # round-5 batch 14: composed RAG retrieval, readability, CBO stats
+    "rag_retrieval_pipeline",
+    "readability_scores",
+    "cbo_column_stats",
 ]
 
 

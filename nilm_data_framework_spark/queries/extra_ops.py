@@ -1924,3 +1924,1096 @@ def stream_disorder_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("disorder_e4"),
     )
+
+
+# --- RFM customer segmentation -----------------------------------------------
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH bound AS (SELECT max(epoch_us(o_orderdate)) AS end_us FROM orders),
+    per AS (
+      SELECT o_custkey,
+             CAST((min(end_us - epoch_us(o_orderdate))) // 86400000000
+                  AS BIGINT) AS recency_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM orders, bound GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_d, freq, monetary_c,
+             CAST(ntile(5) OVER (ORDER BY recency_d, o_custkey) AS BIGINT)
+               AS r_q,
+             CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT)
+               AS f_q,
+             CAST(ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey)
+                  AS BIGINT) AS m_q
+      FROM per
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_c) AS BIGINT) AS total_monetary_c,
+           CAST(sum(freq) AS BIGINT) AS total_orders
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+    survey_ref="§2.10 analytics extension: RFM (recency/frequency/"
+    "monetary) customer segmentation — the classic marketing cube as "
+    "exact integers: recency in whole days, monetary in cents, quintiles "
+    "via ntile with full (metric, key) tiebreaks so bucket boundaries "
+    "replay bit-identically",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One customer agg (exact integer R/F/M) → three ntile windows (each
+    a single global sort over |customers| rows — at 100 TB these become
+    range-partitioned sorts or equi-depth-histogram quantile lookups, the
+    same swap documented for gini_key_skew) → segment-cell rollup.
+    ntile's deterministic contract: identical total order in both engines
+    because every ORDER BY carries the custkey tiebreak."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        # parquet reads the date column as TIMESTAMP_NTZ; the session is
+        # pinned UTC so the cast is an identity relabel, never a shift
+        "od_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    bound = orders.agg(F.max("od_us").alias("end_us"))
+    per = orders.crossJoin(F.broadcast(bound)).groupBy("o_custkey").agg(
+        F.expr("min(end_us - od_us) div 86400000000")
+        .cast("long")
+        .alias("recency_d"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_c"),
+    )
+    scored = per.select(
+        "o_custkey",
+        "recency_d",
+        "freq",
+        "monetary_c",
+        F.ntile(5)
+        .over(Window.orderBy("recency_d", "o_custkey"))
+        .cast("long")
+        .alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+        .cast("long")
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_c").desc(), "o_custkey"))
+        .cast("long")
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_c").cast("long").alias("total_monetary_c"),
+        F.sum("freq").cast("long").alias("total_orders"),
+    )
+
+
+# --- near-dup source cross-contamination matrix ------------------------------
+
+
+def _source_matrix_oracle() -> str:
+    from nilm_data_framework_spark.queries.dedup_text import _minhash_ctes
+
+    return f"""
+    WITH {_minhash_ctes()},
+    pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+    tagged AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY source_a, source_b
+    """
+
+
+@query(
+    "neardup_source_matrix",
+    oracle=_source_matrix_oracle(),
+    survey_ref="§2.10 dedup provenance: near-dup pair counts by "
+    "(source, source) cell — WHERE duplication comes from (intra-source "
+    "boilerplate vs cross-source scraping overlap), the diagnostic that "
+    "decides per-source dedup policy; symmetric cells canonicalized "
+    "least/greatest",
+)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered LSH pairs (same parameters as minhash_lsh_pairs)
+    joined back to the source dim, canonicalized to an unordered cell.
+    Two id equi-joins on the pair list (pair-count-sized, not corpus-
+    sized) + one tiny-key agg. At 100 TB the join input is the dedup
+    run's own output — the matrix is free relative to the dedup."""
+    from nilm_data_framework_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "sb"), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+# --- MMR diversified retrieval -----------------------------------------------
+
+_MMR_QUERIES = 8
+_MMR_SHORTLIST = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL: the same fixed K−1 selection stages the
+    Spark side builds, each stage an argmax of (rel − max sim to selected)
+    over the remaining shortlist. λ = 1/2, so 2·MMR = rel − maxsim stays
+    in exact BIGINT."""
+    head = f"""
+    WITH u AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q6
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+    ),
+    rels AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             CAST(sum(a.q6 * b.q6) AS BIGINT) AS rel
+      FROM u a JOIN u b ON a.i = b.i AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_MMR_QUERIES}
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, match_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, match_id) AS rk
+        FROM rels) WHERE rk <= {_MMR_SHORTLIST}
+    ),
+    pairs AS (
+      SELECT s.query_id, s.match_id AS id_i, t.match_id AS id_j,
+             CAST(sum(a.q6 * b.q6) AS BIGINT) AS sim
+      FROM short s
+      JOIN short t ON t.query_id = s.query_id AND t.match_id <> s.match_id
+      JOIN u a ON a.vec_id = s.match_id
+      JOIN u b ON b.vec_id = t.match_id AND b.i = a.i
+      GROUP BY 1, 2, 3
+    ),
+    sel1 AS (
+      SELECT query_id, match_id, 1 AS step, rel, rel AS mmr2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, match_id) AS rk
+        FROM short) WHERE rk = 1
+    )"""
+    stages = []
+    prev_union = "SELECT query_id, match_id, step, rel, mmr2 FROM sel1"
+    for k in range(2, _MMR_K + 1):
+        sel_prev = f"selu{k - 1}"
+        stages.append(f", {sel_prev} AS ({prev_union})")
+        stages.append(
+            f""", cand{k} AS (
+      SELECT s.query_id, s.match_id, s.rel,
+             max(p.sim) AS msim
+      FROM short s
+      LEFT JOIN {sel_prev} e
+        ON e.query_id = s.query_id AND e.match_id = s.match_id
+      JOIN pairs p ON p.query_id = s.query_id AND p.id_i = s.match_id
+      JOIN {sel_prev} e2
+        ON e2.query_id = p.query_id AND e2.match_id = p.id_j
+      WHERE e.match_id IS NULL
+      GROUP BY 1, 2, 3
+    ), sel{k} AS (
+      SELECT query_id, match_id, {k} AS step, rel, rel - msim AS mmr2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel - msim DESC, match_id) AS rk
+        FROM cand{k}) WHERE rk = 1
+    )"""
+        )
+        prev_union += f" UNION ALL SELECT query_id, match_id, step, rel, mmr2 FROM sel{k}"
+    return (
+        head
+        + "".join(stages)
+        + f"""
+    SELECT query_id, match_id, CAST(step AS BIGINT) AS step,
+           rel, CAST(mmr2 AS BIGINT) AS mmr2
+    FROM ({prev_union}) final
+    """
+    )
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    survey_ref="§2.10 retrieval: Maximal Marginal Relevance re-rank "
+    "(Carbonell & Goldstein 1998) — the standard diversity-aware top-k "
+    "for RAG context selection; λ=1/2 makes 2·MMR = rel − max-sim-to-"
+    "selected pure BIGINT, and the K−1 greedy stages are UNROLLED "
+    "identically in both engines (shortlist-sized work per stage)",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR over the exact-dot shortlist: top-20 candidates per
+    query (brute_force_topk topology — corpus never pair-shuffled), then
+    K−1 = 4 unrolled argmax stages, each joining the remaining candidates
+    to the already-selected set's pairwise sims (shortlist² per query =
+    ≤400 rows). Every score is an exact integer; ties break on match_id.
+    At 100 TB the shortlist comes from any ANN path and the MMR stages
+    stay candidate-list-sized — greedy selection never touches the
+    corpus."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    c = emb.select(
+        F.col("vec_id").alias("match_id"), u6_components("embedding").alias("c6")
+    )
+    q = emb.where(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), u6_components("embedding").alias("q6")
+    )
+    dot_qc = F.aggregate(
+        F.zip_with("q6", "c6", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("match_id"))
+    short = (
+        c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .withColumn("rel", dot_qc)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_SHORTLIST)
+        .select("query_id", "match_id", "rel", "c6")
+        .localCheckpoint(eager=True)  # feeds pairs + every greedy stage
+    )
+    s_i = short.select(
+        "query_id", F.col("match_id").alias("id_i"), F.col("c6").alias("v_i")
+    )
+    s_j = short.select(
+        "query_id", F.col("match_id").alias("id_j"), F.col("c6").alias("v_j")
+    )
+    dot_ij = F.aggregate(
+        F.zip_with("v_i", "v_j", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        s_i.join(s_j, ["query_id"])
+        .where(F.col("id_i") != F.col("id_j"))
+        .withColumn("sim", dot_ij)
+        .select("query_id", "id_i", "id_j", "sim")
+        .localCheckpoint(eager=True)  # reused by K-1 stages
+    )
+    sel = (
+        short.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "match_id",
+            F.lit(1).cast("long").alias("step"),
+            "rel",
+            F.col("rel").alias("mmr2"),
+        )
+    )
+    shortlist = short.select("query_id", "match_id", "rel")
+    for k in range(2, _MMR_K + 1):
+        remaining = shortlist.join(
+            sel.select("query_id", "match_id"), ["query_id", "match_id"], "left_anti"
+        )
+        cand = (
+            remaining.join(
+                pairs.withColumnRenamed("id_i", "match_id"), ["query_id", "match_id"]
+            )
+            .join(
+                sel.select(
+                    "query_id", F.col("match_id").alias("id_j")
+                ),
+                ["query_id", "id_j"],
+            )
+            .groupBy("query_id", "match_id", "rel")
+            .agg(F.max("sim").alias("msim"))
+        )
+        w_k = Window.partitionBy("query_id").orderBy(
+            (F.col("rel") - F.col("msim")).desc(), F.col("match_id")
+        )
+        pick = (
+            cand.withColumn("rk", F.row_number().over(w_k))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "match_id",
+                F.lit(k).cast("long").alias("step"),
+                "rel",
+                (F.col("rel") - F.col("msim")).cast("long").alias("mmr2"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id", "match_id", F.col("step").cast("long"), "rel",
+        F.col("mmr2").cast("long"),
+    )
+
+
+# --- SAX symbolization + motif mining ----------------------------------------
+
+_SAX_SEG_US = 21_600_000_000  # 6-hour PAA segments
+_SAX_WORD = 4
+
+
+def _sax_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import u6_mean_e4_sql
+
+    return f"""
+    WITH seg AS (
+      SELECT user_id, epoch_us(ts) // {_SAX_SEG_US} AS seg,
+             CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+                  AS BIGINT) AS s6,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT user_id, seg, {u6_mean_e4_sql('s6', 'cnt')} AS mean_e4 FROM seg
+    ),
+    sym AS (
+      SELECT user_id, seg,
+             substr('abcd', CAST(ntile(4) OVER (ORDER BY mean_e4, user_id,
+                                                seg) AS INT), 1) AS s
+      FROM means
+    ),
+    words AS (
+      SELECT user_id,
+             s || lead(s, 1) OVER w || lead(s, 2) OVER w
+               || lead(s, 3) OVER w AS word
+      FROM sym
+      WINDOW w AS (PARTITION BY user_id ORDER BY seg)
+    )
+    SELECT word, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT word, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+      FROM words WHERE word IS NOT NULL GROUP BY word
+    ) WHERE rk <= 10
+    """
+
+
+@query(
+    "sax_motifs",
+    oracle=_sax_oracle(),
+    survey_ref="§2.4 extension (time-series mining): SAX symbolization "
+    "(Lin et al. 2003 — PAA segment means → alphabet buckets) + top-k "
+    "length-4 motif counts; segment means are exact e4 integers, the "
+    "alphabet assignment is a fully-tiebroken ntile, so the symbolic "
+    "corpus and its motif table replay bit-identically",
+)
+def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel PAA over 6h segments (one hash agg — exact u6 sums),
+    global 4-letter alphabet via one ntile over the segment-mean support,
+    per-channel sliding 4-grams via three lead()s sharing ONE channel-
+    keyed sort, then a motif count. The classic symbolic index that makes
+    shape queries (matrix-profile-lite) cheap: at 100 TB the symbol table
+    is ~rows/segment_size and every later motif scan runs on symbols,
+    never raw readings. Breakpoints here are equi-depth (ntile) rather
+    than the Gaussian table — deterministic on any data distribution."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.exact_math import u6_mean_e4
+
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.groupBy(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_SAX_SEG_US}").alias("seg"),
+    ).agg(
+        F.sum(F.floor(F.col("value").cast("double") * 1000000).cast("long"))
+        .cast("long")
+        .alias("s6"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    means = seg.select(
+        "user_id", "seg", u6_mean_e4("s6", "cnt").alias("mean_e4")
+    )
+    w_global = Window.orderBy("mean_e4", "user_id", "seg")
+    sym = means.select(
+        "user_id",
+        "seg",
+        F.substring(F.lit("abcd"), F.ntile(4).over(w_global), 1).alias("s"),
+    )
+    w_u = Window.partitionBy("user_id").orderBy("seg")
+    words = sym.select(
+        F.concat(
+            F.col("s"),
+            F.lead("s", 1).over(w_u),
+            F.lead("s", 2).over(w_u),
+            F.lead("s", 3).over(w_u),
+        ).alias("word")
+    ).where(F.col("word").isNotNull())
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_rk = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("word", "n", "rk")
+    )
+
+
+# --- streaming PAA equivalence -----------------------------------------------
+
+
+def _paa_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import u6_mean_e4_sql
+
+    return f"""
+    SELECT user_id, epoch_us(ts) // {_SAX_SEG_US} AS seg,
+           {u6_mean_e4_sql(
+               'sum(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT))',
+               'count(*)')} AS mean_e4,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+    """
+
+
+@query(
+    "streaming_paa_equiv",
+    oracle=_paa_oracle(),
+    survey_ref="§2.9 streaming analog of the SAX front end: 6h tumbling-"
+    "window PAA segment means via readStream + watermark, drained with "
+    "availableNow into a memory sink — the final sink state must equal "
+    "the batch PAA aggregation exactly (the symbolization pipeline's "
+    "incremental form)",
+    tags=("streaming",),
+)
+def streaming_paa_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sax_motifs front end as a stream: tumbling 6h windows (epoch-
+    aligned, same grain as the batch seg = us div 21600e6), exact u6
+    sums/counts as state, mean_e4 derived at emit. availableNow + complete
+    output drains the bounded backfill; the identical plan runs unbounded
+    with the watermark bounding state. Executes eagerly (starts and
+    awaits the stream); returns the materialized sink table."""
+    from nilm_data_framework_spark.operators.exact_math import u6_mean_e4
+    from nilm_data_framework_spark.queries.streaming_equiv import (
+        _events_stream,
+        _run_to_memory_sink,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.col("user_id"), F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 1000000).cast("long")
+            )
+            .cast("long")
+            .alias("s6"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(to_timestamp(w.start)) div {_SAX_SEG_US}")
+            .cast("long")
+            .alias("seg"),
+            u6_mean_e4("s6", "cnt").alias("mean_e4"),
+            "cnt",
+        )
+    )
+    _run_to_memory_sink(agg, "streaming_paa_equiv_sink")
+    return spark.table("streaming_paa_equiv_sink")
+
+
+# --- label-noise screen (neighbor disagreement) ------------------------------
+
+_NOISE_K = 5
+
+
+@query(
+    "label_noise_screen",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, label, CAST(i AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q6
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+    ),
+    d AS (
+      SELECT a.vec_id AS query_id, a.label AS own_label,
+             b.vec_id AS match_id, b.label AS c_label,
+             CAST(sum(a.q6 * b.q6) AS BIGINT) AS dot
+      FROM u a JOIN u b ON a.i = b.i AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    top AS (
+      SELECT query_id, own_label,
+             CASE WHEN c_label <> own_label THEN 1 ELSE 0 END AS dis
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, match_id) AS rk
+        FROM d) WHERE rk <= {_NOISE_K}
+    ),
+    per AS (
+      SELECT query_id, own_label, CAST(sum(dis) AS BIGINT) AS n_dis
+      FROM top GROUP BY 1, 2
+    )
+    SELECT own_label AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(n_dis) AS BIGINT) AS total_disagree,
+           CAST(sum(CASE WHEN 2 * n_dis > {_NOISE_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST((sum(n_dis) * 20000 + count(*) * {_NOISE_K})
+                // (2 * count(*) * {_NOISE_K}) AS BIGINT) AS disagree_e4
+    FROM per GROUP BY own_label
+    """,
+    survey_ref="§2.10 label quality: confident-learning-lite noise screen "
+    "— per label, how often a vector's {_k} nearest neighbors carry a "
+    "DIFFERENT label (majority-disagree flags the likely mislabels, "
+    "Northcutt et al.'s cleanlab intuition without the model); exact "
+    "integer dots and counts end to end".replace("{_k}", str(_NOISE_K)),
+)
+def label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector looks at its 5 exact-dot neighbors and counts label
+    disagreements; per-label rollup of total/majority-disagree/e4 rate.
+    The all-pairs scan is the correctness baseline (corpus × corpus
+    streamed, never shuffled by pair); at 100 TB the neighbor stage is
+    any bucketed ANN path — the disagreement rollup is k·N-sized."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    c = emb.select(
+        F.col("vec_id").alias("match_id"),
+        u6_components("embedding").alias("c6"),
+        F.col("label").alias("c_label"),
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        u6_components("embedding").alias("q6"),
+        F.col("label").alias("own_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q6", "c6", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("match_id"))
+    # NO broadcast hint: the probe side here is the FULL corpus (unlike the
+    # ANN queries' constant-bounded vec_id slices), so the planner must
+    # decide from measured size — BNLJ under the auto threshold at gate
+    # scale; a 100 TB deployment swaps the neighbor stage to a bucketed
+    # ANN path rather than ever forcing a corpus broadcast.
+    top = (
+        c.join(q, F.col("match_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NOISE_K)
+        .select(
+            "query_id",
+            "own_label",
+            (F.col("c_label") != F.col("own_label")).cast("long").alias("dis"),
+        )
+    )
+    per = top.groupBy("query_id", "own_label").agg(
+        F.sum("dis").cast("long").alias("n_dis")
+    )
+    return per.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("n_dis").cast("long").alias("total_disagree"),
+        F.sum((F.lit(2) * F.col("n_dis") > F.lit(_NOISE_K)).cast("long"))
+        .cast("long")
+        .alias("n_flagged"),
+        ratio_e4("sum(n_dis)", f"count(1) * {_NOISE_K}").alias("disagree_e4"),
+    )
+
+
+# --- end-to-end RAG retrieval pipeline ---------------------------------------
+
+_RAG_QVEC = 0
+_RAG_CANDS = 20
+_RAG_K = 5
+
+
+def _rag_oracle() -> str:
+    """Full retrieval chain in SQL: quality gate → BM25-over-kept ∪ exact
+    cosine → RRF(60) with integer weights → MMR diversity re-rank (λ=1/2,
+    rel = exact query dot) — every stage the same construction its
+    standalone oracle uses."""
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    per_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    score = "\n    + ".join(
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{t} AS DOUBLE) * 2.2) / (CAST(tf_{t} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / {avgdl}))))"
+        for t in _BM25_TERMS
+    )
+    head = f"""
+    WITH ft AS (
+      SELECT doc_id, text, {toks} AS toks FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN length(text)::DOUBLE / len(toks) ELSE 0.0 END AS mean_tok,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END AS punct,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END AS upper_r,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> x IN ('the','a','of','and',
+                       'to','in','is','that','it','for')))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS stop_r,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS dtr
+      FROM ft
+    ),
+    kept AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, 0.5 + 4.0*stop_r + 2.0*dtr + (-6.0)*punct
+               + (-2.0)*upper_r + (-0.25)*mean_tok AS z
+        FROM feats)
+      WHERE (1.0 / (1.0 + exp(-z))) >= 0.5 AND doc_id <> {_RAG_QVEC}
+    ),
+    per AS (
+      SELECT f.doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {per_cols}
+      FROM ft f JOIN kept k ON k.doc_id = f.doc_id,
+           LATERAL (SELECT f.toks AS t) lt
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+      FROM per
+    ),
+    bm AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25_raw DESC, doc_id)
+                          AS BIGINT) AS rank_bm25
+      FROM (SELECT doc_id, ( {score} ) AS bm25_raw FROM per, stats)
+    ),
+    u AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q6
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+    ),
+    rels AS (
+      SELECT b.vec_id AS doc_id, CAST(sum(a.q6 * b.q6) AS BIGINT) AS rel
+      FROM u a
+      JOIN u b ON a.i = b.i
+      JOIN kept k ON k.doc_id = b.vec_id
+      WHERE a.vec_id = {_RAG_QVEC}
+      GROUP BY b.vec_id
+    ),
+    cs AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+                          AS BIGINT) AS rank_cos
+      FROM rels
+    ),
+    fused AS (
+      SELECT k.doc_id,
+             coalesce(b.rank_bm25, 0) AS rank_bm25,
+             coalesce(c.rank_cos, 0) AS rank_cos,
+             CAST(coalesce(1000000 // (60 + b.rank_bm25), 0)
+                  + coalesce(1000000 // (60 + c.rank_cos), 0) AS BIGINT)
+               AS rrf_e6
+      FROM kept k
+      LEFT JOIN bm b ON b.doc_id = k.doc_id
+      LEFT JOIN cs c ON c.doc_id = k.doc_id
+    ),
+    short AS (
+      SELECT f.doc_id AS match_id, f.rank_bm25, f.rank_cos, f.rrf_e6, r.rel
+      FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rk
+        FROM fused) f
+      JOIN rels r ON r.doc_id = f.doc_id
+      WHERE f.rk <= {_RAG_CANDS}
+    ),
+    pairs AS (
+      SELECT s.match_id AS id_i, t.match_id AS id_j,
+             CAST(sum(a.q6 * b.q6) AS BIGINT) AS sim
+      FROM short s
+      JOIN short t ON t.match_id <> s.match_id
+      JOIN u a ON a.vec_id = s.match_id
+      JOIN u b ON b.vec_id = t.match_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    sel1 AS (
+      SELECT match_id, rank_bm25, rank_cos, rrf_e6, rel,
+             1 AS step, rel AS mmr2
+      FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, match_id) AS rk
+            FROM short) WHERE rk = 1
+    )"""
+    stages = []
+    prev_union = (
+        "SELECT match_id, rank_bm25, rank_cos, rrf_e6, rel, step, mmr2 FROM sel1"
+    )
+    for k in range(2, _RAG_K + 1):
+        sel_prev = f"rselu{k - 1}"
+        stages.append(f", {sel_prev} AS ({prev_union})")
+        stages.append(
+            f""", rcand{k} AS (
+      SELECT s.match_id, s.rank_bm25, s.rank_cos, s.rrf_e6, s.rel,
+             max(p.sim) AS msim
+      FROM short s
+      LEFT JOIN {sel_prev} e ON e.match_id = s.match_id
+      JOIN pairs p ON p.id_i = s.match_id
+      JOIN {sel_prev} e2 ON e2.match_id = p.id_j
+      WHERE e.match_id IS NULL
+      GROUP BY 1, 2, 3, 4, 5
+    ), rsel{k} AS (
+      SELECT match_id, rank_bm25, rank_cos, rrf_e6, rel,
+             {k} AS step, rel - msim AS mmr2 FROM (
+        SELECT *, row_number() OVER (ORDER BY rel - msim DESC, match_id) AS rk
+        FROM rcand{k}) WHERE rk = 1
+    )"""
+        )
+        prev_union += (
+            f" UNION ALL SELECT match_id, rank_bm25, rank_cos, rrf_e6, rel,"
+            f" step, mmr2 FROM rsel{k}"
+        )
+    return (
+        head
+        + "".join(stages)
+        + f"""
+    SELECT match_id AS doc_id, rank_bm25, rank_cos, rrf_e6, rel,
+           CAST(step AS BIGINT) AS step, CAST(mmr2 AS BIGINT) AS mmr2
+    FROM ({prev_union}) final
+    """
+    )
+
+
+@query(
+    "rag_retrieval_pipeline",
+    oracle=_rag_oracle(),
+    survey_ref="§2.10 retrieval, end-to-end: classifier quality gate → "
+    "BM25-over-kept + exact-cosine rankings → reciprocal-rank fusion "
+    "(integer weights) → MMR diversity re-rank — the complete hybrid RAG "
+    "context-selection chain, every stage the same oracled construction "
+    "as its standalone query, composed and re-gated as one unit",
+)
+def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition proof: the standalone gates verify each operator; this
+    query verifies the INTERFACES — keep-set feeds BM25's corpus stats,
+    both rankers feed RRF over the kept union, the fused shortlist feeds
+    MMR with exact query-dot relevance. Plan: each stage rides the
+    previous stage's tiny output (shortlist-sized joins); the only
+    corpus-sized work is the two ranking scans. At 100 TB the rankers
+    swap to the inverted index + an ANN path; fusion and MMR never see
+    the corpus."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+    from nilm_data_framework_spark.operators.text import (
+        bm25_scores,
+        quality_classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    kept_ids = (
+        quality_classifier_score(docs)
+        .where(F.col("keep") & (F.col("doc_id") != _RAG_QVEC))
+        .select("doc_id")
+    )
+    kept_docs = docs.join(kept_ids, "doc_id")
+    bm = bm25_scores(kept_docs, _BM25_TERMS).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_raw").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rank_bm25"),
+    )
+    qv = emb.where(F.col("vec_id") == _RAG_QVEC).select(
+        u6_components("embedding").alias("qv6")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("qv6", "c6", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rels = (
+        emb.join(kept_ids, emb["vec_id"] == kept_ids["doc_id"])
+        .select(
+            F.col("vec_id").alias("rdoc_id"), u6_components("embedding").alias("c6")
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("rdoc_id").alias("doc_id"), dot_q.alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    cs = rels.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rank_cos"),
+    )
+    fused = (
+        kept_ids.join(bm, "doc_id", "left")
+        .join(cs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rank_bm25", F.lit(0)).cast("long").alias("rank_bm25"),
+            F.coalesce("rank_cos", F.lit(0)).cast("long").alias("rank_cos"),
+            (
+                F.coalesce(F.expr("1000000 div (60 + rank_bm25)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 div (60 + rank_cos)"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_e6"),
+        )
+    )
+    short = (
+        fused.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("rrf_e6").desc(), "doc_id")),
+        )
+        .filter(F.col("rk") <= _RAG_CANDS)
+        .join(rels, "doc_id")
+        .select(
+            F.col("doc_id").alias("match_id"),
+            "rank_bm25",
+            "rank_cos",
+            "rrf_e6",
+            "rel",
+        )
+        .localCheckpoint(eager=True)
+    )
+    cvec = emb.select(F.col("vec_id").alias("match_id"), u6_components("embedding").alias("c6"))
+    # shortlist is <= _RAG_CANDS rows — collapse to one partition so the
+    # pair cross product doesn't inherit 32x32 task parallelism for 400 rows
+    s_i = (
+        short.select("match_id")
+        .join(cvec, "match_id")
+        .select(F.col("match_id").alias("id_i"), F.col("c6").alias("v_i"))
+        .coalesce(1)
+    )
+    s_j = s_i.select(F.col("id_i").alias("id_j"), F.col("v_i").alias("v_j"))
+    dot_ij = F.aggregate(
+        F.zip_with("v_i", "v_j", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        s_i.crossJoin(s_j)
+        .where(F.col("id_i") != F.col("id_j"))
+        .withColumn("sim", dot_ij)
+        .select("id_i", "id_j", "sim")
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.orderBy(F.col("rel").desc(), F.col("match_id"))
+    sel = (
+        short.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "match_id",
+            "rank_bm25",
+            "rank_cos",
+            "rrf_e6",
+            "rel",
+            F.lit(1).cast("long").alias("step"),
+            F.col("rel").alias("mmr2"),
+        )
+    )
+    for k in range(2, _RAG_K + 1):
+        remaining = short.join(sel.select("match_id"), "match_id", "left_anti")
+        cand = (
+            remaining.join(
+                pairs.withColumnRenamed("id_i", "match_id"), "match_id"
+            )
+            .join(sel.select(F.col("match_id").alias("id_j")), "id_j")
+            .groupBy("match_id", "rank_bm25", "rank_cos", "rrf_e6", "rel")
+            .agg(F.max("sim").alias("msim"))
+        )
+        w_k = Window.orderBy((F.col("rel") - F.col("msim")).desc(), F.col("match_id"))
+        pick = (
+            cand.withColumn("rk", F.row_number().over(w_k))
+            .filter(F.col("rk") == 1)
+            .select(
+                "match_id",
+                "rank_bm25",
+                "rank_cos",
+                "rrf_e6",
+                "rel",
+                F.lit(k).cast("long").alias("step"),
+                (F.col("rel") - F.col("msim")).cast("long").alias("mmr2"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        F.col("match_id").alias("doc_id"),
+        "rank_bm25",
+        "rank_cos",
+        "rrf_e6",
+        "rel",
+        "step",
+        F.col("mmr2").cast("long"),
+    )
+
+
+# --- readability component scores --------------------------------------------
+
+
+@query(
+    "readability_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS words,
+             CAST(greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1)
+                  AS BIGINT) AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                  AS BIGINT) AS syllables
+      FROM t WHERE len(toks) > 0
+    ),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(words) AS BIGINT) AS words,
+             CAST(sum(sentences) AS BIGINT) AS sentences,
+             CAST(sum(syllables) AS BIGINT) AS syllables
+      FROM per GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           {{wps}} AS words_per_sentence_e4,
+           {{spw}} AS syllables_per_word_e4
+    FROM agg
+    """.format(
+        wps="CAST((CAST(words AS BIGINT) * 20000 + CAST(sentences AS BIGINT)) // (2 * CAST(sentences AS BIGINT)) AS BIGINT)", spw="CAST((CAST(syllables AS BIGINT) * 20000 + CAST(words AS BIGINT)) // (2 * CAST(words AS BIGINT)) AS BIGINT)"
+    ),
+    survey_ref="§2.10 text analysis: readability component audit "
+    "(Flesch-family inputs — words/sentence and syllables/word as exact "
+    "e4 rationals; syllables = vowel-run heuristic) per source — the "
+    "reading-level signal quality filters bucket on, without the float "
+    "206.835 formula (derivable offline from the exact components)",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vowel-run syllable estimate per token (HOF regexp, JVM-side), exact
+    sentence/word counts, per-source rollup. Map-only feature extraction +
+    one small-key agg — linear at any scale. The Flesch score itself is an
+    affine map of the two e4 ratios, left to the consumer so the gate
+    stays float-free."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    t = docs.select(
+        "source",
+        F.col("text"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    per = t.select(
+        "source",
+        F.size("toks").cast("long").alias("words"),
+        F.greatest(
+            F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+        # vowel runs never span whitespace, so counting them on the whole
+        # lowercased text equals the per-token sum — one regexp, no HOF
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), F.lit(0)))
+        .cast("long")
+        .alias("syllables"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sentences").cast("long").alias("sentences"),
+        F.sum("syllables").cast("long").alias("syllables"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        ratio_e4("words", "sentences").alias("words_per_sentence_e4"),
+        ratio_e4("syllables", "words").alias("syllables_per_word_e4"),
+    )
+
+
+# --- CBO-style column statistics (ANALYZE TABLE emulation) -------------------
+
+
+@query(
+    "cbo_column_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+           CAST(min(o_custkey) AS BIGINT) AS min_v,
+           CAST(max(o_custkey) AS BIGINT) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(count(*) AS BIGINT), CAST(count(o_orderkey) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents',
+           CAST(count(*) AS BIGINT),
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT),
+           CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+           CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders
+    """,
+    survey_ref="§2 extension (optimizer stats): ANALYZE TABLE-style "
+    "per-column statistics — exact row/non-null/NDV/min/max per column, "
+    "the inputs a cost-based optimizer (and join_size_from_histograms) "
+    "consumes; money surfaced as exact cents",
+)
+def cbo_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan per column family (Spark plans the three aggregates over a
+    shared cached scan; each is a global agg with map-side partials —
+    count(DISTINCT) expands via Expand, the standard exact-NDV plan). At
+    100 TB you'd swap exact NDV for the attested HLL sketch
+    (hll_distinct_attest) — this gate is the exact contract the sketch is
+    measured against."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def stats(col_name: str, expr_col, src=orders):
+        return src.agg(
+            F.lit(col_name).alias("col"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(expr_col).cast("long").alias("n_nonnull"),
+            F.countDistinct(expr_col).cast("long").alias("ndv"),
+            F.min(expr_col).cast("long").alias("min_v"),
+            F.max(expr_col).cast("long").alias("max_v"),
+        )
+
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        stats("o_custkey", F.col("o_custkey"))
+        .unionByName(stats("o_orderkey", F.col("o_orderkey")))
+        .unionByName(
+            orders.agg(
+                F.lit("o_totalprice_cents").alias("col"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count("o_totalprice").cast("long").alias("n_nonnull"),
+                F.countDistinct(cents).cast("long").alias("ndv"),
+                F.min(cents).cast("long").alias("min_v"),
+                F.max(cents).cast("long").alias("max_v"),
+            )
+        )
+    )

@@ -76,6 +76,15 @@ _POST_FREEZE = {
     "kaplan_meier_survival",
     "neardup_threshold_sweep",
     "stream_disorder_footrule",
+    "rfm_segmentation",
+    "neardup_source_matrix",
+    "mmr_diversified_topk",
+    "sax_motifs",
+    "streaming_paa_equiv",
+    "label_noise_screen",
+    "rag_retrieval_pipeline",
+    "readability_scores",
+    "cbo_column_stats",
 }
 
 

@@ -393,3 +393,155 @@ def test_footrule_zero_for_in_order_stream(spark):
     assert out["a"]["footrule"] == 0 and out["a"]["disorder_e4"] == 0
     # fully reversed stream: footrule = floor(n^2/2) = 50 -> disorder 1.0
     assert out["b"]["footrule"] == 50 and out["b"]["disorder_e4"] == 10000
+
+
+# --- batch 12: RFM / MMR / SAX -----------------------------------------------
+
+
+def test_rfm_partitions_customers_exactly(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["rfm_segmentation"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    import duckdb
+
+    n_cust = duckdb.connect().execute(
+        "SELECT count(DISTINCT o_custkey) FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_q"] <= 5 and 1 <= r["f_q"] <= 5 and 1 <= r["m_q"] <= 5
+
+
+def test_mmr_greedy_matches_python(spark):
+    import numpy as np
+    import duckdb
+
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    out = (
+        all_queries()["mmr_diversified_topk"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], {})[r["step"]] = (r["match_id"], r["mmr2"])
+    rows = duckdb.connect().execute(
+        "SELECT vec_id, embedding FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    ).fetchall()
+    u6 = {
+        i: np.floor(np.array(v, dtype=np.float64) * 1e6).astype(np.int64)
+        for i, v in rows
+    }
+    for qid in range(8):
+        rel = sorted(
+            ((int(u6[qid] @ u6[m]), m) for m in u6 if m != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        reld = {m: r for r, m in rel}
+        sel = [min(reld, key=lambda m: (-reld[m], m))]
+        expect = {1: (sel[0], reld[sel[0]])}
+        for step in range(2, 6):
+            best = None
+            for m in reld:
+                if m in sel:
+                    continue
+                msim = max(int(u6[m] @ u6[s]) for s in sel)
+                key = (-(reld[m] - msim), m)
+                if best is None or key < best[0]:
+                    best = (key, m, reld[m] - msim)
+            sel.append(best[1])
+            expect[step] = (best[1], best[2])
+        assert got[qid] == expect, f"query {qid}"
+
+
+def test_sax_word_coverage(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["sax_motifs"].spark(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert len(r["word"]) == 4 and set(r["word"]) <= set("abcd")
+        assert r["n"] >= 1
+    # ranks contiguous from 1
+    assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+# --- batch 13: label-noise screen sanity -------------------------------------
+
+
+def test_label_noise_counts_consistent(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["label_noise_screen"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    import duckdb
+
+    per_label = dict(
+        duckdb.connect().execute(
+            "SELECT label, count(*) FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r["label"] for r in rows} == set(per_label)
+    for r in rows:
+        assert r["n_vectors"] == per_label[r["label"]]
+        assert 0 <= r["n_flagged"] <= r["n_vectors"]
+        assert 0 <= r["total_disagree"] <= 5 * r["n_vectors"]
+        # e4 rate consistent with the exact integer ratio
+        den = 5 * r["n_vectors"]
+        assert r["disagree_e4"] == (r["total_disagree"] * 20000 + den) // (2 * den)
+
+
+# --- batch 14: RAG composition / readability ---------------------------------
+
+
+def test_rag_pipeline_stage_consistency(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = sorted(
+        all_queries()["rag_retrieval_pipeline"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["doc_id"] for r in rows}) == 5  # no doc selected twice
+    # step 1 is the pure-relevance argmax: highest rel of the shortlist
+    assert rows[0]["mmr2"] == rows[0]["rel"]
+    assert rows[0]["rel"] == max(r["rel"] for r in rows)
+    # later steps: mmr2 = rel − max-sim-to-selected; sims over raw dots can
+    # be NEGATIVE, so mmr2 may exceed rel — only step 1 has a fixed form
+    for r in rows:
+        assert r["rrf_e6"] > 0 and (r["rank_bm25"] > 0 or r["rank_cos"] > 0)
+
+
+def test_readability_component_ranges(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["readability_scores"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 20  # one per source
+    for r in rows:
+        assert r["words"] > 0 and r["sentences"] > 0 and r["syllables"] > 0
+        # exact e4 arithmetic replays in python
+        assert r["words_per_sentence_e4"] == (
+            r["words"] * 20000 + r["sentences"]
+        ) // (2 * r["sentences"])
+        assert r["syllables_per_word_e4"] == (
+            r["syllables"] * 20000 + r["words"]
+        ) // (2 * r["words"])
