@@ -157,6 +157,14 @@ HEADLINE = [
     "rag_retrieval_pipeline",
     "readability_scores",
     "cbo_column_stats",
+    # round-5 batch 15: kNN confusion margins, MI, co-activation intervals
+    "knn_confusion_matrix",
+    "mutual_information_lang_source",
+    "pairwise_coactivation",
+    # round-5 batch 16: temperature allocation, vocab Jaccard, weight ESS
+    "temperature_budget_allocation",
+    "source_vocab_jaccard",
+    "weight_ess_by_source",
 ]
 
 

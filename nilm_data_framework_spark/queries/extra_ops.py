@@ -3017,3 +3017,555 @@ def cbo_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- kNN confusion matrix + per-class precision/recall -----------------------
+
+
+@query(
+    "knn_confusion_matrix",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, label, CAST(i AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q6
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+    ),
+    d AS (
+      SELECT a.vec_id AS query_id, a.label AS true_label,
+             b.vec_id AS match_id, b.label AS c_label,
+             CAST(sum(a.q6 * b.q6) AS BIGINT) AS dot
+      FROM u a JOIN u b ON a.i = b.i AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    top AS (
+      SELECT query_id, true_label, c_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, match_id) AS rk
+        FROM d) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, c_label, count(*) AS v
+      FROM top GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, c_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY v DESC, c_label) AS r2
+        FROM votes) WHERE r2 = 1
+    ),
+    cells AS (
+      SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT true_label AS label,
+             CAST(sum(n) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN pred_label = true_label THEN n ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM cells GROUP BY 1
+    ),
+    pmarg AS (
+      SELECT pred_label AS label, CAST(sum(n) AS BIGINT) AS n_pred
+      FROM cells GROUP BY 1
+    )
+    SELECT m.label, m.n_true,
+           coalesce(p.n_pred, 0) AS n_pred, m.tp,
+           CAST((m.tp * 20000 + greatest(coalesce(p.n_pred, 0), 1))
+                // (2 * greatest(coalesce(p.n_pred, 0), 1)) AS BIGINT)
+             AS precision_e4,
+           CAST((m.tp * 20000 + m.n_true) // (2 * m.n_true) AS BIGINT)
+             AS recall_e4
+    FROM margins m LEFT JOIN pmarg p ON p.label = m.label
+    """,
+    survey_ref="§2.10 embedding evaluation: full-corpus 5-NN confusion "
+    "margins — per class, exact support / predicted-count / true-positive "
+    "counts with e4 precision and recall; the per-class companion of "
+    "knn_label_accuracy's per-query predictions",
+)
+def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same all-pairs exact-dot baseline as label_noise_screen (no
+    broadcast hint — planner-decided; ANN is the scale path), majority
+    vote per vector, then confusion-cell margins. The rollups are
+    prediction-count-sized; only the neighbor stage sees the corpus."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    c = emb.select(
+        F.col("vec_id").alias("match_id"),
+        u6_components("embedding").alias("c6"),
+        F.col("label").alias("c_label"),
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        u6_components("embedding").alias("q6"),
+        F.col("label").alias("true_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q6", "c6", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("match_id"))
+    top = (
+        c.join(q, F.col("match_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "true_label", "c_label")
+    )
+    votes = top.groupBy("query_id", "true_label", "c_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("c_label"))
+    pred = (
+        votes.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") == 1)
+        .select("query_id", "true_label", F.col("c_label").alias("pred_label"))
+    )
+    cells = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    margins = cells.groupBy(F.col("true_label").alias("label")).agg(
+        F.sum("n").cast("long").alias("n_true"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    pmarg = cells.groupBy(F.col("pred_label").alias("label")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    out = margins.join(pmarg, "label", "left").select(
+        "label",
+        "n_true",
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        "tp",
+        F.expr(
+            "(tp * 20000 + greatest(coalesce(n_pred, 0), 1))"
+            " div (2 * greatest(coalesce(n_pred, 0), 1))"
+        )
+        .cast("long")
+        .alias("precision_e4"),
+        F.expr("(tp * 20000 + n_true) div (2 * n_true)")
+        .cast("long")
+        .alias("recall_e4"),
+    )
+    return out
+
+
+# --- mutual information between two categoricals -----------------------------
+
+
+@query(
+    "mutual_information_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+      FROM documents GROUP BY 1, 2
+    ),
+    mx AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+    my AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT c.lang, c.source, c.n_xy, x.n_x, y.n_y, t.n,
+             (CAST(c.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * ln((CAST(c.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE))
+                    / (CAST(x.n_x AS DOUBLE) * CAST(y.n_y AS DOUBLE))) AS term
+      FROM cells c
+      JOIN mx x ON x.lang = c.lang
+      JOIN my y ON y.source = c.source
+      CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(n_xy) AS BIGINT) AS min_cell,
+           CAST(max(n_xy) AS BIGINT) AS max_cell,
+           round(sum(term), 4) AS mi_nats
+    FROM terms
+    """,
+    survey_ref="§2.10 feature diagnostics: exact-count mutual information "
+    "I(lang; source) — the dependence screen beside χ² independence "
+    "(chi_square_independence); every count exact, only the final "
+    "Σ p·ln(p/(pq)) display value is float (4dp, the surprisal rule — "
+    "summed via a deterministic single-partition ordered reduction)",
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-cell MI: one (x, y) hash agg + broadcast margins; empty
+    cells contribute 0 so only observed cells are materialized (the
+    chi_square sparse-grid discipline). The float sum is made
+    deterministic by sorting terms on (lang, source) into a single
+    ordered reduction — same order DuckDB's aggregate sees at this
+    cell count (one group, sequential)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    mx = cells.groupBy("lang").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = cells.groupBy("source").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+    terms = (
+        cells.join(mx, "lang")
+        .join(my, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            (
+                (F.col("n_xy").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    (F.col("n_xy").cast("double") * F.col("n").cast("double"))
+                    / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+                )
+            ).alias("term"),
+        )
+    )
+    # deterministic float accumulation: one partition, (lang, source) order
+    ordered = terms.coalesce(1).sortWithinPartitions("lang", "source")
+    return ordered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("n_xy").cast("long").alias("min_cell"),
+        F.max("n_xy").cast("long").alias("max_cell"),
+        F.round(F.sum("term"), 4).alias("mi_nats"),
+    )
+
+
+# --- pairwise co-activation durations ----------------------------------------
+
+_COACT_GAP_US = 1_800_000_000  # 30 min session gap
+
+
+@query(
+    "pairwise_coactivation",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN prev IS NULL OR us - prev > {_COACT_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, event_type, us,
+             sum(new_s) OVER (PARTITION BY user_id, event_type
+                              ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    ),
+    iv AS (
+      SELECT user_id, event_type,
+             CAST(min(us) AS BIGINT) AS s, CAST(max(us) AS BIGINT) AS e
+      FROM sess GROUP BY user_id, event_type, sid
+    ),
+    olap AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             least(a.e, b.e) - greatest(a.s, b.s) AS o_us
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+       AND a.s < b.e AND b.s < a.e
+    )
+    SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(o_us) AS BIGINT) AS total_overlap_us,
+           CAST(max(o_us) AS BIGINT) AS max_overlap_us
+    FROM olap GROUP BY type_a, type_b
+    """,
+    survey_ref="§2.4 extension (NILM co-activation): per type-pair, how "
+    "long two activity streams are ON simultaneously — session intervals "
+    "per (channel, type) via the 30-min gap rule, then a user-keyed "
+    "interval-overlap join; exact integer micros end to end (the "
+    "appliance-correlation diagnostic behind A12's value correlation)",
+)
+def pairwise_coactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals from gaps-and-islands (ONE (user, type) exchange serves
+    the lag, the running session-id sum, and the interval agg), then an
+    EQUI-join on user_id with the overlap range as a residual predicate —
+    per-user interval counts are small, so the join is user-local and
+    never a cartesian. At 100 TB add a coarse time-bucket to the join key
+    (the bucketed range-join pattern) if single users span years."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w_lag = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.when(
+            F.lag("us").over(w_lag).isNull()
+            | (F.col("us") - F.lag("us").over(w_lag) > _COACT_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(w_run))
+    iv = sess.groupBy("user_id", "event_type", "sid").agg(
+        F.min("us").cast("long").alias("s"), F.max("us").cast("long").alias("e")
+    )
+    a = iv.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    overlaps = a.join(
+        b,
+        (a["user_id"] == b["user_id"])
+        & (F.col("type_a") < F.col("type_b"))
+        & (F.col("s_a") < F.col("e_b"))
+        & (F.col("s_b") < F.col("e_a")),
+    ).select(
+        "type_a",
+        "type_b",
+        (
+            F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+        ).alias("o_us"),
+    )
+    return overlaps.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.sum("o_us").cast("long").alias("total_overlap_us"),
+        F.max("o_us").cast("long").alias("max_overlap_us"),
+    )
+
+
+# --- temperature-weighted budget allocation (composition) --------------------
+
+
+@query(
+    "temperature_budget_allocation",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM per),
+    w AS (
+      SELECT lang, n_tok,
+             CAST(floor(sqrt(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE))
+                        * 1000000) AS BIGINT) AS w6
+      FROM per, tot
+    ),
+    wt AS (SELECT CAST(sum(w6) AS BIGINT) AS wtot FROM w),
+    quota AS (
+      SELECT lang, n_tok, w6,
+             ({_HAMILTON_BUDGET} * w6) // wtot AS base,
+             ({_HAMILTON_BUDGET} * w6) % wtot AS rem
+      FROM w, wt
+    ),
+    lo AS (SELECT CAST({_HAMILTON_BUDGET} - sum(base) AS BIGINT) AS leftover
+           FROM quota),
+    ranked AS (
+      SELECT lang, n_tok, w6, base, rem,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM quota
+    )
+    SELECT lang, n_tok, w6, CAST(base AS BIGINT) AS base,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM ranked, lo
+    """,
+    survey_ref="§2.10 curation composition: τ=0.5 temperature weights "
+    "(sqrt is IEEE-correctly-rounded in both engines, then e6-floored to "
+    "EXACT integers) fed into Hamilton largest-remainder apportionment — "
+    "the full 'how many samples per language' answer with Σ = budget "
+    "guaranteed; the integerized successor of mixture_temperature_weights",
+)
+def temperature_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt(p) quantized at e6 becomes the integer weight vector (the only
+    float op is the correctly-rounded sqrt — floor(·1e6) is then bit-
+    stable), and the allocation is pure BIGINT Hamilton. Dimension-sized
+    work after one token-count aggregation."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    per = docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tok")
+    )
+    tot = per.agg(F.sum("n_tok").cast("long").alias("n_total"))
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tok",
+        F.floor(
+            F.sqrt(F.col("n_tok").cast("double") / F.col("n_total").cast("double"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("w6"),
+    )
+    wt = w.agg(F.sum("w6").cast("long").alias("wtot"))
+    B = _HAMILTON_BUDGET
+    quota = w.crossJoin(F.broadcast(wt)).select(
+        "lang",
+        "n_tok",
+        "w6",
+        F.expr(f"({B} * w6) div wtot").cast("long").alias("base"),
+        F.expr(f"({B} * w6) % wtot").cast("long").alias("rem"),
+    )
+    lo = quota.agg((F.lit(B) - F.sum("base")).cast("long").alias("leftover"))
+    rk = F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("lang")))
+    return (
+        quota.withColumn("rk", rk)
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "lang",
+            "n_tok",
+            "w6",
+            "base",
+            (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("long"))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+# --- source vocabulary Jaccard matrix ----------------------------------------
+
+
+def _vocab_jaccard_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    return f"""
+    WITH v AS (
+      SELECT DISTINCT source, unnest({toks}) AS tok FROM documents
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, sa.nv AS nv_a, sb.nv AS nv_b, i.n_inter,
+           {ratio_e4_sql('i.n_inter', '(sa.nv + sb.nv - i.n_inter)')}
+             AS jaccard_e4
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """
+
+
+@query(
+    "source_vocab_jaccard",
+    oracle=_vocab_jaccard_oracle(),
+    survey_ref="§2.10 corpus diagnostics: exact vocabulary-overlap Jaccard "
+    "between every source pair — token-level provenance similarity (the "
+    "vocabulary twin of neardup_source_matrix's document-level cells); "
+    "intersections from one token equi-join over the distinct (source, "
+    "token) table, e4 exact",
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distinct (source, token) reduction (vocab-sized, tiny), a
+    token-keyed self-join for intersections, margins join back. At 100 TB
+    the distinct reduction is the only corpus-sized pass; the pair join
+    runs over |vocab|·|sources| rows. Tokens shared by most sources make
+    the join quadratic in |sources| per token — bounded by the source
+    count, not the corpus."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    v = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a = v.select(F.col("source").alias("source_a"), "tok")
+    b = v.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("nv", "nv_a"), "source_a")
+        .join(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("nv", "nv_b"), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "nv_a",
+            "nv_b",
+            "n_inter",
+            ratio_e4("n_inter", "(nv_a + nv_b - n_inter)").alias("jaccard_e4"),
+        )
+    )
+
+
+# --- effective sample size of a weighting ------------------------------------
+
+
+@query(
+    "weight_ess_by_source",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    )
+    SELECT source, n, s1, s2,
+           round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(s2 AS DOUBLE), 4) AS ess,
+           round(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 4) AS deff
+    FROM per
+    """,
+    survey_ref="§2.10 curation diagnostics: Kish effective sample size "
+    "(Σw)²/Σw² and design effect n·Σw²/(Σw)² of length-proportional "
+    "sampling weights per source — the 'how much does this weighting "
+    "cost me in variance' screen; moments exact BIGINT, only the two "
+    "display ratios are float (identical int inputs → identical IEEE ops)",
+)
+def weight_ess_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One linear agg: both weight moments are exact integer sums
+    (mergeable — per-shard partials add), so the float division happens
+    once per group on identical operands in both engines. Overflow bound:
+    Σw² caps at rows·max_chars² ≈ 2^53-safe far past gate scales; past
+    that, decompose to per-shard moments (partial_agg_merge contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    return per.select(
+        "source",
+        "n",
+        "s1",
+        "s2",
+        F.round(
+            F.col("s1").cast("double") * F.col("s1").cast("double")
+            / F.col("s2").cast("double"),
+            4,
+        ).alias("ess"),
+        F.round(
+            F.col("n").cast("double") * F.col("s2").cast("double")
+            / (F.col("s1").cast("double") * F.col("s1").cast("double")),
+            4,
+        ).alias("deff"),
+    )

@@ -85,6 +85,12 @@ _POST_FREEZE = {
     "rag_retrieval_pipeline",
     "readability_scores",
     "cbo_column_stats",
+    "knn_confusion_matrix",
+    "mutual_information_lang_source",
+    "pairwise_coactivation",
+    "temperature_budget_allocation",
+    "source_vocab_jaccard",
+    "weight_ess_by_source",
 }
 
 

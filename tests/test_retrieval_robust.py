@@ -545,3 +545,88 @@ def test_readability_component_ranges(spark):
         assert r["syllables_per_word_e4"] == (
             r["syllables"] * 20000 + r["words"]
         ) // (2 * r["words"])
+
+
+# --- batch 15: confusion margins / coactivation ------------------------------
+
+
+def test_knn_confusion_margins_consistent(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    conf = (
+        all_queries()["knn_confusion_matrix"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    # margins: Σ n_true == Σ n_pred == corpus size; tp <= min(n_true, n_pred)
+    import duckdb
+
+    n = duckdb.connect().execute(
+        "SELECT count(*) FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_true"] for r in conf) == n
+    assert sum(r["n_pred"] for r in conf) == n
+    for r in conf:
+        assert r["tp"] <= min(r["n_true"], max(r["n_pred"], 1))
+        assert 0 <= r["recall_e4"] <= 10000
+        assert 0 <= r["precision_e4"] <= 10000
+
+
+def test_coactivation_overlap_bounds(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["pairwise_coactivation"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    for r in rows:
+        assert r["type_a"] < r["type_b"]  # canonical unordered pair
+        assert r["n_overlaps"] >= 1
+        assert 0 < r["max_overlap_us"] <= r["total_overlap_us"]
+
+
+# --- batch 16: allocation composition / vocab jaccard / ESS ------------------
+
+
+def test_temperature_allocation_sums_to_budget(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["temperature_budget_allocation"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert sum(r["alloc"] for r in rows) == 100_000
+    # temperature flattens: smaller langs get MORE than proportional share
+    tot_tok = sum(r["n_tok"] for r in rows)
+    small = min(rows, key=lambda r: r["n_tok"])
+    assert small["alloc"] >= 100_000 * small["n_tok"] // tot_tok
+
+
+def test_vocab_jaccard_bounds(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["source_vocab_jaccard"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 190  # C(20, 2) — every pair shares some token
+    for r in rows:
+        assert 0 < r["n_inter"] <= min(r["nv_a"], r["nv_b"])
+        assert 0 < r["jaccard_e4"] <= 10000
+
+
+def test_ess_bounds(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["weight_ess_by_source"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    for r in rows:
+        assert 0 < r["ess"] <= r["n"]  # Kish ESS never exceeds n
+        assert r["deff"] >= 1.0 - 1e-9  # design effect >= 1
