@@ -263,7 +263,76 @@ def retrieval_workloads(docs: DataFrame, ev: DataFrame, orders: DataFrame) -> di
             ).alias("g")
         ).count()
 
+    def _sax():
+        from nilm_data_framework_spark.operators.exact_math import u6_mean_e4
+
+        seg = ev.groupBy(
+            "user_id", F.expr("us div 21600000000").alias("seg")
+        ).agg(F.sum("v6").alias("s6"), F.count(F.lit(1)).alias("cnt"))
+        means = seg.select("user_id", "seg", u6_mean_e4("s6", "cnt").alias("m"))
+        w_g = Window.orderBy("m", "user_id", "seg")
+        sym = means.select(
+            "user_id", "seg",
+            F.substring(F.lit("abcd"), F.ntile(4).over(w_g), 1).alias("s"),
+        )
+        w_u = Window.partitionBy("user_id").orderBy("seg")
+        words = sym.select(
+            F.concat(F.col("s"), F.lead("s", 1).over(w_u),
+                     F.lead("s", 2).over(w_u), F.lead("s", 3).over(w_u)
+                     ).alias("word")
+        ).where(F.col("word").isNotNull())
+        return words.groupBy("word").count().count()
+
+    def _coact():
+        w_lag = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+        flagged = ev.select(
+            "user_id", "event_type", "us",
+            F.when(F.lag("us").over(w_lag).isNull()
+                   | (F.col("us") - F.lag("us").over(w_lag) > 1_800_000_000), 1)
+            .otherwise(0).alias("new_s"),
+        )
+        w_run = (Window.partitionBy("user_id", "event_type").orderBy("us")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+        iv = (flagged.withColumn("sid", F.sum("new_s").over(w_run))
+              .groupBy("user_id", "event_type", "sid")
+              .agg(F.min("us").alias("s"), F.max("us").alias("e")))
+        a = iv.select("user_id", F.col("event_type").alias("ta"),
+                      F.col("s").alias("sa"), F.col("e").alias("ea"))
+        b = iv.select("user_id", F.col("event_type").alias("tb"),
+                      F.col("s").alias("sb"), F.col("e").alias("eb"))
+        ol = a.join(b, (a["user_id"] == b["user_id"]) & (F.col("ta") < F.col("tb"))
+                    & (F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea")))
+        return ol.groupBy("ta", "tb").count().count()
+
+    def _rfm():
+        per = orders.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("freq")
+        )
+        w_f = Window.orderBy(F.col("freq").desc(), "o_custkey")
+        scored = per.select(
+            "o_custkey", F.ntile(5).over(w_f).alias("f_q")
+        )
+        return scored.groupBy("f_q").count().count()
+
+    def _vocab_jaccard():
+        v = docs.select(
+            "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+        ).distinct()
+        a = v.select(F.col("source").alias("sa"), "tok")
+        b = v.select(F.col("source").alias("sb"), "tok")
+        return (a.join(b, "tok").where(F.col("sa") < F.col("sb"))
+                .groupBy("sa", "sb").count().count())
+
     return {
+        # one ntile support sort + per-user lead windows, then a tiny agg
+        "sax_motifs": _sax,
+        # gaps-and-islands + user-local interval overlap join
+        "pairwise_coactivation": _coact,
+        # global quintile sort over |keys| (the documented single-reducer
+        # form; rank-from-histogram is the 100 TB swap)
+        "rfm_quintile_sort": _rfm,
+        # distinct (source, token) reduction + token-keyed pair join
+        "source_vocab_jaccard": _vocab_jaccard,
         # per-type windows: group size grows k x (types fixed) -> n log n sort
         "mad_outlier_audit": lambda: RB.mad_outliers(
             ev, ["event_type"], "v6", "event_id"
@@ -507,6 +576,8 @@ def main() -> None:
         retrieval_names = {
             "mad_outlier_audit", "simpson_diversity", "bm25_topk",
             "kaplan_meier", "stream_disorder", "gini_key_skew",
+            "sax_motifs", "pairwise_coactivation", "rfm_quintile_sort",
+            "source_vocab_jaccard",
         }
         if only is None or only & retrieval_names:
             ev_full = replicate_events_full(ev_full_base, k)
@@ -521,6 +592,10 @@ def main() -> None:
                 ("kaplan_meier", n_ev),
                 ("stream_disorder", n_ev),
                 ("gini_key_skew", n_oc),
+                ("sax_motifs", n_ev),
+                ("pairwise_coactivation", n_ev),
+                ("rfm_quintile_sort", n_oc),
+                ("source_vocab_jaccard", n),
             ):
                 sized.append(({name: rw[name]}, rows_in))
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
