@@ -165,6 +165,13 @@ HEADLINE = [
     "temperature_budget_allocation",
     "source_vocab_jaccard",
     "weight_ess_by_source",
+    # round-5 batch 17: closeness centrality, exact burst z-test, kappa
+    "closeness_centrality",
+    "count_burst_hours",
+    "classifier_agreement_kappa",
+    # round-5 batch 18: watermark p99 sizing (dedup_quality_impact reruns
+    # the full LSH clustering — gated but deliberately not bench-listed)
+    "late_arrival_p99",
 ]
 
 

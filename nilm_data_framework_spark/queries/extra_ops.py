@@ -1897,7 +1897,11 @@ def stream_disorder_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg: footrule = Σ|rank_by_event_time − rank_by_arrival|. Exact
     integers end-to-end (disorder_e4 via the shared integer-rounding
     form). At 100 TB this is THE measurement that decides
-    withWatermark's delay before deploying any streaming job."""
+    withWatermark's delay before deploying any streaming job. NOTE: the
+    synthetic events table is perfectly time-ordered by event_id, so the
+    measured disorder here is exactly 0 — the true statement the gate
+    checks; late_arrival_p99 models a multi-producer transport to show
+    the nonzero case."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -3568,4 +3572,366 @@ def weight_ess_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("s1").cast("double") * F.col("s1").cast("double")),
             4,
         ).alias("deff"),
+    )
+
+
+# --- closeness centrality over the hierarchy ---------------------------------
+
+
+@query(
+    "closeness_centrality",
+    oracle=f"""
+    WITH RECURSIVE {{CLOSURE}}
+    SELECT anc,
+           CAST(count(*) AS BIGINT) AS n_desc,
+           CAST(sum(depth) AS BIGINT) AS total_depth,
+           CAST((count(*) * count(*) * 20000 + sum(depth))
+                // (2 * sum(depth)) AS BIGINT) AS closeness_e4
+    FROM cl GROUP BY anc
+    HAVING count(*) >= 5
+    """.replace("{CLOSURE}", _CLOSURE_CTES),
+    survey_ref="§2 graph extension: harmonic-free closeness centrality "
+    "n²/Σd per ancestor (Beauchamp's centrality index, Lin 1976 variant "
+    "restricted to reachable descendants) from the SAME path-doubling "
+    "closure the recursive-CTE family builds — one group-by over the "
+    "closure, exact e4",
+)
+def closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which hierarchy nodes sit closest to their subtrees: closeness =
+    n_desc²/Σdepth over reachable pairs (exact e4 via integer rounding;
+    numerator n² caps at |V|² — decompose per the ratio_scaled overflow
+    note past ~3·10⁶ descendants). Cost: the closure (log-depth joins,
+    already gated) + ONE hash agg — centrality for every node at once,
+    no per-source BFS."""
+    cl = transitive_closure(_part_edges(spark, sf_dir), rounds=3)
+    agg = cl.groupBy("anc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_desc"),
+        F.sum("depth").cast("long").alias("total_depth"),
+    )
+    return agg.where(F.col("n_desc") >= 5).select(
+        "anc",
+        "n_desc",
+        "total_depth",
+        F.expr(
+            "(n_desc * n_desc * 20000 + total_depth) div (2 * total_depth)"
+        )
+        .cast("long")
+        .alias("closeness_e4"),
+    )
+
+
+# --- exact z-score burst hours -----------------------------------------------
+
+
+@query(
+    "count_burst_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, CAST(h.h AS BIGINT) AS h, h.c, t.n, t.s,
+           CAST(t.ss AS BIGINT) AS ss
+    FROM hourly h JOIN stats t ON t.event_type = h.event_type
+    WHERE h.c * t.n > t.s
+      AND (h.c * t.n - t.s) * (h.c * t.n - t.s)
+          > 9 * (t.n * t.ss - t.s * t.s)
+    """,
+    survey_ref="§2.4 extension (anomaly detection): hours whose event "
+    "count exceeds mean + 3σ, decided by the SQUARED cross-multiplied "
+    "integer inequality (c·n − s)² > 9(n·ss − s²) — the z-score test "
+    "with NO sqrt and NO float, bit-identical in both engines",
+)
+def count_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer burst screen: z > 3 ⇔ (c−μ)² > 9σ² ⇔ (after
+    multiplying by n²) (c·n−s)² > 9(n·ss−s²), valid when c·n > s (the
+    sign guard keeps the squaring monotone). One hourly agg + a per-type
+    stat broadcast — the whole monitor is two map-side-combined passes.
+    Overflow: (c·n−s)² caps at (rows)² ≈ 2^53-safe past gate scales;
+    shard the stats per the mergeable-partials contract beyond."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    j = hourly.join(stats, "event_type")
+    dev = F.col("c") * F.col("n") - F.col("s")
+    return j.where(
+        (dev > 0)
+        & (dev * dev > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+    ).select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        "c",
+        "n",
+        "s",
+        F.col("ss").cast("long").alias("ss"),
+    )
+
+
+# --- Cohen's kappa between two keep-classifiers ------------------------------
+
+
+@query(
+    "classifier_agreement_kappa",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+               AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             CASE WHEN len(t) > 0
+                  THEN length(text)::DOUBLE / len(t) ELSE 0.0 END AS mean_tok,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END AS punct,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END AS upper_r,
+             CASE WHEN len(t) > 0
+                  THEN len(list_filter(t, x -> x IN ('the','a','of','and','to',
+                       'in','is','that','it','for')))::DOUBLE / len(t)
+                  ELSE 0.0 END AS stop_r,
+             CASE WHEN len(t) > 0
+                  THEN len(list_distinct(t))::DOUBLE / len(t)
+                  ELSE 0.0 END AS dtr,
+             CASE WHEN len(t) >= 30 THEN 1 ELSE 0 END AS keep_len
+      FROM toks
+    ),
+    both_k AS (
+      SELECT CASE WHEN (1.0 / (1.0 + exp(-(0.5 + 4.0*stop_r + 2.0*dtr
+                   + (-6.0)*punct + (-2.0)*upper_r + (-0.25)*mean_tok))))
+                  >= 0.5 THEN 1 ELSE 0 END AS keep_clf,
+             keep_len
+      FROM feats
+    ),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN keep_clf = 1 AND keep_len = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN keep_clf = 1 AND keep_len = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN keep_clf = 0 AND keep_len = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN keep_clf = 0 AND keep_len = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM both_k
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(n * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                AS BIGINT) AS kappa_den
+    FROM cells
+    """,
+    survey_ref="§2.10 label quality: Cohen's κ agreement between the "
+    "model-based quality gate and a length-rule gate — exact 2×2 counts "
+    "and κ as the exact SIGNED rational kappa_num/kappa_den (num/den "
+    "columns per the signed-ratio rule; κ = (n·agree − Σrow·col)/(n² − "
+    "Σrow·col))",
+)
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do two cheap keep-gates agree beyond chance? κ from one 2×2 cell
+    aggregate — a single corpus pass; the chance-corrected numerator can
+    be NEGATIVE, so it ships as exact num/den integers (Spark div vs
+    DuckDB // diverge on negatives — CLAUDE.md signed-ratio rule)."""
+    from nilm_data_framework_spark.operators.text import (
+        quality_classifier_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    clf = quality_classifier_score(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("keep_clf")
+    )
+    lens = docs.select(
+        "doc_id",
+        (token_count(F.col("text")) >= 30).cast("int").alias("keep_len"),
+    )
+    b = clf.join(lens, "doc_id")
+    cells = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((F.col("keep_clf") == 1) & (F.col("keep_len") == 1)).cast("long"))
+        .cast("long")
+        .alias("n11"),
+        F.sum(((F.col("keep_clf") == 1) & (F.col("keep_len") == 0)).cast("long"))
+        .cast("long")
+        .alias("n10"),
+        F.sum(((F.col("keep_clf") == 0) & (F.col("keep_len") == 1)).cast("long"))
+        .cast("long")
+        .alias("n01"),
+        F.sum(((F.col("keep_clf") == 0) & (F.col("keep_len") == 0)).cast("long"))
+        .cast("long")
+        .alias("n00"),
+    )
+    chance = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(f"n * (n11 + n00) - {chance}").cast("long").alias("kappa_num"),
+        F.expr(f"n * n - {chance}").cast("long").alias("kappa_den"),
+    )
+
+
+# --- watermark-lag recommendation (p99 lateness) -----------------------------
+
+
+@query(
+    "late_arrival_p99",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             epoch_us(ts) // 600000000 AS w,
+             user_id % 8 AS producer, event_id
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type, us,
+             max(us) OVER (PARTITION BY event_type
+                           ORDER BY w, producer, us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS seen_max
+      FROM arr
+    ),
+    late AS (
+      SELECT event_type, seen_max - us AS late_us
+      FROM seq WHERE seen_max > us
+    ),
+    ranked AS (
+      SELECT event_type, late_us,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY late_us, late_us) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM late
+    )
+    SELECT event_type, n AS n_late,
+           CAST(max(CASE WHEN rk * 100 <= n * 99 THEN late_us END) AS BIGINT)
+             AS p99_late_us,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM ranked GROUP BY event_type, n
+    """,
+    survey_ref="§2.9 streaming diagnostics: exact p99 event lateness under "
+    "a modeled multi-producer transport (producers = user_id mod 8 flush "
+    "once per 10-min window, in producer order — the testdata stream is "
+    "perfectly ordered, so transport-induced disorder is what a real "
+    "deployment must size its watermark for); lateness = running-max over "
+    "arrival order − event time, exact micros, rank-picked p99",
+)
+def late_arrival_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-sizing measurement: arrival order = (10-min window,
+    producer bucket, time) — a deterministic model of K producers each
+    flushing its window batch in turn (Kafka-partition-per-producer
+    reality; the raw table is already time-sorted, so measuring it
+    directly yields zero lateness — see stream_disorder_footrule).
+    One running-max window + one rank window on the stream key; the p99
+    pick (largest late_us with rank ≤ 99% of n) is exact. p99 here ≈ the
+    10-min window width: the watermark a deployment of THIS transport
+    needs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("unix_micros(ts) div 600000000").alias("w"),
+        (F.col("user_id") % 8).alias("producer"),
+        "event_id",
+    )
+    w_arr = (
+        Window.partitionBy("event_type")
+        .orderBy("w", "producer", "us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = ev.withColumn("seen_max", F.max("us").over(w_arr))
+    late = seq.where(F.col("seen_max") > F.col("us")).select(
+        "event_type", (F.col("seen_max") - F.col("us")).alias("late_us")
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("late_us")
+    w_n = Window.partitionBy("event_type")
+    ranked = late.select(
+        "event_type",
+        "late_us",
+        F.row_number().over(w_rk).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("n"),
+    )
+    return ranked.groupBy("event_type", F.col("n").alias("n_late")).agg(
+        F.max(F.when(F.col("rk") * 100 <= F.col("n") * 99, F.col("late_us")))
+        .cast("long")
+        .alias("p99_late_us"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    ).select("event_type", "n_late", "p99_late_us", "max_late_us")
+
+
+# --- dedup quality-impact audit ----------------------------------------------
+
+
+def _dedup_impact_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+    from nilm_data_framework_spark.queries.dedup_text import (
+        _components_ctes,
+        _minhash_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_components_ctes()},
+    tagged AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE WHEN c.cluster_id <> d.doc_id THEN 'removed'
+                  ELSE 'kept' END AS fate
+      FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT fate, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           {ratio_e4_sql('sum(n_chars)', 'count(*)')} AS mean_chars_e4
+    FROM tagged GROUP BY fate
+    """
+
+
+@query(
+    "dedup_quality_impact",
+    oracle=_dedup_impact_oracle(),
+    survey_ref="§2.10 dedup evaluation: what does min-id near-dup removal "
+    "DO to the corpus — kept vs removed cohorts with exact counts and e4 "
+    "mean lengths (the 'is dedup biased against long/short docs' audit "
+    "run before committing a survivor rule)",
+)
+def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered LSH clusters tag every doc kept (cluster rep /
+    singleton) or removed; one join + one 2-group agg on top of the
+    already-gated clustering. At 100 TB this audit is free relative to
+    the dedup run it evaluates — and it's the evidence for choosing
+    keep-best-quality over keep-min-id (see neardup_quality_survivors)."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.queries.dedup_text import _doc_clusters
+
+    comps = _doc_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tagged = docs.join(comps, "doc_id").select(
+        "n_chars",
+        F.when(F.col("cluster_id") != F.col("doc_id"), "removed")
+        .otherwise("kept")
+        .alias("fate"),
+    )
+    return tagged.groupBy("fate").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        ratio_e4("sum(n_chars)", "count(1)").alias("mean_chars_e4"),
     )

@@ -91,6 +91,11 @@ _POST_FREEZE = {
     "temperature_budget_allocation",
     "source_vocab_jaccard",
     "weight_ess_by_source",
+    "closeness_centrality",
+    "count_burst_hours",
+    "classifier_agreement_kappa",
+    "late_arrival_p99",
+    "dedup_quality_impact",
 }
 
 

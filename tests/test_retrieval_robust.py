@@ -630,3 +630,71 @@ def test_ess_bounds(spark):
     for r in rows:
         assert 0 < r["ess"] <= r["n"]  # Kish ESS never exceeds n
         assert r["deff"] >= 1.0 - 1e-9  # design effect >= 1
+
+
+# --- batch 17: centrality / burst / kappa ------------------------------------
+
+
+def test_burst_inequality_matches_float_zscore(spark):
+    import duckdb
+    import math as m
+
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    got = {
+        (r["event_type"], r["h"])
+        for r in all_queries()["count_burst_hours"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    hourly = duckdb.connect().execute(
+        "SELECT event_type, epoch_us(ts)//3600000000, count(*) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    by_t: dict[str, list[tuple[int, int]]] = {}
+    for t, h, c in hourly:
+        by_t.setdefault(t, []).append((int(h), int(c)))
+    expect = set()
+    for t, hs in by_t.items():
+        cs = [c for _h, c in hs]
+        n = len(cs)
+        mu = sum(cs) / n
+        var = sum(c * c for c in cs) / n - mu * mu  # population variance
+        sd = m.sqrt(max(var, 0.0))
+        for h, c in hs:
+            if sd > 0 and (c - mu) / sd > 3:
+                expect.add((t, h))
+    assert got == expect
+
+
+def test_kappa_rational_matches_sklearn_free_formula(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    r = (
+        all_queries()["classifier_agreement_kappa"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    n, n11, n10, n01, n00 = r["n"], r["n11"], r["n10"], r["n01"], r["n00"]
+    assert n == n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert abs(r["kappa_num"] / r["kappa_den"] - kappa) < 1e-12
+
+
+def test_closeness_roots_dominate(spark):
+    from nilm_data_framework_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["closeness_centrality"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_anc = {r["anc"]: r for r in rows}
+    for r in rows:
+        # closeness_e4 replays the exact integer rounding
+        assert r["closeness_e4"] == (
+            r["n_desc"] * r["n_desc"] * 20000 + r["total_depth"]
+        ) // (2 * r["total_depth"])
+        assert r["total_depth"] >= r["n_desc"]  # every pair has depth >= 1
