@@ -503,6 +503,140 @@ def _length_blocked_candidates(g: DataFrame, threshold: float) -> DataFrame:
     ).filter(F.col("a.id") != F.col("b.id"))
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 10,
+) -> DataFrame:
+    """All-Pairs/PPJoin-style prefix-filtered exact Jaccard join (Chaudhuri
+    et al. 2006; Xiao et al. WWW'08) — the third candidate-generation
+    strategy beside MinHash-LSH banding and (block, length-bucket) blocking.
+
+    LOSSLESS prefix lemma: order every doc's n-gram set by ASCENDING global
+    document frequency (rarest first, ties by gram string — a total order
+    both engines agree on). With prefix length p = s − ⌈t·s⌉ + 1, any pair
+    with J ≥ t = t_num/t_den must share a token inside both prefixes: if
+    the prefixes were disjoint from the intersection, |A∩B| ≤ ⌈t·|A|⌉ − 1
+    < t·|A| ≤ t·|A∪B| ≤ |A∩B| — contradiction. Candidates therefore come
+    only from the INVERTED INDEX OF PREFIXES, and because the order puts
+    the rarest grams first, stopword-ish shingles (huge df → huge candidate
+    fan-out) never enter the index. Verification is exact set intersection
+    on the candidate pairs; the threshold test is pure integer
+    cross-multiplication (inter·t_den ≥ t_num·union), so the result is
+    IDENTICAL to the naive all-shared-gram quadratic the oracle runs.
+
+    Scale shape: one gram-keyed df-count agg, one doc-keyed window for
+    prefix positions, one equi-join on prefix grams bounded by the rare-
+    gram posting lists, then |candidates| array intersections. No global
+    sort; the df order is a sort KEY, not a materialized global rank.
+    """
+    g = (
+        df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), n).alias("g"))
+        .filter(F.size("g") > 0)
+        .withColumn("s", F.size("g").cast("long"))
+    )
+    dg = g.select("id", "s", F.explode("g").alias("gram"))
+    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    pos_w = Window.partitionBy("id").orderBy("gdf", "gram")
+    ranked = dg.join(dfreq, "gram").withColumn("pos", F.row_number().over(pos_w))
+    # p = s − ⌈t·s⌉ + 1 with ⌈t_num·s/t_den⌉ = (t_num·s + t_den − 1) div t_den
+    # (s ≥ 1 so div == floor in both engines)
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("s") - F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}") + 1
+    ).select("id", "gram")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"), F.col("s").alias("sa"))
+    gb = g.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("long")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", inter.alias("inter"), "sa", "sb")
+        .where(
+            F.col("inter") * t_den >= t_num * (F.col("sa") + F.col("sb") - F.col("inter"))
+        )
+    )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Prefix-filtered exact CONTAINMENT join: pairs where the SMALLER
+    doc's n-gram set is ≥ t = t_num/t_den inside the larger's — the
+    doc-in-doc / near-subset duplication Jaccard misses (a half-length
+    excerpt of a doc has containment ~1 but J ~0.5, under any symmetric
+    threshold).
+
+    Same prefix lemma as :func:`prefix_filter_jaccard_pairs`, applied to
+    the small side only: order each doc's grams by ascending global df
+    (ties by gram); with prefix p = s − ⌈t·s⌉ + 1, any pair with
+    inter ≥ t·s_small must share a gram between the SMALL doc's prefix
+    and the large doc's FULL set (if not, inter ≤ s_small − p_small =
+    ⌈t·s_small⌉ − 1 < t·s_small). Candidates = prefix(small) ⋈ gram
+    postings(all), orientation (s_a < s_b) or (s_a = s_b and id_a <
+    id_b); verification is the exact array intersection with the
+    integer cross-multiplied test inter·t_den ≥ t_num·s_a. Lossless:
+    identical output to the all-shared-gram quadratic.
+
+    Scale shape: the join is bounded by Σ_g prefix_count(g)·df(g) — the
+    rarest-first order keeps high-df shingles out of the probe side, so
+    hot posting lists are never probed. One df agg, one doc-local rank
+    window, one equi-join, |candidates| exact verifications.
+    """
+    g = (
+        df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), n).alias("g"))
+        .filter(F.size("g") > 0)
+        .withColumn("s", F.size("g").cast("long"))
+    )
+    dg = g.select("id", "s", F.explode("g").alias("gram"))
+    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    pos_w = Window.partitionBy("id").orderBy("gdf", "gram")
+    ranked = dg.join(dfreq, "gram").withColumn("pos", F.row_number().over(pos_w))
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("s") - F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}") + 1
+    ).select("id", "s", "gram")
+    cand = (
+        prefix.alias("a")
+        .join(
+            dg.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (
+                (F.col("a.s") < F.col("b.s"))
+                | ((F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"), F.col("s").alias("sa"))
+    gb = g.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("long")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", inter.alias("inter"), "sa", "sb")
+        .where(F.col("inter") * t_den >= t_num * F.col("sa"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 64) -> DataFrame:
     """SimHash signature: per-token md5-derived hash; each bit votes ±1;
     signature bit b = sign of the vote sum. Emits (id, simhash long).

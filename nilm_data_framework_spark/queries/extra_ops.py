@@ -3935,3 +3935,898 @@ def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         ratio_e4("sum(n_chars)", "count(1)").alias("mean_chars_e4"),
     )
+
+
+# --- prefix-filtered exact Jaccard join (All-Pairs / PPJoin) ------------------
+
+
+def _prefix_filter_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+
+    return f"""
+    WITH toksrc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM toksrc WHERE len(toks) >= 3
+    ),
+    sized AS (SELECT doc_id, grams, len(grams) AS s FROM g),
+    dg AS (SELECT doc_id, unnest(grams) AS gram FROM sized),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM dg a JOIN dg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(x.grams, tk -> list_contains(y.grams, tk)))
+               AS inter,
+             x.s AS sa, y.s AS sb
+      FROM cand c
+      JOIN sized x ON x.doc_id = c.id_a
+      JOIN sized y ON y.doc_id = c.id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(inter AS BIGINT) AS inter, CAST(sa AS BIGINT) AS sa,
+           CAST(sb AS BIGINT) AS sb,
+           {ratio_e4_sql('inter', '(sa + sb - inter)')} AS jaccard_e4
+    FROM v WHERE inter * 10 >= 3 * (sa + sb - inter)
+    """
+
+
+@query(
+    "prefix_filter_neardup_pairs",
+    oracle=_prefix_filter_oracle(),
+    survey_ref="§2.10 dedup: All-Pairs/PPJoin prefix-filtered exact "
+    "Jaccard join (Chaudhuri 2006 / Xiao WWW'08) — third candidate "
+    "strategy beside LSH banding and length-bucket blocking; candidates "
+    "only from the rarest-grams-first prefix inverted index, verified by "
+    "exact integer cross-multiplication; the oracle brute-forces ALL "
+    "shared-gram pairs, so equality proves the prefix filter lossless",
+)
+def prefix_filter_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact near-dup join over 3-word shingles at
+    J >= 0.3 (operators/dedup.py::prefix_filter_jaccard_pairs). The
+    global rarity order is a SORT KEY (df, gram) — never a materialized
+    global rank — so the plan is agg + doc-local window + posting-list
+    equi-join; stopword-ish shingles with huge document frequency never
+    enter the candidate index. Identical output to the oracle's
+    all-shared-gram quadratic."""
+    from nilm_data_framework_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    out = prefix_filter_jaccard_pairs(docs, n=3, t_num=3, t_den=10)
+    return out.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "sa",
+        "sb",
+        ratio_e4("inter", "(sa + sb - inter)").alias("jaccard_e4"),
+    )
+
+
+# --- k-fold contamination audit -----------------------------------------------
+
+
+def _fold_contamination_oracle() -> str:
+    from nilm_data_framework_spark.queries.dedup_text import _DUPED, _NORM
+
+    return f"""
+    WITH folded AS (
+      SELECT doc_id, md5({_NORM}) AS fp,
+             ntile(5) OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS fold
+      FROM ({_DUPED}) documents
+    ),
+    groups AS (
+      SELECT fp, count(*) AS n_docs, count(DISTINCT fold) AS n_folds,
+             min(doc_id) AS keep
+      FROM folded GROUP BY fp HAVING count(*) > 1
+    )
+    SELECT CAST(n_folds AS BIGINT) AS folds_spanned,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS keep_sum
+    FROM groups GROUP BY 1
+    """
+
+
+@query(
+    "fold_contamination_audit",
+    oracle=_fold_contamination_oracle(),
+    survey_ref="§2.10/§6 extension: cross-validation contamination audit "
+    "— exact-duplicate groups whose members span MULTIPLE folds of the "
+    "stratified hash-ntile split (the kfold_assignment grain); a dup "
+    "group in >1 fold means train/test leakage the fold split alone "
+    "cannot see",
+)
+def fold_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much duplicate-driven leakage does a naive per-doc CV split
+    admit? Fingerprint groups (md5 of normalized text, the exact-dedup
+    grain) x the kfold_assignment fold rule; groups spanning >= 2 folds
+    put copies of one text on both sides of a fold boundary. One window
+    + two aggs; the duped fixture guarantees non-vacuous groups. The
+    production fix this audit motivates is leakage_safe_split (group
+    split by fingerprint, already registered)."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.dedup import normalized
+    from nilm_data_framework_spark.queries.dedup_text import _docs_with_dups
+
+    docs = _docs_with_dups(spark, sf_dir)
+    fold_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    folded = docs.select(
+        "doc_id",
+        F.md5(normalized(F.col("text"))).alias("fp"),
+        F.ntile(5).over(fold_w).alias("fold"),
+    )
+    groups = (
+        folded.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("fold").cast("long").alias("n_folds"),
+            F.min("doc_id").alias("keep"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return groups.groupBy(F.col("n_folds").alias("folds_spanned")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("keep_sum"),
+    )
+
+
+# --- Mann-Whitney rank-sum drift (exact integer 2U) ---------------------------
+
+
+def _mwu_oracle() -> str:
+    from nilm_data_framework_spark.queries.pipeline_quality import (
+        _PSI_SPLIT_US,
+    )
+
+    return f"""
+    WITH tagged AS (
+      SELECT event_type, value AS v,
+             CASE WHEN epoch_us(ts) < {_PSI_SPLIT_US} THEN 1 ELSE 0 END AS ref
+      FROM events
+    ),
+    pv AS (
+      SELECT event_type, v,
+             CAST(sum(ref) AS BIGINT) AS ca,
+             CAST(sum(1 - ref) AS BIGINT) AS cb
+      FROM tagged GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, ca, cb,
+             CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumb
+      FROM pv
+    )
+    SELECT event_type,
+           CAST(sum(ca) AS BIGINT) AS n_ref,
+           CAST(sum(cb) AS BIGINT) AS n_cmp,
+           CAST(sum(ca * (2 * cumb - cb)) AS BIGINT) AS u2,
+           CAST(sum(ca * (2 * cumb - cb)) - sum(ca) * sum(cb) AS BIGINT)
+             AS u2_shift
+    FROM cum GROUP BY 1
+    """
+
+
+@query(
+    "mwu_drift_stat",
+    oracle=_mwu_oracle(),
+    survey_ref="§2.4 extension: exact two-sample Mann-Whitney rank-sum "
+    "drift statistic — tie-corrected 2U = Σ_v ca·(2·cumb(<=v) − cb(v)) "
+    "counts (ref beats cmp) pairs twice plus ties once, pure BIGINT "
+    "(≤ 2·n·m, overflow-safe where the Cramér-von-Mises n³ form is not); "
+    "the location-shift monitor beside KS (max gap) and PSI (binned)",
+)
+def mwu_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the value distribution SHIFT between the first and second half
+    -month, per event type? 2U in exact integers from one value-grouped
+    agg + one cumulative window (the KS query's exact plan shape);
+    u2_shift = 2U − nm is the signed exact distance from the no-shift
+    null (2U/2nm = P(ref > cmp) + P(tie)/2). No sqrt, no float, no
+    midrank halves — ties enter as +1 per pair."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.queries.pipeline_quality import (
+        _PSI_SPLIT_US,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        (F.unix_micros("ts") < _PSI_SPLIT_US).cast("long").alias("ref"),
+    )
+    pv = tagged.groupBy("event_type", "v").agg(
+        F.sum("ref").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("ref")).cast("long").alias("cb"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pv.withColumn("cumb", F.sum("cb").over(w_cum).cast("long"))
+    return cum.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("n_ref"),
+        F.sum("cb").cast("long").alias("n_cmp"),
+        F.sum(F.col("ca") * (2 * F.col("cumb") - F.col("cb")))
+        .cast("long")
+        .alias("u2"),
+        (
+            F.sum(F.col("ca") * (2 * F.col("cumb") - F.col("cb")))
+            - F.sum("ca") * F.sum("cb")
+        )
+        .cast("long")
+        .alias("u2_shift"),
+    )
+
+
+# --- 1-D earth mover's distance between length distributions ------------------
+
+
+def _emd_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled_sql
+
+    return f"""
+    WITH binned AS (
+      SELECT source, n_chars // 100 AS bin FROM documents
+    ),
+    tot AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS c_all FROM binned GROUP BY 1
+    ),
+    tot2 AS (
+      SELECT bin, c_all,
+             CAST(sum(c_all) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_all,
+             CAST(sum(c_all) OVER () AS BIGINT) AS n_total
+      FROM tot
+    ),
+    srcn AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS ns FROM binned GROUP BY 1
+    ),
+    per AS (
+      SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+      FROM binned GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.source, s.ns, t.bin, t.cum_all, t.n_total,
+             coalesce(p.c, 0) AS c
+      FROM srcn s CROSS JOIN tot2 t
+      LEFT JOIN per p ON p.source = s.source AND p.bin = t.bin
+    ),
+    cums AS (
+      SELECT source, ns, bin, cum_all, n_total,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_s,
+             lead(bin) OVER (PARTITION BY source ORDER BY bin) AS nxt
+      FROM grid
+    )
+    SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+           CAST(sum(abs(cum_s * n_total - cum_all * ns)
+                    * coalesce(nxt - bin, 0)) AS BIGINT) AS emd_num,
+           CAST(max(ns) * max(n_total) AS BIGINT) AS emd_den,
+           {ratio_scaled_sql(
+               'sum(abs(cum_s * n_total - cum_all * ns) * coalesce(nxt - bin, 0))',
+               '(max(ns) * max(n_total))')} AS emd_bins_e4
+    FROM cums GROUP BY 1
+    """
+
+
+@query(
+    "emd_length_drift",
+    oracle=_emd_oracle(),
+    survey_ref="§2.10 extension: exact 1-D earth mover's distance "
+    "(Wasserstein-1) between each source's doc-length histogram and the "
+    "corpus histogram — EMD = Σ_bins |ECDF gap|·bin_gap, kept exact by "
+    "cross-multiplying the two ECDFs over a common denominator ns·N; "
+    "the distribution-shape complement of PSI (binned KL-ish) and KS",
+)
+def emd_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far is each source's length distribution from the corpus mix,
+    in expected bins-to-move-per-doc? Cumulative histograms per source
+    vs overall on a 100-char grid; gaps between non-adjacent observed
+    bins weight the |cum difference| by the empty-bin span, so the sum
+    is the true integral. The (source × bin) grid is |sources|·|bins| —
+    tiny relative to the scan — and every term is BIGINT; emd_bins_e4 =
+    1e4·EMD/(ns·N) in bin units via the shared integer rounding."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled
+
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select("source", F.expr("n_chars div 100").alias("bin"))
+    tot = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+    w_all = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy()
+    tot2 = tot.select(
+        "bin",
+        F.sum("c_all").over(w_all).cast("long").alias("cum_all"),
+        F.sum("c_all").over(w_tot).cast("long").alias("n_total"),
+    )
+    srcn = binned.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    per = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # no broadcast hint: tot2 is a GROUPED aggregate over an sf-scaled scan
+    # (bins ~ max n_chars/100 — small, but not a query constant); the planner
+    # sees the post-agg stats and picks broadcast on its own.
+    grid = (
+        srcn.crossJoin(tot2)
+        .join(per, ["source", "bin"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("source").orderBy("bin")
+    cums = grid.select(
+        "source",
+        "ns",
+        "bin",
+        "cum_all",
+        "n_total",
+        F.sum("c").over(w_src).cast("long").alias("cum_s"),
+        F.lead("bin").over(w_lead).alias("nxt"),
+    )
+    term = F.abs(
+        F.col("cum_s") * F.col("n_total") - F.col("cum_all") * F.col("ns")
+    ) * F.coalesce(F.col("nxt") - F.col("bin"), F.lit(0))
+    return cums.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_docs"),
+        F.sum(term).cast("long").alias("emd_num"),
+        (F.max("ns") * F.max("n_total")).cast("long").alias("emd_den"),
+        ratio_scaled(
+            "sum(abs(cum_s * n_total - cum_all * ns)"
+            " * coalesce(nxt - bin, 0))",
+            "(max(ns) * max(n_total))",
+        ).alias("emd_bins_e4"),
+    )
+
+
+# --- reciprocal best match (mutual nearest neighbors) -------------------------
+
+
+@query(
+    "reciprocal_best_match",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS a_id,
+             list_transform(embedding::DOUBLE[], x -> floor(x * 1000000))
+               AS qa
+      FROM embeddings WHERE vec_id < 128
+    ),
+    b AS (
+      SELECT vec_id AS b_id,
+             list_transform(embedding::DOUBLE[], x -> floor(x * 1000000))
+               AS qb
+      FROM embeddings WHERE vec_id >= 128
+    ),
+    scored AS (
+      SELECT a_id, b_id, CAST(list_dot_product(qa, qb) AS BIGINT) AS dot_q
+      FROM a CROSS JOIN b
+    ),
+    r AS (
+      SELECT a_id, b_id, dot_q,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY dot_q DESC, b_id) AS ra,
+             row_number() OVER (PARTITION BY b_id
+                                ORDER BY dot_q DESC, a_id) AS rb
+      FROM scored
+    )
+    SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id, dot_q
+    FROM r WHERE ra = 1 AND rb = 1
+    """,
+    survey_ref="§2.10 similarity: reciprocal best match (mutual nearest "
+    "neighbor) between a bounded probe slice and the rest of the corpus "
+    "— the bitext-mining / cross-source alignment shape; matching is by "
+    "exact u6-quantized integer dot product (every product ≤ 1e12, the "
+    "64-term sum ≤ 6.4e13 — exact in BIGINT and in float64 alike, so "
+    "argmax ties break identically in both engines)",
+)
+def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-NN pairs A↔B: a's best b AND b's best a (the global best
+    pair always qualifies, so never vacuous). One bounded crossJoin
+    (|A| = 128 constant slice, broadcast — exempt per the plan-quality
+    guard) + two rank windows over |A|·|B| scored rows. At 100 TB the
+    scored set is the product of a BOUNDED probe batch and the corpus —
+    the documented ANN swap (IVF/LSH shortlist before the exact rerank)
+    applies verbatim to the corpus side."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    a = (
+        emb.where(F.col("vec_id") < 128)
+        .select(F.col("vec_id").alias("a_id"), u6_components("embedding").alias("qa"))
+        .coalesce(1)
+    )
+    b = emb.where(F.col("vec_id") >= 128).select(
+        F.col("vec_id").alias("b_id"), u6_components("embedding").alias("qb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = b.crossJoin(F.broadcast(a)).select(
+        "a_id", "b_id", dot.alias("dot_q")
+    )
+    w_a = Window.partitionBy("a_id").orderBy(F.col("dot_q").desc(), "b_id")
+    w_b = Window.partitionBy("b_id").orderBy(F.col("dot_q").desc(), "a_id")
+    return (
+        scored.withColumn("ra", F.row_number().over(w_a))
+        .withColumn("rb", F.row_number().over(w_b))
+        .where((F.col("ra") == 1) & (F.col("rb") == 1))
+        .select("a_id", "b_id", "dot_q")
+    )
+
+
+# --- containment (doc-in-doc) near-dup join -----------------------------------
+# The synthetic corpus has no near-subset pairs, so both engines union in a
+# half-length excerpt of every 20th doc (id + 2000000) — the doc-in-doc case
+# a symmetric Jaccard threshold misses (excerpt J ~= 0.5, containment ~= 1).
+
+
+def _containment_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+
+    return f"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')[1:CAST(len(list_filter(
+                 string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                 // 2 AS INT)], ' ')
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    toksrc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM src
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM toksrc WHERE len(toks) >= 3
+    ),
+    sized AS (SELECT doc_id, grams, len(grams) AS s FROM g),
+    dg AS (SELECT doc_id, s, unnest(grams) AS gram FROM sized),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM dg a JOIN dg b
+        ON a.gram = b.gram
+       AND (a.s < b.s OR (a.s = b.s AND a.doc_id < b.doc_id))
+      GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(x.grams, tk -> list_contains(y.grams, tk)))
+               AS inter,
+             x.s AS sa, y.s AS sb
+      FROM cand c
+      JOIN sized x ON x.doc_id = c.id_a
+      JOIN sized y ON y.doc_id = c.id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(inter AS BIGINT) AS inter, CAST(sa AS BIGINT) AS sa,
+           CAST(sb AS BIGINT) AS sb,
+           {ratio_e4_sql('inter', 'sa')} AS containment_e4
+    FROM v WHERE inter * 5 >= 4 * sa
+    """
+
+
+@query(
+    "containment_neardup_pairs",
+    oracle=_containment_oracle(),
+    survey_ref="§2.10 dedup: prefix-filtered exact CONTAINMENT join "
+    "(near-subset / doc-in-doc duplication, the case symmetric Jaccard "
+    "misses) — candidates from the smaller doc's rarest-grams-first "
+    "prefix probed against full posting lists, verified by integer "
+    "cross-multiplication inter·5 >= 4·s_small; the oracle brute-forces "
+    "ALL shared-gram pairs, so equality proves the filter lossless",
+)
+def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt detection: pairs where >= 80% of the smaller doc's 3-gram
+    set lies inside the larger's (operators/dedup.py::
+    containment_prefix_pairs). The fixture unions in half-length
+    excerpts of every 20th doc, which Jaccard at the same threshold
+    cannot flag (J ~= 0.5); containment catches exactly the
+    quote/excerpt/mirror-with-boilerplate duplication mode. Plan: one
+    df agg + one doc-local rank window + one posting-list equi-join."""
+    from nilm_data_framework_spark.operators.dedup import (
+        containment_prefix_pairs,
+    )
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    tk = tokens(F.col("text"))
+    excerpts = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(tk, 1, (F.size(tk) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    src = docs.select("doc_id", "text").unionByName(excerpts)
+    out = containment_prefix_pairs(src, n=3, t_num=4, t_den=5)
+    return out.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "sa",
+        "sb",
+        ratio_e4("inter", "sa").alias("containment_e4"),
+    )
+
+
+# --- cross-correlation lag sweep ----------------------------------------------
+
+
+@query(
+    "xcorr_best_lag",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(range(0, 13)) AS lag),
+    x AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag AS lag,
+             CAST(sum(a.c * b.c) AS BIGINT) AS xc
+      FROM hourly a
+      CROSS JOIN lags l
+      JOIN hourly b ON b.event_type <> a.event_type AND b.h = a.h + l.lag
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT type_a, type_b, lag, xc,
+             row_number() OVER (PARTITION BY type_a, type_b
+                                ORDER BY xc DESC, lag) AS rn
+      FROM x
+    )
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS best_lag, xc AS xcorr
+    FROM r WHERE rn = 1
+    """,
+    survey_ref="§2.4 extension: cross-correlation lag sweep between "
+    "event-type hourly count series — argmax over lags 0..12h of the "
+    "exact integer dot product Σ_h c_a(h)·c_b(h+L) (the lead/lag "
+    "discovery step of acf_hourly's autocorrelation); argmax on exact "
+    "BIGINTs with a smallest-lag tiebreak",
+)
+def xcorr_best_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event type leads which, and by how many hours? Hourly
+    counts per type (5 types x ~720 hours — tiny after the one fact
+    agg), a 13-row lag dimension, one equi-join on the shifted hour,
+    one argmax window per ordered type pair. At 100 TB only the first
+    hourly agg touches the fact table; everything after is
+    O(types² · hours)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    lags = spark.range(0, 13).select(F.col("id").alias("lag"))
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), F.col("h").alias("ha"),
+        F.col("c").alias("ca"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), F.col("h").alias("hb"),
+        F.col("c").alias("cb"),
+    )
+    # no explicit hint: lags is a 13-row Range — the planner broadcasts it
+    # from stats (and the guard test's leaf regex can't see through a
+    # hinted Range to the join's parquet sibling).
+    x = (
+        a.crossJoin(lags)
+        .join(
+            b,
+            (F.col("type_b") != F.col("type_a"))
+            & (F.col("hb") == F.col("ha") + F.col("lag")),
+        )
+        .groupBy("type_a", "type_b", "lag")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("xc"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.col("xc").desc(), "lag"
+    )
+    return (
+        x.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("type_a", "type_b", F.col("lag").alias("best_lag"), F.col("xc").alias("xcorr"))
+    )
+
+
+# --- degree assortativity of the co-purchase graph -----------------------------
+
+# SQL twin of advanced_analytics._copurchase_edges (support >= 2, src < dst):
+# the same (order -> distinct part set -> pairs) grain the triangle/linkpred/
+# kcore oracles unroll; kept as one constant so the edge definition cannot
+# drift between the oracles that share it.
+_COPURCHASE_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM op a
+      JOIN op b ON b.l_orderkey = a.l_orderkey
+               AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT s AS u, t AS v FROM e UNION ALL SELECT t, s FROM e)
+"""
+
+
+@query(
+    "degree_assortativity",
+    oracle=f"""
+    WITH {_COPURCHASE_SQL},
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_dir,
+           CAST(sum(du.d) AS BIGINT) AS sum_deg,
+           CAST(sum(du.d * dv.d) AS BIGINT) AS sum_deg_prod,
+           CAST(sum(du.d * du.d) AS BIGINT) AS sum_deg_sq,
+           CAST(count(*) * sum(du.d * dv.d) - sum(du.d) * sum(dv.d)
+                AS BIGINT) AS assort_num,
+           CAST(count(*) * sum(du.d * du.d) - sum(du.d) * sum(du.d)
+                AS BIGINT) AS assort_den
+    FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+    """,
+    survey_ref="§2 graph extension: degree assortativity (Newman 2002) of "
+    "the co-purchase graph — Pearson moments over the directed edge list "
+    "(n, Σd_u, Σd_u·d_v, Σd_u²) all exact BIGINT; r = num/den is left to "
+    "the reader because the moments ARE the mergeable statistic",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do high-degree parts co-purchase with other hubs (r > 0) or with
+    leaves (r < 0)? Degrees from the symmetrized support-≥2 edge list
+    (the shared _copurchase_edges grain), two broadcast-sized degree
+    joins, one global agg of exact integer moments. Symmetrized list ⇒
+    x/y marginals coincide, so 4 moments determine r exactly."""
+    from nilm_data_framework_spark.queries.advanced_analytics import (
+        _copurchase_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = _copurchase_edges(li)
+    sym = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    du = deg.select(F.col("u").alias("_u"), F.col("d").alias("d_u"))
+    dv = deg.select(F.col("u").alias("_v"), F.col("d").alias("d_v"))
+    j = sym.join(du, F.col("u") == F.col("_u")).join(
+        dv, F.col("v") == F.col("_v")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dir"),
+        F.sum("d_u").cast("long").alias("sum_deg"),
+        F.sum(F.col("d_u") * F.col("d_v")).cast("long").alias("sum_deg_prod"),
+        F.sum(F.col("d_u") * F.col("d_u")).cast("long").alias("sum_deg_sq"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("d_u") * F.col("d_v"))
+            - F.sum("d_u") * F.sum("d_v")
+        )
+        .cast("long")
+        .alias("assort_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("d_u") * F.col("d_u"))
+            - F.sum("d_u") * F.sum("d_u")
+        )
+        .cast("long")
+        .alias("assort_den"),
+    )
+
+
+# --- PMI collocations -----------------------------------------------------------
+
+
+def _pmi_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled_sql
+
+    return f"""
+    WITH toksrc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    bg AS (
+      SELECT unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> array_to_string(toks[i:i+1], ' ')))) AS bigram
+      FROM toksrc WHERE len(toks) >= 2
+    ),
+    bgc AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+      FROM bg GROUP BY 1 HAVING count(*) >= 5
+    ),
+    uni AS (
+      SELECT unnest(list_distinct(toks)) AS w FROM toksrc
+      WHERE len(toks) >= 1
+    ),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    scored AS (
+      SELECT b.bigram, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+             {ratio_scaled_sql('(b.c_xy * n.n_docs)', '(u1.c * u2.c)', 6)}
+               AS pmi_ratio_e6
+      FROM bgc b
+      CROSS JOIN n
+      JOIN uc u1 ON u1.w = string_split(b.bigram, ' ')[1]
+      JOIN uc u2 ON u2.w = string_split(b.bigram, ' ')[2]
+    )
+    SELECT bigram, c_xy, c_x, c_y, pmi_ratio_e6
+    FROM scored
+    ORDER BY pmi_ratio_e6 DESC, bigram
+    LIMIT 20
+    """
+
+
+@query(
+    "bigram_pmi_topk",
+    oracle=_pmi_oracle(),
+    survey_ref="§2.10 text analysis: PMI collocation extraction — top-20 "
+    "adjacent word pairs by document-frequency PMI ratio N·df(xy)/"
+    "(df(x)·df(y)), min support 5; ranked by the SCALED INTEGER ratio "
+    "(e6 floor division) with a bigram tiebreak so the top-k cut is "
+    "deterministic across engines — no ln() anywhere",
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which word pairs stick together far beyond chance (named entities,
+    fixed phrases — the tokenizer-merge / stopword-phrase signal)?
+    Document-frequency PMI keeps every count a BIGINT; the e6-scaled
+    ratio is the shared exact-rounding helper, so the ranking float
+    never exists. Two linear token scans + two broadcast-sized vocab
+    joins + TakeOrdered(20)."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled
+    from nilm_data_framework_spark.operators.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    bgc = (
+        docs.select(F.explode(word_ngrams(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+    )
+    uc = (
+        docs.select(F.explode(word_ngrams(F.col("text"), 1)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    u1 = uc.select(F.col("w").alias("_w1"), F.col("c").alias("c_x"))
+    u2 = uc.select(F.col("w").alias("_w2"), F.col("c").alias("c_y"))
+    scored = (
+        bgc.crossJoin(n_docs)
+        .join(u1, F.split(F.col("bigram"), " ")[0] == F.col("_w1"))
+        .join(u2, F.split(F.col("bigram"), " ")[1] == F.col("_w2"))
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            ratio_scaled("(c_xy * n_docs)", "(c_x * c_y)", 6).alias(
+                "pmi_ratio_e6"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("pmi_ratio_e6").desc(), "bigram").limit(20)
+
+
+# --- itemset support histogram (a-priori census) --------------------------------
+
+
+@query(
+    "itemset_support_histogram",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS sup
+      FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey
+                         AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2
+    ),
+    triples AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, c.l_partkey AS z,
+             count(*) AS sup
+      FROM op a
+      JOIN op b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+      JOIN op c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+      GROUP BY 1, 2, 3
+    ),
+    u AS (
+      SELECT 2 AS sz, sup FROM pairs
+      UNION ALL
+      SELECT 3 AS sz, sup FROM triples
+    )
+    SELECT CAST(sz AS BIGINT) AS itemset_size, CAST(sup AS BIGINT) AS support,
+           CAST(count(*) AS BIGINT) AS n_itemsets
+    FROM u GROUP BY 1, 2
+    """,
+    survey_ref="§2 extension: a-priori itemset support census — how many "
+    "distinct part 2- and 3-itemsets exist at each co-purchase support "
+    "level (the candidate-explosion sizing step BEFORE running "
+    "association_rules; shows support-≥2 triples vanish as cardinality "
+    "grows, the same thinning kcore_parts documents)",
+)
+def itemset_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support distribution of basket 2-/3-itemsets, join-free: one
+    groupBy(order) → sorted distinct part array, then JVM-side HOF pair
+    AND triple explosions of the SAME basket array (the
+    _copurchase_edges kernel one combinatorial level deeper — the
+    basket scan and shuffle happen once, not three times as in the
+    oracle's self-join form). Baskets are small (≤7 parts ⇒ ≤35
+    triples), so the explosion is bounded per row; the census output is
+    a handful of (size, support) cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    triples = parts.select(
+        F.explode(
+            F.expr(
+                "flatten(flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps) - i - 1), (y, j) -> transform("
+                "slice(ps, i + j + 3, size(ps) - i - j - 2), "
+                "z -> struct(x AS a, y AS b, z AS c))))))"
+            )
+        ).alias("t")
+    ).select("t.a", "t.b", "t.c")
+    sup2 = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .select(F.lit(2).cast("long").alias("itemset_size"), "sup")
+    )
+    sup3 = (
+        triples.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .select(F.lit(3).cast("long").alias("itemset_size"), "sup")
+    )
+    return (
+        sup2.unionByName(sup3)
+        .groupBy("itemset_size", F.col("sup").alias("support"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_itemsets"))
+    )

@@ -352,6 +352,99 @@ def retrieval_workloads(docs: DataFrame, ev: DataFrame, orders: DataFrame) -> di
     }
 
 
+def batch17_workloads(docs: DataFrame, ev: DataFrame) -> dict:
+    """r5 batch 17-18 shapes (queries/extra_ops.py): exact burst z-test
+    (two aggs + a tiny-dim join), p99 lateness (two per-type windows —
+    type count FIXED at 5, so group size grows k× and the per-type sort
+    is the scaling term), kappa cells (map-only scoring + one agg)."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.text import (
+        quality_classifier_score,
+        token_count,
+    )
+
+    def _burst():
+        hourly = ev.groupBy(
+            "event_type", F.expr("us div 3600000000").alias("h")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        stats = hourly.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+        j = hourly.join(stats, "event_type")
+        dev = F.col("c") * F.col("n") - F.col("s")
+        return j.where(
+            (dev > 0)
+            & (
+                dev * dev
+                > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            )
+        ).count()
+
+    def _late_p99():
+        e = ev.select(
+            "event_type",
+            "us",
+            F.expr("us div 600000000").alias("w"),
+            (F.col("user_id") % 8).alias("producer"),
+            "event_id",
+        )
+        w_arr = (
+            Window.partitionBy("event_type")
+            .orderBy("w", "producer", "us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        seq = e.withColumn("seen_max", F.max("us").over(w_arr))
+        late = seq.where(F.col("seen_max") > F.col("us")).select(
+            "event_type", (F.col("seen_max") - F.col("us")).alias("late_us")
+        )
+        w_rk = Window.partitionBy("event_type").orderBy("late_us")
+        w_n = Window.partitionBy("event_type")
+        ranked = late.select(
+            "event_type",
+            "late_us",
+            F.row_number().over(w_rk).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(w_n).cast("long").alias("n"),
+        )
+        return ranked.groupBy("event_type", "n").agg(
+            F.max(
+                F.when(F.col("rk") * 100 <= F.col("n") * 99, F.col("late_us"))
+            ).alias("p99")
+        ).count()
+
+    def _kappa():
+        clf = quality_classifier_score(docs).select(
+            "doc_id", F.col("keep").cast("int").alias("keep_clf")
+        )
+        lens = docs.select(
+            "doc_id",
+            (token_count(F.col("text")) >= 30).cast("int").alias("keep_len"),
+        )
+        return (
+            clf.join(lens, "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (
+                        (F.col("keep_clf") == 1) & (F.col("keep_len") == 1)
+                    ).cast("long")
+                ).alias("n11"),
+            )
+            .count()
+        )
+
+    return {
+        # hourly agg (keys grow with time span, fixed here) + 5-row stats join
+        "count_burst_hours": _burst,
+        # running-max + rank windows over 5 fixed types -> n/5 sort per task
+        "late_arrival_p99": _late_p99,
+        # map-only classifier + doc_id-keyed join + one global agg
+        "kappa_cells": _kappa,
+    }
+
+
 def replicate_facts(li: DataFrame, orders: DataFrame, k: int):
     """k disjoint copies of the (lineitem, orders) fact pair: ALL keys
     (order, part, supplier) are shifted per replica, so the co-occurrence /
@@ -564,6 +657,7 @@ def main() -> None:
 
     results: dict[str, list[tuple[int, float]]] = {}
     for k in ks:
+        ev_full = None
         docs = replicate(base, k)
         n = docs.count()
         li, orders = replicate_facts(li_base, orders_base, k)
@@ -598,6 +692,19 @@ def main() -> None:
                 ("source_vocab_jaccard", n),
             ):
                 sized.append(({name: rw[name]}, rows_in))
+        b17_names = {"count_burst_hours", "late_arrival_p99", "kappa_cells"}
+        if only is None or only & b17_names:
+            # reuse the retrieval block's checkpointed replica when present
+            if ev_full is None:
+                ev_full = replicate_events_full(ev_full_base, k)
+            b17 = batch17_workloads(docs, ev_full)
+            n_ev17 = ev_full.count()
+            for name, rows_in in (
+                ("count_burst_hours", n_ev17),
+                ("late_arrival_p99", n_ev17),
+                ("kappa_cells", n),
+            ):
+                sized.append(({name: b17[name]}, rows_in))
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)

@@ -96,6 +96,16 @@ _POST_FREEZE = {
     "classifier_agreement_kappa",
     "late_arrival_p99",
     "dedup_quality_impact",
+    "prefix_filter_neardup_pairs",
+    "fold_contamination_audit",
+    "mwu_drift_stat",
+    "emd_length_drift",
+    "reciprocal_best_match",
+    "containment_neardup_pairs",
+    "xcorr_best_lag",
+    "degree_assortativity",
+    "bigram_pmi_topk",
+    "itemset_support_histogram",
 }
 
 
