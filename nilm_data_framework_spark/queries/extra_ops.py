@@ -4830,3 +4830,411 @@ def itemset_support_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("itemset_size", F.col("sup").alias("support"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_itemsets"))
     )
+
+
+# --- separable 2-D box filter: grid hotspots ------------------------------------
+
+
+@query(
+    "grid_hotspots_topk",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id % 32 AS x, (epoch_us(ts) // 3600000000) % 168 AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    xs AS (SELECT unnest(range(0, 32)) AS x),
+    ys AS (SELECT unnest(range(0, 168)) AS y),
+    grid AS (
+      SELECT xs.x, ys.y, coalesce(cl.c, 0) AS c
+      FROM xs CROSS JOIN ys
+      LEFT JOIN cells cl ON cl.x = xs.x AND cl.y = ys.y
+    ),
+    px AS (
+      SELECT x, y, c,
+             CAST(sum(c) OVER (PARTITION BY y ORDER BY x
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS sx
+      FROM grid
+    ),
+    box AS (
+      SELECT x, y, c,
+             CAST(sum(sx) OVER (PARTITION BY x ORDER BY y
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+               AS box_sum
+      FROM px
+    )
+    SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, c, box_sum
+    FROM box ORDER BY box_sum DESC, x, y LIMIT 20
+    """,
+    survey_ref="§2.7 extension: separable 2-D box filter — 3×3 "
+    "neighborhood sums over the (user-bucket × hour-of-week) activity "
+    "grid computed as TWO cascaded 1-D RANGE-frame windows (row pass "
+    "then column pass), the classic separable-kernel decomposition; "
+    "borders clip (zero padding), grid densified from two Range dims "
+    "so sparse cells contribute exact zeros",
+)
+def grid_hotspots_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 activity hotspots: 9-cell neighborhood sums via the
+    separable trick — O(2·cells) window work instead of a 9-way
+    self-join, and each pass is one exchange (partition by the OTHER
+    axis). The 32×168 grid is a query constant (two crossed Ranges),
+    so the dense build never scales with the fact table; only the
+    first cell-count agg touches events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        (F.col("user_id") % 32).alias("x"),
+        F.expr("(unix_micros(ts) div 3600000000) % 168").alias("y"),
+    ).groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    xs = spark.range(0, 32).select(F.col("id").alias("x"))
+    ys = spark.range(0, 168).select(F.col("id").alias("y"))
+    grid = (
+        xs.crossJoin(ys)
+        .join(cells, ["x", "y"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+    )
+    w_row = Window.partitionBy("y").orderBy("x").rangeBetween(-1, 1)
+    w_col = Window.partitionBy("x").orderBy("y").rangeBetween(-1, 1)
+    box = grid.withColumn("sx", F.sum("c").over(w_row)).withColumn(
+        "box_sum", F.sum("sx").over(w_col).cast("long")
+    )
+    return (
+        box.select("x", "y", "c", "box_sum")
+        .orderBy(F.col("box_sum").desc(), "x", "y")
+        .limit(20)
+    )
+
+
+# --- Haar wavelet detail coefficients -------------------------------------------
+
+
+@query(
+    "haar_detail_topk",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    hmin AS (SELECT min(h) AS h0 FROM hourly),
+    rel AS (
+      SELECT event_type, h - h0 AS hr, c FROM hourly CROSS JOIN hmin
+      WHERE h - h0 < 512
+    ),
+    levels AS (SELECT unnest(range(1, 10)) AS lev),
+    d AS (
+      SELECT event_type, lev, hr // (1::BIGINT << lev) AS block,
+             CAST(sum(CASE WHEN (hr // (1::BIGINT << (lev - 1))) % 2 = 0
+                           THEN c ELSE -c END) AS BIGINT) AS detail
+      FROM rel CROSS JOIN levels
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT event_type, CAST(lev AS BIGINT) AS level, block, detail,
+             CAST(abs(detail) AS BIGINT) AS abs_detail,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(detail) DESC, lev, block) AS rk
+      FROM d
+    )
+    SELECT event_type, level, block, detail, abs_detail,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+    survey_ref="§2.4 extension: Haar wavelet detail coefficients over the "
+    "first 512 hours of each event type's count series — d(ℓ,b) = "
+    "sum(left half) − sum(right half) of each dyadic block, levels 1..9 "
+    "from ONE pass (level dim × sign trick), all exact BIGINT; top-5 "
+    "|d| per type localizes bursts in time AND scale",
+)
+def haar_detail_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution burst localization: the biggest Haar detail
+    coefficients say WHERE (block) and at WHAT timescale (2^level
+    hours) each event type's activity shifts hardest. The level
+    dimension is a 9-row Range crossed against the tiny hourly agg, so
+    all 9 decomposition levels come from one groupBy — no per-level
+    passes, no floats (sums, not averages: the 2^(ℓ/2) Haar norm is a
+    display constant)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hmin = hourly.agg(F.min("h").alias("h0"))
+    rel = (
+        hourly.crossJoin(hmin)
+        .select("event_type", (F.col("h") - F.col("h0")).alias("hr"), "c")
+        .where(F.col("hr") < 512)
+    )
+    levels = spark.range(1, 10).select(F.col("id").alias("lev"))
+    d = (
+        rel.crossJoin(levels)
+        .groupBy(
+            "event_type",
+            "lev",
+            F.expr("hr div shiftleft(1L, CAST(lev AS INT))").alias("block"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "(hr div shiftleft(1L, CAST(lev AS INT) - 1)) % 2"
+                    )
+                    == 0,
+                    F.col("c"),
+                ).otherwise(-F.col("c"))
+            )
+            .cast("long")
+            .alias("detail")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("detail")).desc(), "lev", "block"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select(
+            "event_type",
+            F.col("lev").alias("level"),
+            "block",
+            "detail",
+            F.abs(F.col("detail")).cast("long").alias("abs_detail"),
+            "rk",
+        )
+    )
+
+
+# --- per-source n-gram novelty ---------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+
+    return f"""
+    WITH toksrc AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    sg AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS g
+      FROM toksrc WHERE len(toks) >= 3
+    ),
+    gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ns FROM sg GROUP BY 1),
+    per AS (
+      SELECT sg.source,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN gs.ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM sg JOIN gs ON gs.g = sg.g
+      GROUP BY 1
+    )
+    SELECT source, n_grams, n_unique,
+           {ratio_e4_sql('n_unique', 'n_grams')} AS novelty_e4
+    FROM per
+    """
+
+
+@query(
+    "source_ngram_novelty",
+    oracle=_novelty_oracle(),
+    survey_ref="§2.10 curation diagnostics: per-source 3-gram novelty — "
+    "share of each source's distinct shingles appearing in NO other "
+    "source (count-distinct-source per gram, then one per-source agg); "
+    "the mixture-design complement of source_vocab_jaccard (pairwise "
+    "overlap) — high novelty sources add coverage, low ones add bulk",
+)
+def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source's content exists nowhere else in the
+    mix? Distinct (source, gram) pairs (one explode + distinct), gram →
+    #sources (since sg is distinct, count(*) IS count-distinct-source —
+    no expensive distinct agg), join back, per-source ratio. Two
+    shuffles on the gram key, both map-side combined."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.operators.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sg = docs.select(
+        "source", F.explode(word_ngrams(F.col("text"), 3)).alias("g")
+    ).distinct()
+    gs = sg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    per = (
+        sg.join(gs, "g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("ns") == 1).cast("long")).cast("long").alias("n_unique"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_grams",
+        "n_unique",
+        ratio_e4("n_unique", "n_grams").alias("novelty_e4"),
+    )
+
+
+# --- composite record linkage (Fellegi–Sunter-ish integer scoring) --------------
+# The synthetic customers are all distinct (names differ in >= 1 digit), so
+# both engines union in a perturbed copy of every 25th customer: one name
+# digit typo'd (position 12 -> 'x'), balance shifted +$0.50, same nation and
+# segment — then link on a blocked composite score. Blocking key =
+# (nationkey, last 4 name chars), untouched by the position-12 typo.
+
+
+@query(
+    "record_linkage_pairs",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey AS id, c_name, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 3000000,
+             substr(c_name, 1, 11) || 'x' || substr(c_name, 13),
+             c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT) + 50
+      FROM customer WHERE c_custkey % 25 = 0
+    ),
+    b AS (
+      SELECT id, c_name, c_nationkey, c_mktsegment, bal_c,
+             c_nationkey || '_' || substr(c_name, 15, 4) AS blk
+      FROM src
+    ),
+    scored AS (
+      SELECT x.id AS id_a, y.id AS id_b,
+             CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS name_dist,
+             CAST(CASE WHEN levenshtein(x.c_name, y.c_name) <= 1
+                       THEN 4 ELSE 0 END
+                + CASE WHEN x.c_mktsegment = y.c_mktsegment
+                       THEN 2 ELSE 0 END
+                + CASE WHEN abs(x.bal_c - y.bal_c) <= 100
+                       THEN 1 ELSE 0 END AS BIGINT) AS score
+      FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+    )
+    SELECT id_a, id_b, name_dist, score
+    FROM scored WHERE score >= 6
+    """,
+    survey_ref="§2.10 entity resolution: blocked composite record linkage "
+    "— Fellegi–Sunter-style integer field scores (name edit distance ≤1 "
+    "→ 4, segment match → 2, balance within $1 → 1; match at ≥6) over "
+    "(nation, name-suffix) blocks; the multi-field big brother of "
+    "fuzzy_part_names' single-field Levenshtein",
+)
+def record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-customer detection across fields that each lie a
+    little: per-block pairwise scoring with ALL-integer field weights
+    (edit distance, segment equality, balance-in-cents proximity), so
+    the match cut is exact in both engines. Blocks bound the join: the
+    (nation, last-4-name-chars) key caps block size; no all-pairs."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal") * 100).cast("long")
+    base = c.select(
+        F.col("c_custkey").alias("id"), "c_name", "c_nationkey",
+        "c_mktsegment", bal.alias("bal_c"),
+    )
+    typod = c.where(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 3000000).alias("id"),
+        F.expr("concat(substr(c_name, 1, 11), 'x', substr(c_name, 13))")
+        .alias("c_name"),
+        "c_nationkey",
+        "c_mktsegment",
+        (bal + 50).alias("bal_c"),
+    )
+    src = base.unionByName(typod).withColumn(
+        "blk",
+        F.concat_ws("_", F.col("c_nationkey"), F.expr("substr(c_name, 15, 4)")),
+    )
+    x = src.select(*[F.col(cn).alias(f"{cn}_a") for cn in src.columns])
+    y = src.select(*[F.col(cn).alias(f"{cn}_b") for cn in src.columns])
+    pairs = x.join(
+        y, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    name_dist = F.levenshtein("c_name_a", "c_name_b").cast("long")
+    score = (
+        F.when(name_dist <= 1, F.lit(4)).otherwise(F.lit(0))
+        + F.when(F.col("c_mktsegment_a") == F.col("c_mktsegment_b"), 2).otherwise(0)
+        + F.when(F.abs(F.col("bal_c_a") - F.col("bal_c_b")) <= 100, 1).otherwise(0)
+    ).cast("long")
+    return (
+        pairs.select(
+            "id_a", "id_b", name_dist.alias("name_dist"), score.alias("score")
+        )
+        .where(F.col("score") >= 6)
+    )
+
+
+# --- HHI market concentration ----------------------------------------------------
+
+
+def _hhi_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled_sql
+
+    return f"""
+    WITH os AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    cnt AS (
+      SELECT s.s_nationkey, os.l_suppkey, CAST(count(*) AS BIGINT) AS c
+      FROM os JOIN supplier s ON s.s_suppkey = os.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(c) AS BIGINT) AS total_orders,
+           CAST(sum(c * c) AS BIGINT) AS hhi_num,
+           CAST(sum(c) * sum(c) AS BIGINT) AS hhi_den,
+           {ratio_scaled_sql('sum(c * c)', '(sum(c) * sum(c))', 6)}
+             AS hhi_e6
+    FROM cnt JOIN nation n ON n.n_nationkey = cnt.s_nationkey
+    GROUP BY 1
+    """
+
+
+@query(
+    "hhi_supplier_concentration",
+    oracle=_hhi_oracle(),
+    survey_ref="§2.3 extension: Herfindahl–Hirschman concentration index "
+    "per supplier nation — HHI = Σ share² over suppliers' order-"
+    "participation counts, kept exact as Σc²/(Σc)² BIGINT moments with "
+    "the e6 scaled ratio (1e6/n_suppliers = perfectly competitive floor, "
+    "1e6 = monopoly); the market-structure twin of gini_key_skew",
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is order flow within each nation's suppliers?
+    One distinct (order, supplier) projection, a broadcast dim join,
+    one count agg, one moment agg — HHI's Σc² and (Σc)² are exact
+    mergeable integers (the dollar-revenue variant needs decimal128
+    past ~sf1; counts stay int64-safe for ~3e9 participations/nation)."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    # supplier is sf-scaled — no broadcast hint; AQE picks broadcast from
+    # its post-scan size while the plan stays valid at any sf.
+    cnt = (
+        os_.join(sup.select("s_suppkey", "s_nationkey"),
+                 os_.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = cnt.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("c").cast("long").alias("total_orders"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("hhi_num"),
+        (F.sum("c") * F.sum("c")).cast("long").alias("hhi_den"),
+        ratio_scaled("sum(c * c)", "(sum(c) * sum(c))", 6).alias("hhi_e6"),
+    )
+    return per.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("nation"))),
+        per.s_nationkey == F.col("n_nationkey"),
+    ).select(
+        "nation", "n_suppliers", "total_orders", "hhi_num", "hhi_den", "hhi_e6"
+    )

@@ -106,6 +106,11 @@ _POST_FREEZE = {
     "degree_assortativity",
     "bigram_pmi_topk",
     "itemset_support_histogram",
+    "grid_hotspots_topk",
+    "haar_detail_topk",
+    "source_ngram_novelty",
+    "record_linkage_pairs",
+    "hhi_supplier_concentration",
 }
 
 
