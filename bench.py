@@ -172,6 +172,24 @@ HEADLINE = [
     # round-5 batch 18: watermark p99 sizing (dedup_quality_impact reruns
     # the full LSH clustering — gated but deliberately not bench-listed)
     "late_arrival_p99",
+    # round-5 batch 19: prefix-filter joins, drift stats, alignment
+    "prefix_filter_neardup_pairs",
+    "containment_neardup_pairs",
+    "mwu_drift_stat",
+    "emd_length_drift",
+    "fold_contamination_audit",
+    "reciprocal_best_match",
+    # round-5 batch 20: PMI, xcorr, graph moments, itemset census
+    "bigram_pmi_topk",
+    "xcorr_best_lag",
+    "degree_assortativity",
+    "itemset_support_histogram",
+    # round-5 batch 21: 2-D hotspots, Haar, novelty, linkage, HHI
+    "grid_hotspots_topk",
+    "haar_detail_topk",
+    "source_ngram_novelty",
+    "record_linkage_pairs",
+    "hhi_supplier_concentration",
 ]
 
 

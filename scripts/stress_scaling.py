@@ -445,6 +445,161 @@ def batch17_workloads(docs: DataFrame, ev: DataFrame) -> dict:
     }
 
 
+def batch18_workloads(docs: DataFrame, ev: DataFrame, li: DataFrame) -> dict:
+    """r5 batch 18-19 shapes (queries/extra_ops.py). Replication keeps the
+    hour/value/grid SUPPORTS fixed while row counts grow k×, so each shape's
+    claimed scaling term (the one fact-table agg) is what's measured. The
+    prefix-filter near-dup joins are deliberately NOT swept: replicas are
+    true near-dups of their originals, so the CORRECT output is Θ(k²·n) —
+    any lossless join must emit it and the slope would measure the answer,
+    not the algorithm (see STRESS.md caveats)."""
+    from pyspark.sql import Window
+
+    def _mwu():
+        # tag via parity (plan shape of mwu_drift_stat: the split constant
+        # is data-config in the registered query)
+        tagged = ev.select(
+            "event_type", F.col("v6").alias("v"),
+            (F.col("us") % 2 == 0).cast("long").alias("ref"),
+        )
+        pv = tagged.groupBy("event_type", "v").agg(
+            F.sum("ref").cast("long").alias("ca"),
+            F.sum(F.lit(1) - F.col("ref")).cast("long").alias("cb"),
+        )
+        w_cum = (
+            Window.partitionBy("event_type").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = pv.withColumn("cumb", F.sum("cb").over(w_cum).cast("long"))
+        return cum.groupBy("event_type").agg(
+            F.sum(F.col("ca") * (2 * F.col("cumb") - F.col("cb"))).alias("u2")
+        ).count()
+
+    def _emd():
+        binned = docs.select("source", F.expr("n_chars div 100").alias("bin"))
+        tot = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+        w_all = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        tot2 = tot.select(
+            "bin",
+            F.sum("c_all").over(w_all).cast("long").alias("cum_all"),
+            F.sum("c_all").over(Window.partitionBy()).cast("long").alias("n_total"),
+        )
+        srcn = binned.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+        per = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        grid = (
+            srcn.crossJoin(tot2)
+            .join(per, ["source", "bin"], "left")
+            .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        )
+        w_src = (
+            Window.partitionBy("source").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cums = grid.select(
+            "source", "ns", "bin", "cum_all", "n_total",
+            F.sum("c").over(w_src).cast("long").alias("cum_s"),
+            F.lead("bin").over(Window.partitionBy("source").orderBy("bin")).alias("nxt"),
+        )
+        term = F.abs(
+            F.col("cum_s") * F.col("n_total") - F.col("cum_all") * F.col("ns")
+        ) * F.coalesce(F.col("nxt") - F.col("bin"), F.lit(0))
+        return cums.groupBy("source").agg(F.sum(term).alias("emd_num")).count()
+
+    def _xcorr():
+        hourly = ev.groupBy(
+            "event_type", F.expr("us div 3600000000").alias("h")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        lags = hourly.sparkSession.range(0, 13).select(F.col("id").alias("lag"))
+        a = hourly.select(
+            F.col("event_type").alias("ta"), F.col("h").alias("ha"),
+            F.col("c").alias("ca"),
+        )
+        b = hourly.select(
+            F.col("event_type").alias("tb"), F.col("h").alias("hb"),
+            F.col("c").alias("cb"),
+        )
+        x = (
+            a.crossJoin(lags)
+            .join(b, (F.col("tb") != F.col("ta"))
+                  & (F.col("hb") == F.col("ha") + F.col("lag")))
+            .groupBy("ta", "tb", "lag")
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("xc"))
+        )
+        w = Window.partitionBy("ta", "tb").orderBy(F.col("xc").desc(), "lag")
+        return x.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") == 1
+        ).count()
+
+    def _grid():
+        spark = ev.sparkSession
+        cells = ev.select(
+            (F.col("user_id") % 32).alias("x"),
+            F.expr("(us div 3600000000) % 168").alias("y"),
+        ).groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        xs = spark.range(0, 32).select(F.col("id").alias("x"))
+        ys = spark.range(0, 168).select(F.col("id").alias("y"))
+        grid = (
+            xs.crossJoin(ys).join(cells, ["x", "y"], "left")
+            .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("long")))
+        )
+        w_row = Window.partitionBy("y").orderBy("x").rangeBetween(-1, 1)
+        w_col = Window.partitionBy("x").orderBy("y").rangeBetween(-1, 1)
+        box = grid.withColumn("sx", F.sum("c").over(w_row)).withColumn(
+            "box", F.sum("sx").over(w_col).cast("long")
+        )
+        return box.orderBy(F.col("box").desc(), "x", "y").limit(20).count()
+
+    def _itemsets():
+        parts = (
+            li.select("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        )
+        triples = parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps) - i - 1), (y, j) -> transform("
+                    "slice(ps, i + j + 3, size(ps) - i - j - 2), "
+                    "z -> struct(x AS a, y AS b, z AS c))))))"
+                )
+            ).alias("t")
+        ).select("t.a", "t.b", "t.c")
+        return (
+            triples.groupBy("a", "b", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+            .groupBy("sup").agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    def _novelty():
+        sg = docs.select(
+            "source", F.explode(T.word_ngrams(F.col("text"), 3)).alias("g")
+        ).distinct()
+        gs = sg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+        return (
+            sg.join(gs, "g")
+            .groupBy("source")
+            .agg(F.sum((F.col("ns") == 1).cast("long")).alias("u"))
+            .count()
+        )
+
+    return {
+        # (type, value)-grouped counts + cumulative window over fixed support
+        "mwu_drift": _mwu,
+        # two histogram aggs + support-sized cumulative windows
+        "emd_length_drift": _emd,
+        # one fact hourly agg; lag join fixed at types^2 * hours
+        "xcorr_best_lag": _xcorr,
+        # one fact cell agg; dense 32x168 grid windows are constant-sized
+        "grid_hotspots": _grid,
+        # basket agg + HOF triple explosion (baskets grow k x, size bounded)
+        "itemset_census": _itemsets,
+        # distinct (source, gram) + gram-keyed count (vocab saturates)
+        "source_ngram_novelty": _novelty,
+    }
+
+
 def replicate_facts(li: DataFrame, orders: DataFrame, k: int):
     """k disjoint copies of the (lineitem, orders) fact pair: ALL keys
     (order, part, supplier) are shifted per replica, so the co-occurrence /
@@ -705,6 +860,24 @@ def main() -> None:
                 ("kappa_cells", n),
             ):
                 sized.append(({name: b17[name]}, rows_in))
+        b18_names = {
+            "mwu_drift", "emd_length_drift", "xcorr_best_lag",
+            "grid_hotspots", "itemset_census", "source_ngram_novelty",
+        }
+        if only is None or only & b18_names:
+            if ev_full is None:
+                ev_full = replicate_events_full(ev_full_base, k)
+            b18 = batch18_workloads(docs, ev_full, li)
+            n_ev18 = ev_full.count()
+            for name, rows_in in (
+                ("mwu_drift", n_ev18),
+                ("emd_length_drift", n),
+                ("xcorr_best_lag", n_ev18),
+                ("grid_hotspots", n_ev18),
+                ("itemset_census", n_li),
+                ("source_ngram_novelty", n),
+            ):
+                sized.append(({name: b18[name]}, rows_in))
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)
