@@ -190,6 +190,11 @@ HEADLINE = [
     "source_ngram_novelty",
     "record_linkage_pairs",
     "hhi_supplier_concentration",
+    # round-5 batch 22: multiset Jaccard, maxgap patterns, bitmasks, item CF
+    "weighted_jaccard_pairs",
+    "gap_constrained_trigrams",
+    "activity_bitmask_hist",
+    "item_cf_similarity_topk",
 ]
 
 

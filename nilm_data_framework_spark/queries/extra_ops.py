@@ -5238,3 +5238,285 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "nation", "n_suppliers", "total_orders", "hhi_num", "hhi_den", "hhi_e6"
     )
+
+
+# --- weighted (multiset) Jaccard near-dup ----------------------------------------
+
+
+def _weighted_jaccard_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+    from nilm_data_framework_spark.queries.dedup_text import _DUPED
+
+    return f"""
+    WITH toksrc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM ({_DUPED}) documents
+    ),
+    dg AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        FROM toksrc WHERE len(toks) >= 3
+      ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t FROM dg GROUP BY 1),
+    smin AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS s_min
+      FROM dg a JOIN dg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, s.s_min,
+           ta.t AS tot_a, tb.t AS tot_b,
+           {ratio_e4_sql('s.s_min', '(ta.t + tb.t - s.s_min)')}
+             AS wjaccard_e4
+    FROM smin s
+    JOIN tot ta ON ta.doc_id = s.id_a
+    JOIN tot tb ON tb.doc_id = s.id_b
+    WHERE 3 * s.s_min >= ta.t + tb.t
+    """
+
+
+@query(
+    "weighted_jaccard_pairs",
+    oracle=_weighted_jaccard_oracle(),
+    survey_ref="§2.10 dedup: weighted (multiset) Jaccard join — "
+    "J_w = Σ min(c_a,c_b) / Σ max(c_a,c_b) over 3-gram OCCURRENCE counts "
+    "(repetition-aware: a doc that repeats a passage 10× is no longer "
+    "'identical' to one that has it once, which set Jaccard cannot see); "
+    "Σmax = t_a + t_b − Σmin keeps everything BIGINT, threshold 1/2 via "
+    "3·Σmin ≥ t_a + t_b cross-multiplication",
+)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset near-dup at J_w >= 0.5 over the duped fixture: one
+    (doc, gram) count agg (the multiset), one gram-keyed pair join
+    summing least(c_a, c_b), two total joins. Completes the exact-dedup
+    family: set Jaccard (prefix filter), containment (doc-in-doc), and
+    this repetition-aware multiset form. At 100 TB candidates come from
+    any bucketing (LSH/prefix) before the Σmin join — here the gate
+    deliberately verifies against the all-shared-gram quadratic."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.operators.text import word_ngrams_all
+    from nilm_data_framework_spark.queries.dedup_text import _docs_with_dups
+
+    docs = _docs_with_dups(spark, sf_dir)
+    dg = (
+        docs.select(
+            "doc_id", F.explode(word_ngrams_all(F.col("text"), 3)).alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = dg.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("t"))
+    a = dg.select(
+        F.col("doc_id").alias("id_a"), "gram", F.col("cnt").alias("ca")
+    )
+    b = dg.select(
+        F.col("doc_id").alias("id_b"), "gram", F.col("cnt").alias("cb")
+    )
+    smin = (
+        a.join(b, ["gram"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("s_min"))
+    )
+    ta = tot.select(F.col("doc_id").alias("id_a"), F.col("t").alias("tot_a"))
+    tb = tot.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tot_b"))
+    return (
+        smin.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(3 * F.col("s_min") >= F.col("tot_a") + F.col("tot_b"))
+        .select(
+            "id_a", "id_b", "s_min", "tot_a", "tot_b",
+            ratio_e4("s_min", "(tot_a + tot_b - s_min)").alias("wjaccard_e4"),
+        )
+    )
+
+
+# --- gap-constrained sequential patterns ------------------------------------------
+
+
+@query(
+    "gap_constrained_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3,
+             lead(epoch_us(ts), 1) OVER w AS us2,
+             lead(epoch_us(ts), 2) OVER w AS us3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq
+    WHERE t3 IS NOT NULL
+      AND us2 - us <= 3600000000 AND us3 - us2 <= 3600000000
+    GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+    """,
+    survey_ref="§2 extension: GAP-CONSTRAINED sequential patterns (cSPADE-"
+    "style maxgap) — event-type trigrams whose consecutive steps are "
+    "≤ 1 h apart, top-20 by support; the temporal-constraint variant of "
+    "event_type_trigrams (unconstrained counts conflate a 3-step flow "
+    "with three visits a week apart)",
+)
+def gap_constrained_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral 3-step flows that actually happen as flows: the same
+    one user-keyed window as the unconstrained trigram query, plus two
+    lead(us) columns and an integer-micros gap predicate — the maxgap
+    constraint costs zero extra shuffles."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "event_type",
+        "us",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+        F.lead("us", 1).over(w).alias("us2"),
+        F.lead("us", 2).over(w).alias("us3"),
+    )
+    return (
+        seq.where(
+            F.col("t3").isNotNull()
+            & (F.col("us2") - F.col("us") <= 3600000000)
+            & (F.col("us3") - F.col("us2") <= 3600000000)
+        )
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )
+
+
+# --- bitwise activity masks ---------------------------------------------------------
+
+
+@query(
+    "activity_bitmask_hist",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             bit_or(1::BIGINT << CAST((epoch_us(ts) // 3600000000) % 24
+                                      AS INT)) AS mask
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(bit_count(mask) AS BIGINT) AS n_active_hours,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(mask) AS BIGINT) AS min_mask,
+           CAST(max(mask) AS BIGINT) AS max_mask
+    FROM per_user GROUP BY 1
+    """,
+    survey_ref="§2.7/F-family extension: bitwise aggregate functions — "
+    "per-user 24-bit hour-of-day activity mask via bit_or(1<<hod), "
+    "popcount histogram via bit_count; the roaring-bitmap-style set "
+    "encoding (64 set members per BIGINT, OR-mergeable across shards)",
+)
+def activity_bitmask_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which hours of the day is each user active, packed into one
+    BIGINT? bit_or is a mergeable aggregate (map-side combined like
+    sum), so the mask build is one linear pass; bit_count reads the
+    distinct-hour count straight off the mask with no second distinct
+    agg. The same encoding underlies bitmap indexes and co-visitation
+    set intersections (AND of two masks) at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(shiftleft(1L, CAST((unix_micros(ts) div 3600000000) % 24"
+            " AS INT)))"
+        ).alias("mask")
+    )
+    return per_user.groupBy(
+        F.bit_count("mask").cast("long").alias("n_active_hours")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("mask").cast("long").alias("min_mask"),
+        F.max("mask").cast("long").alias("max_mask"),
+    )
+
+
+# --- item-item collaborative-filtering similarity -----------------------------------
+
+
+def _item_cf_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled_sql
+
+    return f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS a_item, b.l_partkey AS b_item,
+             CAST(count(*) AS BIGINT) AS co
+      FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey
+                         AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS d FROM op GROUP BY 1
+    )
+    SELECT c.a_item, c.b_item, c.co, da.d AS deg_a, db.d AS deg_b,
+           {ratio_scaled_sql('(c.co * c.co)', '(da.d * db.d)', 6)}
+             AS cos2_e6
+    FROM co c
+    JOIN deg da ON da.l_partkey = c.a_item
+    JOIN deg db ON db.l_partkey = c.b_item
+    ORDER BY cos2_e6 DESC, a_item, b_item
+    LIMIT 25
+    """
+
+
+@query(
+    "item_cf_similarity_topk",
+    oracle=_item_cf_oracle(),
+    survey_ref="§2 extension: item-item collaborative-filtering "
+    "similarity (Sarwar et al. 2001) — co-occurrence cosine over basket "
+    "membership ranked by the exact SQUARED cosine co²·1e6/(deg_a·deg_b) "
+    "(scaled-integer, no sqrt), support ≥ 2; the normalized companion of "
+    "common_neighbors_linkpred's raw counts",
+)
+def item_cf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Customers who bought X also bought Y', normalized so prolific
+    items don't dominate: cosine over the binary basket-membership
+    vectors = co/√(deg_a·deg_b), ranked by its SQUARE as an exact e6
+    integer (monotone in cosine for co ≥ 0, so the ranking is identical
+    — and deterministic where float sqrt would tie-flip). Co-occurrence
+    rides the shared join-free HOF basket kernel; degree joins are
+    item-dimension-sized."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled
+    from nilm_data_framework_spark.queries.advanced_analytics import (
+        _copurchase_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    co = _copurchase_edges(li, min_support=2, support_col="co").select(
+        F.col("src").alias("a_item"), F.col("dst").alias("b_item"),
+        F.col("co").cast("long").alias("co"),
+    )
+    deg = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("l_partkey").alias("a_item"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("l_partkey").alias("b_item"), F.col("d").alias("deg_b"))
+    return (
+        co.join(da, "a_item")
+        .join(db, "b_item")
+        .select(
+            "a_item", "b_item", "co", "deg_a", "deg_b",
+            ratio_scaled("(co * co)", "(deg_a * deg_b)", 6).alias("cos2_e6"),
+        )
+        .orderBy(F.col("cos2_e6").desc(), "a_item", "b_item")
+        .limit(25)
+    )

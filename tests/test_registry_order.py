@@ -111,6 +111,10 @@ _POST_FREEZE = {
     "source_ngram_novelty",
     "record_linkage_pairs",
     "hhi_supplier_concentration",
+    "weighted_jaccard_pairs",
+    "gap_constrained_trigrams",
+    "activity_bitmask_hist",
+    "item_cf_similarity_topk",
 }
 
 
