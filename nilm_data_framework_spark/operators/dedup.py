@@ -532,6 +532,12 @@ def prefix_filter_jaccard_pairs(
     prefix positions, one equi-join on prefix grams bounded by the rare-
     gram posting lists, then |candidates| array intersections. No global
     sort; the df order is a sort KEY, not a materialized global rank.
+    The shingle table feeds FOUR branches (df counts, the rank window,
+    and both verification sides) but is deliberately NOT checkpointed:
+    measured min-of-3 at sf0.1 is identical either way (6.3 s vs 6.5 s —
+    the branches land behind shuffles Catalyst reuses), and an eager
+    localCheckpoint would materialize the full shingle table to executor
+    disk at 100 TB for nothing.
     """
     g = (
         df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), n).alias("g"))
@@ -598,7 +604,9 @@ def containment_prefix_pairs(
     Scale shape: the join is bounded by Σ_g prefix_count(g)·df(g) — the
     rarest-first order keeps high-df shingles out of the probe side, so
     hot posting lists are never probed. One df agg, one doc-local rank
-    window, one equi-join, |candidates| exact verifications.
+    window, one equi-join, |candidates| exact verifications. Shingles
+    deliberately not checkpointed — measured neutral at sf0.1 (exchange
+    reuse covers the fan-out; see prefix_filter_jaccard_pairs).
     """
     g = (
         df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), n).alias("g"))
