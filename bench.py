@@ -195,6 +195,7 @@ HEADLINE = [
     "gap_constrained_trigrams",
     "activity_bitmask_hist",
     "item_cf_similarity_topk",
+    "session_window_native",
 ]
 
 

@@ -5520,3 +5520,59 @@ def item_cf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos2_e6").desc(), "a_item", "b_item")
         .limit(25)
     )
+
+
+# --- native session windows ---------------------------------------------------------
+
+
+@query(
+    "session_window_native",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey_ref="§2.7/§2.9 native operator: Spark's built-in "
+    "session_window() (dynamic-gap session aggregation inside the "
+    "engine, usable identically in batch and Structured Streaming) — "
+    "the oracle replays the merge rule as gaps-and-islands with the "
+    "session_window boundary convention (ts − prev ≥ gap starts a new "
+    "session; window end = last event + gap), proving the built-in's "
+    "semantics equal the manual islands form",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native sessionizer: groupBy(user, session_window(ts,
+    '30 minutes')) merges overlapping [ts, ts+gap) intervals inside the
+    aggregation operator — one exchange, no window-function pass, and
+    the SAME expression works under readStream with watermark-driven
+    state eviction (the manual islands form does not stream). NOTE the
+    boundary differs from the repo's SESSION_IDS_CTES grain: the
+    built-in starts a new session at diff ≥ gap, sessionize at
+    diff > gap — both conventions are kept, each oracle-pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("start_us"),
+        F.unix_micros(F.col("w.end")).alias("end_us"),
+        "n_events",
+    )

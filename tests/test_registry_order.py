@@ -115,6 +115,7 @@ _POST_FREEZE = {
     "gap_constrained_trigrams",
     "activity_bitmask_hist",
     "item_cf_similarity_topk",
+    "session_window_native",
 }
 
 
