@@ -196,6 +196,7 @@ HEADLINE = [
     "activity_bitmask_hist",
     "item_cf_similarity_topk",
     "session_window_native",
+    "streaming_session_window_equiv",
 ]
 
 

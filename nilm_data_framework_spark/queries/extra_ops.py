@@ -5576,3 +5576,92 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("w.end")).alias("end_us"),
         "n_events",
     )
+
+
+# --- streaming session_window equivalence --------------------------------------------
+
+_SESSION_WIN_SINK = "streaming_session_window_sink"
+
+
+@query(
+    "streaming_session_window_equiv",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey_ref="§2.9 streaming analog: the ENGINE-NATIVE session_window "
+    "aggregation run as a 3-micro-batch file stream (complete mode, "
+    "availableNow drain) — per-(user, session) state must MERGE across "
+    "batch boundaries (a session whose events straddle two files arrives "
+    "as two partial windows the state store unifies); final sink == the "
+    "batch gaps-and-islands oracle, the same one session_window_native "
+    "pins in batch",
+    tags=("streaming",),
+)
+def streaming_session_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window under readStream: the one stateful operator whose
+    state is an INTERVAL (merge-able), not a scalar — micro-batch
+    boundaries split sessions and the store must coalesce overlapping
+    [start, last+gap) fragments. Time-range slices + maxFilesPerTrigger=1
+    make the cross-batch merge real; complete mode retains every session
+    so the drained sink equals the batch answer exactly (no watermark
+    cutoff subtlety in the gate; production adds withWatermark for
+    eviction, same expression)."""
+    import hashlib
+
+    from nilm_data_framework_spark.queries.streaming_equiv import (
+        _EVENTS_TS,
+        _run_to_memory_sink,
+        _staged_stream_dir,
+    )
+    from nilm_data_framework_spark.sources.testdata import (
+        _ensure_session_confs,
+        load_table,
+    )
+
+    _ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = _staged_stream_dir(
+        f"sesswin_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        {
+            "a": ev.filter(F.col("ts") < F.lit("2024-01-10")),
+            "b": ev.filter(
+                (F.col("ts") >= F.lit("2024-01-10"))
+                & (F.col("ts") < F.lit("2024-01-20"))
+            ),
+            "c": ev.filter(F.col("ts") >= F.lit("2024-01-20")),
+        },
+    )
+    stream = (
+        spark.readStream.schema(_EVENTS_TS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    _run_to_memory_sink(agg, _SESSION_WIN_SINK, output_mode="complete")
+    return spark.table(_SESSION_WIN_SINK).select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("start_us"),
+        F.unix_micros(F.col("w.end")).alias("end_us"),
+        "n_events",
+    )

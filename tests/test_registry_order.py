@@ -116,6 +116,7 @@ _POST_FREEZE = {
     "activity_bitmask_hist",
     "item_cf_similarity_topk",
     "session_window_native",
+    "streaming_session_window_equiv",
 }
 
 
