@@ -197,6 +197,10 @@ HEADLINE = [
     "item_cf_similarity_topk",
     "session_window_native",
     "streaming_session_window_equiv",
+    # round-5 batch 23: NILM steady-state / edge detection family
+    "steady_state_segments",
+    "power_step_signatures",
+    "step_signature_match",
 ]
 
 

@@ -5665,3 +5665,201 @@ def streaming_session_window_equiv(spark: SparkSession, sf_dir: str) -> DataFram
         F.unix_micros(F.col("w.end")).alias("end_us"),
         "n_events",
     )
+
+
+# --- NILM steady-state segmentation & edge detection ---------------------------------
+# The reference framework's downstream purpose is NILM event detection:
+# steady power plateaus, the step edges between them, and matching steps to
+# appliance signatures (Hart 1992's finite-state appliance model). The
+# segment grain lives ONCE (Spark helper + one oracle CTE string) so the
+# three queries can never drift from the segmenter.
+
+_STEADY_TOL_U6 = 30_000_000  # |Δvalue| <= 30 units stays in-segment
+_STEADY_MIN_N = 3
+
+STEADY_SEG_CTES = f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS v6
+      FROM events
+    ),
+    d AS (
+      SELECT *, CASE WHEN lag(v6) OVER w IS NULL
+                       OR abs(v6 - lag(v6) OVER w) > {_STEADY_TOL_U6}
+                     THEN 1 ELSE 0 END AS b
+      FROM e
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(sum(b) OVER (PARTITION BY user_id, event_type
+                 ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS sid
+      FROM d
+    ),
+    seg AS (
+      SELECT user_id, event_type,
+             CAST(min(us) AS BIGINT) AS start_us,
+             CAST(max(us) AS BIGINT) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST((2 * sum(v6) + 100 * count(*))
+                  // (200 * count(*)) AS BIGINT) AS mean_e4
+      FROM s GROUP BY user_id, event_type, sid
+      HAVING count(*) >= {_STEADY_MIN_N}
+    )"""
+
+
+def _steady_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of STEADY_SEG_CTES: maximal runs where consecutive
+    readings move <= 30 units, per (user, type) channel, kept at n >= 3.
+    One channel-keyed exchange serves the lag, the running sum, and the
+    per-segment agg; the mean is the shared u6->e4 exact rounding."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.exact_math import u6_mean_e4
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v6"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    prev = F.lag("v6").over(w)
+    d = ev.withColumn(
+        "b",
+        F.when(
+            prev.isNull() | (F.abs(F.col("v6") - prev) > _STEADY_TOL_U6), 1
+        ).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = d.withColumn("sid", F.sum("b").over(run).cast("long"))
+    return (
+        s.groupBy("user_id", "event_type", "sid")
+        .agg(
+            F.min("us").cast("long").alias("start_us"),
+            F.max("us").cast("long").alias("end_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            u6_mean_e4("sum(v6)", "count(1)").alias("mean_e4"),
+        )
+        .where(F.col("n_events") >= _STEADY_MIN_N)
+        .drop("sid")
+    )
+
+
+@query(
+    "steady_state_segments",
+    oracle=f"""
+    {STEADY_SEG_CTES}
+    SELECT user_id, event_type, start_us, end_us, n_events, mean_e4
+    FROM seg
+    """,
+    survey_ref="§2.4/§2.7 NILM core extension: steady-state detection "
+    "(Hart 1992 finite-state model) — maximal per-channel runs with "
+    "|Δ| ≤ 30 units via gaps-and-islands on ONE channel exchange; "
+    "segment means in the shared exact u6→e4 rounding; the plateau "
+    "table every edge-based disaggregator starts from",
+)
+def steady_state_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NILM plateau table: where each channel's reading holds level
+    (tolerance-banded) for >= 3 samples. One exchange for lag + running
+    sum + segment agg — the same W5 gaps-and-islands kernel as
+    run_segments, lifted from binary activity to tolerance-banded
+    continuous values."""
+    return _steady_segments(spark, sf_dir)
+
+
+@query(
+    "power_step_signatures",
+    oracle=f"""
+    {STEADY_SEG_CTES},
+    steps AS (
+      SELECT event_type,
+             lead(mean_e4) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY start_us) - mean_e4 AS step_e4
+      FROM seg
+    )
+    SELECT CAST(((step_e4 + 10000000) // 25000) * 25000 - 10000000
+                AS BIGINT) AS bucket_lo_e4,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(min(step_e4) AS BIGINT) AS min_step_e4,
+           CAST(max(step_e4) AS BIGINT) AS max_step_e4
+    FROM steps WHERE step_e4 IS NOT NULL
+    GROUP BY 1
+    """,
+    survey_ref="§2.4 NILM core extension: edge detection — level steps "
+    "between consecutive steady segments per channel, histogrammed in "
+    "2.5-unit buckets; SIGNED bucketing goes through the +1e7 offset so "
+    "integer division floors identically in both engines (the signed-div "
+    "divergence rule)",
+)
+def power_step_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The appliance-signature histogram: step edges (on/off transitions
+    in a real deployment) between plateaus. lead() over the segment
+    table (already tiny vs events), one bucket agg; buckets of the
+    SIGNED step use an offset so div == floor in Spark and DuckDB."""
+    from pyspark.sql import Window
+
+    seg = _steady_segments(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("start_us")
+    steps = seg.select(
+        "event_type",
+        (F.lead("mean_e4").over(w) - F.col("mean_e4")).alias("step_e4"),
+    ).where(F.col("step_e4").isNotNull())
+    bucket_lo = (
+        F.expr("((step_e4 + 10000000) div 25000) * 25000 - 10000000")
+    ).cast("long")
+    return steps.groupBy(bucket_lo.alias("bucket_lo_e4")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.min("step_e4").cast("long").alias("min_step_e4"),
+        F.max("step_e4").cast("long").alias("max_step_e4"),
+    )
+
+
+@query(
+    "step_signature_match",
+    oracle=f"""
+    {STEADY_SEG_CTES},
+    steps AS (
+      SELECT event_type,
+             abs(lead(mean_e4) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY start_us) - mean_e4)
+               AS astep
+      FROM seg
+    )
+    SELECT event_type,
+           CAST(CASE WHEN astep <= 300000 THEN 10
+                     WHEN astep <= 750000 THEN 50
+                     WHEN astep <= 1500000 THEN 100
+                     WHEN astep <= 2500000 THEN 200
+                     ELSE 300 END AS BIGINT) AS signature_units,
+           CAST(count(*) AS BIGINT) AS n_matched
+    FROM steps WHERE astep IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey_ref="§2.5 NILM core extension: step→appliance-signature "
+    "matching — each |edge| assigned to the nearest of five literal "
+    "signature magnitudes (10/50/100/200/300 units) by exact-integer "
+    "midpoint thresholds (ties to the smaller signature, ≤ in both "
+    "engines); the load-identification join of Hart's model",
+)
+def step_signature_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Which appliance was that?': nearest-signature classification of
+    every step edge via midpoint CASE thresholds — integer-exact, no
+    argmin join needed for a literal 5-row signature dim. Counts per
+    (channel type, signature)."""
+    from pyspark.sql import Window
+
+    seg = _steady_segments(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("start_us")
+    steps = seg.select(
+        "event_type",
+        F.abs(F.lead("mean_e4").over(w) - F.col("mean_e4")).alias("astep"),
+    ).where(F.col("astep").isNotNull())
+    sig = (
+        F.when(F.col("astep") <= 300000, 10)
+        .when(F.col("astep") <= 750000, 50)
+        .when(F.col("astep") <= 1500000, 100)
+        .when(F.col("astep") <= 2500000, 200)
+        .otherwise(300)
+    ).cast("long")
+    return steps.groupBy(
+        "event_type", sig.alias("signature_units")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_matched"))

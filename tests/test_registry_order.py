@@ -117,6 +117,9 @@ _POST_FREEZE = {
     "item_cf_similarity_topk",
     "session_window_native",
     "streaming_session_window_equiv",
+    "steady_state_segments",
+    "power_step_signatures",
+    "step_signature_match",
 }
 
 
