@@ -150,6 +150,30 @@ SHOWCASE = [
      "all three aggregates ride ONE exchange on the group key; medians "
      "picked by conditional aggregation, never a percentile UDF or "
      "self-join"),
+    ("prefix_filter_neardup_pairs", "prefix-filtered exact Jaccard (r5): "
+     "the df order is a WINDOW SORT KEY inside each doc partition (no "
+     "global rank); candidates come from the prefix self-equi-join on "
+     "gram — posting-list-bounded, never an all-pairs product; "
+     "verification is an array_intersect projection over candidates"),
+    ("session_window_native", "native session windows (r5): the plan's "
+     "UpdatingSessions/MergingSessions operators do the gap-merge INSIDE "
+     "the aggregation — one exchange on the session key, no window-"
+     "function pass, and the identical expression streams"),
+    ("grid_hotspots_topk", "separable 2-D box filter (r5): two cascaded "
+     "RANGE-frame windows, each exchanging on the OTHER axis — the 3x3 "
+     "neighborhood never becomes a 9-way self-join; top-k is "
+     "TakeOrderedAndProject over the constant-size grid"),
+    ("haar_detail_topk", "Haar details (r5): all 9 dyadic levels from ONE "
+     "partial+final aggregate after the 9-row level-dim broadcast "
+     "nested-loop cross — no per-level passes over the fact agg"),
+    ("itemset_support_histogram", "itemset census (r5): pair AND triple "
+     "candidates from chained HOF transforms over the SAME basket array "
+     "(one groupBy(order) exchange) — the oracle's three-way self-join "
+     "never appears in the Spark plan"),
+    ("steady_state_segments", "NILM steady states (r5): lag, running "
+     "boundary sum, and the per-segment aggregate all ride ONE exchange "
+     "on the channel key — the W5 gaps-and-islands shape on continuous "
+     "values"),
 ]
 
 
