@@ -403,3 +403,88 @@ def test_merge_accumulate_invariant_to_batch_cut(spark, cuts, seed):
         state = merge_accumulate(state, agg_b, "k", sums=["n", "s"], maxes=["m"])
     folded = {r["k"]: (r["n"], r["s"], r["m"]) for r in state.collect()}
     assert folded == one_shot
+
+
+# --- prefix-filter lemma (pure Python — no Spark, no oracle) -----------------------
+
+
+def _prefix_of(grams: frozenset, df: dict, p: int) -> set:
+    """The p globally-rarest grams of a doc under the (df, gram) total order."""
+    return set(sorted(grams, key=lambda g: (df[g], g))[:p])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_prefix_lemma_jaccard_lossless(corpora, t_num):
+    """Every pair with J >= t shares a gram in BOTH prefixes (the candidate
+    rule of operators/dedup.py::prefix_filter_jaccard_pairs) — the lemma
+    checked directly on arbitrary tiny multisets, a tiny alphabet forcing
+    heavy gram collisions. t sweeps 0.1..0.9."""
+    t_den = 10
+    gsets = [frozenset(zip(tk, tk[1:])) for tk in corpora]
+    gsets = [g for g in gsets if g]
+    df: dict = {}
+    for g in gsets:
+        for x in g:
+            df[x] = df.get(x, 0) + 1
+    prefixes = []
+    for g in gsets:
+        s = len(g)
+        p = s - (-(-t_num * s // t_den)) + 1  # s - ceil(t*s) + 1
+        prefixes.append(_prefix_of(g, df, p))
+    for i in range(len(gsets)):
+        for j in range(i + 1, len(gsets)):
+            inter = len(gsets[i] & gsets[j])
+            union = len(gsets[i] | gsets[j])
+            if inter * t_den >= t_num * union:  # J >= t
+                assert prefixes[i] & prefixes[j], (
+                    f"lossless violated: pair ({i},{j}) J="
+                    f"{inter}/{union} >= {t_num}/{t_den} but prefixes disjoint"
+                )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_prefix_lemma_containment_lossless(corpora, t_num):
+    """Containment variant (operators/dedup.py::containment_prefix_pairs):
+    any pair with inter >= t·s_small must share a gram between the SMALL
+    side's prefix and the large side's FULL set."""
+    t_den = 10
+    gsets = [frozenset(zip(tk, tk[1:])) for tk in corpora]
+    gsets = [g for g in gsets if g]
+    df: dict = {}
+    for g in gsets:
+        for x in g:
+            df[x] = df.get(x, 0) + 1
+    prefixes = []
+    for g in gsets:
+        s = len(g)
+        p = s - (-(-t_num * s // t_den)) + 1
+        prefixes.append(_prefix_of(g, df, p))
+    for i in range(len(gsets)):
+        for j in range(len(gsets)):
+            if i == j:
+                continue
+            a, b = gsets[i], gsets[j]
+            if not (len(a) < len(b) or (len(a) == len(b) and i < j)):
+                continue  # a must be the small side (op orientation rule)
+            inter = len(a & b)
+            if inter * t_den >= t_num * len(a):
+                assert prefixes[i] & b, (
+                    f"containment lossless violated: ({i},{j}) inter={inter}"
+                    f" s_small={len(a)} t={t_num}/{t_den}"
+                )
