@@ -201,6 +201,11 @@ HEADLINE = [
     "steady_state_segments",
     "power_step_signatures",
     "step_signature_match",
+    # round-5 batch 24: Allen algebra, habits, FD profiling, Lorenz curve
+    "allen_relations_census",
+    "habitual_hours",
+    "fd_violation_audit",
+    "lorenz_curve_deciles",
 ]
 
 

@@ -5863,3 +5863,255 @@ def step_signature_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.groupBy(
         "event_type", sig.alias("signature_units")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+
+
+# --- Allen interval-algebra census ---------------------------------------------------
+
+_ALLEN_CASE = """
+    CASE WHEN ea < sb THEN 'precedes'
+         WHEN ea = sb THEN 'meets'
+         WHEN sa < sb AND sb < ea AND ea < eb THEN 'overlaps'
+         WHEN sa = sb AND ea < eb THEN 'starts'
+         WHEN sa > sb AND ea < eb THEN 'during'
+         WHEN sa > sb AND ea = eb THEN 'finishes'
+         WHEN sa = sb AND ea = eb THEN 'equals'
+         WHEN sa < sb AND ea = eb THEN 'finished_by'
+         WHEN sa < sb AND ea > eb THEN 'contains'
+         WHEN sa = sb AND ea > eb THEN 'started_by'
+         WHEN sa < eb AND sa > sb AND ea > eb THEN 'overlapped_by'
+         WHEN sa = eb THEN 'met_by'
+         ELSE 'preceded_by' END
+"""
+
+
+@query(
+    "allen_relations_census",
+    oracle=f"""
+    {STEADY_SEG_CTES},
+    a AS (SELECT user_id, start_us AS sa, end_us AS ea FROM seg
+          WHERE event_type = 'click'),
+    b AS (SELECT user_id, start_us AS sb, end_us AS eb FROM seg
+          WHERE event_type = 'view'),
+    pairs AS (
+      SELECT {_ALLEN_CASE} AS rel
+      FROM a JOIN b USING (user_id)
+    )
+    SELECT rel, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+    survey_ref="§2.3/§2.4 extension: Allen interval-algebra census (Allen "
+    "1983) — every (click-segment, view-segment) pair per user classified "
+    "into the 13 temporal relations by exact-micros CASE comparisons over "
+    "the shared steady-segment grain; the temporal-reasoning layer above "
+    "plain overlap joins",
+)
+def allen_relations_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW do two channels' plateaus relate in time — not just 'do they
+    overlap' (pairwise_coactivation) but which of Allen's 13 relations
+    each pair realizes. The pair join is user-local (equi-join on
+    user_id; segments per channel are few), classification is one
+    branch-ordered CASE both engines evaluate identically on exact
+    integer micros."""
+    seg = _steady_segments(spark, sf_dir)
+    a = seg.where(F.col("event_type") == "click").select(
+        "user_id", F.col("start_us").alias("sa"), F.col("end_us").alias("ea")
+    )
+    b = seg.where(F.col("event_type") == "view").select(
+        "user_id", F.col("start_us").alias("sb"), F.col("end_us").alias("eb")
+    )
+    pairs = a.join(b, "user_id").select(F.expr(_ALLEN_CASE).alias("rel"))
+    return pairs.groupBy("rel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+# --- habitual-hours behavioral screen -------------------------------------------------
+
+
+@query(
+    "habitual_hours",
+    oracle="""
+    WITH uh AS (
+      SELECT user_id,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+             CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+               AS n_days,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hod,
+           CAST(count(*) AS BIGINT) AS n_habitual_users,
+           CAST(max(n_days) AS BIGINT) AS max_days,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM uh WHERE n_days >= 5 GROUP BY 1
+    """,
+    survey_ref="§2.4 extension: habitual-behavior screen — (user, "
+    "hour-of-day) cells active on ≥ 5 DISTINCT days (periodicity by "
+    "count-distinct-day, robust to burst volume); per-hour census of "
+    "habitual users — the recurring-schedule detector (cron traffic, "
+    "appliance timers, commute patterns)",
+)
+def habitual_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which hours carry RECURRING activity rather than one-off bursts?
+    Two hash aggs: (user, hod) cells with distinct-day support, then the
+    per-hour rollup of cells passing the ≥5-day habit threshold. All
+    keys are derived integers; both passes map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.groupBy(
+        "user_id",
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hod"),
+    ).agg(
+        F.countDistinct(F.expr("unix_micros(ts) div 86400000000"))
+        .cast("long")
+        .alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        uh.where(F.col("n_days") >= 5)
+        .groupBy("hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_habitual_users"),
+            F.max("n_days").cast("long").alias("max_days"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+# --- functional-dependency profiling ---------------------------------------------------
+
+
+@query(
+    "fd_violation_audit",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'o_orderkey->o_custkey' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(max(d) AS BIGINT) AS max_distinct_rhs
+      FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS d
+            FROM orders GROUP BY 1)
+    ),
+    fd2 AS (
+      SELECT 'o_custkey->o_orderpriority',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(d) AS BIGINT)
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS d
+            FROM orders GROUP BY 1)
+    ),
+    fd3 AS (
+      SELECT 'l_orderkey->l_suppkey',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(d) AS BIGINT)
+      FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS d
+            FROM lineitem GROUP BY 1)
+    )
+    SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+    """,
+    survey_ref="§2.4 extension: functional-dependency profiling (the "
+    "X→Y discovery/validation step of schema inference and data-quality "
+    "suites) — per-candidate-FD group counts, violating-group counts, "
+    "and worst fan-out, all exact; one holds (PK), two violated",
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does X determine Y in this data? Three candidate FDs audited by
+    groupBy(lhs) + countDistinct(rhs): the PK dependency holds
+    (n_violating = 0 is the assertion a constraint suite would pin),
+    the two non-key candidates quantify HOW broken they are
+    (max_distinct_rhs = the fan-out a denormalizer must handle). Each
+    audit is one hash agg + one 3-column rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def audit(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        per = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).cast("long").alias("d")
+        )
+        return per.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("d") > 1).cast("long")).cast("long").alias("n_violating"),
+            F.max("d").cast("long").alias("max_distinct_rhs"),
+        )
+
+    return (
+        audit(orders, "o_orderkey", "o_custkey")
+        .unionByName(audit(orders, "o_custkey", "o_orderpriority"))
+        .unionByName(audit(li, "l_orderkey", "l_suppkey"))
+    )
+
+
+# --- Lorenz curve ------------------------------------------------------------------------
+
+
+def _lorenz_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+
+    return f"""
+    WITH ranked AS (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    ),
+    per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM ranked GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile, n_docs, chars,
+             CAST(sum(chars) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_chars,
+             CAST(sum(chars) OVER () AS BIGINT) AS total_chars
+      FROM per
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, chars, cum_chars,
+           {ratio_e4_sql('cum_chars', 'total_chars')} AS cum_share_e4
+    FROM cum
+    """
+
+
+@query(
+    "lorenz_curve_deciles",
+    oracle=_lorenz_oracle(),
+    survey_ref="§2.4 extension: Lorenz curve of content mass — cumulative "
+    "character share per doc-count decile (fully tiebroken ntile), the "
+    "curve behind gini_key_skew's single number; exact e4 shares",
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is corpus mass in the longest documents? The
+    10-point Lorenz curve: equal-count deciles by length (deterministic
+    ntile with doc_id tiebreak), cumulative exact character sums, e4
+    shares. Window input is 10 rows after the decile agg."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "n_chars",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy()
+    cum = per.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_docs",
+        "chars",
+        F.sum("chars").over(w_cum).cast("long").alias("cum_chars"),
+        F.sum("chars").over(w_tot).cast("long").alias("total_chars"),
+    )
+    return cum.select(
+        "decile",
+        "n_docs",
+        "chars",
+        "cum_chars",
+        ratio_e4("cum_chars", "total_chars").alias("cum_share_e4"),
+    )

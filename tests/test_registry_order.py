@@ -120,6 +120,10 @@ _POST_FREEZE = {
     "steady_state_segments",
     "power_step_signatures",
     "step_signature_match",
+    "allen_relations_census",
+    "habitual_hours",
+    "fd_violation_audit",
+    "lorenz_curve_deciles",
 }
 
 
