@@ -206,6 +206,10 @@ HEADLINE = [
     "habitual_hours",
     "fd_violation_audit",
     "lorenz_curve_deciles",
+    # round-5 batch 25: robust stats (boxplot fences, Theil-Sen, runs test)
+    "tukey_fences_outliers",
+    "theil_sen_daily_trend",
+    "runs_test_randomness",
 ]
 
 

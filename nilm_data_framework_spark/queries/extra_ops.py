@@ -6115,3 +6115,251 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_chars",
         ratio_e4("cum_chars", "total_chars").alias("cum_share_e4"),
     )
+
+
+# --- Tukey fences (boxplot outliers, exact) --------------------------------------------
+
+
+@query(
+    "tukey_fences_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v6,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v6,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v6, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    q AS (
+      SELECT event_type, v6, rk, n,
+             max(CASE WHEN rk = (n + 3) // 4 THEN v6 END)
+               OVER (PARTITION BY event_type) AS q1,
+             max(CASE WHEN rk = (3 * n + 3) // 4 THEN v6 END)
+               OVER (PARTITION BY event_type) AS q3
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(q1) AS BIGINT) AS q1_v6,
+           CAST(max(q3) AS BIGINT) AS q3_v6,
+           CAST(sum(CASE WHEN 2 * v6 < 2 * q1 - 3 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN 2 * v6 > 2 * q3 + 3 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM q GROUP BY 1
+    """,
+    survey_ref="§2.4 robust stats: Tukey boxplot fences — type-1 "
+    "quartiles rank-picked exactly (fully tiebroken), 1.5·IQR fences "
+    "evaluated as the DOUBLED integer inequality 2v < 2Q1 − 3·IQR (no "
+    "halves, no floats); the boxplot companion of the MAD and 3σ "
+    "detectors",
+)
+def tukey_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic boxplot screen, typed-hash-exact: one exchange on
+    event_type carries the rank window, the two conditional-max
+    quartile broadcasts (window form — no self-join back), and the
+    fence counts. Doubling both sides of the 1.5·IQR comparison keeps
+    every operand BIGINT."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v6"),
+        "event_id",
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("v6", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "v6",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    q = ranked.select(
+        "event_type",
+        "v6",
+        "n",
+        F.max(F.when(F.col("rk") == F.expr("(n + 3) div 4"), F.col("v6")))
+        .over(w_all)
+        .alias("q1"),
+        F.max(F.when(F.col("rk") == F.expr("(3 * n + 3) div 4"), F.col("v6")))
+        .over(w_all)
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return q.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("q1").cast("long").alias("q1_v6"),
+        F.max("q3").cast("long").alias("q3_v6"),
+        F.sum((2 * F.col("v6") < 2 * F.col("q1") - 3 * iqr).cast("long"))
+        .cast("long")
+        .alias("n_low"),
+        F.sum((2 * F.col("v6") > 2 * F.col("q3") + 3 * iqr).cast("long"))
+        .cast("long")
+        .alias("n_high"),
+    )
+
+
+# --- Theil–Sen robust trend ------------------------------------------------------------
+
+
+@query(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT a.d AS di, b.d AS dj,
+             CAST(b.c - a.c AS BIGINT) AS num,
+             CAST(b.d - a.d AS BIGINT) AS den,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY slope, di, dj) AS rk,
+             count(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den,
+           CAST(di AS BIGINT) AS day_i, CAST(dj AS BIGINT) AS day_j,
+           CAST(n AS BIGINT) AS n_pairs
+    FROM ranked WHERE rk = (n + 1) // 2
+    """,
+    survey_ref="§2.4 robust stats: Theil–Sen estimator — the median of "
+    "all pairwise day-count slopes (lower median, deterministic "
+    "(value, di, dj) order; each slope is ONE double division of exact "
+    "integers, identical in both engines); the breakdown-point-29% trend "
+    "line beside the least-squares ols_trend_daily",
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust order-volume trend: the daily-count table is tiny after
+    the one fact agg (~2.4 k days), so the O(days²) pair join (~2.9 M
+    rows) is deliberate and documented — Theil–Sen IS pairwise. The
+    median slope is reported as the chosen pair's EXACT num/den (the
+    float is only the sort key, ordered identically in both engines
+    with an id tiebreak)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    # parquet date columns land as TIMESTAMP_NTZ; unix_micros needs a cast
+    # (UTC session makes it a pure relabel — the r5 lesson)
+    daily = orders.groupBy(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = daily.select(F.col("d").alias("di"), F.col("c").alias("ci"))
+    b = daily.select(F.col("d").alias("dj"), F.col("c").alias("cj"))
+    slopes = a.join(b, F.col("dj") > F.col("di")).select(
+        "di",
+        "dj",
+        (F.col("cj") - F.col("ci")).cast("long").alias("num"),
+        (F.col("dj") - F.col("di")).cast("long").alias("den"),
+        (
+            (F.col("cj") - F.col("ci")).cast("double")
+            / (F.col("dj") - F.col("di")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "di", "dj")
+    ranked = slopes.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.where(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        F.col("num").alias("med_num"),
+        F.col("den").alias("med_den"),
+        F.col("di").alias("day_i"),
+        F.col("dj").alias("day_j"),
+        F.col("n").cast("long").alias("n_pairs"),
+    )
+
+
+# --- Wald–Wolfowitz runs test -------------------------------------------------------------
+
+
+@query(
+    "runs_test_randomness",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS v6
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, v6, us, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v6, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    tagged AS (
+      SELECT event_type, us, event_id,
+             CASE WHEN 2 * rk <= n THEN 0 ELSE 1 END AS hi
+      FROM med
+    ),
+    runs AS (
+      SELECT event_type, hi,
+             CASE WHEN lag(hi) OVER w IS NULL OR lag(hi) OVER w <> hi
+                  THEN 1 ELSE 0 END AS new_run
+      FROM tagged
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    )
+    SELECT event_type,
+           CAST(sum(new_run) AS BIGINT) AS n_runs,
+           CAST(sum(1 - hi) AS BIGINT) AS n_below,
+           CAST(sum(hi) AS BIGINT) AS n_above
+    FROM runs GROUP BY 1
+    """,
+    survey_ref="§2.4 robust stats: Wald–Wolfowitz runs test inputs — "
+    "each value tagged above/below its type's exact rank-median (lower "
+    "half by 2·rk ≤ n, integer), runs counted by one lag window in TIME "
+    "order; R, n₁, n₂ exact (the z-score is consumer-side float) — the "
+    "serial-independence screen beside ACF",
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the series random around its median, or does it cluster? Two
+    windows on the SAME type key (one exchange: rank-by-value, then
+    run-boundaries by time) + one agg. Median split via 2·rk ≤ n keeps
+    the tag integer-exact; expected runs 1 + 2n₁n₂/n is left to the
+    reader because R, n₁, n₂ ARE the sufficient statistics."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v6"),
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("v6", "event_id")
+    w_n = Window.partitionBy("event_type")
+    tagged = ev.select(
+        "event_type",
+        "us",
+        "event_id",
+        F.when(
+            2 * F.row_number().over(w_rk) <= F.count(F.lit(1)).over(w_n), 0
+        )
+        .otherwise(1)
+        .alias("hi"),
+    )
+    w_t = Window.partitionBy("event_type").orderBy("us", "event_id")
+    prev = F.lag("hi").over(w_t)
+    runs = tagged.select(
+        "event_type",
+        "hi",
+        F.when(prev.isNull() | (prev != F.col("hi")), 1).otherwise(0).alias("new_run"),
+    )
+    return runs.groupBy("event_type").agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum(F.lit(1) - F.col("hi")).cast("long").alias("n_below"),
+        F.sum("hi").cast("long").alias("n_above"),
+    )

@@ -124,6 +124,9 @@ _POST_FREEZE = {
     "habitual_hours",
     "fd_violation_audit",
     "lorenz_curve_deciles",
+    "tukey_fences_outliers",
+    "theil_sen_daily_trend",
+    "runs_test_randomness",
 }
 
 
