@@ -210,6 +210,10 @@ HEADLINE = [
     "tukey_fences_outliers",
     "theil_sen_daily_trend",
     "runs_test_randomness",
+    # round-5 batch 26: COO matmul, median imputation, min-max scaling
+    "coo_matmul_expected_transitions",
+    "median_impute_audit",
+    "minmax_scale_audit",
 ]
 
 

@@ -6363,3 +6363,222 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(1) - F.col("hi")).cast("long").alias("n_below"),
         F.sum("hi").cast("long").alias("n_above"),
     )
+
+
+# --- sparse COO matrix multiplication --------------------------------------------------
+
+
+@query(
+    "coo_matmul_expected_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS t2
+      FROM events
+    ),
+    trans AS (
+      SELECT t1, t2, CAST(count(*) AS BIGINT) AS tc
+      FROM seq WHERE t2 IS NOT NULL GROUP BY 1, 2
+    ),
+    um AS (
+      SELECT user_id, event_type AS t1, CAST(count(*) AS BIGINT) AS uc
+      FROM events GROUP BY 1, 2
+    ),
+    prod AS (
+      SELECT um.user_id, trans.t2,
+             CAST(sum(um.uc * trans.tc) AS BIGINT) AS expected_mass
+      FROM um JOIN trans ON trans.t1 = um.t1
+      GROUP BY 1, 2
+    )
+    SELECT t2 AS next_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(expected_mass) AS BIGINT) AS total_mass,
+           CAST(max(expected_mass) AS BIGINT) AS max_user_mass
+    FROM prod GROUP BY 1
+    """,
+    survey_ref="§2.3/§2.4 extension: sparse COO matrix multiplication — "
+    "the (user × type) count matrix times the (type × type) transition-"
+    "count matrix as the canonical join-on-inner-dimension + group-agg "
+    "plan (C = A·B with A, B, C all in coordinate form); every mass is "
+    "an exact integer because both factors stay counts",
+)
+def coo_matmul_expected_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sparse matmul in its native Spark form: join A's
+    columns to B's rows on the inner dimension, multiply, sum per (i,
+    j). The inner dimension here is the 5-type vocabulary so B is
+    broadcast-sized by construction; at 100 TB any COO matmul with a
+    bounded inner dimension keeps this exact plan (A never shuffles —
+    output rolls up per i-partition)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    trans = seq.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    um = ev.groupBy("user_id", F.col("event_type").alias("t1")).agg(
+        F.count(F.lit(1)).cast("long").alias("uc")
+    )
+    prod = (
+        um.join(trans, "t1")
+        .groupBy("user_id", "t2")
+        .agg(F.sum(F.col("uc") * F.col("tc")).cast("long").alias("expected_mass"))
+    )
+    return prod.groupBy(F.col("t2").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("expected_mass").cast("long").alias("total_mass"),
+        F.max("expected_mass").cast("long").alias("max_user_mass"),
+    )
+
+
+# --- group-median imputation audit -------------------------------------------------------
+# The synthetic events have no nulls, so both engines null out every 20th
+# value (event_id % 20 = 0) and impute with the per-type exact rank median
+# of the REMAINING values — the standard data-prep op, made auditable.
+
+
+@query(
+    "median_impute_audit",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CASE WHEN event_id % 20 = 0 THEN NULL
+                  ELSE CAST(floor(value * 1000000) AS BIGINT) END AS v6
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v6,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v6, event_id) AS rk,
+             count(v6) OVER (PARTITION BY event_type) AS n
+      FROM v WHERE v6 IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, CAST(max(CASE WHEN rk = (n + 1) // 2 THEN v6 END)
+                              AS BIGINT) AS median_v6
+      FROM ranked GROUP BY 1
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v.v6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed,
+           m.median_v6,
+           CAST(sum(coalesce(v.v6, m.median_v6)) AS BIGINT)
+             AS sum_after_impute
+    FROM v JOIN med m ON m.event_type = v.event_type
+    GROUP BY 1, 4
+    """,
+    survey_ref="§2.2/§2.4 extension: group-median imputation (P11's null "
+    "fill lifted from constants to a per-group EXACT rank median of the "
+    "non-null values, lower median, fully tiebroken); the audit emits "
+    "null counts and the post-impute checksum so the fill is verifiable",
+)
+def median_impute_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill nulls with the group median, exactly: rank median over
+    non-nulls (one type-keyed window), broadcast back by the 5-key dim
+    join, coalesce, checksum. The fixture nulls every 20th value so the
+    op is non-vacuous in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 20 == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("value") * 1000000).cast("long"))
+        .alias("v6"),
+    )
+    nn = v.where(F.col("v6").isNotNull())
+    w_rk = Window.partitionBy("event_type").orderBy("v6", "event_id")
+    w_n = Window.partitionBy("event_type")
+    ranked = nn.select(
+        "event_type",
+        "v6",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("v6")))
+        .cast("long")
+        .alias("median_v6")
+    )
+    return (
+        v.join(med, "event_type")
+        .groupBy("event_type", "median_v6")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("v6").isNull().cast("long")).cast("long").alias("n_imputed"),
+            F.sum(F.coalesce(F.col("v6"), F.col("median_v6")))
+            .cast("long")
+            .alias("sum_after_impute"),
+        )
+        .select(
+            "event_type", "n_rows", "n_imputed", "median_v6", "sum_after_impute"
+        )
+    )
+
+
+# --- min-max scaling audit -----------------------------------------------------------------
+
+
+@query(
+    "minmax_scale_audit",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v6
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, CAST(min(v6) AS BIGINT) AS lo,
+             CAST(max(v6) AS BIGINT) AS hi
+      FROM v GROUP BY 1
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           b.lo AS min_v6, b.hi AS max_v6,
+           CAST(sum((v.v6 - b.lo) * 10000 // (b.hi - b.lo)) AS BIGINT)
+             AS sum_scaled_e4
+    FROM v JOIN b ON b.event_type = v.event_type
+    GROUP BY 1, 3, 4
+    """,
+    survey_ref="§2.7/§2.10 extension: min-max feature scaling audit — "
+    "per-group (v−min)·1e4 div (max−min) floor-scaled to exact integers "
+    "(numerator nonnegative, so div == floor in both engines); the "
+    "normalization layer of every feature pipeline, checksummed",
+)
+def minmax_scale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling without float drift: group bounds from one agg,
+    broadcast back by the 5-key dim join, the scaled value an exact
+    integer quotient. The checksum (sum of scaled values) is what a
+    regression test pins after any refactor of the scaling layer."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("v6")
+    )
+    b = v.groupBy("event_type").agg(
+        F.min("v6").cast("long").alias("lo"), F.max("v6").cast("long").alias("hi")
+    )
+    return (
+        v.join(b, "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("(v6 - lo) * 10000 div (hi - lo)"))
+            .cast("long")
+            .alias("sum_scaled_e4"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("lo").alias("min_v6"),
+            F.col("hi").alias("max_v6"),
+            "sum_scaled_e4",
+        )
+    )

@@ -127,6 +127,9 @@ _POST_FREEZE = {
     "tukey_fences_outliers",
     "theil_sen_daily_trend",
     "runs_test_randomness",
+    "coo_matmul_expected_transitions",
+    "median_impute_audit",
+    "minmax_scale_audit",
 }
 
 
