@@ -600,6 +600,106 @@ def batch18_workloads(docs: DataFrame, ev: DataFrame, li: DataFrame) -> dict:
     }
 
 
+def batch26_workloads(ev: DataFrame) -> dict:
+    """r5 batch 23-26 shapes: all events-keyed window/agg kernels whose
+    claimed scaling term is the per-key sort (keys FIXED at 5 types or
+    |users| while group size grows k×) or a linear agg."""
+    from pyspark.sql import Window
+
+    def _steady():
+        w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+        prev = F.lag("v6").over(w)
+        d = ev.withColumn(
+            "b",
+            F.when(prev.isNull() | (F.abs(F.col("v6") - prev) > 30_000_000), 1)
+            .otherwise(0),
+        )
+        s = d.withColumn(
+            "sid",
+            F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        return (
+            s.groupBy("user_id", "event_type", "sid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= 3)
+            .count()
+        )
+
+    def _tukey():
+        w_rk = Window.partitionBy("event_type").orderBy("v6", "event_id")
+        w_all = Window.partitionBy("event_type")
+        ranked = ev.select(
+            "event_type", "v6",
+            F.row_number().over(w_rk).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        q = ranked.select(
+            "event_type", "v6", "n",
+            F.max(F.when(F.col("rk") == F.expr("(n + 3) div 4"), F.col("v6")))
+            .over(w_all).alias("q1"),
+            F.max(F.when(F.col("rk") == F.expr("(3 * n + 3) div 4"), F.col("v6")))
+            .over(w_all).alias("q3"),
+        )
+        iqr = F.col("q3") - F.col("q1")
+        return q.groupBy("event_type").agg(
+            F.sum((2 * F.col("v6") < 2 * F.col("q1") - 3 * iqr).cast("long")).alias("lo")
+        ).count()
+
+    def _runs():
+        w_rk = Window.partitionBy("event_type").orderBy("v6", "event_id")
+        w_n = Window.partitionBy("event_type")
+        tagged = ev.select(
+            "event_type", "us", "event_id",
+            F.when(
+                2 * F.row_number().over(w_rk) <= F.count(F.lit(1)).over(w_n), 0
+            ).otherwise(1).alias("hi"),
+        )
+        w_t = Window.partitionBy("event_type").orderBy("us", "event_id")
+        prev = F.lag("hi").over(w_t)
+        return tagged.select(
+            "event_type",
+            F.when(prev.isNull() | (prev != F.col("hi")), 1).otherwise(0).alias("nr"),
+        ).groupBy("event_type").agg(F.sum("nr").alias("r")).count()
+
+    def _matmul():
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        seq = ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type").over(w).alias("t2"),
+        ).where(F.col("t2").isNotNull())
+        trans = seq.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("tc"))
+        um = ev.groupBy("user_id", F.col("event_type").alias("t1")).agg(
+            F.count(F.lit(1)).alias("uc")
+        )
+        return (
+            um.join(trans, "t1")
+            .groupBy("user_id", "t2")
+            .agg(F.sum(F.col("uc") * F.col("tc")).alias("m"))
+            .count()
+        )
+
+    def _habitual():
+        uh = ev.groupBy(
+            "user_id", F.expr("(us div 3600000000) % 24").alias("hod")
+        ).agg(F.countDistinct(F.expr("us div 86400000000")).alias("n_days"))
+        return uh.where(F.col("n_days") >= 5).groupBy("hod").agg(
+            F.count(F.lit(1)).alias("u")
+        ).count()
+
+    return {
+        # channel-keyed lag + running sum + segment agg on one exchange
+        "steady_segments": _steady,
+        # rank + conditional-max windows + fence agg, one type exchange
+        "tukey_fences": _tukey,
+        # two windows (rank by value, lag by time) on the same type key
+        "runs_test": _runs,
+        # lead window + two aggs + inner-dim join (5-key broadcast side)
+        "coo_matmul": _matmul,
+        # two hash aggs with countDistinct Expand on the first
+        "habitual_hours": _habitual,
+    }
+
+
 def replicate_facts(li: DataFrame, orders: DataFrame, k: int):
     """k disjoint copies of the (lineitem, orders) fact pair: ALL keys
     (order, part, supplier) are shifted per replica, so the co-occurrence /
@@ -878,6 +978,20 @@ def main() -> None:
                 ("source_ngram_novelty", n),
             ):
                 sized.append(({name: b18[name]}, rows_in))
+        b26_names = {
+            "steady_segments", "tukey_fences", "runs_test",
+            "coo_matmul", "habitual_hours",
+        }
+        if only is None or only & b26_names:
+            if ev_full is None:
+                ev_full = replicate_events_full(ev_full_base, k)
+            b26 = batch26_workloads(ev_full)
+            n_ev26 = ev_full.count()
+            for name in (
+                "steady_segments", "tukey_fences", "runs_test",
+                "coo_matmul", "habitual_hours",
+            ):
+                sized.append(({name: b26[name]}, n_ev26))
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)
