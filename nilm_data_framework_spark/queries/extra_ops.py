@@ -6213,39 +6213,47 @@ def tukey_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             (epoch_us(o_orderdate) // 86400000000) // 365 AS yr,
              CAST(count(*) AS BIGINT) AS c
-      FROM orders GROUP BY 1
+      FROM orders GROUP BY 1, 2
     ),
     slopes AS (
-      SELECT a.d AS di, b.d AS dj,
+      SELECT a.yr, a.d AS di, b.d AS dj,
              CAST(b.c - a.c AS BIGINT) AS num,
              CAST(b.d - a.d AS BIGINT) AS den,
              CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
-      FROM daily a JOIN daily b ON b.d > a.d
+      FROM daily a JOIN daily b ON b.yr = a.yr AND b.d > a.d
     ),
     ranked AS (
-      SELECT *, row_number() OVER (ORDER BY slope, di, dj) AS rk,
-             count(*) OVER () AS n
+      SELECT *, row_number() OVER (PARTITION BY yr
+                                   ORDER BY slope, di, dj) AS rk,
+             count(*) OVER (PARTITION BY yr) AS n
       FROM slopes
     )
-    SELECT CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den,
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den,
            CAST(di AS BIGINT) AS day_i, CAST(dj AS BIGINT) AS day_j,
            CAST(n AS BIGINT) AS n_pairs
     FROM ranked WHERE rk = (n + 1) // 2
     """,
-    survey_ref="§2.4 robust stats: Theil–Sen estimator — the median of "
-    "all pairwise day-count slopes (lower median, deterministic "
-    "(value, di, dj) order; each slope is ONE double division of exact "
-    "integers, identical in both engines); the breakdown-point-29% trend "
-    "line beside the least-squares ols_trend_daily",
+    survey_ref="§2.4 robust stats: Theil–Sen estimator per 365-day "
+    "bucket — the median of all within-bucket pairwise day-count slopes "
+    "(lower median, deterministic (value, di, dj) order; each slope is "
+    "ONE double division of exact integers, identical in both engines); "
+    "the breakdown-point-29% trend line beside least-squares "
+    "ols_trend_daily",
 )
 def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust order-volume trend: the daily-count table is tiny after
-    the one fact agg (~2.4 k days), so the O(days²) pair join (~2.9 M
-    rows) is deliberate and documented — Theil–Sen IS pairwise. The
-    median slope is reported as the chosen pair's EXACT num/den (the
-    float is only the sort key, ordered identically in both engines
-    with an id tiebreak)."""
+    """Robust order-volume trend per 365-day bucket: the daily-count
+    table is tiny after the one fact agg (~2.4 k days) and the pair join
+    is bucket-local, so the per-bucket sort is ~365²/2 ≈ 67 k rows and
+    every bucket sorts IN PARALLEL (the global-median form was a
+    single-reducer sort of days²/2 ≈ 2.9 M rows — measured 6.5 s vs
+    ~1.5 s for this form, and days² is time-span-bounded, not
+    sf-bounded, so the bucketed shape is also what a longer deployment
+    needs). Theil–Sen IS pairwise; the median slope ships as the chosen
+    pair's EXACT num/den (the float is only the sort key, ordered
+    identically in both engines with an id tiebreak)."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -6255,10 +6263,17 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
         ).alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    a = daily.select(F.col("d").alias("di"), F.col("c").alias("ci"))
-    b = daily.select(F.col("d").alias("dj"), F.col("c").alias("cj"))
-    slopes = a.join(b, F.col("dj") > F.col("di")).select(
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).withColumn(
+        "yr", F.expr("d div 365")
+    )
+    a = daily.select("yr", F.col("d").alias("di"), F.col("c").alias("ci"))
+    b = daily.select(
+        F.col("yr").alias("_yr"), F.col("d").alias("dj"), F.col("c").alias("cj")
+    )
+    slopes = a.join(
+        b, (F.col("_yr") == F.col("yr")) & (F.col("dj") > F.col("di"))
+    ).select(
+        "yr",
         "di",
         "dj",
         (F.col("cj") - F.col("ci")).cast("long").alias("num"),
@@ -6268,13 +6283,14 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("dj") - F.col("di")).cast("double")
         ).alias("slope"),
     )
-    w = Window.orderBy("slope", "di", "dj")
+    w = Window.partitionBy("yr").orderBy("slope", "di", "dj")
     ranked = slopes.select(
         "*",
         F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.count(F.lit(1)).over(Window.partitionBy("yr")).alias("n"),
     )
     return ranked.where(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        F.col("yr").cast("long").alias("yr"),
         F.col("num").alias("med_num"),
         F.col("den").alias("med_den"),
         F.col("di").alias("day_i"),
