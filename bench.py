@@ -214,6 +214,7 @@ HEADLINE = [
     "coo_matmul_expected_transitions",
     "median_impute_audit",
     "minmax_scale_audit",
+    "streaming_bitmask_equiv",
 ]
 
 

@@ -6598,3 +6598,84 @@ def minmax_scale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_scaled_e4",
         )
     )
+
+
+# --- streaming bitmask equivalence -----------------------------------------------------
+
+_BITMASK_SINK = "streaming_bitmask_sink"
+
+
+@query(
+    "streaming_bitmask_equiv",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             bit_or(1::BIGINT << CAST((epoch_us(ts) // 3600000000) % 24
+                                      AS INT)) AS mask
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(bit_count(mask) AS BIGINT) AS n_active_hours,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(mask) AS BIGINT) AS min_mask,
+           CAST(max(mask) AS BIGINT) AS max_mask
+    FROM per_user GROUP BY 1
+    """,
+    survey_ref="§2.9 streaming analog: the bit_or bitmask aggregate run "
+    "incrementally — per-user OR-state merged across 3 time-sliced "
+    "micro-batches (complete mode, availableNow drain), final sink == "
+    "the batch activity_bitmask_hist; proves the OR-mergeable-state "
+    "claim the bitmask row in SCALE.md makes",
+    tags=("streaming",),
+)
+def streaming_bitmask_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitmask encoding's real selling point is that OR-state is
+    trivially incremental: each micro-batch ORs new hour bits into the
+    per-user long. Same 3-file staged fixture as the session-window
+    twin; the popcount histogram is computed on the DRAINED sink so the
+    cross-batch merge is what the oracle checks."""
+    import hashlib
+
+    from nilm_data_framework_spark.queries.streaming_equiv import (
+        _EVENTS_TS,
+        _run_to_memory_sink,
+        _staged_stream_dir,
+    )
+    from nilm_data_framework_spark.sources.testdata import (
+        _ensure_session_confs,
+        load_table,
+    )
+
+    _ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = _staged_stream_dir(
+        f"sesswin_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        {
+            "a": ev.filter(F.col("ts") < F.lit("2024-01-10")),
+            "b": ev.filter(
+                (F.col("ts") >= F.lit("2024-01-10"))
+                & (F.col("ts") < F.lit("2024-01-20"))
+            ),
+            "c": ev.filter(F.col("ts") >= F.lit("2024-01-20")),
+        },
+    )
+    stream = (
+        spark.readStream.schema(_EVENTS_TS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    per_user = stream.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(shiftleft(1L, CAST((unix_micros(ts) div 3600000000) % 24"
+            " AS INT)))"
+        ).alias("mask")
+    )
+    _run_to_memory_sink(per_user, _BITMASK_SINK, output_mode="complete")
+    return (
+        spark.table(_BITMASK_SINK)
+        .groupBy(F.bit_count("mask").cast("long").alias("n_active_hours"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("mask").cast("long").alias("min_mask"),
+            F.max("mask").cast("long").alias("max_mask"),
+        )
+    )

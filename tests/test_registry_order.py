@@ -130,6 +130,7 @@ _POST_FREEZE = {
     "coo_matmul_expected_transitions",
     "median_impute_audit",
     "minmax_scale_audit",
+    "streaming_bitmask_equiv",
 }
 
 
