@@ -215,6 +215,9 @@ HEADLINE = [
     "median_impute_audit",
     "minmax_scale_audit",
     "streaming_bitmask_equiv",
+    # round-5 batch 27: greedy set cover, sorted-neighborhood blocking
+    "greedy_set_cover_sources",
+    "sorted_neighborhood_pairs",
 ]
 
 

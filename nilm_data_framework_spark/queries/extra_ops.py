@@ -6679,3 +6679,230 @@ def streaming_bitmask_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mask").cast("long").alias("max_mask"),
         )
     )
+
+
+# --- greedy set cover for source selection ----------------------------------------------
+
+
+def _set_cover_oracle() -> str:
+    return """
+    WITH toksrc AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    sg AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS g
+      FROM toksrc WHERE len(toks) >= 3
+    ),
+    r1 AS (
+      SELECT source, count(*) AS gain,
+             row_number() OVER (ORDER BY count(*) DESC, source) AS rn
+      FROM sg GROUP BY 1
+    ),
+    w1 AS (SELECT source AS s1, CAST(gain AS BIGINT) AS gain1 FROM r1 WHERE rn = 1),
+    cov1 AS (SELECT g FROM sg JOIN w1 ON sg.source = w1.s1),
+    r2 AS (
+      SELECT sg.source, count(*) AS gain,
+             row_number() OVER (ORDER BY count(*) DESC, sg.source) AS rn
+      FROM sg
+      WHERE sg.source <> (SELECT s1 FROM w1)
+        AND NOT EXISTS (SELECT 1 FROM cov1 WHERE cov1.g = sg.g)
+      GROUP BY 1
+    ),
+    w2 AS (SELECT source AS s2, CAST(gain AS BIGINT) AS gain2 FROM r2 WHERE rn = 1),
+    cov2 AS (
+      SELECT g FROM cov1
+      UNION SELECT g FROM sg JOIN w2 ON sg.source = w2.s2
+    ),
+    r3 AS (
+      SELECT sg.source, count(*) AS gain,
+             row_number() OVER (ORDER BY count(*) DESC, sg.source) AS rn
+      FROM sg
+      WHERE sg.source NOT IN (SELECT s1 FROM w1 UNION SELECT s2 FROM w2)
+        AND NOT EXISTS (SELECT 1 FROM cov2 WHERE cov2.g = sg.g)
+      GROUP BY 1
+    ),
+    w3 AS (SELECT source AS s3, CAST(gain AS BIGINT) AS gain3 FROM r3 WHERE rn = 1)
+    SELECT 1 AS step, s1 AS picked, gain1 AS gain FROM w1
+    UNION ALL SELECT 2, s2, gain2 FROM w2
+    UNION ALL SELECT 3, s3, gain3 FROM w3
+    ORDER BY step
+    """
+
+
+@query(
+    "greedy_set_cover_sources",
+    oracle=_set_cover_oracle(),
+    survey_ref="§2.10 curation: greedy maximum-coverage source selection "
+    "(the (1−1/e) classic) — 3 UNROLLED stages, each an anti-join "
+    "against covered grams + a count + a deterministic argmax (count "
+    "desc, source asc); coverage-driven mixture design: which sources "
+    "buy the most NEW vocabulary",
+)
+def greedy_set_cover_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick 3 sources that together cover the most distinct 3-grams:
+    the greedy algorithm unrolled stage-by-stage (the MMR pattern —
+    argmax as a 1-row frame joined forward, never a collect). Each
+    stage's candidate counts are an anti-join of the distinct (source,
+    gram) table against the grams already covered; all counts exact."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sg = docs.select(
+        "source", F.explode(word_ngrams(F.col("text"), 3)).alias("g")
+    ).distinct()
+
+    def argmax(cands: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.col("gain").desc(), "source")
+        return (
+            cands.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("source", "gain")
+        )
+
+    r1 = sg.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("gain"))
+    w1 = argmax(r1)
+    cov1 = sg.join(w1.select(F.col("source").alias("_s")),
+                   F.col("source") == F.col("_s")).select("g")
+    rest2 = sg.join(w1.select("source"), "source", "left_anti")
+    r2 = (
+        rest2.join(cov1, "g", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+    )
+    w2 = argmax(r2)
+    cov2 = cov1.unionByName(
+        sg.join(w2.select(F.col("source").alias("_s")),
+                F.col("source") == F.col("_s")).select("g")
+    ).distinct()
+    rest3 = rest2.join(w2.select("source"), "source", "left_anti")
+    r3 = (
+        rest3.join(cov2, "g", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+    )
+    w3 = argmax(r3)
+    return (
+        w1.select(F.lit(1).alias("step"), F.col("source").alias("picked"), "gain")
+        .unionByName(
+            w2.select(F.lit(2).alias("step"), F.col("source").alias("picked"), "gain")
+        )
+        .unionByName(
+            w3.select(F.lit(3).alias("step"), F.col("source").alias("picked"), "gain")
+        )
+    )
+
+
+# --- sorted-neighborhood entity resolution ----------------------------------------------
+# The third blocking strategy beside key blocking (record_linkage_pairs)
+# and LSH: sort ALL names once, compare each to its next-W neighbors. The
+# typo fixture perturbs the LAST char of every 25th name so the copy sorts
+# within W=5 of its original (dense synthetic keys put up to 4 names
+# between them).
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey AS id, c_name FROM customer
+      UNION ALL
+      SELECT c_custkey + 3000000, substr(c_name, 1, 17) || 'x'
+      FROM customer WHERE c_custkey % 25 = 0
+    ),
+    ordered AS (
+      SELECT id, c_name,
+             lead(c_name, 1) OVER w AS n1, lead(id, 1) OVER w AS i1,
+             lead(c_name, 2) OVER w AS n2, lead(id, 2) OVER w AS i2,
+             lead(c_name, 3) OVER w AS n3, lead(id, 3) OVER w AS i3,
+             lead(c_name, 4) OVER w AS n4, lead(id, 4) OVER w AS i4,
+             lead(c_name, 5) OVER w AS n5, lead(id, 5) OVER w AS i5
+      FROM src
+      WINDOW w AS (ORDER BY c_name, id)
+    ),
+    scored AS (
+      SELECT 1 AS w, levenshtein(c_name, n1) AS dist,
+             CASE WHEN id > 3000000 OR i1 > 3000000 THEN 1 ELSE 0 END
+               AS has_typo
+      FROM ordered WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT 2, levenshtein(c_name, n2),
+             CASE WHEN id > 3000000 OR i2 > 3000000 THEN 1 ELSE 0 END
+      FROM ordered WHERE n2 IS NOT NULL
+      UNION ALL
+      SELECT 3, levenshtein(c_name, n3),
+             CASE WHEN id > 3000000 OR i3 > 3000000 THEN 1 ELSE 0 END
+      FROM ordered WHERE n3 IS NOT NULL
+      UNION ALL
+      SELECT 4, levenshtein(c_name, n4),
+             CASE WHEN id > 3000000 OR i4 > 3000000 THEN 1 ELSE 0 END
+      FROM ordered WHERE n4 IS NOT NULL
+      UNION ALL
+      SELECT 5, levenshtein(c_name, n5),
+             CASE WHEN id > 3000000 OR i5 > 3000000 THEN 1 ELSE 0 END
+      FROM ordered WHERE n5 IS NOT NULL
+    )
+    SELECT CAST(w AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(sum(CASE WHEN dist <= 2 AND has_typo = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_typo_matches
+    FROM scored GROUP BY 1
+    """,
+    survey_ref="§2.10 entity resolution: sorted-neighborhood method "
+    "(Hernández & Stolfo 1995) — ONE global name sort, each record "
+    "compared to its next 5 neighbors (lead ×5 on the same sort), "
+    "Levenshtein ≤ 2 matches censused per window offset; the "
+    "sort-based blocking strategy beside key blocks and LSH",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM blocking: candidates = sort neighbors, not key-block members
+    — catches typos that key blocking would need the right key for.
+    One dimension-sized global sort carries all five lead() columns;
+    the census per offset shows the recall/cost trade of widening W
+    (typo copies sit exactly 5 positions from their originals in this
+    dense-key fixture)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    src = c.select(F.col("c_custkey").alias("id"), "c_name").unionByName(
+        c.where(F.col("c_custkey") % 25 == 0).select(
+            (F.col("c_custkey") + 3000000).alias("id"),
+            F.expr("concat(substr(c_name, 1, 17), 'x')").alias("c_name"),
+        )
+    )
+    w = Window.orderBy("c_name", "id")
+    cols = [F.col("id"), F.col("c_name")]
+    for k in range(1, 6):
+        cols.append(F.lead("c_name", k).over(w).alias(f"n{k}"))
+        cols.append(F.lead("id", k).over(w).alias(f"i{k}"))
+    ordered = src.select(*cols)
+    per_w = []
+    for k in range(1, 6):
+        dist = F.levenshtein("c_name", f"n{k}")
+        per_w.append(
+            ordered.where(F.col(f"n{k}").isNotNull()).select(
+                F.lit(k).cast("long").alias("w"),
+                dist.alias("dist"),
+                (
+                    (F.col("id") > 3000000) | (F.col(f"i{k}") > 3000000)
+                ).cast("int").alias("has_typo"),
+            )
+        )
+    allw = per_w[0]
+    for p in per_w[1:]:
+        allw = allw.unionByName(p)
+    return allw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("dist") <= 2).cast("long")).cast("long").alias("n_matched"),
+        F.sum(((F.col("dist") <= 2) & (F.col("has_typo") == 1)).cast("long"))
+        .cast("long")
+        .alias("n_typo_matches"),
+    )

@@ -131,6 +131,8 @@ _POST_FREEZE = {
     "median_impute_audit",
     "minmax_scale_audit",
     "streaming_bitmask_equiv",
+    "greedy_set_cover_sources",
+    "sorted_neighborhood_pairs",
 }
 
 
