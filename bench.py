@@ -218,6 +218,7 @@ HEADLINE = [
     # round-5 batch 27: greedy set cover, sorted-neighborhood blocking
     "greedy_set_cover_sources",
     "sorted_neighborhood_pairs",
+    "prefix_index_pruning_audit",
 ]
 
 

@@ -6906,3 +6906,117 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_typo_matches"),
     )
+
+
+# --- prefix-index pruning audit -----------------------------------------------------------
+
+
+@query(
+    "prefix_index_pruning_audit",
+    oracle="""
+    WITH toksrc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM toksrc WHERE len(toks) >= 3
+    ),
+    sized AS (SELECT doc_id, grams, len(grams) AS s FROM g),
+    dg AS (SELECT doc_id, s, unnest(grams) AS gram FROM sized),
+    dfreq AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM dg GROUP BY 1),
+    ranked AS (
+      SELECT dg.doc_id, dg.s, dg.gram, dfreq.gdf,
+             row_number() OVER (PARTITION BY dg.doc_id
+                                ORDER BY dfreq.gdf, dg.gram) AS pos
+      FROM dg JOIN dfreq USING (gram)
+    ),
+    prefix AS (
+      SELECT doc_id, gram, gdf FROM ranked
+      WHERE pos <= s - (3 * s + 9) // 10 + 1
+    ),
+    pcount AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS pc,
+             CAST(max(gdf) AS BIGINT) AS gdf
+      FROM prefix GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM dg) AS BIGINT) AS total_postings,
+           CAST((SELECT count(*) FROM prefix) AS BIGINT) AS prefix_postings,
+           CAST((SELECT max(gdf) FROM dfreq) AS BIGINT) AS max_df_overall,
+           CAST(max(gdf) AS BIGINT) AS max_df_in_prefix,
+           CAST((SELECT CAST(sum(gdf * gdf) AS BIGINT) FROM dfreq)
+                AS BIGINT) AS pair_mass_naive,
+           CAST(sum(pc * pc) AS BIGINT) AS pair_mass_jaccard,
+           CAST(sum(pc * gdf) AS BIGINT) AS probe_mass_containment
+    FROM pcount
+    """,
+    survey_ref="§2.10 dedup evidence: prefix-index pruning audit — how "
+    "much of the posting mass the rarest-first prefix order actually "
+    "removes at t = 0.3: total vs prefix postings, the hottest gram's "
+    "df overall vs inside the prefix index, and the PAIR MASSES that "
+    "bound each candidate join — Σdf² (naive all-shared-gram), "
+    "Σprefix_count² (Jaccard prefix⋈prefix), Σprefix_count·df "
+    "(containment prefix⋈postings); the measured form of "
+    "prefix_filter_jaccard_pairs' scale claim",
+)
+def prefix_index_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY the prefix filter scales: the candidate join's cost is
+    Σ_g index_count(g)·df(g), and putting the RAREST grams first means
+    hot shingles (huge df) rarely make the prefix. This audit emits the
+    exact before/after posting counts and join masses for the gate
+    corpus — the numbers SCALE.md cites. Same plan as the operator up
+    to the prefix cut; two global aggregates on top."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    g = (
+        docs.select(
+            F.col("doc_id").alias("id"), word_ngrams(F.col("text"), 3).alias("g")
+        )
+        .filter(F.size("g") > 0)
+        .withColumn("s", F.size("g").cast("long"))
+    )
+    dg = g.select("id", "s", F.explode("g").alias("gram"))
+    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    pos_w = Window.partitionBy("id").orderBy("gdf", "gram")
+    ranked = dg.join(dfreq, "gram").withColumn(
+        "pos", F.row_number().over(pos_w)
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("s") - F.expr("(3 * s + 9) div 10") + 1
+    )
+    pcount = prefix.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("pc"),
+        F.max("gdf").cast("long").alias("gdf"),
+    )
+    totals = dg.agg(F.count(F.lit(1)).cast("long").alias("total_postings"))
+    df_stats = dfreq.agg(
+        F.max("gdf").cast("long").alias("max_df_overall"),
+        F.sum(F.col("gdf") * F.col("gdf")).cast("long").alias("pair_mass_naive"),
+    )
+    pfx = pcount.agg(
+        F.sum("pc").cast("long").alias("prefix_postings"),
+        F.max("gdf").cast("long").alias("max_df_in_prefix"),
+        F.sum(F.col("pc") * F.col("pc")).cast("long").alias("pair_mass_jaccard"),
+        F.sum(F.col("pc") * F.col("gdf")).cast("long").alias("probe_mass_containment"),
+    )
+    return (
+        totals.crossJoin(df_stats)
+        .crossJoin(pfx)
+        .select(
+            "total_postings",
+            "prefix_postings",
+            "max_df_overall",
+            "max_df_in_prefix",
+            "pair_mass_naive",
+            "pair_mass_jaccard",
+            "probe_mass_containment",
+        )
+    )

@@ -133,6 +133,7 @@ _POST_FREEZE = {
     "streaming_bitmask_equiv",
     "greedy_set_cover_sources",
     "sorted_neighborhood_pairs",
+    "prefix_index_pruning_audit",
 }
 
 
