@@ -219,6 +219,7 @@ HEADLINE = [
     "greedy_set_cover_sources",
     "sorted_neighborhood_pairs",
     "prefix_index_pruning_audit",
+    "changepoint_binary_seg",
 ]
 
 

@@ -7020,3 +7020,99 @@ def prefix_index_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_mass_containment",
         )
     )
+
+
+# --- binary-segmentation changepoint ---------------------------------------------------
+
+
+@query(
+    "changepoint_binary_seg",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, h, c,
+             CAST(sum(c) OVER w AS BIGINT) AS s_l,
+             CAST(row_number() OVER w AS BIGINT) AS n_l,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT event_type, h, s_l, n_l, s, n,
+             CAST((s_l * n - s * n_l) * (s_l * n - s * n_l)
+                  // (n_l * (n - n_l)) AS BIGINT) AS score
+      FROM cum WHERE n_l < n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY score DESC, h) AS rn
+      FROM scored
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS split_after_hour, score,
+           n_l AS n_left, CAST(n - n_l AS BIGINT) AS n_right,
+           s_l AS sum_left, CAST(s - s_l AS BIGINT) AS sum_right
+    FROM best WHERE rn = 1
+    """,
+    survey_ref="§2.4 extension: binary-segmentation changepoint — the "
+    "split hour maximizing the between-segment SSE reduction "
+    "n_l·n_r·(mean_l−mean_r)² = (S_l·n − S·n_l)² div (n_l·(n−n_l)), "
+    "kept EXACT as one BIGINT floor quotient per candidate (numerator "
+    "≤ ~5e17, quotient the argmax key — no float anywhere); the "
+    "structural-break detector beside CUSUM's cumulative form",
+)
+def changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE does each type's hourly volume break? One cumulative
+    window over the hourly support gives every candidate split's
+    (S_l, n_l) — the classic one-pass trick — and the variance-
+    reduction score is an exact integer quotient, so the argmax is
+    deterministic in both engines. First step of recursive binary
+    segmentation; recursing is re-running on the two halves."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.sum("c").over(w_cum).cast("long").alias("s_l"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+        .cast("long")
+        .alias("n_l"),
+        F.sum("c").over(w_all).cast("long").alias("s"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    scored = cum.where(F.col("n_l") < F.col("n")).withColumn(
+        "score",
+        F.expr("(s_l * n - s * n_l) * (s_l * n - s * n_l)"
+               " div (n_l * (n - n_l))").cast("long"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), "h"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("split_after_hour"),
+            "score",
+            F.col("n_l").alias("n_left"),
+            (F.col("n") - F.col("n_l")).cast("long").alias("n_right"),
+            F.col("s_l").alias("sum_left"),
+            (F.col("s") - F.col("s_l")).cast("long").alias("sum_right"),
+        )
+    )

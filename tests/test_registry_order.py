@@ -134,6 +134,7 @@ _POST_FREEZE = {
     "greedy_set_cover_sources",
     "sorted_neighborhood_pairs",
     "prefix_index_pruning_audit",
+    "changepoint_binary_seg",
 }
 
 
