@@ -220,6 +220,7 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "prefix_index_pruning_audit",
     "changepoint_binary_seg",
+    "changepoint_recursive_3seg",
 ]
 
 

@@ -7116,3 +7116,136 @@ def changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - F.col("s_l")).cast("long").alias("sum_right"),
         )
     )
+
+
+# --- recursive binary segmentation (depth 2) ---------------------------------------------
+
+
+@query(
+    "changepoint_recursive_3seg",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum1 AS (
+      SELECT event_type, h, c,
+             CAST(sum(c) OVER w AS BIGINT) AS s_l,
+             CAST(row_number() OVER w AS BIGINT) AS n_l,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    best1 AS (
+      SELECT event_type, h AS h1 FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY
+                 (s_l * n - s * n_l) * (s_l * n - s * n_l)
+                   // (n_l * (n - n_l)) DESC, h) AS rn
+        FROM cum1 WHERE n_l < n
+      ) WHERE rn = 1
+    ),
+    sided AS (
+      SELECT hourly.event_type,
+             CASE WHEN hourly.h <= best1.h1 THEN 0 ELSE 1 END AS side,
+             hourly.h, hourly.c
+      FROM hourly JOIN best1 USING (event_type)
+    ),
+    cum2 AS (
+      SELECT event_type, side, h,
+             CAST(sum(c) OVER w AS BIGINT) AS s_l,
+             CAST(row_number() OVER w AS BIGINT) AS n_l,
+             CAST(sum(c) OVER (PARTITION BY event_type, side) AS BIGINT)
+               AS s,
+             CAST(count(*) OVER (PARTITION BY event_type, side) AS BIGINT)
+               AS n
+      FROM sided
+      WINDOW w AS (PARTITION BY event_type, side ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    best2 AS (
+      SELECT event_type, CAST(side AS BIGINT) AS side,
+             CAST(h AS BIGINT) AS split_after_hour,
+             CAST(score AS BIGINT) AS score, n_l AS n_left,
+             CAST(n - n_l AS BIGINT) AS n_right
+      FROM (
+        SELECT *,
+               (s_l * n - s * n_l) * (s_l * n - s * n_l)
+                 // (n_l * (n - n_l)) AS score,
+               row_number() OVER (PARTITION BY event_type, side ORDER BY
+                 (s_l * n - s * n_l) * (s_l * n - s * n_l)
+                   // (n_l * (n - n_l)) DESC, h) AS rn
+        FROM cum2 WHERE n_l < n
+      ) WHERE rn = 1
+    )
+    SELECT * FROM best2
+    """,
+    survey_ref="§2.4 extension: RECURSIVE binary segmentation, depth 2 — "
+    "the level-1 split (changepoint_binary_seg's argmax) partitions each "
+    "series, then the identical exact-integer scoring runs per "
+    "(type, side); demonstrates the unrolled-recursion composition "
+    "pattern (MMR / set-cover style) on a window kernel",
+)
+def changepoint_recursive_3seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-segment structural decomposition: the best split inside
+    each half of the level-1 split. The level-1 winner is a 5-row frame
+    joined back (never collected); level 2 is the SAME cumulative
+    scoring with (type, side) keys — recursion as plan composition,
+    each level one exchange over the (tiny) hourly support."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    def score_best(df: DataFrame, keys: list) -> DataFrame:
+        w_cum = (
+            Window.partitionBy(*keys)
+            .orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.partitionBy(*keys)
+        cum = df.select(
+            *keys,
+            "h",
+            F.sum("c").over(w_cum).cast("long").alias("s_l"),
+            F.row_number().over(Window.partitionBy(*keys).orderBy("h"))
+            .cast("long")
+            .alias("n_l"),
+            F.sum("c").over(w_all).cast("long").alias("s"),
+            F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        ).where(F.col("n_l") < F.col("n"))
+        scored = cum.withColumn(
+            "score",
+            F.expr(
+                "(s_l * n - s * n_l) * (s_l * n - s * n_l)"
+                " div (n_l * (n - n_l))"
+            ).cast("long"),
+        )
+        w_best = Window.partitionBy(*keys).orderBy(F.col("score").desc(), "h")
+        return scored.withColumn("rn", F.row_number().over(w_best)).where(
+            F.col("rn") == 1
+        )
+
+    best1 = score_best(hourly, ["event_type"]).select(
+        "event_type", F.col("h").alias("h1")
+    )
+    sided = hourly.join(best1, "event_type").select(
+        "event_type",
+        F.when(F.col("h") <= F.col("h1"), 0).otherwise(1).cast("long").alias("side"),
+        "h",
+        "c",
+    )
+    best2 = score_best(sided, ["event_type", "side"])
+    return best2.select(
+        "event_type",
+        "side",
+        F.col("h").alias("split_after_hour"),
+        "score",
+        F.col("n_l").alias("n_left"),
+        (F.col("n") - F.col("n_l")).cast("long").alias("n_right"),
+    )

@@ -135,6 +135,7 @@ _POST_FREEZE = {
     "sorted_neighborhood_pairs",
     "prefix_index_pruning_audit",
     "changepoint_binary_seg",
+    "changepoint_recursive_3seg",
 }
 
 
