@@ -221,6 +221,7 @@ HEADLINE = [
     "prefix_index_pruning_audit",
     "changepoint_binary_seg",
     "changepoint_recursive_3seg",
+    "padding_waste_audit",
 ]
 
 

@@ -7249,3 +7249,104 @@ def changepoint_recursive_3seg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_l").alias("n_left"),
         (F.col("n") - F.col("n_l")).cast("long").alias("n_right"),
     )
+
+
+# --- padding-waste audit (dynamic batching) ------------------------------------------------
+
+
+def _padding_waste_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4_sql
+    from nilm_data_framework_spark.queries.sampling_packing import _TOKS_SQL
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, CAST({_TOKS_SQL} AS BIGINT) AS n_toks FROM documents
+    ),
+    tagged AS (
+      SELECT n_toks,
+             (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b_arrival,
+             (row_number() OVER (ORDER BY n_toks, doc_id) - 1) // 32
+               AS b_sorted
+      FROM t
+    ),
+    a AS (
+      SELECT 'arrival' AS discipline, b_arrival AS b,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(max(n_toks) AS BIGINT) AS mx,
+             CAST(sum(n_toks) AS BIGINT) AS sm
+      FROM tagged GROUP BY 2
+      UNION ALL
+      SELECT 'length_sorted', b_sorted,
+             CAST(count(*) AS BIGINT), CAST(max(n_toks) AS BIGINT),
+             CAST(sum(n_toks) AS BIGINT)
+      FROM tagged GROUP BY 2
+    )
+    SELECT discipline,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(sm) AS BIGINT) AS real_tokens,
+           CAST(sum(mx * cnt) AS BIGINT) AS padded_tokens,
+           CAST(sum(mx * cnt) - sum(sm) AS BIGINT) AS wasted_tokens,
+           {ratio_e4_sql('(sum(mx * cnt) - sum(sm))', 'sum(mx * cnt)')}
+             AS waste_share_e4
+    FROM a GROUP BY 1
+    """
+
+
+@query(
+    "padding_waste_audit",
+    oracle=_padding_waste_oracle(),
+    survey_ref="§2.10 training throughput: pad-to-max-in-batch waste "
+    "under two batching disciplines — arrival order vs length-sorted "
+    "(fully tiebroken ranks, batches of 32); wasted = Σ_b (max_b·cnt_b "
+    "− Σ_b tokens) exact BIGINT, the measured argument for length-"
+    "bucketed dynamic batching",
+)
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many pad tokens does naive batching burn, and how many does
+    length-sorting save? Two deterministic rank windows assign batch
+    ids (same scan), one batch agg, one discipline rollup — the entire
+    audit is two exchanges, and every number is an exact integer. On
+    training hardware waste_share IS lost throughput; this query is the
+    capacity-planning input for choosing bucketed batching."""
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    t = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    tagged = t.select(
+        "n_toks",
+        ((F.row_number().over(Window.orderBy("doc_id")) - 1) / 32)
+        .cast("long")
+        .alias("b_arrival"),
+        (
+            (F.row_number().over(Window.orderBy("n_toks", "doc_id")) - 1) / 32
+        )
+        .cast("long")
+        .alias("b_sorted"),
+    )
+
+    def per_batch(col: str, name: str) -> DataFrame:
+        return tagged.groupBy(F.col(col).alias("b")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.max("n_toks").cast("long").alias("mx"),
+            F.sum("n_toks").cast("long").alias("sm"),
+        ).select(F.lit(name).alias("discipline"), "b", "cnt", "mx", "sm")
+
+    a = per_batch("b_arrival", "arrival").unionByName(
+        per_batch("b_sorted", "length_sorted")
+    )
+    return a.groupBy("discipline").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("sm").cast("long").alias("real_tokens"),
+        F.sum(F.col("mx") * F.col("cnt")).cast("long").alias("padded_tokens"),
+        (F.sum(F.col("mx") * F.col("cnt")) - F.sum("sm"))
+        .cast("long")
+        .alias("wasted_tokens"),
+        ratio_e4(
+            "(sum(mx * cnt) - sum(sm))", "sum(mx * cnt)"
+        ).alias("waste_share_e4"),
+    )

@@ -136,6 +136,7 @@ _POST_FREEZE = {
     "prefix_index_pruning_audit",
     "changepoint_binary_seg",
     "changepoint_recursive_3seg",
+    "padding_waste_audit",
 }
 
 
