@@ -1,0 +1,173 @@
+"""Scale-safe replacements for unpartitioned analytic windows.
+
+A global ``row_number()/ntile() OVER (ORDER BY ...)`` plans as
+``Exchange SinglePartition → Window`` — one task sorts the whole input, the
+scale-killer class the round-5 verdict flagged in six queries. These helpers
+rebuild the SAME exact ranks/tiles from partitioned primitives:
+
+- ``bucketed_global_rank``: global rank = (cumulative count of coarser
+  buckets that sort strictly before mine) + (row_number within my bucket).
+  The only unpartitioned window runs over the bucket SUPPORT (one row per
+  distinct bucket value — bounded by construction, never by row count); the
+  per-row window is partitioned by bucket. This is the value-support
+  cumulative-count trick `rank_calibration` / `ks_drift_stat` already use,
+  generalized to any (bucket, tiebreak) total order.
+- ``ntile_from_rank``: replays SQL NTILE's exact bucket-size contract
+  (first ``total % n`` tiles get one extra row) from a precomputed rank, so
+  ntile needs no window at all once the rank exists.
+- ``exact_ranks_for_candidates``: exact global ranks for a SMALL candidate
+  set without ranking the corpus — rank(c) = 1 + #{rows sorting strictly
+  before c}, split into a strict-value count (support × candidates
+  broadcast inequality join) and a tie count (corpus × candidates broadcast
+  EQUI-join on the value). Used by the RRF / RAG shortlist fusions where
+  only top-N list members ever need a rank.
+
+All three keep outputs bit-identical to the single-sort forms (property
+tests in tests/test_scale_windows.py pin equality against
+``F.row_number()``/``F.ntile()``), so existing DuckDB oracles stay valid.
+Reference analog: none (pure Spark scale engineering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    bucket: Column,
+    within_order: list[Column],
+    descending: bool = False,
+    out: str = "rank",
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY bucket [DESC], *within)``
+    without a single-partition sort.
+
+    ``bucket`` must be a coarsening of the primary sort key in the SAME
+    direction (any non-strictly-monotone function: the key itself, a
+    floor-div range bucket, a string prefix), and ``within_order`` must
+    totally order rows inside one bucket value (include the primary key
+    itself when the bucket coarsens it, plus a unique tiebreak).
+
+    Plan: one shuffle on bucket (per-bucket counts), one unpartitioned
+    cumulative window over the bucket SUPPORT, one broadcast join of the
+    support-sized offset table, one bucket-partitioned row_number. No stage
+    ever sorts more than one bucket's rows in one task.
+    """
+    base = df.withColumn("_swb", bucket)
+    sup = base.groupBy("_swb").agg(F.count(F.lit(1)).alias("_swc"))
+    order = F.col("_swb").desc() if descending else F.col("_swb").asc()
+    w_off = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    off = sup.select(
+        "_swb", F.coalesce(F.sum("_swc").over(w_off), F.lit(0)).alias("_swoff")
+    )
+    w_in = Window.partitionBy("_swb").orderBy(*within_order)
+    # no broadcast hint on the support join: it derives from an sf-scaled
+    # scan (the repo-wide hint guard rightly rejects that) and the planner
+    # broadcasts the support-sized side from stats anyway (verified:
+    # BroadcastHashJoin BuildRight in the executed plan).
+    return (
+        base.withColumn("_swrn", F.row_number().over(w_in))
+        .join(off, "_swb")
+        .withColumn(out, (F.col("_swoff") + F.col("_swrn")).cast("long"))
+        .drop("_swb", "_swrn", "_swoff")
+    )
+
+
+def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
+    """SQL NTILE(n) replayed from an exact 1-based rank and the total row
+    count: the first ``total % n`` tiles hold ``total div n + 1`` rows, the
+    rest ``total div n`` (both Spark's NTile and DuckDB's ntile implement
+    exactly this). Pure integer arithmetic — identical cross-engine."""
+    q = (total / n).cast("long")  # total div n: both non-negative
+    r = total - q * n
+    big = (q + F.lit(1)) * r  # rows covered by the (q+1)-sized tiles
+    in_big = ((rank - 1) / (q + 1)).cast("long") + 1
+    # q can be 0 only when total < n, where every rank is inside `big`
+    in_small = r + ((rank - big - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+    return F.when(rank <= big, in_big).otherwise(in_small).cast("long")
+
+
+def bucketed_ntile(
+    df: DataFrame,
+    bucket: Column,
+    within_order: list[Column],
+    n: int,
+    descending: bool = False,
+    out: str = "tile",
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY bucket [DESC], *within)`` via
+    ``bucketed_global_rank`` + ``ntile_from_rank`` (the total-count single
+    row joins in as a broadcast, keeping the plan fully lazy)."""
+    ranked = bucketed_global_rank(
+        df, bucket, within_order, descending=descending, out="_swr"
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("_swn"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out, ntile_from_rank(F.col("_swr"), F.col("_swn"), n))
+        .drop("_swr", "_swn")
+    )
+
+
+def exact_ranks_for_candidates(
+    base: DataFrame,
+    cands: DataFrame,
+    value: str,
+    id_col: str,
+    out: str = "rank",
+) -> DataFrame:
+    """Exact global rank over ``(value DESC, id ASC)`` for each row of the
+    SMALL ``cands`` frame (must contain ``value`` and ``id_col``), without
+    ordering ``base``.
+
+    rank(c) = 1 + #{b : b.value > c.value}                (strict part)
+            + #{b : b.value = c.value AND b.id < c.id}    (tie part)
+
+    The strict part joins the VALUE SUPPORT (one row per distinct value)
+    against the small candidate side on an inequality — support × |cands|
+    work, no corpus pass; the tie part is an equi-join on the value
+    (map-side, one corpus scan). Both scale linearly with |base| and
+    |support| and never single-partition anything. No broadcast hints:
+    both candidate subtrees derive from sf-scaled scans (the repo hint
+    guard rejects hinting those) and the planner already builds
+    BroadcastNestedLoopJoin/BroadcastHashJoin with the candidate side as
+    the build side from the limit-derived stats (verified in the executed
+    plans).
+    """
+    c = cands.select(
+        F.col(value).alias("_cv"), F.col(id_col).alias("_cid")
+    )
+    sup = base.groupBy(F.col(value).alias("_sv")).agg(
+        F.count(F.lit(1)).alias("_sc")
+    )
+    strict = (
+        sup.join(c, F.col("_sv") > F.col("_cv"))
+        .groupBy("_cv", "_cid")
+        .agg(F.sum("_sc").alias("_ngt"))
+    )
+    ties = (
+        base.select(F.col(value).alias("_bv"), F.col(id_col).alias("_bid"))
+        .join(
+            c,
+            (F.col("_bv") == F.col("_cv")) & (F.col("_bid") < F.col("_cid")),
+        )
+        .groupBy("_cv", "_cid")
+        .agg(F.count(F.lit(1)).alias("_ntie"))
+    )
+    return (
+        c.join(strict, ["_cv", "_cid"], "left")
+        .join(ties, ["_cv", "_cid"], "left")
+        .select(
+            F.col("_cv").alias(value),
+            F.col("_cid").alias(id_col),
+            (
+                F.lit(1)
+                + F.coalesce("_ngt", F.lit(0))
+                + F.coalesce("_ntie", F.lit(0))
+            )
+            .cast("long")
+            .alias(out),
+        )
+    )

@@ -48,105 +48,16 @@ def query(
     return deco
 
 
-# Queries already recorded (all PASS) in the round-1 driver correctness file.
-# The round driver caps CORRECTNESS_r{N}.json at the FIRST 50 registry
-# entries in iteration order, so each round we front-load queries that lack a
-# driver-recorded result; previously-recorded ones go last. Union over
-# rounds → every query gets a driver-attested row.
-# Round-1 recordings (all PASS):
-_DRIVER_RECORDED = frozenset({
-    "exact_dup_groups", "dedup_exact_survivors", "doc_fingerprint",
-    "ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
-    "text_quality", "token_counts", "language_id", "hash_split_counts",
-    "tfidf_top_terms", "quality_filter", "resample_hourly_mean",
-    "resample_300s_mean", "resample_guarded", "aggregate_from_appliances",
-    "dedup_mean_per_key", "daily_activity", "rate_inference",
-    "interval_stats", "interval_histogram", "active_hours", "channel_stats",
-    "quantile_99", "pairwise_corr", "distinct_labels", "median_rates",
-    "time_range_slice", "label_filter", "multi_exclusion", "corr_two_metrics",
-    "aggregate_channel_select", "power_type_device_filter",
-    "nilm_end_to_end", "hourly_profile",
-    "string_cleaning", "pairwise_corr_onepass", "metadata_enrichment",
-    "device_type_lookup", "keyword_label_map", "json_extract_props",
-    "dedup_keep_first", "asof_join_last_purchase",
-    "multimodal_features", "multimodal_frame_sample", "lag_delta",
-    "topk_by_value", "sliding_windows",
-}) | frozenset({
-    # Round-2 recordings (all PASS except repetition_scores, which is
-    # deliberately OMITTED here: its oracle was fixed after round 2 — the
-    # DuckDB HUGEINT sum needed CAST(... AS BIGINT) — so it must be
-    # front-loaded again for a green driver-attested row).
-    "neardup_clusters", "neardup_survivors", "decontamination_pairs",
-    "pii_redaction", "training_set_materialize", "boilerplate_phrases",
-    "bpe_pair_counts", "unigram_surprisal_score",
-    "quality_classifier", "span_dedup_summary", "resample_interpolated",
-    "run_length_filter", "run_segments", "median_smooth", "truncate_to_min",
-    "running_total", "scd2_user_intervals",
-    # sessionize (r2) + streaming_sessionize_equiv (r3) re-front-loaded in
-    # r5: avg_session_events hardened to an exact e4 integer.
-    "pricing_summary", "shipping_priority", "local_supplier_volume",
-    "forecast_revenue", "large_volume_orders", "late_shipment_priority",
-    "small_quantity_revenue", "lapsed_rich_customers", "rollup_returns",
-    "set_intersect_users", "set_except_users", "union_label_sets",
-    "semi_anti_customers", "label_subset_users", "common_channel_best_pick",
-    "range_join_campaigns", "cube_returns", "rank_analytics",
-    "sql_api_revenue", "snapshot_diff_orders", "range_join_campaigns_bucketed",
-    "fuzzy_part_names", "mixture_sample", "mixture_summary",
-    "reservoir_per_key", "sequence_packing", "packing_chunk_inventory",
-    "approx_distinct_check", "approx_quantile_check",
-}) | frozenset({
-    # Round-3 recordings (all PASS except tensor_export, OMITTED here: the
-    # real driver's canonicalizer sort_values() crashed on its array<float>
-    # column ("unhashable type: 'list'") — the query now emits JSON strings
-    # and must be front-loaded again for a clean driver-attested row.
-    "incremental_neardup_pairs", "neardup_quality_survivors",
-    "equidepth_bins", "heavy_hitters_check",
-    "source_mixture_drift", "mixture_temperature_weights",
-    "cosine_topk_bruteforce", "truncated_rerank_topk",
-    "embedding_neardup_pairs", "cosine_topk_lsh", "cosine_topk_ivf",
-    "semantic_dedup_survivors", "pq_topk",
-    "pq_topk_rerank", "ivf_pq_topk", "hard_negative_mining",
-    "contrastive_triplets",
-    "streaming_dedup_equiv", "streaming_sliding_window_equiv",
-    "streaming_dedup_watermark_equiv", "streaming_static_join_equiv",
-    "streaming_stream_join_equiv", "sliding_windows_grouped",
-    "tensor_export_flat", "unpivot_metrics", "vocab_top_tokens",
-    "bigram_surprisal_score", "doc_chunks_inventory", "source_quality_gate",
-    # (binarize_activity, pivot_wide r1; kmeans_centroid_update,
-    # streaming_resample_equiv, streaming_late_data_drop r3 — all
-    # re-front-loaded in r5: their float-mean outputs flipped a 4dp round
-    # at sf0.1 and were hardened to exact fixed-point integers)
-    # (oov_rate, repetition_scores, key_skew_audit were r3-recorded and
-    # funnel_conversion, boilerplate_doc_ratio r2-recorded, but their ratio
-    # columns were hardened to e4 integers in r5 — removed above/below so
-    # the driver re-attests the new schemas)
-}) | frozenset({
-    # Round-4 recordings. OMITTED on purpose (must be front-loaded for a
-    # fresh driver-attested row in round 5):
-    #  - vocab_growth_stats, three_step_funnel, concurrency_peaks,
-    #    k_anonymity_audit — the four r4 hash_match:false rows (uncast
-    #    DuckDB HUGEINT aggregates + float ratio columns; both fixed via
-    #    operators/exact_math.py e4 integer ratios + CAST AS BIGINT).
-    #  - classifier_selection_audit — green in r4 but its ratio columns
-    #    were hardened to e4 integers (schema changed).
-    #  - variant_extract_props — green in r4 but its oracle switched from
-    #    a formatting-sensitive regexp to semantic json_extract.
-    "kmv_distinct_ops", "kmv_jaccard_pairs", "acf_hourly",
-    "trimmed_mean_price", "pareto_front_docs", "triangle_count_parts",
-    "promo_revenue_share", "top_supplier_revenue", "entropy_by_source",
-    "markov_transitions", "partial_agg_merge", "rolling_hour_sum",
-    "association_rules", "seasonal_decompose_daily",
-    "token_budget_curation", "weighted_sample_sps", "shard_layout_audit",
-    "bloom_decontamination", "chisq_independence", "cms_error_audit",
-    "cohort_retention", "curriculum_stages",
-    "cusum_drift_summary", "dataset_manifest", "dsir_importance_weights",
-    "gdpr_erasure_audit", "hamming_topk_rerank", "important_stock",
-    "int8_quant_fidelity", "ks_drift_stat", "leakage_safe_split",
-    "m4_downsample", "mad_outlier_summary", "merge_upsert_orders",
-    "min_cost_supplier", "pagerank_step", "pit_state_lookup",
-    "psi_value_drift", "seasonal_naive_error", "time_weighted_avg",
-    "weighted_median_price", "zorder_layout_stats",
-})
+# Queries with a driver-attested CORRECTNESS row. The round driver caps
+# CORRECTNESS_r{N}.json at the FIRST 50 registry entries in iteration order,
+# so each round we front-load queries that lack a driver-recorded result;
+# previously-recorded ones go last. Union over rounds → every query gets a
+# driver-attested row. GENERATED from the CORRECTNESS_r*.json artifacts by
+# scripts/gen_driver_recorded.py (hand-maintaining this set displaced
+# re-attestation windows twice; judge r5 item 8) — rerun it each round.
+from nilm_data_framework_spark.plans.driver_recorded import (  # noqa: E402
+    DRIVER_RECORDED as _DRIVER_RECORDED,
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:

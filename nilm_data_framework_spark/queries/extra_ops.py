@@ -1051,37 +1051,56 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the top-k replays bit-identically",
 )
 def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RRF over two full rankings of the documents table (by n_chars and
-    by token count, both id-tiebroken): score = Σ 1e6 div (60 + rank).
-    Integer-scaled so no float ever enters the fusion. Plan: two
-    row_number windows over the same single-partition ordering + one
-    projection; at 100 TB each ranker's rank comes from its own engine
-    (ANN top-k / BM25 top-k lists are ≤ k·|queries| rows), so the fusion
-    join is list-sized, never corpus-sized — this gate ranks the WHOLE
-    corpus only to make the oracle total."""
+    """RRF of two rankings of the documents table (by n_chars and by token
+    count, both id-tiebroken): score = Σ 1e6 div (60 + rank). Integer-
+    scaled so no float ever enters the fusion.
+
+    Scale shape (r5 verdict item 4 — shortlist fusion, no full-corpus
+    rank window): candidates = union of each ranker's top-128
+    (TakeOrderedAndProject, map-side partial top-k); their EXACT global
+    ranks come from exact_ranks_for_candidates (support inequality join +
+    value equi-join tie count — two linear passes, no global sort); the
+    fused top-20 then ranks ≤256 coalesced rows. Completeness is provable
+    because RRF is monotone in both ranks: a doc outside BOTH top-128
+    lists scores ≤ 2·(1e6 div (60+129)) = 10582, while the docs at
+    chars-ranks 1..20 are all candidates scoring ≥ 1e6 div 80 = 12500 —
+    strictly more — so the global top-20 is contained in the candidate
+    set for ANY data. The oracle keeps the full-corpus double-rank
+    construction; hash equality proves the shortlist swap exact."""
     from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.scale_windows import (
+        exact_ranks_for_candidates,
+    )
     from nilm_data_framework_spark.operators.text import token_count
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    # checkpoint the tokenizing scan once: it feeds both top-k passes and
+    # both rank reconstructions (narrow 3-long-column frame)
     base = docs.select(
         "doc_id", "n_chars", token_count(F.col("text")).cast("long").alias("n_tok")
+    ).localCheckpoint(eager=True)
+    cand_c = base.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(128)
+    cand_t = base.orderBy(F.col("n_tok").desc(), F.col("doc_id")).limit(128)
+    cands = (
+        cand_c.unionByName(cand_t).distinct().coalesce(1).localCheckpoint(eager=True)
     )
-    w_c = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    w_t = Window.orderBy(F.col("n_tok").desc(), F.col("doc_id"))
-    ranked = base.select(
-        "doc_id",
-        F.row_number().over(w_c).cast("long").alias("rank_chars"),
-        F.row_number().over(w_t).cast("long").alias("rank_tokens"),
-    )
-    fused = ranked.withColumn(
-        "rrf_e6",
-        F.expr(
-            "1000000 div (60 + rank_chars) + 1000000 div (60 + rank_tokens)"
-        ).cast("long"),
+    rc = exact_ranks_for_candidates(base, cands, "n_chars", "doc_id", out="rank_chars")
+    rt = exact_ranks_for_candidates(base, cands, "n_tok", "doc_id", out="rank_tokens")
+    fused = (
+        cands.select("doc_id")
+        .join(rc.select("doc_id", "rank_chars"), "doc_id")
+        .join(rt.select("doc_id", "rank_tokens"), "doc_id")
+        .withColumn(
+            "rrf_e6",
+            F.expr(
+                "1000000 div (60 + rank_chars) + 1000000 div (60 + rank_tokens)"
+            ).cast("long"),
+        )
     )
     w = Window.orderBy(F.col("rrf_e6").desc(), F.col("doc_id"))
     return (
-        fused.withColumn("rk", F.row_number().over(w))
+        fused.coalesce(1)
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
         .select("doc_id", "rank_chars", "rank_tokens", "rrf_e6", "rk")
     )
@@ -1969,13 +1988,17 @@ def stream_disorder_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replay bit-identically",
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One customer agg (exact integer R/F/M) → three ntile windows (each
-    a single global sort over |customers| rows — at 100 TB these become
-    range-partitioned sorts or equi-depth-histogram quantile lookups, the
-    same swap documented for gini_key_skew) → segment-cell rollup.
-    ntile's deterministic contract: identical total order in both engines
-    because every ORDER BY carries the custkey tiebreak."""
-    from pyspark.sql import Window
+    """One customer agg (exact integer R/F/M) → three quintile assignments
+    → segment-cell rollup. The quintiles are the scale-safe bucketed-ntile
+    build (operators/scale_windows.py — the swap the r5 verdict asked for,
+    previously only documented): recency and frequency partition on the
+    value itself (small support), monetary on a $10k range bucket; each
+    assignment is per-value/bucket counts + one cumulative window over the
+    bucket SUPPORT + a bucket-partitioned row_number — no |customers|-sized
+    single-partition sort anywhere. The oracle keeps native ntile with the
+    same (metric, custkey) total order, so hash equality proves the swap
+    exact."""
+    from nilm_data_framework_spark.operators.scale_windows import bucketed_ntile
 
     orders = load_table(spark, sf_dir, "orders").withColumn(
         # parquet reads the date column as TIMESTAMP_NTZ; the session is
@@ -1992,24 +2015,25 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_c"),
     )
-    scored = per.select(
-        "o_custkey",
-        "recency_d",
-        "freq",
-        "monetary_c",
-        F.ntile(5)
-        .over(Window.orderBy("recency_d", "o_custkey"))
-        .cast("long")
-        .alias("r_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
-        .cast("long")
-        .alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_c").desc(), "o_custkey"))
-        .cast("long")
-        .alias("m_q"),
-    )
+    # bucketed_ntile references its input from three branches (per-row
+    # window, bucket support, total count), so CHAINING the three calls
+    # re-evaluates the customer agg 3^3 times (measured 2.2 s at sf0.1 vs
+    # 1.2 s for this form): checkpoint `per` once, build the three tile
+    # columns independently from it, join them back on the customer key.
+    per = per.localCheckpoint(eager=True)
+    scored = per
+    for bucket, order, desc, out in [
+        (F.col("recency_d"), [F.col("o_custkey")], False, "r_q"),
+        (F.col("freq"), [F.col("freq").desc(), F.col("o_custkey")], True, "f_q"),
+        (
+            (F.col("monetary_c") / 1000000).cast("long"),
+            [F.col("monetary_c").desc(), F.col("o_custkey")],
+            True,
+            "m_q",
+        ),
+    ]:
+        tile = bucketed_ntile(per, bucket, order, 5, descending=desc, out=out)
+        scored = scored.join(tile.select("o_custkey", out), "o_custkey")
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("monetary_c").cast("long").alias("total_monetary_c"),
@@ -2712,13 +2736,25 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition proof: the standalone gates verify each operator; this
     query verifies the INTERFACES — keep-set feeds BM25's corpus stats,
     both rankers feed RRF over the kept union, the fused shortlist feeds
-    MMR with exact query-dot relevance. Plan: each stage rides the
-    previous stage's tiny output (shortlist-sized joins); the only
-    corpus-sized work is the two ranking scans. At 100 TB the rankers
-    swap to the inverted index + an ANN path; fusion and MMR never see
-    the corpus."""
+    MMR with exact query-dot relevance. Plan (r5 verdict item 4 —
+    shortlist fusion): each ranker contributes a top-128 TakeOrdered
+    shortlist, the candidate union's EXACT global ranks are rebuilt by
+    exact_ranks_for_candidates (support inequality join + tie equi-join,
+    two linear passes), and fusion/MMR only ever see ≤256 coalesced rows.
+    Completeness: RRF is monotone in both ranks, so a doc outside both
+    top-128 lists scores ≤ 2·(1e6 div 189) = 10582 < 12500 = 1e6 div 80
+    ≤ the 20th candidate's score (the bm25-top-20 are all candidates) —
+    the fused top-20 is provably inside the candidate set for any data.
+    The only corpus-sized work left is the two ranking scans; at 100 TB
+    those swap to the inverted index + the persisted-IVF ANN path
+    (ivf_topk_persisted), and fusion/MMR are unchanged. The oracle keeps
+    the full-corpus global-rank construction; hash equality proves the
+    swap exact."""
     from pyspark.sql import Window
     from nilm_data_framework_spark.operators.embed_stats import u6_components
+    from nilm_data_framework_spark.operators.scale_windows import (
+        exact_ranks_for_candidates,
+    )
     from nilm_data_framework_spark.operators.text import (
         bm25_scores,
         quality_classifier_score,
@@ -2732,12 +2768,12 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept_docs = docs.join(kept_ids, "doc_id")
-    bm = bm25_scores(kept_docs, _BM25_TERMS).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("bm25_raw").desc(), F.col("doc_id")))
-        .cast("long")
-        .alias("rank_bm25"),
+    # narrow (doc_id, bm25_raw) frame feeds a top-k pass + two rank-
+    # reconstruction passes — checkpoint the scoring scan once
+    bmscored = (
+        bm25_scores(kept_docs, _BM25_TERMS)
+        .select("doc_id", "bm25_raw")
+        .localCheckpoint(eager=True)
     )
     qv = emb.where(F.col("vec_id") == _RAG_QVEC).select(
         u6_components("embedding").alias("qv6")
@@ -2756,30 +2792,42 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("rdoc_id").alias("doc_id"), dot_q.alias("rel"))
         .localCheckpoint(eager=True)
     )
-    cs = rels.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("rel").desc(), F.col("doc_id")))
-        .cast("long")
-        .alias("rank_cos"),
+    cand_ids = (
+        bmscored.orderBy(F.col("bm25_raw").desc(), "doc_id")
+        .limit(128)
+        .select("doc_id")
+        .unionByName(
+            rels.orderBy(F.col("rel").desc(), "doc_id").limit(128).select("doc_id")
+        )
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    rb = exact_ranks_for_candidates(
+        bmscored, cand_ids.join(bmscored, "doc_id"), "bm25_raw", "doc_id",
+        out="rank_bm25",
+    )
+    rc = exact_ranks_for_candidates(
+        rels, cand_ids.join(rels, "doc_id"), "rel", "doc_id", out="rank_cos"
     )
     fused = (
-        kept_ids.join(bm, "doc_id", "left")
-        .join(cs, "doc_id", "left")
+        cand_ids.join(rb.select("doc_id", "rank_bm25"), "doc_id")
+        .join(rc.select("doc_id", "rank_cos"), "doc_id")
         .select(
             "doc_id",
-            F.coalesce("rank_bm25", F.lit(0)).cast("long").alias("rank_bm25"),
-            F.coalesce("rank_cos", F.lit(0)).cast("long").alias("rank_cos"),
+            "rank_bm25",
+            "rank_cos",
             (
-                F.coalesce(F.expr("1000000 div (60 + rank_bm25)"), F.lit(0))
-                + F.coalesce(F.expr("1000000 div (60 + rank_cos)"), F.lit(0))
+                F.expr("1000000 div (60 + rank_bm25)")
+                + F.expr("1000000 div (60 + rank_cos)")
             )
             .cast("long")
             .alias("rrf_e6"),
         )
     )
     short = (
-        fused.withColumn(
+        fused.coalesce(1)
+        .withColumn(
             "rk",
             F.row_number().over(Window.orderBy(F.col("rrf_e6").desc(), "doc_id")),
         )
@@ -6085,16 +6133,26 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How concentrated is corpus mass in the longest documents? The
     10-point Lorenz curve: equal-count deciles by length (deterministic
     ntile with doc_id tiebreak), cumulative exact character sums, e4
-    shares. Window input is 10 rows after the decile agg."""
+    shares. The decile assignment is the scale-safe bucketed-ntile build
+    (operators/scale_windows.py): per-value counts + one cumulative window
+    over the n_chars SUPPORT + a value-partitioned row_number — no
+    single-partition sort of the corpus (r5 verdict item 3); the oracle
+    keeps the native global-ntile construction, so hash equality proves
+    the swap exact. The only remaining unpartitioned windows run over 10
+    decile rows."""
     from pyspark.sql import Window
 
     from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.operators.scale_windows import bucketed_ntile
 
     docs = load_table(spark, sf_dir, "documents")
-    ranked = docs.select(
-        "n_chars",
-        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("decile"),
-    )
+    ranked = bucketed_ntile(
+        docs.select("n_chars", "doc_id"),
+        F.col("n_chars"),
+        [F.col("doc_id")],
+        10,
+        out="decile",
+    ).select("n_chars", "decile")
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
@@ -6865,11 +6923,21 @@ def greedy_set_cover_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNM blocking: candidates = sort neighbors, not key-block members
     — catches typos that key blocking would need the right key for.
-    One dimension-sized global sort carries all five lead() columns;
-    the census per offset shows the recall/cost trade of widening W
-    (typo copies sit exactly 5 positions from their originals in this
-    dense-key fixture)."""
-    from pyspark.sql import Window
+
+    Scale shape (r5 verdict item 5 — the range-partitioned form SCALE.md
+    promised, now implemented): the global (c_name, id) position comes
+    from bucketed_global_rank partitioned on a 15-char name prefix (a
+    monotone coarsening of the sort key — per-bucket row_numbers + one
+    support-sized cumulative window, no single-partition sort), and the
+    next-W neighbor pairs come from a BANDED self-join: rows keyed by
+    band = (rank-1) div 256, the partner side duplicated into its own and
+    the previous band (the W-row boundary overlap), joined on band with
+    1 ≤ rank_b − rank_a ≤ 5. Band size 256 ≥ W guarantees every neighbor
+    pair shares a key. The oracle keeps the global-sort lead() form; hash
+    equality proves the banded build exact."""
+    from nilm_data_framework_spark.operators.scale_windows import (
+        bucketed_global_rank,
+    )
 
     c = load_table(spark, sf_dir, "customer")
     src = c.select(F.col("c_custkey").alias("id"), "c_name").unionByName(
@@ -6878,28 +6946,32 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("concat(substr(c_name, 1, 17), 'x')").alias("c_name"),
         )
     )
-    w = Window.orderBy("c_name", "id")
-    cols = [F.col("id"), F.col("c_name")]
-    for k in range(1, 6):
-        cols.append(F.lead("c_name", k).over(w).alias(f"n{k}"))
-        cols.append(F.lead("id", k).over(w).alias(f"i{k}"))
-    ordered = src.select(*cols)
-    per_w = []
-    for k in range(1, 6):
-        dist = F.levenshtein("c_name", f"n{k}")
-        per_w.append(
-            ordered.where(F.col(f"n{k}").isNotNull()).select(
-                F.lit(k).cast("long").alias("w"),
-                dist.alias("dist"),
-                (
-                    (F.col("id") > 3000000) | (F.col(f"i{k}") > 3000000)
-                ).cast("int").alias("has_typo"),
-            )
-        )
-    allw = per_w[0]
-    for p in per_w[1:]:
-        allw = allw.unionByName(p)
-    return allw.groupBy("w").agg(
+    # ranked feeds both join sides — checkpoint the dimension-sized frame
+    ranked = bucketed_global_rank(
+        src, F.substring("c_name", 1, 15), [F.col("c_name"), F.col("id")],
+        out="r",
+    ).localCheckpoint(eager=True)
+    band = ((F.col("r") - 1) / 256).cast("long")
+    a = ranked.select(
+        F.col("id").alias("id_a"), F.col("c_name").alias("name_a"),
+        F.col("r").alias("ra"), band.alias("band"),
+    )
+    b_own = ranked.select(
+        F.col("id").alias("id_b"), F.col("c_name").alias("name_b"),
+        F.col("r").alias("rb"), band.alias("band"),
+    )
+    b_keyed = b_own.unionByName(b_own.withColumn("band", F.col("band") - 1))
+    pairs = a.join(b_keyed, "band").where(
+        (F.col("rb") - F.col("ra")).between(1, 5)
+    )
+    scored = pairs.select(
+        (F.col("rb") - F.col("ra")).cast("long").alias("w"),
+        F.levenshtein("name_a", "name_b").alias("dist"),
+        ((F.col("id_a") > 3000000) | (F.col("id_b") > 3000000))
+        .cast("int")
+        .alias("has_typo"),
+    )
+    return scored.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
         F.sum((F.col("dist") <= 2).cast("long")).cast("long").alias("n_matched"),
         F.sum(((F.col("dist") <= 2) & (F.col("has_typo") == 1)).cast("long"))
@@ -7303,41 +7375,46 @@ def _padding_waste_oracle() -> str:
 )
 def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many pad tokens does naive batching burn, and how many does
-    length-sorting save? Two deterministic rank windows assign batch
-    ids (same scan), one batch agg, one discipline rollup — the entire
-    audit is two exchanges, and every number is an exact integer. On
-    training hardware waste_share IS lost throughput; this query is the
+    length-sorting save? Batch ids come from exact global ranks built the
+    scale-safe way (operators/scale_windows.py, r5 verdict item 3): the
+    arrival rank partitions on a doc_id range bucket, the length rank on
+    n_toks itself — per-bucket row_numbers plus one support-sized
+    cumulative window each, no single-partition sort of the corpus. The
+    tokenized (doc_id, n_toks) frame is checkpointed once so the full-text
+    tokenizing scan runs once, not once per rank branch. Oracle keeps the
+    native global row_number construction — hash equality proves the swap.
+    Every number is an exact integer; waste_share IS lost throughput, the
     capacity-planning input for choosing bucketed batching."""
-    from pyspark.sql import Window
-
     from nilm_data_framework_spark.operators.exact_math import ratio_e4
+    from nilm_data_framework_spark.operators.scale_windows import (
+        bucketed_global_rank,
+    )
     from nilm_data_framework_spark.operators.text import token_count
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     t = docs.select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_toks")
-    )
-    tagged = t.select(
-        "n_toks",
-        ((F.row_number().over(Window.orderBy("doc_id")) - 1) / 32)
-        .cast("long")
-        .alias("b_arrival"),
-        (
-            (F.row_number().over(Window.orderBy("n_toks", "doc_id")) - 1) / 32
+    ).localCheckpoint(eager=True)
+
+    def per_batch(bucket, order, name: str) -> DataFrame:
+        ranked = bucketed_global_rank(t, bucket, order, out="r")
+        return (
+            ranked.select(
+                "n_toks", ((F.col("r") - 1) / 32).cast("long").alias("b")
+            )
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.max("n_toks").cast("long").alias("mx"),
+                F.sum("n_toks").cast("long").alias("sm"),
+            )
+            .select(F.lit(name).alias("discipline"), "b", "cnt", "mx", "sm")
         )
-        .cast("long")
-        .alias("b_sorted"),
-    )
 
-    def per_batch(col: str, name: str) -> DataFrame:
-        return tagged.groupBy(F.col(col).alias("b")).agg(
-            F.count(F.lit(1)).cast("long").alias("cnt"),
-            F.max("n_toks").cast("long").alias("mx"),
-            F.sum("n_toks").cast("long").alias("sm"),
-        ).select(F.lit(name).alias("discipline"), "b", "cnt", "mx", "sm")
-
-    a = per_batch("b_arrival", "arrival").unionByName(
-        per_batch("b_sorted", "length_sorted")
+    a = per_batch(
+        (F.col("doc_id") / 1024).cast("long"), [F.col("doc_id")], "arrival"
+    ).unionByName(
+        per_batch(F.col("n_toks"), [F.col("doc_id")], "length_sorted")
     )
     return a.groupBy("discipline").agg(
         F.count(F.lit(1)).cast("long").alias("n_batches"),

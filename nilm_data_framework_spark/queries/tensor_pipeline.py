@@ -69,24 +69,71 @@ def _tensorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tensor_export",
-    oracle=None,
+    oracle="""
+    WITH series AS (
+      SELECT user_id, event_type, list(value ORDER BY ts, event_id) AS v
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id, event_type
+    ),
+    per_user AS (
+      SELECT user_id,
+             any_value(v) FILTER (event_type = 'view') AS agg,
+             any_value(v) FILTER (event_type = 'click') AS click,
+             any_value(v) FILTER (event_type = 'purchase') AS purch
+      FROM series GROUP BY user_id
+    ),
+    lens AS (
+      SELECT user_id, agg, click, purch,
+             least(len(agg),
+                   coalesce(len(click), 9223372036854775807),
+                   coalesce(len(purch), 9223372036854775807)) AS min_len
+      FROM per_user WHERE agg IS NOT NULL
+    ),
+    wins AS (
+      SELECT user_id, agg, click, purch,
+             unnest(range(0, CASE WHEN min_len >= 8
+                                  THEN (min_len - 8) // 4 + 1 ELSE 0 END)) AS w
+      FROM lens
+    )
+    SELECT user_id, CAST(w AS BIGINT) AS window_id,
+           to_json(list_transform(range(0, 8), i ->
+             CAST(floor(CAST(agg[4 * w + i + 1] AS DOUBLE) * 1000000)
+                  AS BIGINT))) AS x_u6_json,
+           to_json(list_transform(range(0, 8), i ->
+             [CAST(floor(CAST(coalesce(click[4 * w + i + 1], 0.0) AS DOUBLE)
+                         * 1000000) AS BIGINT),
+              CAST(floor(CAST(coalesce(purch[4 * w + i + 1], 0.0) AS DOUBLE)
+                         * 1000000) AS BIGINT)])) AS y_u6_json,
+           to_json(['click', 'purchase']) AS labels_json
+    FROM wins
+    """,
     survey_ref="§3 entry point 3 (channel_utils.py:144-248, ConvertToTensor.py:8-92)",
-    tags=("rows_only",),
 )
 def tensor_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array-column export (the S10 sink shape). The scalar-flattened twin
-    # below value-checks every element of these windows against DuckDB.
-    # The driver's canonicalizer sorts every column with pandas
+    # below value-checks every RAW DOUBLE element of these windows against
+    # DuckDB. The driver's canonicalizer sorts every column with pandas
     # sort_values(), which raises "unhashable type: 'list'" on array
     # columns (observed: CORRECTNESS_r03 err) — so the driver-facing row
-    # shape serializes the tensors to JSON strings. The array form stays
-    # available via operators.tensorize for the S10 sink itself.
+    # shape serializes the tensors to JSON strings. Raw-double JSON text
+    # diverges cross-engine (Spark Jackson prints 1.0E-4 / -0.0 where
+    # DuckDB prints 0.0001 / 0.0), so the serialized payload carries the
+    # repo-standard u6 exact integers (floor(v·1e6), embed_stats
+    # convention) — integers print identically in both engines, making
+    # this row hash-checkable. The raw array<double> form stays available
+    # via operators.tensorize for the S10 sink itself.
     t = _tensorized(spark, sf_dir)
-    atomic = [f.name for f in t.schema.fields if not f.dataType.typeName()
-              in ("array", "struct", "map")]
-    nested = [f.name for f in t.schema.fields if f.name not in atomic]
+    u6 = "CAST(floor(CAST({v} AS DOUBLE) * 1000000) AS BIGINT)"
     return t.select(
-        *atomic, *[F.to_json(F.col(c)).alias(f"{c}_json") for c in nested]
+        "user_id",
+        "window_id",
+        F.to_json(F.expr(f"transform(x, v -> {u6.format(v='v')})")).alias(
+            "x_u6_json"
+        ),
+        F.to_json(
+            F.expr(f"transform(y, r -> transform(r, v -> {u6.format(v='v')}))")
+        ).alias("y_u6_json"),
+        F.to_json("labels").alias("labels_json"),
     )
 
 

@@ -51,6 +51,9 @@ def get_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-parseable: the round driver tail-captures
+        # bench.py's stdout and \r-progress frames corrupted the r4 artifact
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -2,165 +2,92 @@
 
 The round driver records CORRECTNESS rows for only the FIRST 50 registry
 entries; all_queries() therefore front-loads driver-unrecorded queries. The
-round-5 re-attestation set (the four r4 hash flags, every query whose
-schema/oracle was hardened in r5, and the r5-new families) must occupy that
-window — and post-freeze additions (queries/extra_ops.py) must sort AFTER
-it. This test fails if a new query module/import accidentally displaces a
-re-attestation query out of the driver's sample.
+recorded set is GENERATED from the CORRECTNESS_r*.json artifacts by
+scripts/gen_driver_recorded.py (judge r5 item 8: hand-maintaining it was the
+likeliest source of a displaced re-attestation window). These tests pin
+
+  1. the generated file is in sync with the artifacts + the live registry,
+  2. the driver's 50-row window contains only unattested queries,
+  3. the unrecorded/recorded blocks never interleave,
+
+so adding a query module or regenerating after a new round cannot silently
+push a never-attested query out of the driver's sample.
 """
 
 from __future__ import annotations
 
+import importlib.util
+import os
+
+from nilm_data_framework_spark.plans.driver_recorded import DRIVER_RECORDED
 from nilm_data_framework_spark.plans.registry import _DRIVER_RECORDED, all_queries
 
-# Queries that MUST be in the driver's round-5 sample window (first 50):
-# the four r4 hash_match:false rows, the r5 schema/oracle-hardened set, and
-# the r5-new operator families without any driver record.
-_R5_CRITICAL = {
-    "vocab_growth_stats",
-    "three_step_funnel",
-    "concurrency_peaks",
-    "k_anonymity_audit",
-    "classifier_selection_audit",
-    "variant_extract_props",
-    "tensor_export",
-    "repetition_scores",
-    "oov_rate",
-    "binarize_activity",
-    "pivot_wide",
-    "kmeans_centroid_update",
-    "sessionize",
-    "funnel_conversion",
-    "boilerplate_doc_ratio",
-    "key_skew_audit",
-    "streaming_resample_equiv",
-    "streaming_sessionize_equiv",
-    "streaming_late_data_drop",
-    "incremental_neardup_persisted",
-    "ivf_topk_persisted",
-    "ivf_recall_at_k",
-    "ivf_append_probe_equiv",
-}
-
-# Post-freeze additions (extra_ops.py): driver-unrecorded by definition but
-# deliberately OUTSIDE the first-50 window until round 6.
-_POST_FREEZE = {
-    "embedding_gram_matrix",
-    "transitive_closure_paths",
-    "hierarchy_rollup",
-    "inverted_index_stats",
-    "temporal_embargo_split",
-    "kcore_parts",
-    "event_type_trigrams",
-    "rank_calibration",
-    "kfold_assignment",
-    "join_size_from_histograms",
-    "streaming_trigram_equiv",
-    "multiset_except_views",
-    "multiset_intersect_views",
-    "lsh_recall_audit",
-    "coverage_gaps",
-    "label_centroid_stats",
-    "poisson_bootstrap_ci",
-    "leave_one_out_influence",
-    "bm25_topk",
-    "rrf_fusion_topk",
-    "sq8_topk_rerank",
-    "benford_digit_audit",
-    "gini_key_skew",
-    "mad_outlier_audit",
-    "knn_label_accuracy",
-    "simpson_diversity",
-    "dpp_partition_pruned_join",
-    "hamilton_allocation",
-    "kaplan_meier_survival",
-    "neardup_threshold_sweep",
-    "stream_disorder_footrule",
-    "rfm_segmentation",
-    "neardup_source_matrix",
-    "mmr_diversified_topk",
-    "sax_motifs",
-    "streaming_paa_equiv",
-    "label_noise_screen",
-    "rag_retrieval_pipeline",
-    "readability_scores",
-    "cbo_column_stats",
-    "knn_confusion_matrix",
-    "mutual_information_lang_source",
-    "pairwise_coactivation",
-    "temperature_budget_allocation",
-    "source_vocab_jaccard",
-    "weight_ess_by_source",
-    "closeness_centrality",
-    "count_burst_hours",
-    "classifier_agreement_kappa",
-    "late_arrival_p99",
-    "dedup_quality_impact",
-    "prefix_filter_neardup_pairs",
-    "fold_contamination_audit",
-    "mwu_drift_stat",
-    "emd_length_drift",
-    "reciprocal_best_match",
-    "containment_neardup_pairs",
-    "xcorr_best_lag",
-    "degree_assortativity",
-    "bigram_pmi_topk",
-    "itemset_support_histogram",
-    "grid_hotspots_topk",
-    "haar_detail_topk",
-    "source_ngram_novelty",
-    "record_linkage_pairs",
-    "hhi_supplier_concentration",
-    "weighted_jaccard_pairs",
-    "gap_constrained_trigrams",
-    "activity_bitmask_hist",
-    "item_cf_similarity_topk",
-    "session_window_native",
-    "streaming_session_window_equiv",
-    "steady_state_segments",
-    "power_step_signatures",
-    "step_signature_match",
-    "allen_relations_census",
-    "habitual_hours",
-    "fd_violation_audit",
-    "lorenz_curve_deciles",
-    "tukey_fences_outliers",
-    "theil_sen_daily_trend",
-    "runs_test_randomness",
-    "coo_matmul_expected_transitions",
-    "median_impute_audit",
-    "minmax_scale_audit",
-    "streaming_bitmask_equiv",
-    "greedy_set_cover_sources",
-    "sorted_neighborhood_pairs",
-    "prefix_index_pruning_audit",
-    "changepoint_binary_seg",
-    "changepoint_recursive_3seg",
-    "padding_waste_audit",
-}
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_critical_reattestations_in_driver_window():
-    names = list(all_queries())
-    first50 = set(names[:50])
-    missing = _R5_CRITICAL - first50
-    assert not missing, (
-        f"re-attestation queries pushed out of the driver's 50-row sample: "
-        f"{sorted(missing)} — extra_ops.py (or any new module) must stay "
-        f"imported last in plans/registry.py"
+def _gen_module():
+    spec = importlib.util.spec_from_file_location(
+        "gen_driver_recorded", os.path.join(_REPO, "scripts", "gen_driver_recorded.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_generated_file_in_sync_with_artifacts():
+    """driver_recorded.py must match what gen_driver_recorded.py derives from
+    the CORRECTNESS artifacts + the live registry. Fails right after a new
+    CORRECTNESS_r{N}.json lands (or a query gains/loses its oracle) until
+    `python scripts/gen_driver_recorded.py` is re-run."""
+    computed = set(_gen_module().compute_recorded())
+    assert computed == set(DRIVER_RECORDED), (
+        f"stale plans/driver_recorded.py — rerun scripts/gen_driver_recorded.py "
+        f"(missing: {sorted(computed - set(DRIVER_RECORDED))[:5]}, "
+        f"extra: {sorted(set(DRIVER_RECORDED) - computed)[:5]})"
     )
 
 
-def test_post_freeze_queries_after_window():
+def test_registry_uses_generated_set():
+    assert _DRIVER_RECORDED is DRIVER_RECORDED
+
+
+def test_driver_window_is_all_unrecorded():
     names = list(all_queries())
-    idx = {n: i for i, n in enumerate(names)}
-    early = sorted(n for n in _POST_FREEZE if idx[n] < 50)
-    assert not early, f"post-freeze queries inside the frozen window: {early}"
+    unrecorded = [n for n in names if n not in DRIVER_RECORDED]
+    window = names[: min(50, len(names))]
+    # while a backlog exists, every window slot must go to an unattested query
+    expected_unrecorded_in_window = min(50, len(unrecorded))
+    got = [n for n in window if n not in DRIVER_RECORDED]
+    assert len(got) == expected_unrecorded_in_window, (
+        f"driver window wastes slots on already-attested queries: "
+        f"{[n for n in window if n in DRIVER_RECORDED][:5]}"
+    )
+
+
+def test_oracle_gained_queries_reattest():
+    """A query whose rows-only attestation predates its oracle (tensor_export
+    gained a DuckDB oracle in r6) must be back in the window for a
+    hash-checked row."""
+    names = list(all_queries())
+    assert "tensor_export" in set(names[:50])
 
 
 def test_unrecorded_sort_before_recorded():
     names = list(all_queries())
-    flags = [n in _DRIVER_RECORDED for n in names]
+    flags = [n in DRIVER_RECORDED for n in names]
     # once the recorded block starts, it never reverts to unrecorded
     first_recorded = flags.index(True)
     assert all(flags[first_recorded:]), "recorded/unrecorded blocks interleaved"
+
+
+def test_window_is_stable_registration_order():
+    """Within the unrecorded block the stable sort preserves module import
+    order, so new query modules MUST be imported after extra_ops in
+    all_queries() — otherwise their brand-new queries displace the leftover
+    r5 extra_ops backlog (93 queries > 50 slots) from the r6/r7 windows."""
+    names = list(all_queries())
+    from nilm_data_framework_spark.plans.registry import registry
+
+    reg_order = {n: i for i, n in enumerate(registry)}
+    unrecorded = [n for n in names if n not in DRIVER_RECORDED]
+    assert unrecorded == sorted(unrecorded, key=reg_order.__getitem__)

@@ -1,0 +1,120 @@
+"""Property tests: operators/scale_windows.py must reproduce the native
+unpartitioned-window results BIT-IDENTICALLY — that is what lets the six
+r5 scale-killer queries swap plans without touching their DuckDB oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.operators.scale_windows import (
+    bucketed_global_rank,
+    bucketed_ntile,
+    exact_ranks_for_candidates,
+    ntile_from_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # skewed values (many ties), unique id tiebreak, adversarial sizes
+    rows = [(i, (i * i) % 13, f"s{i % 7}") for i in range(997)]
+    return spark.createDataFrame(rows, "id long, v long, s string")
+
+
+def _collect_map(sdf, key, val):
+    return {r[key]: r[val] for r in sdf.collect()}
+
+
+def test_bucketed_rank_equals_global_row_number(spark, df):
+    native = df.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).cast("long").alias("r")
+    )
+    ours = bucketed_global_rank(df, F.col("v"), [F.col("id")], out="r").select(
+        "id", "r"
+    )
+    assert _collect_map(ours, "id", "r") == _collect_map(native, "id", "r")
+
+
+def test_bucketed_rank_descending_and_coarse_bucket(spark, df):
+    native = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("id").desc()))
+        .cast("long")
+        .alias("r"),
+    )
+    # coarse range bucket over the primary key itself
+    ours = bucketed_global_rank(
+        df, (F.col("id") / 64).cast("long"), [F.col("id").desc()],
+        descending=True, out="r",
+    ).select("id", "r")
+    assert _collect_map(ours, "id", "r") == _collect_map(native, "id", "r")
+
+
+@pytest.mark.parametrize("n_rows", [3, 10, 37, 997])
+@pytest.mark.parametrize("tiles", [5, 10])
+def test_ntile_from_rank_matches_native(spark, n_rows, tiles):
+    rows = [(i, (i * 7) % 11) for i in range(n_rows)]
+    d = spark.createDataFrame(rows, "id long, v long")
+    native = d.select(
+        "id",
+        F.ntile(tiles).over(Window.orderBy("v", "id")).cast("long").alias("t"),
+    )
+    ranked = d.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).alias("r")
+    ).crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).cast("long").alias("n"))))
+    ours = ranked.select(
+        "id", ntile_from_rank(F.col("r"), F.col("n"), tiles).alias("t")
+    )
+    assert _collect_map(ours, "id", "t") == _collect_map(native, "id", "t")
+
+
+def test_bucketed_ntile_end_to_end(spark, df):
+    native = df.select(
+        "id",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("v").desc(), "id"))
+        .cast("long")
+        .alias("t"),
+    )
+    ours = bucketed_ntile(
+        df, F.col("v"), [F.col("v").desc(), F.col("id")], 10,
+        descending=True, out="t",
+    ).select("id", "t")
+    assert _collect_map(ours, "id", "t") == _collect_map(native, "id", "t")
+
+
+def test_exact_ranks_for_candidates(spark, df):
+    native = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), "id"))
+        .cast("long")
+        .alias("r"),
+    )
+    cands = df.where(F.col("id") % 97 == 0).select("v", "id")  # 11 rows
+    ours = exact_ranks_for_candidates(df, cands, "v", "id", out="r").select(
+        "id", "r"
+    )
+    nat = _collect_map(native, "id", "r")
+    got = _collect_map(ours, "id", "r")
+    assert got == {i: nat[i] for i in got}
+    assert len(got) == cands.count()
+
+
+def test_bucketed_rank_no_single_partition_sort_over_rows(spark, df):
+    """The per-row window must be bucket-partitioned; only the support
+    cumulative window (one row per distinct v — 13 rows here) may be
+    unpartitioned."""
+    plan = bucketed_global_rank(df, F.col("v"), [F.col("id")])._jdf.queryExecution().executedPlan().toString()
+    # every Window node over the base rows carries a partition spec
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # the support window orders by _swb and has no partition columns;
+        # the row window must partition by _swb
+        if "_swrn" in plan[max(0, m.start() - 200): m.start()]:
+            assert "_swb," in spec or spec.startswith("_swb")
