@@ -1175,20 +1175,31 @@ def classifier_selection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreak), each decile profiled by length and language mix —
     the pre-deployment check that a learned data filter isn't silently
     selecting for 'long English prose' instead of quality (the FineWeb /
-    DCLM ablation discipline). One global-order ntile at gate scale; the
-    100 TB form replaces it with percentile_approx score boundaries + a
-    range assignment (same exact-vs-sketch split as equidepth_bins, whose
-    oracle-checked form this mirrors). Length/language shares are exact
-    round-half-up 1e-4-scaled BIGINTs (operators/exact_math.py — the r4
-    cross-engine rounding trap hits integer quotients at any fixed dp);
-    only sum_score is a rounded float agg."""
+    DCLM ablation discipline). The decile assignment is the scale-safe
+    bucketed-ntile build (operators/scale_windows.py): the 4dp-rounded
+    score has ≤10,001 distinct values, so it partitions on the score
+    itself — per-value counts, one support-sized cumulative window, a
+    value-partitioned row_number; no single-partition sort of the corpus
+    (this was the one query outside the r5 verdict's six that the
+    unpartitioned-window plan sweep still flagged). Length/language
+    shares are exact round-half-up 1e-4-scaled BIGINTs
+    (operators/exact_math.py — the r4 cross-engine rounding trap hits
+    integer quotients at any fixed dp); only sum_score is a rounded
+    float agg."""
     d = _docs(spark, sf_dir)
-    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.scale_windows import bucketed_ntile
 
     sc = T.quality_classifier_score(d).select("doc_id", "quality_score")
-    joined = sc.join(d.select("doc_id", "n_chars", "lang"), "doc_id")
-    w = Window.orderBy("quality_score", "doc_id")
-    dec = joined.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    # bucketed_ntile references its input thrice; checkpoint the scored
+    # narrow frame so the text-heavy classifier scan runs once (measured
+    # 2.09 s → 1.65 s at sf0.1)
+    joined = (
+        sc.join(d.select("doc_id", "n_chars", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    dec = bucketed_ntile(
+        joined, F.col("quality_score"), [F.col("doc_id")], 10, out="decile"
+    )
     agg = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("quality_score"), 4).alias("sum_score"),

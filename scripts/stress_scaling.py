@@ -795,6 +795,192 @@ def fact_workloads(li: DataFrame, orders: DataFrame) -> dict:
     }
 
 
+def composition_workloads(docs: DataFrame, emb: DataFrame, cust: DataFrame) -> dict:
+    """r6 sweep (VERDICT r5 item 7): the retrieval/composition batch plus
+    the rewritten scale-safe rank builds. What grows under replication and
+    what must stay flat:
+
+    - rrf_fusion: the two corpus passes (token scan, rank reconstruction)
+      grow linearly; shortlists stay 128+128. This kernel is ALSO the
+      growing stage of rag_retrieval_pipeline — its other stages (fusion,
+      MMR) are shortlist-sized by construction (localCheckpoint'd ≤256-row
+      frames), so the composed pipeline's slope is bounded by this one plus
+      bm25_topk (swept r5, slope ≈ 0).
+    - mmr_compose: the per-query shortlist scan (corpus-linear) + the
+      shortlist² pair stage + one greedy stage (both fixed-size).
+    - set_cover_stages: distinct (source, gram) saturates under replication
+      — the anti-join chain must go FLAT, not grow.
+    - prefix_audit: posting-mass aggregates are linear in postings even
+      though the candidate-mass VALUE they report grows ~k² (the audit
+      counts pairs, it never materializes them).
+    - padding_waste / lorenz_deciles: the bucketed-rank rewrites — two
+      support windows + partitioned row_numbers, linear by design.
+    - snm_banded: sorted-neighborhood via bucketed rank + banded self-join;
+      replicas get a distinct name PREFIX so they occupy disjoint sort
+      regions (rows and bands both grow k×, neighbors stay W=5).
+    """
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+    from nilm_data_framework_spark.operators.scale_windows import (
+        bucketed_global_rank,
+        bucketed_ntile,
+        exact_ranks_for_candidates,
+    )
+    from pyspark.sql import Window
+
+    def _rrf():
+        base = docs.select(
+            "doc_id", "n_chars", T.token_count(F.col("text")).cast("long").alias("n_tok")
+        ).localCheckpoint(eager=True)
+        cands = (
+            base.orderBy(F.col("n_chars").desc(), "doc_id").limit(128)
+            .unionByName(base.orderBy(F.col("n_tok").desc(), "doc_id").limit(128))
+            .distinct().coalesce(1).localCheckpoint(eager=True)
+        )
+        rc = exact_ranks_for_candidates(base, cands, "n_chars", "doc_id", out="r1")
+        rt = exact_ranks_for_candidates(base, cands, "n_tok", "doc_id", out="r2")
+        fused = (
+            cands.select("doc_id")
+            .join(rc.select("doc_id", "r1"), "doc_id")
+            .join(rt.select("doc_id", "r2"), "doc_id")
+            .withColumn("rrf", F.expr("1000000 div (60 + r1) + 1000000 div (60 + r2)"))
+        )
+        w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+        return (
+            fused.coalesce(1).withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20).count()
+        )
+
+    def _mmr():
+        c = emb.select(F.col("vec_id").alias("match_id"),
+                       u6_components("embedding").alias("c6"))
+        q = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), u6_components("embedding").alias("q6"))
+        dot_qc = F.aggregate(F.zip_with("q6", "c6", lambda a, b: a * b),
+                             F.lit(0).cast("long"), lambda acc, x: acc + x)
+        w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "match_id")
+        short = (
+            c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+            .withColumn("rel", dot_qc)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .select("query_id", "match_id", "rel", "c6")
+            .localCheckpoint(eager=True)
+        )
+        s_i = short.select("query_id", F.col("match_id").alias("id_i"),
+                           F.col("c6").alias("v_i"))
+        s_j = short.select("query_id", F.col("match_id").alias("id_j"),
+                           F.col("c6").alias("v_j"))
+        dot_ij = F.aggregate(F.zip_with("v_i", "v_j", lambda a, b: a * b),
+                             F.lit(0).cast("long"), lambda acc, x: acc + x)
+        pairs = (s_i.join(s_j, ["query_id"]).where(F.col("id_i") != F.col("id_j"))
+                 .withColumn("sim", dot_ij))
+        sel = short.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+        stage2 = (
+            short.join(sel.select("query_id", F.col("match_id").alias("id_j")),
+                       "query_id")
+            .join(pairs.withColumnRenamed("id_i", "match_id"),
+                  ["query_id", "match_id", "id_j"])
+            .groupBy("query_id", "match_id").agg(F.max("sim").alias("msim"))
+        )
+        return stage2.count()
+
+    def _set_cover():
+        sg = docs.select(
+            "source", F.explode(T.word_ngrams(F.col("text"), 3)).alias("g")
+        ).distinct().localCheckpoint(eager=True)
+        w = Window.orderBy(F.col("gain").desc(), "source")
+        r1 = sg.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        w1 = r1.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        cov1 = sg.join(w1.select(F.col("source").alias("_s")),
+                       F.col("source") == F.col("_s")).select("g")
+        r2 = (sg.join(w1.select("source"), "source", "left_anti")
+              .join(cov1, "g", "left_anti")
+              .groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("gain")))
+        return r2.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).count()
+
+    def _padding():
+        t = docs.select(
+            "doc_id", T.token_count(F.col("text")).cast("long").alias("n_toks")
+        ).localCheckpoint(eager=True)
+        out = None
+        for bucket, order, name in [
+            ((F.col("doc_id") / 1024).cast("long"), [F.col("doc_id")], "arrival"),
+            (F.col("n_toks"), [F.col("doc_id")], "sorted"),
+        ]:
+            ranked = bucketed_global_rank(t, bucket, order, out="r")
+            b = (ranked.select("n_toks", ((F.col("r") - 1) / 32).cast("long").alias("b"))
+                 .groupBy("b").agg(F.max("n_toks").alias("mx"), F.sum("n_toks").alias("sm"),
+                                   F.count(F.lit(1)).alias("cnt"))
+                 .agg(F.lit(name).alias("d"), F.sum(F.col("mx") * F.col("cnt")).alias("p"),
+                      F.sum("sm").alias("s")))
+            out = b if out is None else out.unionByName(b)
+        return out.count()
+
+    def _lorenz():
+        ranked = bucketed_ntile(
+            docs.select("n_chars", "doc_id"), F.col("n_chars"),
+            [F.col("doc_id")], 10, out="decile")
+        return ranked.groupBy("decile").agg(
+            F.sum("n_chars").alias("chars"), F.count(F.lit(1)).alias("n")).count()
+
+    def _snm():
+        ranked = bucketed_global_rank(
+            cust, F.substring("c_name", 1, 15), [F.col("c_name"), F.col("id")],
+            out="r").localCheckpoint(eager=True)
+        band = ((F.col("r") - 1) / 256).cast("long")
+        a = ranked.select(F.col("c_name").alias("na"), F.col("r").alias("ra"),
+                          band.alias("band"))
+        b_own = ranked.select(F.col("c_name").alias("nb"), F.col("r").alias("rb"),
+                              band.alias("band"))
+        b_keyed = b_own.unionByName(b_own.withColumn("band", F.col("band") - 1))
+        pairs = a.join(b_keyed, "band").where((F.col("rb") - F.col("ra")).between(1, 5))
+        return (pairs.select((F.col("rb") - F.col("ra")).alias("w"),
+                             F.levenshtein("na", "nb").alias("dist"))
+                .groupBy("w").agg(F.sum((F.col("dist") <= 2).cast("long")).alias("m"))
+                .count())
+
+    def _prefix_audit():
+        # posting-mass audit: grams ranked by rarity, prefix postings only
+        toks = docs.select(
+            "doc_id", F.explode(T.word_ngrams(F.col("text"), 2)).alias("g"))
+        df_ = toks.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        posting = toks.join(df_, "g")
+        # mass = sum over grams of df*(df-1)/2 for full vs rarest-prefix
+        full = posting.groupBy("g").agg(F.max("df").alias("df")).agg(
+            F.sum(F.expr("df * (df - 1) div 2")).alias("mass"))
+        w = Window.partitionBy("doc_id").orderBy("df", "g")
+        pref = (posting.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= 3)
+                .groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("pdf"))
+                .agg(F.sum(F.expr("pdf * (pdf - 1) div 2")).alias("mass")))
+        return full.unionByName(pref).count()
+
+    return {
+        "rrf_shortlist_fusion": _rrf,
+        "mmr_compose": _mmr,
+        "set_cover_stages": _set_cover,
+        "padding_waste_ranks": _padding,
+        "lorenz_bucketed_ntile": _lorenz,
+        "snm_banded": _snm,
+        "prefix_mass_audit": _prefix_audit,
+    }
+
+
+def replicate_customers(cust: DataFrame, k: int) -> DataFrame:
+    """k distinct name regions: replica r gets a 2-digit name prefix, so the
+    sort order gains k disjoint segments (rows and bands grow, neighborhood
+    width stays 5)."""
+    parts = [cust.select(F.col("c_custkey").alias("id"), "c_name")]
+    for r in range(1, k):
+        parts.append(cust.select(
+            (F.col("c_custkey") + 3_000_000 * r).alias("id"),
+            F.concat(F.lit(f"{r:02d}-"), F.col("c_name")).alias("c_name")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32, "id").localCheckpoint(eager=True)
+
+
 def screen_workloads(docs: DataFrame, spark) -> dict:
     """Incremental near-dup screen of a FIXED batch against a k×-growing
     reference corpus, both ways. The claim under test: the on-the-fly
@@ -992,6 +1178,30 @@ def main() -> None:
                 "coo_matmul", "habitual_hours",
             ):
                 sized.append(({name: b26[name]}, n_ev26))
+        comp_names = {
+            "rrf_shortlist_fusion", "mmr_compose", "set_cover_stages",
+            "padding_waste_ranks", "lorenz_bucketed_ntile", "snm_banded",
+            "prefix_mass_audit",
+        }
+        if only is None or only & comp_names:
+            emb_c = replicate_embeddings(emb_base, k)
+            cust_c = replicate_customers(
+                load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name"),
+                k,
+            )
+            comp = composition_workloads(docs, emb_c, cust_c)
+            n_emb = emb_c.count()
+            n_cust = cust_c.count()
+            for name, rows_in in (
+                ("rrf_shortlist_fusion", n),
+                ("mmr_compose", n_emb),
+                ("set_cover_stages", n),
+                ("padding_waste_ranks", n),
+                ("lorenz_bucketed_ntile", n),
+                ("snm_banded", n_cust),
+                ("prefix_mass_audit", n),
+            ):
+                sized.append(({name: comp[name]}, rows_in))
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)
