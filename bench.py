@@ -229,6 +229,14 @@ HEADLINE = [
     "changepoint_binary_seg",
     "changepoint_recursive_3seg",
     "padding_waste_audit",
+    # round-6 additions: Q16 census, robust winsorized mean, Zipf profile,
+    # LSH cluster-chaining audit, context truncation audit, norm drift
+    "parts_supplier_census",
+    "winsorized_mean_value",
+    "zipf_vocab_shares",
+    "neardup_cluster_diameter",
+    "context_overflow_audit",
+    "embedding_norm_by_source",
 ]
 
 

@@ -81,11 +81,14 @@ def all_queries() -> dict[str, QuerySpec]:
         tensor_pipeline,
         tpch_extra,
         vocab_lm,
-        # extra_ops is imported LAST on purpose: its queries are
-        # driver-unrecorded and must sort AFTER the 50 re-attestation
-        # queries in the unrecorded block (the round driver records only
-        # the first 50 registry entries). See tests/test_registry_order.py.
+        # extra_ops / extra_ops_r6 are imported LAST on purpose: their
+        # queries are driver-unrecorded and must sort AFTER earlier
+        # unattested queries in the unrecorded block (the round driver
+        # records only the first 50 registry entries) — and each round's
+        # NEW module goes after the previous round's backlog. See
+        # tests/test_registry_order.py.
         extra_ops,
+        extra_ops_r6,
     )
 
     ordered = sorted(registry, key=lambda n: (n in _DRIVER_RECORDED,))
