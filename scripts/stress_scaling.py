@@ -966,6 +966,82 @@ def composition_workloads(docs: DataFrame, emb: DataFrame, cust: DataFrame) -> d
     }
 
 
+def r6_workloads(docs: DataFrame, ev_full: DataFrame, li: DataFrame,
+                 emb: DataFrame) -> dict:
+    """r6 query-batch sweep. Growth expectations: winsorized rides one
+    keyed exchange (5 fixed types — per-type sort is the n/5 log n term);
+    the Q16 census is distinct + anti-join + census aggregates (linear,
+    map-side partials); context audit is one scan × a 4-row dim; zipf's
+    vocabulary saturates under replication (support fixed, counts grow);
+    norm drift is one array-fold + join + agg. The cluster-diameter audit
+    is EXCLUDED for the same reason as the near-dup joins (replicas are
+    true near-dups — output is Θ(k²n) by definition)."""
+    from nilm_data_framework_spark.operators.embed_stats import u6_components
+    from nilm_data_framework_spark.operators.scale_windows import (
+        bucketed_global_rank,
+    )
+    from pyspark.sql import Window
+
+    def _winsorized():
+        w_rk = Window.partitionBy("event_type").orderBy("v6", "event_id")
+        w_all = Window.partitionBy("event_type")
+        ranked = ev_full.select(
+            "event_type", "v6",
+            F.row_number().over(w_rk).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("n"))
+        q = ranked.select(
+            "event_type", "v6", "n",
+            F.max(F.when(F.col("rk") == F.expr("(5 * n + 99) div 100"),
+                         F.col("v6"))).over(w_all).alias("p05"),
+            F.max(F.when(F.col("rk") == F.expr("(95 * n + 99) div 100"),
+                         F.col("v6"))).over(w_all).alias("p95"))
+        return q.groupBy("event_type").agg(
+            F.sum(F.least(F.greatest(F.col("v6"), F.col("p05")),
+                          F.col("p95"))).alias("s")).count()
+
+    def _census():
+        ps = li.select(F.col("l_partkey").alias("pk"),
+                       F.col("l_suppkey").alias("sk")).distinct()
+        r = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+            F.count(F.lit(1)).cast("long").alias("cr"))
+        tot = r.agg(F.sum("cr").alias("t"), F.count(F.lit(1)).alias("ns"))
+        bad = (r.crossJoin(F.broadcast(tot))
+               .filter(F.col("cr") * F.col("ns") * 10 > F.col("t") * 11)
+               .select("sk"))
+        return (ps.join(bad, "sk", "left_anti")
+                .groupBy((F.col("pk") % 25).alias("b"))
+                .agg(F.countDistinct("sk").alias("c")).count())
+
+    def _context():
+        t = docs.select(T.token_count(F.col("text")).cast("long").alias("n_toks"))
+        ctx = t.sparkSession.createDataFrame([(32,), (48,), (64,), (96,)],
+                                             "ctx_len long")
+        return t.crossJoin(F.broadcast(ctx)).groupBy("ctx_len").agg(
+            F.sum(F.greatest(F.col("n_toks") - F.col("ctx_len"),
+                             F.lit(0))).alias("tr")).count()
+
+    def _zipf():
+        vocab = (docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+                 .groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c")))
+        ranked = bucketed_global_rank(vocab, F.col("c"), [F.col("tok")],
+                                      descending=True, out="rank")
+        return ranked.filter(F.col("rank") <= 100).count()
+
+    def _norms():
+        norm2 = F.aggregate(u6_components("embedding"), F.lit(0).cast("long"),
+                            lambda acc, x: acc + x * x)
+        return (emb.select(norm2.alias("n2"), (F.col("vec_id") % 20).alias("src"))
+                .groupBy("src").agg(F.sum("n2").alias("s")).count())
+
+    return {
+        "winsorized_mean": _winsorized,
+        "q16_census": _census,
+        "context_overflow": _context,
+        "zipf_rank": _zipf,
+        "norm_drift": _norms,
+    }
+
+
 def replicate_customers(cust: DataFrame, k: int) -> DataFrame:
     """k distinct name regions: replica r gets a 2-digit name prefix, so the
     sort order gains k disjoint segments (rows and bands grow, neighborhood
@@ -1202,6 +1278,24 @@ def main() -> None:
                 ("prefix_mass_audit", n),
             ):
                 sized.append(({name: comp[name]}, rows_in))
+        r6_names = {
+            "winsorized_mean", "q16_census", "context_overflow",
+            "zipf_rank", "norm_drift",
+        }
+        if only is None or only & r6_names:
+            if ev_full is None:
+                ev_full = replicate_events_full(ev_full_base, k)
+            emb_r6 = replicate_embeddings(emb_base, k)
+            r6 = r6_workloads(docs, ev_full, li, emb_r6)
+            n_ev_r6 = ev_full.count()
+            for name, rows_in in (
+                ("winsorized_mean", n_ev_r6),
+                ("q16_census", n_li),
+                ("context_overflow", n),
+                ("zipf_rank", n),
+                ("norm_drift", emb_r6.count()),
+            ):
+                sized.append(({name: r6[name]}, rows_in))
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)

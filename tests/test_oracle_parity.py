@@ -54,6 +54,14 @@ def test_matches_oracle(name, spark, duck):
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
 
 
+def test_no_rows_only_queries_remain():
+    # Since r6 (tensor_export gained its u6-JSON oracle) every registered
+    # query is DuckDB-hash-checked. A new rows-only query is allowed only
+    # for genuinely non-SQL-expressible ops — adding one turns this back
+    # into the per-query smoke run below.
+    assert ROWS_ONLY_NAMES == [], f"unexpected rows-only queries: {ROWS_ONLY_NAMES}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(name, spark):
     spec = SPECS[name]
