@@ -174,6 +174,24 @@ SHOWCASE = [
      "boundary sum, and the per-segment aggregate all ride ONE exchange "
      "on the channel key — the W5 gaps-and-islands shape on continuous "
      "values"),
+    ("lorenz_curve_deciles", "bucketed ntile (r6): the global decile "
+     "assignment is per-value counts + ONE support-sized cumulative "
+     "window + a value-partitioned row_number — no Exchange "
+     "SinglePartition over corpus rows (compare the r5 plan's global "
+     "ntile sort); the only single-partition work is the 10-row decile "
+     "aggregate and the n_chars support"),
+    ("rrf_fusion_topk", "shortlist-exact RRF (r6): two "
+     "TakeOrderedAndProject shortlists, candidate ranks rebuilt by a "
+     "support inequality BroadcastNestedLoopJoin (build side = the "
+     "bounded candidate set) + a value equi-join tie count — the "
+     "full-corpus rank windows are gone"),
+    ("sorted_neighborhood_pairs", "banded SNM (r6): bucketed rank on the "
+     "name-prefix + a band-keyed self-join with the W-row boundary "
+     "overlap union — every Exchange is hashpartitioning, none "
+     "SinglePartition"),
+    ("parts_supplier_census", "TPC-H Q16 shape (r6): NOT-IN exclusion "
+     "planned as a left-anti hash join; distinct and census aggregates "
+     "keep map-side partial aggregation"),
 ]
 
 
