@@ -2281,7 +2281,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rel") - F.col("msim")).cast("long").alias("mmr2"),
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.select(
         "query_id", "match_id", F.col("step").cast("long"), "rel",
         F.col("mmr2").cast("long"),
@@ -2801,7 +2801,7 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .coalesce(1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rb = exact_ranks_for_candidates(
         bmscored, cand_ids.join(bmscored, "doc_id"), "bm25_raw", "doc_id",
@@ -2902,7 +2902,7 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rel") - F.col("msim")).cast("long").alias("mmr2"),
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.select(
         F.col("match_id").alias("doc_id"),
         "rank_bm25",
