@@ -66,12 +66,17 @@ def bucketed_global_rank(
     # no broadcast hint on the support join: it derives from an sf-scaled
     # scan (the repo-wide hint guard rightly rejects that) and the planner
     # broadcasts the support-sized side from stats anyway (verified:
-    # BroadcastHashJoin BuildRight in the executed plan).
+    # BroadcastHashJoin BuildRight in the executed plan). Null-safe join:
+    # a NULL bucket value (nullable sort key) must keep its rows — plain
+    # equi-join would silently drop them; <=> matches NULL groups, and
+    # both the window ordering and the support cumulative put NULLS FIRST
+    # (Spark's ASC default), matching native row_number semantics.
+    off = off.withColumnRenamed("_swb", "_swb_off")
     return (
         base.withColumn("_swrn", F.row_number().over(w_in))
-        .join(off, "_swb")
+        .join(off, F.col("_swb").eqNullSafe(F.col("_swb_off")))
         .withColumn(out, (F.col("_swoff") + F.col("_swrn")).cast("long"))
-        .drop("_swb", "_swrn", "_swoff")
+        .drop("_swb", "_swb_off", "_swrn", "_swoff")
     )
 
 
@@ -124,6 +129,11 @@ def exact_ranks_for_candidates(
 
     rank(c) = 1 + #{b : b.value > c.value}                (strict part)
             + #{b : b.value = c.value AND b.id < c.id}    (tie part)
+
+    Precondition: ``value`` and ``id_col`` are non-null in both frames
+    (SQL inequality/equality comparisons drop NULLs from both counts,
+    which would under-rank). Every current caller ranks non-null scores;
+    null-rank semantics belong to the caller (filter or coalesce first).
 
     The strict part joins the VALUE SUPPORT (one row per distinct value)
     against the small candidate side on an inequality — support × |cands|

@@ -118,3 +118,53 @@ def test_bucketed_rank_no_single_partition_sort_over_rows(spark, df):
         # the row window must partition by _swb
         if "_swrn" in plan[max(0, m.start() - 200): m.start()]:
             assert "_swb," in spec or spec.startswith("_swb")
+
+
+def test_bucketed_rank_null_bucket_values_kept(spark):
+    """NULL sort-key rows must neither drop (the equi-join would) nor
+    mis-rank: Spark ASC puts NULLS FIRST, DESC puts them LAST — the
+    support cumulative and the per-bucket window agree with native
+    row_number in both directions."""
+    rows = [(i, None if i % 5 == 0 else (i * i) % 7) for i in range(200)]
+    d = spark.createDataFrame(rows, "id long, v long")
+    for desc in (False, True):
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        native = d.select(
+            "id",
+            F.row_number().over(Window.orderBy(order, "id")).cast("long").alias("r"),
+        )
+        ours = bucketed_global_rank(
+            d, F.col("v"), [F.col("id")], descending=desc, out="r"
+        ).select("id", "r")
+        got = _collect_map(ours, "id", "r")
+        assert len(got) == 200, "null-bucket rows dropped"
+        assert got == _collect_map(native, "id", "r"), f"desc={desc}"
+
+
+def test_ntile_formula_matches_duckdb_hypothesis():
+    """The pure-integer tile formula behind ntile_from_rank, replayed in
+    python and property-checked against DuckDB's NTILE across random
+    (n_rows, tiles) — the cross-engine contract the oracles rely on,
+    exercised far past the Spark-parametrized sizes."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    def formula(rank: int, total: int, n: int) -> int:
+        q, r = divmod(total, n)
+        big = (q + 1) * r
+        if rank <= big:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - big - 1) // max(q, 1) + 1
+
+    con = duckdb.connect()
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(min_value=1, max_value=523), st.integers(min_value=1, max_value=17))
+    def check(total, n):
+        rows = con.execute(
+            f"SELECT r, ntile({n}) OVER (ORDER BY r) FROM range(1, {total} + 1) t(r)"
+        ).fetchall()
+        for rank, tile in rows:
+            assert formula(rank, total, n) == tile, (rank, total, n)
+
+    check()
