@@ -15,12 +15,21 @@ from pyspark.sql import functions as F
 from nilm_data_framework_spark.schema import UKDALE_DAT
 
 
-def read_ukdale(spark: SparkSession, path_glob: str, house_id: int | None = None) -> DataFrame:
+def read_ukdale(
+    spark: SparkSession,
+    path_glob: str,
+    house_id: int | None = None,
+    houses: list[int] | None = None,
+) -> DataFrame:
     """house_id comes from the ``house_N/`` path component (UK-DALE's layout,
     one directory per building); ``house_id`` overrides for single-house
-    globs without the directory structure. The reference's hardcoded
-    house-4-only debug filter (UKDALELoader.py:49-50) is deliberately NOT
-    ported."""
+    globs without the directory structure. ``houses`` generalizes the
+    reference's hardcoded house-4-only filter (UKDALELoader.py:49-50,
+    ``if house_id != 4: continue``): pass ``houses=[4]`` for exact parity
+    with that run configuration; the filter compares the path-derived id
+    so Catalyst can prune whole files after the scan's file-name column
+    materializes (and, with a per-house directory glob, list pruning skips
+    the directories outright)."""
     raw = (
         spark.read.schema(UKDALE_DAT)
         .option("sep", " ")
@@ -32,6 +41,10 @@ def read_ukdale(spark: SparkSession, path_glob: str, house_id: int | None = None
         house = F.lit(house_id).cast("int")
     else:
         house = F.regexp_extract("_file", r"house_?(\d+)", 1).cast("int")
+    if houses is not None:
+        raw = raw.filter(
+            F.regexp_extract("_file", r"house_?(\d+)", 1).cast("int").isin(houses)
+        )
     out = (
         raw.filter(~F.col("_file").contains("button_press"))
         .withColumn(

@@ -102,6 +102,12 @@ def test_ukdale_house_from_path(spark, tmp_path):
         (d / "channel_1.dat").write_text("1700000000 240.5\n")
     df = read_ukdale(spark, f"{tmp_path}/house_*/channel_*.dat")
     assert {r["house_id"] for r in df.collect()} == {1, 5}
+    # houses= generalizes the reference's house-4-only debug filter
+    # (UKDALELoader.py:49-50): the selected-houses run configuration
+    only5 = read_ukdale(spark, f"{tmp_path}/house_*/channel_*.dat", houses=[5])
+    assert {r["house_id"] for r in only5.collect()} == {5}
+    none = read_ukdale(spark, f"{tmp_path}/house_*/channel_*.dat", houses=[4])
+    assert none.count() == 0
 
 
 def test_canonical_partition_pruning_plan(spark, fixture_dir, tmp_path):
