@@ -67,7 +67,10 @@ def test_driver_window_is_all_unrecorded():
 def test_oracle_gained_queries_reattest():
     """A query whose rows-only attestation predates its oracle (tensor_export
     gained a DuckDB oracle in r6) must be back in the window for a
-    hash-checked row."""
+    hash-checked row — until the driver records that hash PASS, at which
+    point the generated set absorbs it and this check self-retires."""
+    if "tensor_export" in DRIVER_RECORDED:
+        return  # hash-attested in a later round; nothing to re-front-load
     names = list(all_queries())
     assert "tensor_export" in set(names[:50])
 
