@@ -241,6 +241,13 @@ HEADLINE = [
 
 
 def main() -> None:
+    # dev loop: `python bench.py --only=q1,q2` times just those queries
+    # (same min-of-3 protocol); the driver always runs the full list.
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    headline = [n for n in HEADLINE if only is None or n in only]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -257,7 +264,7 @@ def main() -> None:
     # up to ~2× between identical runs — min-of-3 is the steady-state
     # per-query cost with the noise floor suppressed.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         for _ in range(3):
             # cold cache every run (operators may persist() intermediates);
@@ -290,8 +297,9 @@ def main() -> None:
     }
     detail_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
-    with open(detail_file, "w") as f:
-        json.dump(detail, f)
+    if only is None:  # partial dev runs must not clobber the full artifact
+        with open(detail_file, "w") as f:
+            json.dump(detail, f)
     print(json.dumps(detail))
     # FINAL line: compact, self-contained, parses even under a 2,000-char
     # stdout tail capture (the per-query map above is ~25 chars/query).
