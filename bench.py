@@ -237,6 +237,7 @@ HEADLINE = [
     "neardup_cluster_diameter",
     "context_overflow_audit",
     "embedding_norm_by_source",
+    "bm25_topk_indexed",
 ]
 
 

@@ -703,6 +703,22 @@ def bm25_scores(
         ],
     )
     scored = toks.crossJoin(F.broadcast(stats))
+    score = _bm25_score_expr(terms, k1, b)
+    return scored.select(
+        F.col(id_col),
+        "dl",
+        *[F.col(f"tf_{t_}") for t_ in terms],
+        score.alias("bm25_raw"),
+        F.round(score, 4).alias("bm25"),
+    )
+
+
+def _bm25_score_expr(terms: list[str], k1: float, b: float) -> Column:
+    """The BM25 score expression over (dl, tf_<t>..., n_docs, sum_dl,
+    df_<t>...) columns — factored so the full-scan path (bm25_scores) and
+    the inverted-index path (bm25_topk_indexed) execute the IDENTICAL
+    fixed-order IEEE op sequence: bit-equal scores are what let the
+    indexed probe share the full-scan DuckDB oracle."""
     avgdl = F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)")
     score = F.lit(0.0)
     for t_ in terms:
@@ -715,10 +731,101 @@ def bm25_scores(
             F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
         )
         score = score + idf * ((tf * F.lit(k1 + 1.0)) / denom)
-    return scored.select(
-        F.col(id_col),
+    return score
+
+
+def write_bm25_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    write_partitions: int = 32,
+) -> None:
+    """Persist the inverted-index layout ``bm25_scores``' docstring (and
+    the RAG pipeline's 100 TB note) promises — the lexical twin of the
+    persisted LSH reference and the cid-partitioned IVF corpus:
+
+    - ``{path}/postings``: (doc_id, tf, dl) PARTITIONED BY term — a query
+      touching q terms reads q directories (parquet partition pruning),
+      never the corpus. dl is denormalized into the posting so scoring
+      needs no doc-length join.
+    - ``{path}/stats``: one row (n_docs, sum_dl) — the corpus-wide
+      constants; per-term df is exactly the pruned partitions' row counts,
+      so it needs no precomputation.
+
+    The writer repartitions on term with a PINNED count (bare
+    ``repartition("term")`` lets AQE coalesce and re-mix terms across
+    writer tasks — the small-file failure write_ivf_corpus documents).
+    Reference analog: none (pure retrieval-infrastructure extension).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text)).alias("_toks")
+    ).select("doc_id", F.col("_toks"), F.size("_toks").cast("long").alias("dl"))
+    postings = (
+        toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl"))
+    )
+    postings.repartition(write_partitions, "term").write.mode(
+        "overwrite"
+    ).partitionBy("term").parquet(f"{path}/postings")
+    toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served from a :func:`write_bm25_index` layout WITHOUT
+    touching the corpus: the term list becomes a literal partition filter
+    on the postings scan (only the query terms' directories are read —
+    plan-pinned by tests/test_plan_quality.py), per-term df comes from the
+    pruned postings themselves, and the scored candidate set is only the
+    docs holding at least one query term. Ranking among those docs equals
+    the full-scan ranking for every positively-scored rank (zero-hit docs
+    score exactly 0 under the non-negative Lucene idf), and the score
+    replays :func:`bm25_scores`' exact op order via the shared expression
+    — so the same corpus-level oracle gates both paths.
+
+    The top-k cut is TakeOrderedAndProject on (bm25_raw DESC, doc_id);
+    the rank column is assigned afterwards over the ≤k coalesced rows."""
+    from pyspark.sql import Window
+
+    stats0 = spark.read.parquet(f"{path}/stats")
+    post = spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms))
+    dft = post.groupBy().agg(
+        *[
+            F.sum((F.col("term") == t_).cast("long")).cast("long").alias(f"df_{t_}")
+            for t_ in terms
+        ]
+    )
+    stats = stats0.crossJoin(F.broadcast(dft))
+    per_doc = post.groupBy("doc_id").agg(
+        F.first("dl").alias("dl"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t_, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf_{t_}")
+            for t_ in terms
+        ],
+    )
+    score = _bm25_score_expr(terms, k1, b)
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
         "dl",
         *[F.col(f"tf_{t_}") for t_ in terms],
         score.alias("bm25_raw"),
         F.round(score, 4).alias("bm25"),
     )
+    top = scored.orderBy(F.col("bm25_raw").desc(), "doc_id").limit(k).coalesce(1)
+    w = Window.orderBy(F.col("bm25_raw").desc(), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w)).drop("bm25_raw")

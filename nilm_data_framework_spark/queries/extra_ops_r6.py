@@ -397,6 +397,77 @@ def context_overflow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- persisted inverted-index BM25 (partition-pruned probe) --------------------
+
+
+def _bm25_indexed_oracle() -> str:
+    """The full-scan BM25 oracle restricted to docs holding ≥1 query term
+    — exactly the candidate set the inverted index can ever surface (a
+    zero-hit doc scores exactly 0 under the non-negative Lucene idf)."""
+    from nilm_data_framework_spark.queries.extra_ops import (
+        _BM25_K,
+        _BM25_TERMS,
+        _bm25_oracle,
+    )
+
+    full = _bm25_oracle()
+    match = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    old_rank = f"""FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25_raw DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_BM25_K}"""
+    new_rank = f"""FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25_raw DESC, doc_id) AS rk
+      FROM scored WHERE {match} > 0
+    ) WHERE rk <= {_BM25_K}"""
+    assert old_rank in full
+    return full.replace(old_rank, new_rank)
+
+
+@query(
+    "bm25_topk_indexed",
+    oracle=_bm25_indexed_oracle(),
+    survey_ref="§2.10 text retrieval: BM25 over the PERSISTED inverted "
+    "index (postings partitioned by term; probe = parquet partition "
+    "pruning, df from the pruned partitions, score replaying the "
+    "full-scan op order via the shared expression) — the lexical twin of "
+    "ivf_topk_persisted and the production form the RAG pipeline's "
+    "100 TB note names; result-invariant vs bm25_topk on every "
+    "positively-scored rank, gated by the full-scan oracle restricted to "
+    "matching docs",
+)
+def bm25_topk_indexed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the inverted-index layout, then serve the query from it: the
+    corpus text is touched ONCE at write time; the probe reads only the
+    three query-term partitions plus the 1-row stats table. Same
+    write-then-probe gate pattern as ivf_topk_persisted /
+    incremental_neardup_persisted — the layout must be RESULT-invariant
+    against the full-scan construction the oracle replays."""
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.operators.text import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from nilm_data_framework_spark.queries.extra_ops import _BM25_K, _BM25_TERMS
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_bm25_idx"), "idx_"
+    )
+    write_bm25_index(docs, path)
+    out = bm25_topk_indexed(spark, path, _BM25_TERMS, k=_BM25_K)
+    return out.select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        "bm25",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
 # --- embedding norm drift by source ----------------------------------------------
 
 

@@ -885,3 +885,36 @@ def test_no_unpartitioned_window_over_raw_scan(spark):
         f"operators/scale_windows.py (bucketed_global_rank / bucketed_ntile / "
         f"exact_ranks_for_candidates): {bad}"
     )
+
+
+def test_bm25_indexed_scan_partition_pruned(spark):
+    # The deliverable of the persisted BM25 layout IS the plan: the
+    # postings scan must carry the query terms as PartitionFilters (only
+    # q term directories read) — the lexical twin of the IVF pin above.
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.operators.text import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from nilm_data_framework_spark.sources.testdata import load_table
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    docs = load_table(spark, SF_DIR, "documents", parallelize=True)
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_bm25_idx_plan"), "idx_"
+    )
+    write_bm25_index(docs, path)
+    df = bm25_topk_indexed(spark, path, ["vector", "join", "stream"], k=20)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("term" in l and "vector" in l for l in part), (
+        f"postings scan not partition-pruned on term: {part[:3]}"
+    )
