@@ -238,6 +238,7 @@ HEADLINE = [
     "context_overflow_audit",
     "embedding_norm_by_source",
     "bm25_topk_indexed",
+    "bm25_append_probe_equiv",
 ]
 
 

@@ -775,6 +775,44 @@ def write_bm25_index(
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def append_bm25_batch(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    write_partitions: int = 32,
+) -> None:
+    """Incrementally grow a :func:`write_bm25_index` layout: the batch's
+    postings APPEND into the existing term directories, and the 1-row
+    stats table is replaced with the exact merged totals (n_docs and
+    sum_dl are plain sums — the whole reason the layout stores only
+    mergeable corpus constants; per-term df is never stored, it derives
+    from the postings, so appends cannot stale it). Probing the grown
+    layout must equal the one-shot index over the full corpus
+    (gate: bm25_append_probe_equiv)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text)).alias("_toks")
+    ).select("doc_id", F.col("_toks"), F.size("_toks").cast("long").alias("dl"))
+    postings = (
+        toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl"))
+    )
+    postings.repartition(write_partitions, "term").write.mode("append").partitionBy(
+        "term"
+    ).parquet(f"{path}/postings")
+    spark = df.sparkSession
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    new = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).collect()[0]
+    spark.createDataFrame(
+        [(old["n_docs"] + new["n_docs"], old["sum_dl"] + new["sum_dl"])],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def bm25_topk_indexed(
     spark,
     path: str,

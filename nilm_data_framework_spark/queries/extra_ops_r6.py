@@ -468,6 +468,51 @@ def bm25_topk_indexed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bm25_append_probe_equiv",
+    oracle=_bm25_indexed_oracle(),
+    survey_ref="§2.10 text retrieval: incremental append into the "
+    "persisted BM25 index — write corpus-minus-batch, append the batch "
+    "(postings land in their term directories; stats table replaced with "
+    "the exact merged totals), probe; must equal the one-shot index over "
+    "the full corpus (same oracle verbatim — the lexical twin of "
+    "ivf_append_probe_equiv's ingest-invariance gate)",
+)
+def bm25_append_probe_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-invariance for the persisted BM25 layout: the index is
+    written WITHOUT a ~10% batch, the batch is appended with
+    operators/text.py::append_bm25_batch, and the partition-pruned probe
+    over the grown layout must hash-match the full-corpus oracle —
+    proving appended postings land in the pruned directories, df derived
+    from postings reflects them, and the merged stats keep idf/avgdl
+    exact."""
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.operators.text import (
+        append_bm25_batch,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from nilm_data_framework_spark.queries.extra_ops import _BM25_K, _BM25_TERMS
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_bm25_app"), "idx_"
+    )
+    write_bm25_index(docs.filter(F.col("doc_id") % 10 != 7), path)
+    append_bm25_batch(docs.filter(F.col("doc_id") % 10 == 7), path)
+    out = bm25_topk_indexed(spark, path, _BM25_TERMS, k=_BM25_K)
+    return out.select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        "bm25",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
 # --- embedding norm drift by source ----------------------------------------------
 
 
