@@ -698,3 +698,40 @@ def test_closeness_roots_dominate(spark):
             r["n_desc"] * r["n_desc"] * 20000 + r["total_depth"]
         ) // (2 * r["total_depth"])
         assert r["total_depth"] >= r["n_desc"]  # every pair has depth >= 1
+
+
+def test_bm25_index_layout_and_probe_equivalence(spark, tmp_path):
+    """write_bm25_index must produce ONE right-sized file per term
+    directory (the pinned keyed repartition — bare repartition lets AQE
+    re-mix terms across writer tasks, the small-file failure
+    write_ivf_corpus documents), and the pruned probe must reproduce
+    bm25_scores' raw scores bit-for-bit on matching docs."""
+    import os
+
+    from nilm_data_framework_spark.operators.text import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from nilm_data_framework_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "idx")
+    write_bm25_index(docs, path)
+    post_root = os.path.join(path, "postings")
+    term_dirs = [d for d in os.listdir(post_root) if d.startswith("term=")]
+    assert len(term_dirs) >= 3
+    for d in term_dirs:
+        files = [f for f in os.listdir(os.path.join(post_root, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {len(files)} files (writer re-mixed terms)"
+
+    terms = ["vector", "join", "stream"]
+    idx = bm25_topk_indexed(spark, path, terms, k=10)
+    full = bm25_scores(docs, terms)
+    matching = full.where(
+        sum(F.col(f"tf_{t}") for t in terms) > 0
+    ).orderBy(F.col("bm25_raw").desc(), "doc_id").limit(10)
+    got = {r["doc_id"]: r["bm25"] for r in idx.collect()}
+    want = {r["doc_id"]: r["bm25"] for r in matching.collect()}
+    assert got == want
