@@ -789,7 +789,19 @@ def append_bm25_batch(
     mergeable corpus constants; per-term df is never stored, it derives
     from the postings, so appends cannot stale it). Probing the grown
     layout must equal the one-shot index over the full corpus
-    (gate: bm25_append_probe_equiv)."""
+    (gate: bm25_append_probe_equiv).
+
+    PRECONDITION — batch doc_ids must be DISJOINT from every previously
+    ingested batch (append-only ingest, the same contract as
+    ``append_ivf_batch``). Re-appending an existing doc_id would add
+    duplicate (term, doc_id) posting rows (inflating that term's df) and
+    double-count the doc in n_docs/sum_dl, silently skewing idf/avgdl.
+    The check is deliberately NOT performed here: verifying it requires
+    an anti-join against ALL existing postings — a full index scan per
+    append, which defeats the incremental layout at scale. Callers that
+    cannot guarantee disjoint ingest should dedup upstream (exact-hash
+    dedup keyed on doc_id is a single linear pass) or rebuild via
+    :func:`write_bm25_index`."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text)).alias("_toks")
     ).select("doc_id", F.col("_toks"), F.size("_toks").cast("long").alias("dl"))

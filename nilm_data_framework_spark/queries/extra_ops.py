@@ -2749,7 +2749,16 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     those swap to the inverted index + the persisted-IVF ANN path
     (ivf_topk_persisted), and fusion/MMR are unchanged. The oracle keeps
     the full-corpus global-rank construction; hash equality proves the
-    swap exact."""
+    swap exact.
+
+    ASSUMPTION (r6 advice): every document row has an embedding row
+    (vec_id == doc_id, 1:1 — true of the driver fixture and of any corpus
+    embedded before retrieval). Under partial coverage the engines would
+    diverge at the shortlist cut: the oracle's LEFT-JOIN fusion gives an
+    embedding-less doc a bm25-only rrf_e6 that consumes a fused-rank slot
+    before the inner JOIN rels drops it, while this plan's inner-join
+    candidate set never admits it — same final doc set only when coverage
+    is total. Embed-before-retrieve is the pipeline contract."""
     from pyspark.sql import Window
     from nilm_data_framework_spark.operators.embed_stats import u6_components
     from nilm_data_framework_spark.operators.scale_windows import (
