@@ -42,9 +42,11 @@ def read_ukdale(
     else:
         house = F.regexp_extract("_file", r"house_?(\d+)", 1).cast("int")
     if houses is not None:
-        raw = raw.filter(
-            F.regexp_extract("_file", r"house_?(\d+)", 1).cast("int").isin(houses)
-        )
+        # Filter on the resolved ``house`` expression so an explicit
+        # ``house_id`` override is honored; re-extracting from ``_file``
+        # would yield NULL (drop every row) on single-house globs whose
+        # paths lack a ``house_N/`` component.
+        raw = raw.filter(house.isin(houses))
     out = (
         raw.filter(~F.col("_file").contains("button_press"))
         .withColumn(

@@ -108,6 +108,20 @@ def test_ukdale_house_from_path(spark, tmp_path):
     assert {r["house_id"] for r in only5.collect()} == {5}
     none = read_ukdale(spark, f"{tmp_path}/house_*/channel_*.dat", houses=[4])
     assert none.count() == 0
+    # r6 advice: houses= must honor an explicit house_id override — a
+    # single-house glob with no house_N/ path component previously
+    # re-extracted NULL from _file and silently dropped every row
+    flat = tmp_path / "flatdir"
+    flat.mkdir()
+    (flat / "channel_1.dat").write_text("1700000000 240.5\n")
+    ovr = read_ukdale(
+        spark, f"{flat}/channel_*.dat", house_id=7, houses=[7]
+    )
+    assert {r["house_id"] for r in ovr.collect()} == {7}
+    ovr_out = read_ukdale(
+        spark, f"{flat}/channel_*.dat", house_id=7, houses=[4]
+    )
+    assert ovr_out.count() == 0
 
 
 def test_canonical_partition_pruning_plan(spark, fixture_dir, tmp_path):
