@@ -239,6 +239,8 @@ HEADLINE = [
     "embedding_norm_by_source",
     "bm25_topk_indexed",
     "bm25_append_probe_equiv",
+    # round-7 addition: RAG pipeline composed over the persisted indexes
+    "rag_retrieval_pipeline_persisted",
 ]
 
 

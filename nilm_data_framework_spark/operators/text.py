@@ -825,29 +825,25 @@ def append_bm25_batch(
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
-def bm25_topk_indexed(
+def bm25_hits_indexed(
     spark,
     path: str,
     terms: list[str],
-    k: int,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 top-k served from a :func:`write_bm25_index` layout WITHOUT
-    touching the corpus: the term list becomes a literal partition filter
-    on the postings scan (only the query terms' directories are read —
-    plan-pinned by tests/test_plan_quality.py), per-term df comes from the
-    pruned postings themselves, and the scored candidate set is only the
-    docs holding at least one query term. Ranking among those docs equals
-    the full-scan ranking for every positively-scored rank (zero-hit docs
-    score exactly 0 under the non-negative Lucene idf), and the score
-    replays :func:`bm25_scores`' exact op order via the shared expression
-    — so the same corpus-level oracle gates both paths.
-
-    The top-k cut is TakeOrderedAndProject on (bm25_raw DESC, doc_id);
-    the rank column is assigned afterwards over the ≤k coalesced rows."""
-    from pyspark.sql import Window
-
+    """Every matching doc's BM25 score served from a
+    :func:`write_bm25_index` layout WITHOUT touching the corpus: the term
+    list becomes a literal partition filter on the postings scan (only
+    the query terms' directories are read — plan-pinned by
+    tests/test_plan_quality.py), per-term df comes from the pruned
+    postings themselves, and the scored set is exactly the docs holding
+    at least one query term. A zero-hit doc scores exactly 0.0 under the
+    full scan (each term contributes idf · 0/denom = +0.0), so this frame
+    plus a 0.0-filled complement reproduces :func:`bm25_scores` over the
+    whole corpus bit-for-bit — the score replays the exact op order via
+    the shared expression. Returns (doc_id, dl, tf_<t>..., bm25_raw,
+    bm25)."""
     stats0 = spark.read.parquet(f"{path}/stats")
     post = spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms))
     dft = post.groupBy().agg(
@@ -869,13 +865,31 @@ def bm25_topk_indexed(
         ],
     )
     score = _bm25_score_expr(terms, k1, b)
-    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+    return per_doc.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         "dl",
         *[F.col(f"tf_{t_}") for t_ in terms],
         score.alias("bm25_raw"),
         F.round(score, 4).alias("bm25"),
     )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over :func:`bm25_hits_indexed` (see there for the
+    pruning + exactness contract). Ranking among matching docs equals the
+    full-scan ranking for every positively-scored rank. The top-k cut is
+    TakeOrderedAndProject on (bm25_raw DESC, doc_id); the rank column is
+    assigned afterwards over the ≤k coalesced rows."""
+    from pyspark.sql import Window
+
+    scored = bm25_hits_indexed(spark, path, terms, k1, b)
     top = scored.orderBy(F.col("bm25_raw").desc(), "doc_id").limit(k).coalesce(1)
     w = Window.orderBy(F.col("bm25_raw").desc(), "doc_id")
     return top.withColumn("rk", F.row_number().over(w)).drop("bm25_raw")

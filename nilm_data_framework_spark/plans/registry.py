@@ -89,6 +89,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # tests/test_registry_order.py.
         extra_ops,
         extra_ops_r6,
+        extra_ops_r7,
     )
 
     ordered = sorted(registry, key=lambda n: (n in _DRIVER_RECORDED,))

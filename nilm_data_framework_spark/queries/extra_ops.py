@@ -2812,6 +2812,34 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .localCheckpoint(eager=False)
     )
+    cvec = emb.select(
+        F.col("vec_id").alias("match_id"), u6_components("embedding").alias("c6")
+    )
+    return _rag_tail(bmscored, rels, cand_ids, cvec)
+
+
+def _rag_tail(
+    bmscored: DataFrame,
+    rels: DataFrame,
+    cand_ids: DataFrame,
+    cvec: DataFrame,
+) -> DataFrame:
+    """Fusion + MMR tail shared by rag_retrieval_pipeline and its
+    persisted-index twin (queries/extra_ops_r7.py): exact candidate ranks
+    via exact_ranks_for_candidates over the two scoring frames, integer
+    RRF, top-_RAG_CANDS shortlist, pairwise sims, _RAG_K-step MMR. Inputs:
+    bmscored (doc_id, bm25_raw) and rels (doc_id, rel) covering the FULL
+    kept corpus (exact global ranks need the whole multiset), cand_ids a
+    bounded superset of the two exact top-128 shortlists, cvec (match_id,
+    c6) covering at least the kept docs. Any SUPERSET candidate set yields
+    the identical output: a doc outside both exact top-128s has rrf ≤
+    2·(1e6 div 189) = 10582 < 12500 = 1e6 div 80 ≤ every bm25-top-20
+    candidate's score, so extras sit strictly below the shortlist cut."""
+    from pyspark.sql import Window
+    from nilm_data_framework_spark.operators.scale_windows import (
+        exact_ranks_for_candidates,
+    )
+
     rb = exact_ranks_for_candidates(
         bmscored, cand_ids.join(bmscored, "doc_id"), "bm25_raw", "doc_id",
         out="rank_bm25",
@@ -2851,7 +2879,6 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    cvec = emb.select(F.col("vec_id").alias("match_id"), u6_components("embedding").alias("c6"))
     # shortlist is <= _RAG_CANDS rows — collapse to one partition so the
     # pair cross product doesn't inherit 32x32 task parallelism for 400 rows
     s_i = (
