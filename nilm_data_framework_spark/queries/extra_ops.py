@@ -2349,6 +2349,7 @@ def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the Gaussian table — deterministic on any data distribution."""
     from pyspark.sql import Window
     from nilm_data_framework_spark.operators.exact_math import u6_mean_e4
+    from nilm_data_framework_spark.operators.scale_windows import bucketed_ntile
 
     ev = load_table(spark, sf_dir, "events")
     seg = ev.groupBy(
@@ -2360,14 +2361,25 @@ def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s6"),
         F.count(F.lit(1)).cast("long").alias("cnt"),
     )
+    # the (user, segment) frame is sf-scaled — a native global ntile would
+    # single-partition-sort it (the exact loophole the hardened r7 window
+    # guard now rejects: aggregate keyed by a row-scaled id is NOT a
+    # bounded support). bucketed_ntile sorts only the mean_e4 VALUE
+    # support; checkpoint the input because the tile build references it
+    # thrice (rows, support, total — the r6 rfm lesson).
     means = seg.select(
         "user_id", "seg", u6_mean_e4("s6", "cnt").alias("mean_e4")
-    )
-    w_global = Window.orderBy("mean_e4", "user_id", "seg")
-    sym = means.select(
+    ).localCheckpoint(eager=True)
+    sym = bucketed_ntile(
+        means,
+        F.col("mean_e4"),
+        [F.col("user_id"), F.col("seg")],
+        4,
+        out="_tile",
+    ).select(
         "user_id",
         "seg",
-        F.substring(F.lit("abcd"), F.ntile(4).over(w_global), 1).alias("s"),
+        F.substring(F.lit("abcd"), F.col("_tile").cast("int"), 1).alias("s"),
     )
     w_u = Window.partitionBy("user_id").orderBy("seg")
     words = sym.select(

@@ -835,13 +835,26 @@ def test_knn_label_accuracy_broadcasts_queries(spark):
 # broadcast side. Walking the pre-AQE physical tree via py4j makes the
 # check exact — partition specs, not plan-string heuristics.)
 
-_WINDOW_BOUNDARY = {
+_AGG_BOUNDARY = {
     "HashAggregateExec", "ObjectHashAggregateExec", "SortAggregateExec",
+}
+_WINDOW_BOUNDARY = {
     "TakeOrderedAndProjectExec", "GlobalLimitExec", "CollectLimitExec",
     "RDDScanExec", "LocalTableScanExec", "WindowGroupLimitExec",
     "BroadcastExchangeExec",
 }
 _RAW_SCANS = {"FileSourceScanExec", "BatchScanExec", "RowDataSourceScanExec"}
+# r6 verdict item 5: an aggregate is a SUPPORT boundary only when its
+# grouping keys plausibly have bounded domains. Grouping by a row-unique
+# (or row-proportional) id column keeps the output sf-scaled — an
+# unpartitioned window over THAT aggregate still sorts the corpus in one
+# task. These are the fixture tables' id columns; extend when new tables
+# land.
+_ROW_SCALED_KEYS = {
+    "doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
+    "c_custkey", "p_partkey", "s_suppkey", "user_id", "query_id",
+    "match_id",
+}
 
 
 def _unbounded_global_windows(plan) -> list[str]:
@@ -852,9 +865,22 @@ def _unbounded_global_windows(plan) -> list[str]:
         ch = n.children()
         return [ch.apply(i) for i in range(ch.size())]
 
+    def agg_is_row_scaled(n) -> bool:
+        # grouping keys come back as expression strings like
+        # "doc_id#123L"; a row-unique id among them means the agg output
+        # scales with the input, so it is NOT a bounded support
+        ge = n.groupingExpressions()
+        for i in range(ge.size()):
+            name = str(ge.apply(i)).split("#")[0].strip().lower()
+            if name in _ROW_SCALED_KEYS:
+                return True
+        return False
+
     def reaches_raw_scan(n) -> bool:
         cls = simple(n)
         if cls in _WINDOW_BOUNDARY:
+            return False
+        if cls in _AGG_BOUNDARY and not agg_is_row_scaled(n):
             return False
         if cls in _RAW_SCANS:
             return True
@@ -871,6 +897,31 @@ def _unbounded_global_windows(plan) -> list[str]:
 
     walk(plan)
     return hits
+
+
+def test_window_guard_rejects_row_unique_agg(spark):
+    # r6 verdict item 5's done-criterion: an aggregate keyed by a
+    # row-unique id (per-doc_id) is NOT a bounded support — a global
+    # window over it must trip the guard; a bounded-domain support
+    # (per-lang) stays exempt.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nilm_data_framework_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR, "documents", parallelize=True)
+    per_doc = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    bad = per_doc.withColumn(
+        "r", F.row_number().over(Window.orderBy("n", "doc_id"))
+    )
+    assert _unbounded_global_windows(bad._jdf.queryExecution().sparkPlan()), (
+        "guard missed an unpartitioned window over a per-doc_id aggregate"
+    )
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ok = per_lang.withColumn(
+        "r", F.row_number().over(Window.orderBy("n", "lang"))
+    )
+    assert not _unbounded_global_windows(ok._jdf.queryExecution().sparkPlan())
 
 
 def test_no_unpartitioned_window_over_raw_scan(spark):
