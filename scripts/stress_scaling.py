@@ -1296,6 +1296,107 @@ def main() -> None:
                 ("norm_drift", emb_r6.count()),
             ):
                 sized.append(({name: r6[name]}, rows_in))
+        bm25_idx_names = {
+            "bm25_index_write", "bm25_index_probe",
+            "bm25_index_append_fixed", "bm25_index_append_kbatch",
+        }
+        if only is None or only & bm25_idx_names:
+            # r6 verdict item 6: the persisted BM25 index family, swept the
+            # way the r5 retrieval batch was. Claims under test:
+            #   write  ~ corpus (one tokenize+agg pass, slope ~1)
+            #   probe  ~ flat   (partition pruning: only the 3 query-term
+            #                    dirs read; their postings grow with corpus
+            #                    but stay a sliver of it)
+            #   append(fixed batch) ~ flat in EXISTING corpus size (append
+            #                    never reads existing postings — only the
+            #                    1-row stats table)
+            #   append(k-scaled batch) ~ batch size (slope ~1)
+            # plus the file-count audit of the PINNED repartition(n, "term")
+            # writer claim (one file per term dir per write).
+            import glob
+            import tempfile
+
+            from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+            terms = ["vector", "join", "stream"]
+            fixed_batch = base.select(
+                (F.col("doc_id") + 90_000_000).alias("doc_id"), "text",
+                "lang", "source", "n_chars",
+            ).filter(F.col("doc_id") % 10 == 7).localCheckpoint(eager=True)
+            kbatch = docs.select(
+                (F.col("doc_id") + 80_000_000).alias("doc_id"), "text",
+                "lang", "source", "n_chars",
+            ).filter(F.col("doc_id") % 10 == 7).localCheckpoint(eager=True)
+            n_fixed = fixed_batch.count()
+            n_kb = kbatch.count()
+            stage_secs: dict[str, list[float]] = {}
+            audit = {}
+            for rep in (0, 1):
+                p = pid_scratch_dir(
+                    os.path.join(tempfile.gettempdir(), "nilm_spark_bm25_sweep"),
+                    f"idx_k{k}_r{rep}_",
+                )
+                t0 = time.perf_counter()
+                T.write_bm25_index(docs, p)
+                stage_secs.setdefault("bm25_index_write", []).append(
+                    time.perf_counter() - t0
+                )
+                if rep == 0:
+                    dirs = glob.glob(os.path.join(p, "postings", "term=*"))
+                    per_dir = [
+                        len(glob.glob(os.path.join(d, "*.parquet")))
+                        for d in dirs
+                    ]
+                    audit["write"] = {
+                        "term_dirs": len(dirs),
+                        "files": sum(per_dir),
+                        "max_files_per_dir": max(per_dir) if per_dir else 0,
+                    }
+                t0 = time.perf_counter()
+                T.append_bm25_batch(fixed_batch, p)
+                stage_secs.setdefault("bm25_index_append_fixed", []).append(
+                    time.perf_counter() - t0
+                )
+                t0 = time.perf_counter()
+                T.append_bm25_batch(kbatch, p)
+                stage_secs.setdefault("bm25_index_append_kbatch", []).append(
+                    time.perf_counter() - t0
+                )
+                if rep == 0:
+                    dirs = glob.glob(os.path.join(p, "postings", "term=*"))
+                    per_dir = [
+                        len(glob.glob(os.path.join(d, "*.parquet")))
+                        for d in dirs
+                    ]
+                    audit["after_appends"] = {
+                        "term_dirs": len(dirs),
+                        "files": sum(per_dir),
+                        "max_files_per_dir": max(per_dir) if per_dir else 0,
+                    }
+                probe = lambda: T.bm25_topk_indexed(spark, p, terms, 20).count()  # noqa: E731
+                probe()  # warm
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    probe()
+                    stage_secs.setdefault("bm25_index_probe", []).append(
+                        time.perf_counter() - t0
+                    )
+            for name, rows_in in (
+                ("bm25_index_write", n),
+                ("bm25_index_probe", n),
+                ("bm25_index_append_fixed", n),  # x = EXISTING corpus
+                ("bm25_index_append_kbatch", n_kb),  # x = batch size
+            ):
+                sec = min(stage_secs[name])
+                results.setdefault(name, []).append((rows_in, sec))
+                print(json.dumps({
+                    "query": name, "k": k, "corpus_rows": rows_in,
+                    "result_rows": (n_fixed if "fixed" in name
+                                    else n_kb if "kbatch" in name else 20),
+                    "sec": round(sec, 3),
+                }))
+            print(json.dumps({"query": "bm25_index_files", "k": k, **audit}))
+
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)
