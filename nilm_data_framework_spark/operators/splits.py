@@ -85,24 +85,56 @@ def temporal_embargo_split(
 
     The cutoff is the exact ``floor(train_num/train_den · n)``-th smallest
     event time. Computing that via a global row_number would be a
-    single-partition sort; instead the rank is resolved over the VALUE
-    SUPPORT (same trick as operators/robust.py::ks_statistic): per-time
-    counts → one cumulative window over |distinct times| rows → min time
-    whose cumulative count reaches k. Labels are then assigned BY VALUE
+    single-partition sort; a single value-support cumulative (the r4 form)
+    is better but its support is |distinct timestamps| — on a
+    microsecond-resolution stream that approaches row count, the weakest
+    bound in the r6 single-support-window inventory. The r7 form is
+    TWO-LEVEL (the classic exact-quantile bucket refinement): an hour-
+    bucket cumulative locates the cutoff bucket (support = span in hours,
+    data-size-independent), then the exact per-timestamp cumulative runs
+    over THAT ONE BUCKET's distinct times only (support ≤ one hour of
+    distinct stamps), offset by the preceding buckets' count. The cutoff
+    is identical to the single-pass form — bucketing by ``us div 3.6e9``
+    is an order-monotone coarsening for the non-negative epoch-micro
+    timestamps real event data carries. Labels are then assigned BY VALUE
     (train: t < cutoff; embargo: cutoff ≤ t < cutoff+gap; test: beyond),
     so ties at the cutoff land deterministically in both engines.
 
     Output: one row per split with exact-integer event/user counts and
-    time bounds (micros).
+    time bounds (micros). All broadcast sides below are 1-row global
+    aggregates (hint-guard exempt).
     """
+    bucket_us = 3_600_000_000
     ev = df.select(F.col(us_col).alias("_us"), F.col(user_col).alias("_user"))
-    sup = ev.groupBy("_us").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy("_us").rowsBetween(Window.unboundedPreceding, 0)
-    cum = sup.select("_us", F.sum("_c").over(w).alias("_cum"))
     total = ev.agg(F.count(F.lit(1)).alias("_n"))
+    k_expr = F.expr(f"(_n * {train_num}) div {train_den}")
+    sup_b = ev.groupBy(F.expr(f"_us div {bucket_us}").alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum_b = sup_b.select("_b", F.sum("_c").over(w_b).alias("_cumb"))
+    bstar = (
+        cum_b.crossJoin(F.broadcast(total))
+        .where(F.col("_cumb") >= k_expr)
+        .agg(F.min("_b").alias("_bstar"))
+    )
+    prev = (
+        cum_b.crossJoin(F.broadcast(bstar))
+        .where(F.col("_b") < F.col("_bstar"))
+        .agg(F.coalesce(F.max("_cumb"), F.lit(0)).alias("_prev"))
+    )
+    sup_in = (
+        ev.crossJoin(F.broadcast(bstar))
+        .where(F.expr(f"_us div {bucket_us}") == F.col("_bstar"))
+        .groupBy("_us")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_in = Window.orderBy("_us").rowsBetween(Window.unboundedPreceding, 0)
     cutoff = (
-        cum.crossJoin(F.broadcast(total))
-        .where(F.col("_cum") >= F.expr(f"(_n * {train_num}) div {train_den}"))
+        sup_in.crossJoin(F.broadcast(prev))
+        .select("_us", (F.sum("_c").over(w_in) + F.col("_prev")).alias("_cum"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("_cum") >= k_expr)
         .agg(F.min("_us").alias("_cutoff"))
     )
     labeled = ev.crossJoin(F.broadcast(cutoff)).select(
