@@ -166,6 +166,46 @@ def test_bm25_zero_tf_scores_zero(spark):
     assert rows[1]["bm25_raw"] > 0.0
 
 
+def test_bm25_hits_zero_fill_reconstructs_full_scan(spark):
+    """The exactness claim the persisted RAG twin's superset proof rests
+    on (queries/extra_ops_r7.py): indexed hit-doc scores UNION a
+    0.0-filled complement must equal bm25_scores over the whole corpus
+    BIT-FOR-BIT — raw float == comparison, no tolerance. Covers both
+    regimes: docs holding query terms (shared-expression op order) and
+    zero-hit docs (full scan contributes exactly +0.0 per term)."""
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.operators.text import (
+        bm25_hits_indexed,
+        write_bm25_index,
+    )
+    from nilm_data_framework_spark.sources.testdata import load_table
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents", parallelize=True)
+    terms = ["vector", "join", "stream"]
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_bm25_zero"), "idx_"
+    )
+    write_bm25_index(docs, path)
+    hits = bm25_hits_indexed(spark, path, terms).select("doc_id", "bm25_raw")
+    zero = docs.select("doc_id").join(hits, "doc_id", "left_anti").select(
+        "doc_id", F.lit(0.0).alias("bm25_raw")
+    )
+    recon = {
+        r["doc_id"]: r["bm25_raw"] for r in hits.unionByName(zero).collect()
+    }
+    full = {
+        r["doc_id"]: r["bm25_raw"]
+        for r in bm25_scores(docs, terms).select("doc_id", "bm25_raw").collect()
+    }
+    assert recon == full  # bit-exact, including the zero-hit complement
+    assert any(v == 0.0 for v in full.values())  # both regimes exercised
+    assert any(v > 0.0 for v in full.values())
+
+
 # --- Gini / Benford sanity over the registered queries -----------------------
 
 
