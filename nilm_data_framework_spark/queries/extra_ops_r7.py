@@ -26,7 +26,10 @@ from nilm_data_framework_spark.sources.testdata import load_table
 
 
 def build_rag_persisted_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    bm_path: str | None = None,
+    ivf_path: str | None = None,
 ) -> dict[str, DataFrame]:
     """Build the persisted-index RAG pipeline and return its named frames
     (exposed so tests/test_plan_quality.py can pin PartitionFilters on the
@@ -67,6 +70,33 @@ def build_rag_persisted_frames(
     fusion-rank contract; dropping that contract (ANN ranks) removes the
     last one — the candidate machinery is already served by pruned reads.
     """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    return rag_persisted_pipeline(
+        spark, docs, emb, bm_path=bm_path, ivf_path=ivf_path
+    )
+
+
+def rag_persisted_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    emb: DataFrame,
+    bm_path: str | None = None,
+    ivf_path: str | None = None,
+) -> dict[str, DataFrame]:
+    """Frame-level form of the persisted-index RAG pipeline (see
+    build_rag_persisted_frames for the full construction + proof). Two
+    modes: with ``bm_path``/``ivf_path`` = None the index layouts are
+    written to per-pid scratch first (the self-contained gate mode the
+    registered query uses); with explicit paths they must point at
+    EXISTING write_bm25_index / write_ivf_corpus layouts over the SAME
+    kept corpus — the production serve mode, where index writes amortize
+    across queries and this call performs only the pruned probes, the
+    id-only zero-fill, the layout rels pass, and fusion/MMR (the mode
+    scripts/stress_scaling.py sweeps as rag_persisted_serve). Centroids
+    are re-derived by the deterministic sample_centroids over the kept
+    embeddings, so write-time and probe-time lists agree in both modes.
+    """
     from nilm_data_framework_spark.operators import similarity as S
     from nilm_data_framework_spark.operators.embed_stats import u6_components
     from nilm_data_framework_spark.operators.text import (
@@ -81,8 +111,6 @@ def build_rag_persisted_frames(
     )
     from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     kept_ids = (
         quality_classifier_score(docs)
         .where(F.col("keep") & (F.col("doc_id") != _RAG_QVEC))
@@ -90,10 +118,11 @@ def build_rag_persisted_frames(
         .localCheckpoint(eager=True)
     )
     kept_docs = docs.join(kept_ids, "doc_id")
-    bm_path = pid_scratch_dir(
-        os.path.join(tempfile.gettempdir(), "nilm_spark_rag_bm25"), "idx_"
-    )
-    write_bm25_index(kept_docs, bm_path)
+    if bm_path is None:
+        bm_path = pid_scratch_dir(
+            os.path.join(tempfile.gettempdir(), "nilm_spark_rag_bm25"), "idx_"
+        )
+        write_bm25_index(kept_docs, bm_path)
     hits = bm25_hits_indexed(spark, bm_path, _BM25_TERMS).select(
         "doc_id", "bm25_raw"
     )
@@ -106,10 +135,11 @@ def build_rag_persisted_frames(
         "vec_id", "embedding"
     )
     cents = S.sample_centroids(kept_emb, 16, "vec_id", "embedding", "hash", 42)
-    ivf_path = pid_scratch_dir(
-        os.path.join(tempfile.gettempdir(), "nilm_spark_rag_ivf"), "corpus_"
-    )
-    S.write_ivf_corpus(kept_emb, ivf_path, cents)
+    if ivf_path is None:
+        ivf_path = pid_scratch_dir(
+            os.path.join(tempfile.gettempdir(), "nilm_spark_rag_ivf"), "corpus_"
+        )
+        S.write_ivf_corpus(kept_emb, ivf_path, cents)
     qdf = emb.where(F.col("vec_id") == _RAG_QVEC)
     ivf_probe = S.ivf_topk_partitioned(
         spark, ivf_path, qdf, k=128, centroids=cents, n_probe=4
@@ -149,6 +179,8 @@ def build_rag_persisted_frames(
         "bm25_hits": hits,
         "ivf_probe": ivf_probe,
         "result": _rag_tail(bmscored, rels, cand_ids, cvec),
+        "bm_path": bm_path,
+        "ivf_path": ivf_path,
     }
 
 

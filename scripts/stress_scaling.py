@@ -1397,6 +1397,44 @@ def main() -> None:
                 }))
             print(json.dumps({"query": "bm25_index_files", "k": k, **audit}))
 
+        rag_p_names = {"rag_persisted_build", "rag_persisted_serve"}
+        if only is None or only & rag_p_names:
+            # r7: the composed RAG pipeline over the persisted indexes, in
+            # its two modes. build = quality gate + BOTH index writes +
+            # first serve (the gate-mode cost the registered query pays);
+            # serve = probe-only against the existing layouts (production:
+            # writes amortize). Expected: serve ~linear with a small
+            # constant — the pruned probes are flat, but the quality-gate
+            # scan, the id-only zero-fill, and the exact-rel layout pass
+            # are (narrow) corpus passes demanded by the exact fusion-rank
+            # contract (see queries/extra_ops_r7.py's 100 TB note).
+            from nilm_data_framework_spark.queries.extra_ops_r7 import (
+                rag_persisted_pipeline,
+            )
+
+            emb_rp = replicate_embeddings(emb_base, k)
+            t0 = time.perf_counter()
+            frames = rag_persisted_pipeline(spark, docs, emb_rp)
+            frames["result"].count()
+            build_sec = time.perf_counter() - t0
+            serve = lambda: rag_persisted_pipeline(  # noqa: E731
+                spark, docs, emb_rp,
+                bm_path=frames["bm_path"], ivf_path=frames["ivf_path"],
+            )["result"].count()
+            serve()  # warm
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = serve()
+                times.append(time.perf_counter() - t0)
+            for name, sec, rr in (
+                ("rag_persisted_build", build_sec, 5),
+                ("rag_persisted_serve", min(times), rows),
+            ):
+                results.setdefault(name, []).append((n, sec))
+                print(json.dumps({"query": name, "k": k, "corpus_rows": n,
+                                  "result_rows": rr, "sec": round(sec, 3)}))
+
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)
