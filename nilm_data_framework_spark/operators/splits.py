@@ -123,11 +123,17 @@ def temporal_embargo_split(
         .where(F.col("_b") < F.col("_bstar"))
         .agg(F.coalesce(F.max("_cumb"), F.lit(0)).alias("_prev"))
     )
+    # eager checkpoint: this support is BOUNDED (one hour-bucket's distinct
+    # stamps) but keyed by a timestamp — the plan guard rightly refuses to
+    # treat per-timestamp aggregates as bounded supports
+    # (tests/test_plan_quality.py::_ROW_SCALED_KEYS), so the boundedness is
+    # made explicit as a materialization boundary
     sup_in = (
         ev.crossJoin(F.broadcast(bstar))
         .where(F.expr(f"_us div {bucket_us}") == F.col("_bstar"))
         .groupBy("_us")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
     w_in = Window.orderBy("_us").rowsBetween(Window.unboundedPreceding, 0)
     cutoff = (

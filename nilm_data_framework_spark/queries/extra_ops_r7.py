@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nilm_data_framework_spark.plans.registry import query
+from nilm_data_framework_spark.queries.extra_ops import _rag_oracle
 from nilm_data_framework_spark.sources.testdata import load_table
 
 
@@ -83,6 +84,7 @@ def rag_persisted_pipeline(
     emb: DataFrame,
     bm_path: str | None = None,
     ivf_path: str | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> dict[str, DataFrame]:
     """Frame-level form of the persisted-index RAG pipeline (see
     build_rag_persisted_frames for the full construction + proof). Two
@@ -93,9 +95,13 @@ def rag_persisted_pipeline(
     kept corpus — the production serve mode, where index writes amortize
     across queries and this call performs only the pruned probes, the
     id-only zero-fill, the layout rels pass, and fusion/MMR (the mode
-    scripts/stress_scaling.py sweeps as rag_persisted_serve). Centroids
-    are re-derived by the deterministic sample_centroids over the kept
-    embeddings, so write-time and probe-time lists agree in both modes.
+    scripts/stress_scaling.py sweeps as rag_persisted_serve). Pass the
+    trained ``centroids`` with the paths (they are returned by the write
+    call, same caller-owns-identity contract as ivf_topk_partitioned) —
+    the production serve then pays ZERO per-query centroid cost; when
+    omitted they are re-derived by the deterministic sample_centroids
+    over the kept embeddings, so write-time and probe-time lists still
+    agree, at the cost of one extra kept-corpus pass.
     """
     from nilm_data_framework_spark.operators import similarity as S
     from nilm_data_framework_spark.operators.embed_stats import u6_components
@@ -134,7 +140,11 @@ def rag_persisted_pipeline(
     kept_emb = emb.join(kept_ids, emb["vec_id"] == kept_ids["doc_id"]).select(
         "vec_id", "embedding"
     )
-    cents = S.sample_centroids(kept_emb, 16, "vec_id", "embedding", "hash", 42)
+    cents = (
+        centroids
+        if centroids is not None
+        else S.sample_centroids(kept_emb, 16, "vec_id", "embedding", "hash", 42)
+    )
     if ivf_path is None:
         ivf_path = pid_scratch_dir(
             os.path.join(tempfile.gettempdir(), "nilm_spark_rag_ivf"), "corpus_"
@@ -181,18 +191,13 @@ def rag_persisted_pipeline(
         "result": _rag_tail(bmscored, rels, cand_ids, cvec),
         "bm_path": bm_path,
         "ivf_path": ivf_path,
+        "centroids": cents,
     }
-
-
-def _rag_persisted_oracle() -> str:
-    from nilm_data_framework_spark.queries.extra_ops import _rag_oracle
-
-    return _rag_oracle()
 
 
 @query(
     "rag_retrieval_pipeline_persisted",
-    oracle=_rag_persisted_oracle(),
+    oracle=_rag_oracle(),
     survey_ref="§2.10 retrieval, end-to-end over the PERSISTED indexes: "
     "quality gate → term-partition-pruned BM25 probe + cid-partition-"
     "pruned IVF probe for candidates, exact ranks from the hit∪zero-fill "

@@ -1323,8 +1323,12 @@ def main() -> None:
                 (F.col("doc_id") + 90_000_000).alias("doc_id"), "text",
                 "lang", "source", "n_chars",
             ).filter(F.col("doc_id") % 10 == 7).localCheckpoint(eager=True)
+            # +200M keeps kbatch ids disjoint from fixed_batch's +90M for
+            # every replica shift (+10M·r, r<8) — append_bm25_batch's
+            # disjoint-doc_id precondition, which +80M violated at k>=2
+            # (base+10M+80M collided with base+90M)
             kbatch = docs.select(
-                (F.col("doc_id") + 80_000_000).alias("doc_id"), "text",
+                (F.col("doc_id") + 200_000_000).alias("doc_id"), "text",
                 "lang", "source", "n_chars",
             ).filter(F.col("doc_id") % 10 == 7).localCheckpoint(eager=True)
             n_fixed = fixed_batch.count()
@@ -1381,6 +1385,13 @@ def main() -> None:
                     stage_secs.setdefault("bm25_index_probe", []).append(
                         time.perf_counter() - t0
                     )
+                # bound /tmp to one layout at a time: a full default sweep
+                # otherwise parks 8 replicated-corpus indexes that
+                # pid_scratch_dir only reaps on a later byte-identical
+                # prefix call
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
             for name, rows_in in (
                 ("bm25_index_write", n),
                 ("bm25_index_probe", n),
@@ -1420,6 +1431,7 @@ def main() -> None:
             serve = lambda: rag_persisted_pipeline(  # noqa: E731
                 spark, docs, emb_rp,
                 bm_path=frames["bm_path"], ivf_path=frames["ivf_path"],
+                centroids=frames["centroids"],
             )["result"].count()
             serve()  # warm
             times = []
@@ -1434,6 +1446,10 @@ def main() -> None:
                 results.setdefault(name, []).append((n, sec))
                 print(json.dumps({"query": name, "k": k, "corpus_rows": n,
                                   "result_rows": rr, "sec": round(sec, 3)}))
+            import shutil
+
+            shutil.rmtree(frames["bm_path"], ignore_errors=True)
+            shutil.rmtree(frames["ivf_path"], ignore_errors=True)
 
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:

@@ -854,6 +854,12 @@ _ROW_SCALED_KEYS = {
     "doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
     "c_custkey", "p_partkey", "s_suppkey", "user_id", "query_id",
     "match_id",
+    # timestamp-grain keys: a per-timestamp aggregate's support approaches
+    # row count on high-resolution streams — the exact class the r7
+    # temporal_embargo_split rewrite removed. A BOUNDED per-timestamp
+    # support (one bucket's worth, like splits.py's refinement stage) must
+    # make its boundedness explicit via a localCheckpoint boundary.
+    "us", "_us", "ts", "_ts",
 }
 
 
@@ -922,6 +928,21 @@ def test_window_guard_rejects_row_unique_agg(spark):
         "r", F.row_number().over(Window.orderBy("n", "lang"))
     )
     assert not _unbounded_global_windows(ok._jdf.queryExecution().sparkPlan())
+    # per-timestamp aggregates are row-scaled on high-resolution streams —
+    # the pre-r7 temporal_embargo_split shape must also trip
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.unix_micros("ts").alias("us")
+    )
+    per_us = ev.groupBy("us").agg(F.count(F.lit(1)).alias("c"))
+    bad_ts = per_us.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert _unbounded_global_windows(bad_ts._jdf.queryExecution().sparkPlan()), (
+        "guard missed an unpartitioned window over a per-timestamp aggregate"
+    )
 
 
 def test_no_unpartitioned_window_over_raw_scan(spark):
