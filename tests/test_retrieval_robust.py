@@ -567,6 +567,43 @@ def test_rag_pipeline_stage_consistency(spark):
         assert r["rrf_e6"] > 0 and (r["rank_bm25"] > 0 or r["rank_cos"] > 0)
 
 
+def test_rag_persisted_serve_mode_matches_gate_mode(spark):
+    """The production serve mode (existing layouts + trained centroids
+    passed in) must reproduce the gate mode's result exactly — the
+    contract scripts/stress_scaling.py's rag_persisted_serve sweep and
+    any index-reusing deployment rely on. Also pins that the gate-mode
+    result equals the ORIGINAL exact pipeline (the superset-inertness
+    proof, exercised end-to-end at fixture scale)."""
+    from nilm_data_framework_spark.plans.registry import all_queries
+    from nilm_data_framework_spark.queries.extra_ops_r7 import (
+        rag_persisted_pipeline,
+    )
+    from nilm_data_framework_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents", parallelize=True)
+    emb = load_table(spark, SF_DIR, "embeddings", parallelize=True)
+    gate = rag_persisted_pipeline(spark, docs, emb)
+    gate_rows = sorted(tuple(r) for r in gate["result"].collect())
+    serve = rag_persisted_pipeline(
+        spark,
+        docs,
+        emb,
+        bm_path=gate["bm_path"],
+        ivf_path=gate["ivf_path"],
+        centroids=gate["centroids"],
+    )
+    serve_rows = sorted(tuple(r) for r in serve["result"].collect())
+    assert serve_rows == gate_rows
+    exact = sorted(
+        tuple(r)
+        for r in all_queries()["rag_retrieval_pipeline"]
+        .spark(spark, SF_DIR)
+        .collect()
+    )
+    assert gate_rows == exact
+
+
 def test_readability_component_ranges(spark):
     from nilm_data_framework_spark.plans.registry import all_queries
 
