@@ -567,6 +567,46 @@ def test_rag_pipeline_stage_consistency(spark):
         assert r["rrf_e6"] > 0 and (r["rank_bm25"] > 0 or r["rank_cos"] > 0)
 
 
+_HOUR_US = 3_600_000_000
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=4 * _HOUR_US),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_HS
+def test_embargo_two_level_cutoff_matches_reference(spark, stamps):
+    """The r7 two-level cutoff (hour-bucket cumulative → refine inside one
+    bucket) must pick the exact floor(4n/5)-th smallest timestamp for any
+    multiset — including the edges the refinement can get wrong: all
+    stamps equal, duplicates straddling the k-th position, cutoff in the
+    FIRST bucket (empty prev), cutoff exactly at a bucket boundary."""
+    from nilm_data_framework_spark.operators.splits import (
+        temporal_embargo_split,
+    )
+
+    df = spark.createDataFrame(
+        [(int(s), i % 3) for i, s in enumerate(stamps)],
+        "us long, user_id long",
+    )
+    out = {r["split"]: r for r in temporal_embargo_split(df, "us", "user_id").collect()}
+    n = len(stamps)
+    cutoff = sorted(stamps)[(n * 4) // 5 - 1] if (n * 4) // 5 >= 1 else min(stamps)
+    exp = {"train": 0, "embargo": 0, "test": 0}
+    for s in stamps:
+        if s < cutoff:
+            exp["train"] += 1
+        elif s < cutoff + 21_600_000_000:
+            exp["embargo"] += 1
+        else:
+            exp["test"] += 1
+    got = {k: (out[k]["n_events"] if k in out else 0) for k in exp}
+    assert got == exp, f"cutoff={cutoff} stamps={sorted(stamps)}"
+
+
 def test_rag_persisted_serve_mode_matches_gate_mode(spark):
     """The production serve mode (existing layouts + trained centroids
     passed in) must reproduce the gate mode's result exactly — the
