@@ -166,6 +166,44 @@ def test_bm25_zero_tf_scores_zero(spark):
     assert rows[1]["bm25_raw"] > 0.0
 
 
+def test_bm25_indexed_absent_query_terms(spark):
+    """Production probes carry out-of-vocabulary terms: an absent term has
+    no partition directory, df derives as 0 from the pruned postings, and
+    the shared score expression must still replay the full scan bit-for-
+    bit on the hit docs (the absent term contributes its df=0 idf only
+    through tf=0 → exactly +0.0). An all-absent probe returns empty, not
+    an error."""
+    import tempfile
+
+    from nilm_data_framework_spark.operators.text import (
+        bm25_hits_indexed,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "vector join stream vector"),
+            (1, "join join join"),
+            (2, "stream table scan"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    p = tempfile.mkdtemp(prefix="bm25_absent_")
+    write_bm25_index(df, p)
+    terms = ["vector", "zzzmissing"]
+    hits = {
+        r["doc_id"]: r["bm25_raw"]
+        for r in bm25_hits_indexed(spark, p, terms).collect()
+    }
+    full = {r["doc_id"]: r["bm25_raw"] for r in bm25_scores(df, terms).collect()}
+    assert set(hits) == {0}  # only the doc holding a present term
+    assert all(hits[d] == full[d] for d in hits)  # bit-exact
+    assert all(full[d] == 0.0 for d in full if d not in hits)
+    assert bm25_topk_indexed(spark, p, ["zzzmissing"], 5).count() == 0
+
+
 def test_bm25_hits_zero_fill_reconstructs_full_scan(spark):
     """The exactness claim the persisted RAG twin's superset proof rests
     on (queries/extra_ops_r7.py): indexed hit-doc scores UNION a
