@@ -265,15 +265,25 @@ def retrieval_workloads(docs: DataFrame, ev: DataFrame, orders: DataFrame) -> di
 
     def _sax():
         from nilm_data_framework_spark.operators.exact_math import u6_mean_e4
+        from nilm_data_framework_spark.operators.scale_windows import (
+            bucketed_ntile,
+        )
 
         seg = ev.groupBy(
             "user_id", F.expr("us div 21600000000").alias("seg")
         ).agg(F.sum("v6").alias("s6"), F.count(F.lit(1)).alias("cnt"))
-        means = seg.select("user_id", "seg", u6_mean_e4("s6", "cnt").alias("m"))
-        w_g = Window.orderBy("m", "user_id", "seg")
-        sym = means.select(
+        # mirror the shipped query's r7 shape: bucketed_ntile over the
+        # mean_e4 value support (the global-ntile form the window guard
+        # now rejects), input checkpointed because the tile build
+        # references it thrice
+        means = seg.select(
+            "user_id", "seg", u6_mean_e4("s6", "cnt").alias("m")
+        ).localCheckpoint(eager=True)
+        sym = bucketed_ntile(
+            means, F.col("m"), [F.col("user_id"), F.col("seg")], 4, out="_t"
+        ).select(
             "user_id", "seg",
-            F.substring(F.lit("abcd"), F.ntile(4).over(w_g), 1).alias("s"),
+            F.substring(F.lit("abcd"), F.col("_t").cast("int"), 1).alias("s"),
         )
         w_u = Window.partitionBy("user_id").orderBy("seg")
         words = sym.select(
