@@ -315,12 +315,23 @@ def retrieval_workloads(docs: DataFrame, ev: DataFrame, orders: DataFrame) -> di
         return ol.groupBy("ta", "tb").count().count()
 
     def _rfm():
+        from nilm_data_framework_spark.operators.scale_windows import (
+            bucketed_ntile,
+        )
+
+        # mirror the shipped r6 shape (bucketed_ntile over the freq value
+        # support, checkpointed input) — the old global-ntile closure no
+        # longer matched the query after the scale-safety rewrite
         per = orders.groupBy("o_custkey").agg(
             F.count(F.lit(1)).cast("long").alias("freq")
-        )
-        w_f = Window.orderBy(F.col("freq").desc(), "o_custkey")
-        scored = per.select(
-            "o_custkey", F.ntile(5).over(w_f).alias("f_q")
+        ).localCheckpoint(eager=True)
+        scored = bucketed_ntile(
+            per,
+            F.col("freq"),
+            [F.col("freq").desc(), F.col("o_custkey")],
+            5,
+            descending=True,
+            out="f_q",
         )
         return scored.groupBy("f_q").count().count()
 
