@@ -815,9 +815,12 @@ def append_bm25_batch(
     ).parquet(f"{path}/postings")
     spark = df.sparkSession
     old = spark.read.parquet(f"{path}/stats").collect()[0]
+    # coalesce: sum() over an EMPTY batch is NULL — an empty ingest batch
+    # (a real occurrence in incremental pipelines) must be a no-op, not a
+    # TypeError on the merge arithmetic
     new = toks.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     ).collect()[0]
     spark.createDataFrame(
         [(old["n_docs"] + new["n_docs"], old["sum_dl"] + new["sum_dl"])],

@@ -204,6 +204,35 @@ def test_bm25_indexed_absent_query_terms(spark):
     assert bm25_topk_indexed(spark, p, ["zzzmissing"], 5).count() == 0
 
 
+def test_bm25_append_empty_batch_is_noop(spark):
+    """Incremental pipelines see empty ingest batches; appending one must
+    leave the index and its stats byte-identical (sum() over an empty
+    frame is NULL — previously a TypeError on the stats merge)."""
+    import tempfile
+
+    from nilm_data_framework_spark.operators.text import (
+        append_bm25_batch,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "vector join"), (1, "join table")], "doc_id long, text string"
+    )
+    p = tempfile.mkdtemp(prefix="bm25_empty_")
+    write_bm25_index(df, p)
+    before = sorted(
+        tuple(r) for r in bm25_topk_indexed(spark, p, ["join"], 5).collect()
+    )
+    stats_before = spark.read.parquet(f"{p}/stats").collect()
+    append_bm25_batch(df.filter("doc_id > 100"), p)
+    after = sorted(
+        tuple(r) for r in bm25_topk_indexed(spark, p, ["join"], 5).collect()
+    )
+    assert after == before
+    assert spark.read.parquet(f"{p}/stats").collect() == stats_before
+
+
 def test_bm25_hits_zero_fill_reconstructs_full_scan(spark):
     """The exactness claim the persisted RAG twin's superset proof rests
     on (queries/extra_ops_r7.py): indexed hit-doc scores UNION a
