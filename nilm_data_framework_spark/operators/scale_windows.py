@@ -54,7 +54,20 @@ def bucketed_global_rank(
     cumulative window over the bucket SUPPORT, one broadcast join of the
     support-sized offset table, one bucket-partitioned row_number. No stage
     ever sorts more than one bucket's rows in one task.
+
+    The input subtree is referenced TWICE here (per-row window + support)
+    and a third time by bucketed_ntile's total count — callers with a
+    scan-heavy input should localCheckpoint it once (the r6 rfm lesson:
+    2.2 s chained vs 1.2 s checkpointed at sf0.1). ``_sw*`` names are
+    reserved working columns; colliding caller columns would be silently
+    overwritten and dropped, so they are rejected outright.
     """
+    for col in ("_swb", "_swc", "_swrn", "_swoff", "_swb_off"):
+        if col in df.columns:
+            raise ValueError(
+                f"bucketed_global_rank reserves working column {col!r}; "
+                f"rename it in the input"
+            )
     base = df.withColumn("_swb", bucket)
     sup = base.groupBy("_swb").agg(F.count(F.lit(1)).alias("_swc"))
     order = F.col("_swb").desc() if descending else F.col("_swb").asc()
@@ -80,17 +93,34 @@ def bucketed_global_rank(
     )
 
 
+def _exact_floordiv(a: Column, b: Column) -> Column:
+    """Floor division of non-negative integer Columns, exact for any
+    operands below 10^18. Plain ``(a / b).cast('long')`` goes through
+    IEEE double division, whose half-ulp error starts crossing integer
+    boundaries once operands pass ~2^52 — small for today's fixtures but
+    exactly the magnitude a 100 TB row count flirts with. Casting through
+    decimal(20,0) makes Spark track 18 fractional digits in the quotient
+    (decimal division promotes scale before capping at precision 38), so
+    the floor is exact while 1/b > 10^-18 — i.e. for every b a row count
+    can reach."""
+    return F.floor(a.cast("decimal(20,0)") / b.cast("decimal(20,0)")).cast(
+        "long"
+    )
+
+
 def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
     """SQL NTILE(n) replayed from an exact 1-based rank and the total row
     count: the first ``total % n`` tiles hold ``total div n + 1`` rows, the
     rest ``total div n`` (both Spark's NTile and DuckDB's ntile implement
-    exactly this). Pure integer arithmetic — identical cross-engine."""
-    q = (total / n).cast("long")  # total div n: both non-negative
+    exactly this). Exact integer arithmetic at any realistic magnitude —
+    quotients go through :func:`_exact_floordiv`, not double division —
+    so the tiles replay identically cross-engine."""
+    q = _exact_floordiv(total, F.lit(n))  # total div n: both non-negative
     r = total - q * n
     big = (q + F.lit(1)) * r  # rows covered by the (q+1)-sized tiles
-    in_big = ((rank - 1) / (q + 1)).cast("long") + 1
+    in_big = _exact_floordiv(rank - 1, q + 1) + 1
     # q can be 0 only when total < n, where every rank is inside `big`
-    in_small = r + ((rank - big - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+    in_small = r + _exact_floordiv(rank - big - 1, F.greatest(q, F.lit(1))) + 1
     return F.when(rank <= big, in_big).otherwise(in_small).cast("long")
 
 

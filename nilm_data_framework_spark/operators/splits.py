@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 def split_bucket(id_col: Column, n_buckets: int = 100) -> Column:
     """md5-derived bucket in [0, n_buckets): stable content hash of the id
-    rendered as a string (cross-engine reproducible, unlike Spark's hash())."""
+    rendered as a string (cross-engine reproducible, unlike Spark's hash()).
+
+    PRECONDITION: the id must be an integer or string column. A
+    float/double id is NOT reproducible — the hash input is the STRING
+    rendering, and Spark (Jackson: ``1.0E-4``, ``-0.0``) renders doubles
+    differently from DuckDB (``0.0001``, ``0.0``) — the same
+    rendering-divergence class the r6 tensor_export lesson documents. A
+    NULL id yields a NULL bucket (see hash_split for the label contract)."""
     return (
         F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -36,18 +43,27 @@ def hash_split(
     ``splits`` maps label → fraction (must sum to ~1); boundaries are
     cumulative in dict order, e.g. {"train": .8, "val": .1, "test": .1} →
     buckets [0,80) / [80,90) / [90,100). Narrow projection — no shuffle.
+
+    The LAST label is the catch-all (``otherwise``, matching the oracle's
+    ``CASE ... ELSE`` form): a NULL id hashes to a NULL bucket, and
+    without the catch-all it would get a NULL split label and silently
+    vanish from every split-filtered downstream — with it, NULL-keyed
+    rows land deterministically in the final split in both engines.
     """
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
     bucket = split_bucket(F.col(id_col), n_buckets)
     expr: Column | None = None
+    labels = list(splits.items())
     acc = 0.0
-    for label, frac in splits.items():
+    for label, frac in labels[:-1]:
         acc += frac
         bound = round(acc * n_buckets)
         cond = bucket < bound
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out, expr)
 
 
@@ -103,13 +119,24 @@ def temporal_embargo_split(
     Output: one row per split with exact-integer event/user counts and
     time bounds (micros). All broadcast sides below are 1-row global
     aggregates (hint-guard exempt).
+
+    NULL timestamps follow the oracle's NULLS-LAST semantics: k counts
+    every row, but the cumulative support is built over NON-NULL stamps
+    only (a NULL would sort FIRST in Spark's cumulative and LAST in
+    DuckDB's, shifting the cutoff) — so NULL-stamped rows can never pull
+    the cutoff earlier, and they label as 'test' via the otherwise branch
+    exactly as the oracle's CASE/ELSE does. If NULLs alone would be
+    needed to reach k, the cutoff is NULL and every row labels 'test' in
+    both engines.
     """
     bucket_us = 3_600_000_000
     ev = df.select(F.col(us_col).alias("_us"), F.col(user_col).alias("_user"))
     total = ev.agg(F.count(F.lit(1)).alias("_n"))
     k_expr = F.expr(f"(_n * {train_num}) div {train_den}")
-    sup_b = ev.groupBy(F.expr(f"_us div {bucket_us}").alias("_b")).agg(
-        F.count(F.lit(1)).alias("_c")
+    sup_b = (
+        ev.where(F.col("_us").isNotNull())
+        .groupBy(F.expr(f"_us div {bucket_us}").alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
     cum_b = sup_b.select("_b", F.sum("_c").over(w_b).alias("_cumb"))
@@ -123,17 +150,21 @@ def temporal_embargo_split(
         .where(F.col("_b") < F.col("_bstar"))
         .agg(F.coalesce(F.max("_cumb"), F.lit(0)).alias("_prev"))
     )
-    # eager checkpoint: this support is BOUNDED (one hour-bucket's distinct
+    # checkpoint: this support is BOUNDED (one hour-bucket's distinct
     # stamps) but keyed by a timestamp — the plan guard rightly refuses to
     # treat per-timestamp aggregates as bounded supports
     # (tests/test_plan_quality.py::_ROW_SCALED_KEYS), so the boundedness is
-    # made explicit as a materialization boundary
+    # made explicit as a materialization boundary. Note the operator is
+    # therefore not construction-lazy: under AQE, checkpointing forces the
+    # upstream stages at build time whether eager or not (measured: the
+    # same 6 jobs either way; eager=False merely skips the final
+    # materialization pass).
     sup_in = (
         ev.crossJoin(F.broadcast(bstar))
         .where(F.expr(f"_us div {bucket_us}") == F.col("_bstar"))
         .groupBy("_us")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w_in = Window.orderBy("_us").rowsBetween(Window.unboundedPreceding, 0)
     cutoff = (

@@ -674,6 +674,60 @@ def test_embargo_two_level_cutoff_matches_reference(spark, stamps):
     assert got == exp, f"cutoff={cutoff} stamps={sorted(stamps)}"
 
 
+def test_embargo_null_timestamps_follow_oracle_nulls_last(spark):
+    """NULL timestamps must not shift the cutoff (DuckDB's cumulative is
+    NULLS LAST; Spark's would be NULLS FIRST without the explicit
+    non-null support filter) and must label 'test' via the CASE/ELSE
+    branch in both engines."""
+    from nilm_data_framework_spark.operators.splits import (
+        temporal_embargo_split,
+    )
+
+    rows = (
+        [(None, 0), (None, 1)]
+        + [(i, i % 3) for i in (1, 2, 3, 4)]
+        + [(3_600_000_001 + i, i % 3) for i in (0, 1, 2, 3)]
+    )
+    df = spark.createDataFrame(rows, "us long, user_id long")
+    out = {
+        r["split"]: r for r in temporal_embargo_split(df, "us", "user_id").collect()
+    }
+    # n=10, k=8; NULLS-LAST cumulative crosses 8 at the 8th REAL stamp
+    assert out["train"]["n_events"] == 7
+    assert out["embargo"]["n_events"] == 1
+    assert out["embargo"]["min_us"] == 3_600_000_004
+    assert out["test"]["n_events"] == 2  # the NULL-stamped rows
+    assert out["test"]["min_us"] is None
+
+
+def test_hash_split_null_id_gets_catchall_label(spark):
+    """A NULL id hashes to a NULL bucket; the last split label is the
+    catch-all (matching the oracle's CASE ... ELSE), so the row lands in
+    the final split instead of silently vanishing with a NULL label."""
+    from nilm_data_framework_spark.operators.splits import hash_split
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id long"
+    )
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    labels = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert labels[None] == "test"
+    assert all(v is not None for v in labels.values())
+
+
+def test_bucketed_rank_rejects_reserved_columns(spark):
+    from nilm_data_framework_spark.operators.scale_windows import (
+        bucketed_global_rank,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "v long, _swb long")
+    try:
+        bucketed_global_rank(df, F.col("v"), [F.col("v")])
+        raise AssertionError("reserved working column not rejected")
+    except ValueError as e:
+        assert "_swb" in str(e)
+
+
 def test_rag_persisted_serve_mode_matches_gate_mode(spark):
     """The production serve mode (existing layouts + trained centroids
     passed in) must reproduce the gate mode's result exactly — the
