@@ -7,7 +7,6 @@ scale path (candidate generation touches only same-bucket rows).
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -30,6 +29,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """PRECONDITION: non-zero-magnitude vectors. A zero vector divides by
+    zero, where the engines DIVERGE: Spark double division yields NULL
+    (sorts LAST under DESC), DuckDB yields NaN/inf (NaN sorts FIRST) — so
+    a zero-padded/failed embedding would rank opposite ways across every
+    cosine top-k here. Filter or impute zero vectors upstream; pinning a
+    semantic in one engine alone cannot make the oracles agree."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
@@ -754,12 +759,10 @@ def hamming_rerank_topk(
     matryoshka prefix path."""
     c = corpus.select(
         F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("cv"),
         sign_words(F.col(vec_col), dim).alias("cw"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
         sign_words(F.col(vec_col), dim).alias("qw"),
     )
     hamming = F.aggregate(
@@ -770,18 +773,30 @@ def hamming_rerank_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x.cast("long"),
     )
+    # the Q×N window shuffle carries only (ids, hamming) — raw vectors
+    # join back for the Q×rerank survivors alone (pq_rerank_topk shape)
     scored = c.join(
         F.broadcast(q), F.col("match_id") != F.col("query_id")
-    ).withColumn("hamming", hamming)
+    ).select("query_id", "match_id", hamming.alias("hamming"))
     w_h = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col("match_id")
     )
     shortlist = (
         scored.withColumn("rk_h", F.row_number().over(w_h))
         .filter(F.col("rk_h") <= rerank)
-        .select("query_id", "match_id", "qv", "cv", "hamming")
+        .select("query_id", "match_id", "hamming")
     )
-    rer = shortlist.withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    c_raw = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
+    )
+    q_raw = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rer = (
+        shortlist.join(c_raw, "match_id")
+        .join(F.broadcast(q_raw), "query_id")
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
     w_c = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id")
     )
@@ -935,20 +950,26 @@ def sq8_dim_stats(corpus: DataFrame, vec_col: str = "embedding") -> list[tuple[i
 
 def sq8_codes(vec_col: str, stats: list[tuple[int, int]]) -> Column:
     """array<bigint> of 0..255 scalar-quantized codes: per dimension,
-    ``(q6 − mn) · 255 div max(mx − mn, 1)`` over the 1e-6-floored integer
-    components. Pure integer arithmetic on nonnegative operands (q6 ≥ mn
-    by construction), so Spark ``div`` (truncate toward zero) and DuckDB
-    ``//`` (floor) agree and the codes replay bit-identically cross-engine.
-    The bounds are plan literals rendered as ONE SQL text expression (the
-    array_lit lesson: no per-element Py4J round-trips)."""
+    ``(clamp(q6, mn, mx) − mn) · 255 div max(mx − mn, 1)`` over the
+    1e-6-floored integer components. Components are CLAMPED into the
+    codebook range first (standard scalar-quantizer edge behavior) — this
+    is what keeps the arithmetic nonnegative for OUT-OF-SAMPLE vectors
+    too: an unclamped query component below the corpus min would hit the
+    signed-division divergence (Spark ``div`` truncates toward zero,
+    DuckDB ``//`` floors) and escape 0..255. On in-range operands Spark
+    ``div`` and DuckDB ``//`` agree, so the codes replay bit-identically
+    cross-engine. The bounds are plan literals rendered as ONE SQL text
+    expression (the array_lit lesson: no per-element Py4J round-trips)."""
     mn_sql = "array(" + ",".join(f"{int(m)}L" for m, _ in stats) + ")"
+    mx_sql = "array(" + ",".join(f"{int(x)}L" for _, x in stats) + ")"
     span_sql = (
         "array(" + ",".join(f"{max(int(x) - int(m), 1)}L" for m, x in stats) + ")"
     )
     return F.expr(
         f"transform(transform({vec_col}, "
         f"x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
-        f"(q, i) -> ((q - element_at({mn_sql}, i + 1)) * 255)"
+        f"(q, i) -> ((least(greatest(q, element_at({mn_sql}, i + 1)), "
+        f"element_at({mx_sql}, i + 1)) - element_at({mn_sql}, i + 1)) * 255)"
         f" div element_at({span_sql}, i + 1))"
     )
 
@@ -981,12 +1002,10 @@ def sq8_rerank_topk(
 
     c = corpus.select(
         F.col(id_col).alias("match_id"),
-        u6_components(vec_col).alias("c6"),
         sq8_codes(vec_col, stats).alias("cc"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        u6_components(vec_col).alias("q6"),
         sq8_codes(vec_col, stats).alias("qc"),
     )
     dot_codes = F.aggregate(
@@ -994,23 +1013,38 @@ def sq8_rerank_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # shortlist stage carries ONLY (query_id, match_id, dot_sq8) through
+    # the per-query window shuffle — the raw u6 components join back for
+    # the Q×rerank survivors alone (the pq_rerank_topk shape; dragging
+    # two dim-long arrays per candidate pair through the Q×N shuffle
+    # contradicted this docstring's own claim)
     scored = c.join(
         F.broadcast(q), F.col("match_id") != F.col("query_id")
-    ).withColumn("dot_sq8", dot_codes)
+    ).select("query_id", "match_id", dot_codes.alias("dot_sq8"))
     w_s = Window.partitionBy("query_id").orderBy(
         F.col("dot_sq8").desc(), F.col("match_id")
     )
     shortlist = (
         scored.withColumn("rk_s", F.row_number().over(w_s))
         .filter(F.col("rk_s") <= rerank)
-        .select("query_id", "match_id", "q6", "c6")
+        .select("query_id", "match_id")
+    )
+    c_raw = corpus.select(
+        F.col(id_col).alias("match_id"), u6_components(vec_col).alias("c6")
+    )
+    q_raw = queries.select(
+        F.col(id_col).alias("query_id"), u6_components(vec_col).alias("q6")
     )
     dot_exact = F.aggregate(
         F.zip_with("q6", "c6", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    rer = shortlist.withColumn("dot_u12", dot_exact)
+    rer = (
+        shortlist.join(c_raw, "match_id")
+        .join(F.broadcast(q_raw), "query_id")
+        .withColumn("dot_u12", dot_exact)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_u12").desc(), F.col("match_id")
     )

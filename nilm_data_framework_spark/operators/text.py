@@ -88,30 +88,13 @@ def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
-def lang_scores(text: Column) -> list[tuple[str, Column]]:
-    """Stopword-hit-rate score per language (the n-gram heuristic's
-    word-level variant; CJK matched by substring since it isn't
-    space-tokenized)."""
-    toks = tokens(text)
-    out: list[tuple[str, Column]] = []
-    for lang, words in STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        if lang == "zh":
-            score = F.size(
-                F.filter(arr, lambda w: F.instr(text, w) > 0)
-            ).cast("double")
-        else:
-            score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast(
-                "double"
-            )
-        out.append((lang, score))
-    return out
-
-
 def language_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
-    """Language-ID: argmax stopword score, ties → lexicographically first
-    language code (dict order = sorted here), zero evidence → 'und'. Pure
-    column expressions; tokenization let-bound once (see word_ngrams)."""
+    """Language-ID: argmax stopword score; ties keep the FIRST language in
+    STOPWORDS dict INSERTION order (en, fr, de, es, zh — NOT sorted; the
+    DuckDB oracle replays the same precedence, and the r3 driver hash is
+    frozen on it, so extending STOPWORDS must append, never reorder);
+    zero evidence → 'und'. Pure column expressions; tokenization
+    let-bound once (see word_ngrams)."""
     col = F.col(text)
     word_langs = [(lang, ws) for lang, ws in STOPWORDS.items() if lang != "zh"]
 
@@ -172,21 +155,12 @@ def word_ngrams(text: Column, n: int) -> Column:
     "let" in expression form). Referencing ``tokens(text)`` directly inside
     the position lambda re-evaluates the split+filter per gram — O(tokens²)
     interpreted-lambda calls per row, which measured ~5 s over a 5k-doc
-    scan vs ~0.5 s bound."""
-    grams_of = lambda tk: F.array_distinct(  # noqa: E731
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - n),
-            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
-        )
-    )
-    return F.flatten(
-        F.transform(
-            F.array(tokens(text)),
-            lambda tk: F.when(F.size(tk) >= n, grams_of(tk)).otherwise(
-                F.array().cast("array<string>")
-            ),
-        )
-    )
+    scan vs ~0.5 s bound.
+
+    Exactly :func:`word_ngrams_all` deduped — array_distinct outside the
+    single-element let-array commutes with the flatten, and first-
+    occurrence order is preserved either way."""
+    return F.array_distinct(word_ngrams_all(text, n))
 
 
 def word_ngrams_all(text: Column, n: int) -> Column:
@@ -479,6 +453,14 @@ def redact_pii(
     zero shuffle at any scale. All columns other than ``text`` pass through
     unchanged (a pipeline stage must not drop the metadata travelling with
     the document), so composed pipelines never need a join-back on id.
+
+    COUNTING SEMANTICS: n_emails/n_ips count matches in the ORIGINAL
+    text, while masking applies sequentially (emails first) — an IP
+    literal nested inside a matched email (``user@1.2.3.4.com``) is
+    counted as an IP but disappears inside <EMAIL>, so counts are match
+    counts, NOT placeholder-occurrence counts in ``redacted``. The DuckDB
+    oracle replays the same original-text counting; audits reconciling
+    counts against placeholders must account for nesting.
     """
     email, ip = PII_PATTERNS["email"], PII_PATTERNS["ip"]
     redacted = F.regexp_replace(
@@ -651,6 +633,25 @@ def _term_tf(term: str) -> Column:
     return F.size(F.filter("_toks", eq_term)).cast("long").alias(f"tf_{term}")
 
 
+def _check_terms(terms: list[str]) -> None:
+    """Query terms are spliced into column names (``tf_<t>``/``df_<t>``)
+    and a SQL-text idf expression — a term that is not a bare lowercase
+    identifier (apostrophes, dots, hyphens: all producible by whitespace
+    tokenization of real queries) would break parsing or resolve as a
+    struct access, and duplicates create ambiguous columns. Reject both
+    up front with a clear error instead."""
+    import re
+
+    bad = [t for t in terms if not re.fullmatch(r"[a-z0-9_]+", t)]
+    if bad:
+        raise ValueError(
+            f"BM25 query terms must match [a-z0-9_]+ (they become column "
+            f"names and SQL text): {bad!r}"
+        )
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate BM25 query terms: {terms!r}")
+
+
 def bm25_scores(
     df: DataFrame,
     terms: list[str],
@@ -684,6 +685,7 @@ def bm25_scores(
 
     Returns (id, dl, tf_<term>..., bm25) with bm25 rounded 4dp for
     display and ``bm25_raw`` kept for deterministic ordering."""
+    _check_terms(terms)
     toks = df.select(
         F.col(id_col), tokens(F.col(text)).alias("_toks")
     ).select(
@@ -769,9 +771,13 @@ def write_bm25_index(
     postings.repartition(write_partitions, "term").write.mode(
         "overwrite"
     ).partitionBy("term").parquet(f"{path}/postings")
+    # coalesce: an EMPTY initial corpus (index created first, grown by
+    # appends) must write sum_dl = 0, not NULL — the same empty-input hole
+    # fixed in append_bm25_batch, which would otherwise TypeError on the
+    # first merge
     toks.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -847,6 +853,7 @@ def bm25_hits_indexed(
     whole corpus bit-for-bit — the score replays the exact op order via
     the shared expression. Returns (doc_id, dl, tf_<t>..., bm25_raw,
     bm25)."""
+    _check_terms(terms)
     stats0 = spark.read.parquet(f"{path}/stats")
     post = spark.read.parquet(f"{path}/postings").filter(F.col("term").isin(terms))
     dft = post.groupBy().agg(
