@@ -39,8 +39,6 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text: str = "text") 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """Exact dedup keep-min-id: one row per distinct normalized text."""
     h = df.withColumn("_fp", F.md5(normalized(F.col(text))))
-    from pyspark.sql import Window
-
     w = Window.partitionBy("_fp").orderBy(id_col)
     return h.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop(
         "_fp", "_rn"
@@ -61,24 +59,27 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature (array<long>, length num_hashes) over a shingle
     array. Universal hashes h_i(x) = (a_i * x + b_i) mod p derived
-    deterministically from ``seed`` driver-side; the per-row work is pure
-    column arithmetic (transform + aggregate), JVM-side."""
-    import random
+    deterministically from ``seed`` driver-side (the SAME
+    _minhash_hash_params stream the banded pipeline uses — one source of
+    truth for the oracle-parity contract); the per-row work is pure
+    column arithmetic, and the md5 base hashes are LET-BOUND via the
+    single-element-array transform so each shingle is hashed once, not
+    once per signature position (the word_ngrams lesson)."""
+    params = _minhash_hash_params(num_hashes, seed)
 
-    rng = random.Random(seed)
-    params = [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
-    base = F.transform(shingles, _md5_64)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda x: ((x % _MERSENNE_P) * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P),
-                )
-            )
-            for a, b in params
-        ]
-    )
+    def hash_with(a: int, b: int):
+        # closure factory, not a default-arg lambda (pyspark binds HOF
+        # lambda vars by parameter count)
+        return lambda x: (
+            (x % _MERSENNE_P) * F.lit(a) + F.lit(b)
+        ) % F.lit(_MERSENNE_P)
+
+    sig = F.transform(
+        F.array(F.transform(shingles, _md5_64)),
+        lambda base: F.array(
+            *[F.array_min(F.transform(base, hash_with(a, b))) for a, b in params]
+        ),
+    )[0]
     # empty shingle set → null mins; substitute sentinel p so bands still form
     return F.transform(sig, lambda m: F.coalesce(m, F.lit(_MERSENNE_P)))
 
@@ -116,6 +117,16 @@ def _banded(
     60-bit residue, (x % p) * a stays under 2^62 — no long overflow).
     Building num_hashes separate transform expressions instead costs ~1 s
     of Py4J plan construction and a much larger tree for Catalyst."""
+    if len(params) != bands * rows_per:
+        # num_hashes not divisible by bands would silently compute (and
+        # pay for) trailing minhashes that no band ever reads — the caller
+        # gets the recall curve of bands*rows_per hashes while configuring
+        # more. Make the contract explicit.
+        raise ValueError(
+            f"num_hashes ({len(params)}) must equal bands*rows_per "
+            f"({bands}*{rows_per}): trailing hashes would be computed but "
+            f"never banded"
+        )
     params_lit = F.expr(
         "array(" + ",".join(f"array({a}L,{b}L)" for a, b in params) + ")"
     )
@@ -268,6 +279,14 @@ def minhash_lsh_join(
     No self-pairs of the new batch are emitted either (new×new dedup is
     :func:`minhash_lsh_pairs` on the batch alone); candidate generation is
     strictly (new.band, new.bucket) == (ref.band, ref.bucket).
+
+    PARAMETER-AGREEMENT WARNING: when passing ``ref_banded``/``ref_hashed``
+    directly, (shingle_n, num_hashes, bands, seed) MUST equal the values
+    the reference was WRITTEN with — a mismatch produces near-zero bucket
+    collisions and every batch "screens clean" (silent false negatives).
+    This function cannot verify that from the raw tables; use
+    :func:`minhash_lsh_join_reference`, which reads the persisted meta
+    table and ENFORCES agreement, unless you own the invariant yourself.
     """
     rows_per = num_hashes // bands
     params = _minhash_hash_params(num_hashes, seed)
@@ -490,17 +509,67 @@ def ngram_jaccard_pairs(
 def _length_blocked_candidates(g: DataFrame, threshold: float) -> DataFrame:
     """Candidate pairs for :func:`ngram_jaccard_pairs`: same block, same or
     adjacent log_{1/t} length bucket. Exposed for the sub-quadratic
-    candidate-count contract test."""
-    import math
+    candidate-count contract test.
 
-    base = max(1.0 / threshold, 1.1)  # >=1.1 keeps buckets finite as t→1
-    bkt = F.floor(F.log(F.size("g").cast("double")) / math.log(base)).cast("long")
+    Bucketing is INTEGER-EXACT: bucket(s) = #{k >= 1 : base^k <= s},
+    evaluated by comparing s against ceil(base^k) boundaries precomputed
+    with exact rational arithmetic (Fraction). The previous
+    floor(log(s)/log(base)) form used IEEE doubles, whose rounding at
+    exact-ratio boundaries (s = 1000, t = 0.1: log10(1000)/1 evaluates
+    to 2.9999999999999996 -> bucket 2 while 10000 lands in 4) put a
+    QUALIFYING pair more than one bucket apart — silently breaking the
+    lossless adjacency guarantee the docstring above proves. With exact
+    buckets the lemma is rigorous: J >= t and s_a <= s_b imply
+    s_b <= s_a·base, and base^k <= s_b <= s_a·base gives
+    base^(k-1) <= s_a, so buckets differ by at most 1."""
+    from fractions import Fraction
+
+    t = Fraction(str(threshold))
+    base = max(Fraction(1) / t, Fraction(11, 10))  # >=1.1: finite as t→1
+    bounds: list[int] = []
+    p = base
+    while True:
+        b = -(-p.numerator // p.denominator)  # ceil, exact
+        if b > 2**62:
+            break
+        bounds.append(b)
+        p *= base
+    bounds_sql = "array(" + ",".join(f"{b}L" for b in bounds) + ")"
+    bkt = F.expr(f"size(filter({bounds_sql}, b -> b <= size(g)))").cast("long")
     right = g.withColumn("jb", bkt)
     left = g.withColumn("jb", F.explode(F.array(bkt, bkt + F.lit(1))))
     a, b = left.alias("a"), right.alias("b")
     return a.join(
         b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.jb") == F.col("b.jb"))
     ).filter(F.col("a.id") != F.col("b.id"))
+
+
+def _df_ranked_prefix(
+    df: DataFrame, id_col: str, text: str, n: int, t_num: int, t_den: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared All-Pairs prefix construction for the Jaccard and
+    containment joins (one copy — a fix to the prefix-length formula or
+    the df tie-break must hit both). Returns (g, dg, prefix):
+    g = (id, g: distinct n-gram array, s: set size); dg = exploded
+    (id, s, gram) postings; prefix = the (id, s, gram) rows whose
+    ascending-global-df rank (ties by gram — a total order both engines
+    agree on) is within p = s − ⌈t·s⌉ + 1, with
+    ⌈t_num·s/t_den⌉ = (t_num·s + t_den − 1) div t_den (s ≥ 1 so div ==
+    floor in both engines)."""
+    g = (
+        df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), n).alias("g"))
+        .filter(F.size("g") > 0)
+        .withColumn("s", F.size("g").cast("long"))
+    )
+    dg = g.select("id", "s", F.explode("g").alias("gram"))
+    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    pos_w = Window.partitionBy("id").orderBy("gdf", "gram")
+    ranked = dg.join(dfreq, "gram").withColumn("pos", F.row_number().over(pos_w))
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("s") - F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}") + 1
+    ).select("id", "s", "gram")
+    return g, dg, prefix
 
 
 def prefix_filter_jaccard_pairs(
@@ -539,21 +608,8 @@ def prefix_filter_jaccard_pairs(
     localCheckpoint would materialize the full shingle table to executor
     disk at 100 TB for nothing.
     """
-    g = (
-        df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), n).alias("g"))
-        .filter(F.size("g") > 0)
-        .withColumn("s", F.size("g").cast("long"))
-    )
-    dg = g.select("id", "s", F.explode("g").alias("gram"))
-    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
-    pos_w = Window.partitionBy("id").orderBy("gdf", "gram")
-    ranked = dg.join(dfreq, "gram").withColumn("pos", F.row_number().over(pos_w))
-    # p = s − ⌈t·s⌉ + 1 with ⌈t_num·s/t_den⌉ = (t_num·s + t_den − 1) div t_den
-    # (s ≥ 1 so div == floor in both engines)
-    prefix = ranked.where(
-        F.col("pos")
-        <= F.col("s") - F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}") + 1
-    ).select("id", "gram")
+    g, _dg, prefix0 = _df_ranked_prefix(df, id_col, text, n, t_num, t_den)
+    prefix = prefix0.select("id", "gram")
     cand = (
         prefix.alias("a")
         .join(
@@ -608,19 +664,7 @@ def containment_prefix_pairs(
     deliberately not checkpointed — measured neutral at sf0.1 (exchange
     reuse covers the fan-out; see prefix_filter_jaccard_pairs).
     """
-    g = (
-        df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), n).alias("g"))
-        .filter(F.size("g") > 0)
-        .withColumn("s", F.size("g").cast("long"))
-    )
-    dg = g.select("id", "s", F.explode("g").alias("gram"))
-    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
-    pos_w = Window.partitionBy("id").orderBy("gdf", "gram")
-    ranked = dg.join(dfreq, "gram").withColumn("pos", F.row_number().over(pos_w))
-    prefix = ranked.where(
-        F.col("pos")
-        <= F.col("s") - F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}") + 1
-    ).select("id", "s", "gram")
+    g, dg, prefix = _df_ranked_prefix(df, id_col, text, n, t_num, t_den)
     cand = (
         prefix.alias("a")
         .join(
@@ -645,9 +689,14 @@ def containment_prefix_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 64) -> DataFrame:
+def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 63) -> DataFrame:
     """SimHash signature: per-token md5-derived hash; each bit votes ±1;
     signature bit b = sign of the vote sum. Emits (id, simhash long).
+
+    ``bits`` is capped at 63 (the signature lives in a signed long and
+    the sign bit stays 0) — the default says so now instead of silently
+    honoring only 63 of a requested 64; the 4-band chunking downstream
+    simply has one 15-informative-bit band.
 
     Column-expression implementation: explode tokens, aggregate per-bit
     votes with bitwise tests, re-assemble — one shuffle on id."""
@@ -679,7 +728,17 @@ def simhash_near_pairs(
     """SimHash near-dup pairs: band the 64-bit signature into ``bands``
     16-bit chunks; by pigeonhole, any pair within hamming distance
     ``bands-1`` shares a chunk → bucket-join on (band, chunk), verify exact
-    hamming ≤ max_hamming via bit_count(xor)."""
+    hamming ≤ max_hamming via bit_count(xor).
+
+    The pigeonhole bound is a PRECONDITION, enforced: max_hamming >
+    bands-1 would return a silently incomplete pair set (a pair whose
+    differing bits hit every chunk shares no bucket yet passes the
+    advertised hamming filter)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"pigeonhole completeness requires max_hamming <= bands-1 "
+            f"(got max_hamming={max_hamming}, bands={bands}); raise bands"
+        )
     s = simhash(df, id_col, text)
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
@@ -787,7 +846,18 @@ def connected_components(
                 stepped.select("node", F.col("comp").alias("cluster_id"))
             )
         labels = stepped.select("node", F.col("comp_new").alias("comp"))
-    return with_singletons(labels.select("node", F.col("comp").alias("cluster_id")))
+    # the loop converged on every iteration-count path above (the no-change
+    # check returns); falling through means labels were STILL changing at
+    # max_iter — returning them would silently split components (over-
+    # retention downstream) and diverge from the oracle's transitive
+    # closure. Propagation distance > max_iter means an adversarially
+    # chainy graph: raise and point at the documented escalation.
+    raise RuntimeError(
+        f"connected_components did not converge in max_iter={max_iter} "
+        f"rounds — component propagation distance exceeds it; raise "
+        f"max_iter or switch to the alternating large-star/small-star "
+        f"form (Kiveris et al.) documented above"
+    )
 
 
 def span_dedup(

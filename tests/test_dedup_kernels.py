@@ -311,3 +311,63 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL> from <IP> now"
     assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 0
     assert out[2]["redacted"] == "nothing sensitive here 1234"
+
+
+def test_length_bucket_boundary_pair_is_lossless(spark):
+    """Exact-ratio bucket boundary (the IEEE floor(log/log) failure the r7
+    review reproduced): docs with 1000 and 10000 distinct shingles at
+    t=0.1 have J exactly 0.1 and MUST be candidates — the float form put
+    them in buckets 2 and 4 and silently dropped the pair."""
+    from nilm_data_framework_spark.operators.dedup import ngram_jaccard_pairs
+
+    wa = " ".join(f"w{i}" for i in range(1000))
+    wb = " ".join(f"w{i}" for i in range(10000))
+    df = spark.createDataFrame(
+        [(1, wa, "en"), (2, wb, "en")], "doc_id long, text string, block string"
+    )
+    out = ngram_jaccard_pairs(
+        df, id_col="doc_id", text="text", n=1, threshold=0.1, block_col="block"
+    ).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 0.1
+
+
+def test_simhash_pigeonhole_precondition_enforced(spark):
+    from nilm_data_framework_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    try:
+        simhash_near_pairs(df, max_hamming=5, bands=4)
+        raise AssertionError("max_hamming > bands-1 not rejected")
+    except ValueError as e:
+        assert "pigeonhole" in str(e)
+
+
+def test_banding_rejects_indivisible_num_hashes(spark):
+    from nilm_data_framework_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    try:
+        minhash_lsh_pairs(df, num_hashes=16, bands=5).collect()
+        raise AssertionError("num_hashes % bands != 0 not rejected")
+    except ValueError as e:
+        assert "never banded" in str(e)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A path graph needs ~|path| hash-min rounds; with max_iter below
+    that, returning still-changing labels would silently split the
+    component — the operator must raise instead."""
+    from nilm_data_framework_spark.operators.dedup import connected_components
+
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    full = connected_components(nodes, edges, max_iter=25)
+    assert {r["cluster_id"] for r in full.collect()} == {0}
+    try:
+        connected_components(nodes, edges, max_iter=2)
+        raise AssertionError("non-convergence not raised")
+    except RuntimeError as e:
+        assert "did not converge" in str(e)
