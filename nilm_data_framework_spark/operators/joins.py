@@ -8,8 +8,9 @@ on the join key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def enrich(
@@ -47,11 +48,17 @@ def time_axis_align(
 
     Long-format idiom: pivot on the series column over the union of
     timestamps; fill 0. Equivalent to the reference's full outer join.
+
+    Cell aggregate is ``max`` (deterministic), not ``first`` (arbitrary
+    under duplicate (ts, series) rows — shuffle-order-dependent output,
+    the r7 review's determinism hazard). The reference's pd.concat
+    assumes a unique index; run A3 dedup-mean first when duplicates are
+    possible, in which case max == the single value.
     """
     return (
         per_series.groupBy(ts)
         .pivot(series, series_values)
-        .agg(F.first(value))
+        .agg(F.max(value))
         .na.fill(0.0)
     )
 
@@ -116,10 +123,19 @@ def range_join(
     bucket both sides by time epoch first so each bucket joins co-partitioned
     (not needed for dim-sized interval sets).
     """
+    # rename the interval side's equi-keys before joining: an expression
+    # condition keeps BOTH same-named key columns in the output, and any
+    # later select/groupBy by name raises AMBIGUOUS_REFERENCE
+    iv = intervals
+    for k in extra_keys or []:
+        iv = iv.withColumnRenamed(k, f"_iv_{k}")
     cond = (F.col(fact_ts) >= F.col(start)) & (F.col(fact_ts) < F.col(end))
     for k in extra_keys or []:
-        cond = cond & (fact[k] == intervals[k])
-    return fact.join(F.broadcast(intervals), on=cond)
+        cond = cond & (fact[k] == iv[f"_iv_{k}"])
+    out = fact.join(F.broadcast(iv), on=cond)
+    for k in extra_keys or []:
+        out = out.drop(f"_iv_{k}")
+    return out
 
 
 def asof_join(
@@ -136,44 +152,84 @@ def asof_join(
     generalization of J4 time alignment for mismatched clocks.
 
     Implemented shuffle-lean: union both sides tagged, sort within each key
-    partition, and carry the last right-side value forward with
+    partition, and carry the last right-side ROW forward as ONE struct with
     ``last(..., ignorenulls=True)`` — one shuffle on ``keys``, no range
     cross-product. Left rows with no prior right row (or outside
     ``tolerance_s``) get null.
+
+    The struct carry (r7) is load-bearing twice: (a) a right row whose
+    value is NULL is still the as-of row (matching pd.merge_asof and
+    DuckDB ASOF JOIN) — carrying value and ts as SEPARATE
+    last(ignorenulls) columns skipped the null-valued row's value but
+    kept its timestamp, returning a STALE value paired with the wrong ts
+    for the tolerance check; (b) the window orders by the struct as the
+    final tiebreak, so duplicate (key, ts) right rows resolve
+    deterministically (max value among ties) instead of shuffle-order.
     """
+    payload = F.struct(
+        F.col(right_ts).cast("double").alias("rt"),
+        F.col(right_value).cast("double").alias("rv"),
+    )
+    carried = _asof_carry(
+        left, right, keys, left_ts, right_ts, payload, "struct<rt:double,rv:double>"
+    )
+    val = F.col("_last.rv")
+    if tolerance_s is not None:
+        val = F.when(
+            F.col("_t").cast("double") - F.col("_last.rt") <= tolerance_s,
+            F.col("_last.rv"),
+        )
+    return carried.select(*left.columns, val.alias(out))
+
+
+def _asof_carry(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Column,
+    payload_type,
+) -> DataFrame:
+    """Shared union + tag + last(ignorenulls) carry-forward kernel behind
+    :func:`asof_join` and :func:`asof_state_join` (one copy of the tagged
+    select lists and the ordering contract). ``payload`` is a Column over
+    the RIGHT side's rows (non-null for every right row — wrap nullable
+    values in a struct so the row itself is never skipped);
+    ``payload_type`` its DDL type. Returns the LEFT rows plus ``_t`` (the
+    left timestamp) and ``_last`` (the carried payload, null when no
+    prior right row exists). Window order is (_t, right-before-left,
+    payload): payload must be an ORDERABLE type (structs/atomics — not
+    maps), which is what makes duplicate-(key, ts) right rows resolve
+    deterministically."""
     lcols = left.columns
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
-        F.lit(None).cast("double").alias("_rv"),
-        F.lit(None).cast("double").alias("_rt"),
+        F.lit(None).cast(payload_type).alias("_pay"),
     )
     r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in keys
+        ],
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
-        F.col(right_value).cast("double").alias("_rv"),
-        F.col(right_ts).cast("double").alias("_rt"),
+        payload.alias("_pay"),
     ).select(*l_tagged.columns)
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort before left rows at equal timestamps → "<=" as-of.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_t"), F.col("_is_left"))
+        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_pay"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.withColumn("_lastv", F.last("_rv", ignorenulls=True).over(w)).withColumn(
-        "_lastt", F.last("_rt", ignorenulls=True).over(w)
-    )
-    res = carried.filter(F.col("_is_left") == 1)
-    val = F.col("_lastv")
-    if tolerance_s is not None:
-        val = F.when(
-            F.col("_t").cast("double") - F.col("_lastt") <= tolerance_s, F.col("_lastv")
-        )
-    return res.select(*lcols, val.alias(out))
+    return unioned.withColumn(
+        "_last", F.last("_pay", ignorenulls=True).over(w)
+    ).filter(F.col("_is_left") == 1)
 
 
 def asof_join_cogrouped(
@@ -329,36 +385,21 @@ def asof_state_join(
     a range join: the SCD2 interval [valid_from, valid_to) containing t is,
     by construction, the last run START at-or-before t.
 
-    Same union + last(ignorenulls) carry-forward shape as :func:`asof_join`
-    (one shuffle on ``keys``, no range cross-product) but carries a column
-    of ANY type. Left rows before the key's first right row get null.
+    Same union + last(ignorenulls) carry-forward kernel as
+    :func:`asof_join` (shared ``_asof_carry`` — one shuffle on ``keys``,
+    no range cross-product) but carries a column of any ORDERABLE type
+    (the struct wrap keeps a null state from skipping its row, and the
+    payload tiebreak keeps duplicate-(key, ts) right rows deterministic).
+    Left rows before the key's first right row get null.
 
     Scale: identical to asof_join — the 100 TB form of point-in-time
     enrichment, because the interval-join alternative shuffles O(facts ×
     avg overlapping versions) while this moves each row exactly once.
     """
-    lcols = left.columns
     state_t = right.schema[state_col].dataType
-    l_tagged = left.select(
-        *[F.col(c) for c in lcols],
-        F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_is_left"),
-        F.lit(None).cast(state_t).alias("_sv"),
+    payload = F.struct(F.col(state_col).cast(state_t).alias("sv"))
+    carried = _asof_carry(
+        left, right, keys, left_ts, right_ts, payload,
+        StructType([StructField("sv", state_t)]),
     )
-    r_tagged = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_is_left"),
-        F.col(state_col).cast(state_t).alias("_sv"),
-    ).select(*l_tagged.columns)
-    unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_t"), F.col("_is_left"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.withColumn("_lastv", F.last("_sv", ignorenulls=True).over(w))
-    return carried.filter(F.col("_is_left") == 1).select(
-        *lcols, F.col("_lastv").alias(out)
-    )
+    return carried.select(*left.columns, F.col("_last.sv").alias(out))

@@ -54,6 +54,12 @@ def sliding_windows_sql(
     ``ts`` may be a list of ordering columns (tie-breaks keep the order — and
     therefore the hash-oracle — deterministic).
 
+    PRECONDITION (both W4 paths): non-null ``value``. collect_list SKIPS
+    nulls, so this path silently drops any window overlapping a null
+    (size != seq_len), while :func:`sliding_windows_grouped` keeps it
+    with NaN — the two paths only agree on null-free series. Impute or
+    filter nulls upstream (the canonical readings pipeline does).
+
     Output: keys..., window_id (0-based), x array<double> (time-ordered).
     """
     order_cols = [ts] if isinstance(ts, str) else list(ts)
@@ -80,7 +86,9 @@ def sliding_windows_grouped(
     One shuffle total (groupBy keys); each group is sorted and windowed with
     stride tricks — the Spark analog of sliding_window_view
     (channel_utils.py:180-185) without a per-window shuffle. ``ts`` may be a
-    list of ordering columns for deterministic tie-breaks.
+    list of ordering columns for deterministic tie-breaks. Same non-null
+    ``value`` precondition as :func:`sliding_windows_sql` (a null becomes
+    NaN here but drops the whole window there).
     """
     import numpy as np
     import pandas as pd
@@ -209,17 +217,18 @@ def median_smooth_reflect(
 
     One applyInPandas per series (single shuffle on keys); the pad+rolling
     median is NumPy inside the group — same scale shape as the windowed
-    tensorization kernels.
+    tensorization kernels. Carries the WHOLE row like median_smooth does
+    (r7: it previously dropped every column outside keys/ts/value, so
+    swapping the edge-semantics variants also changed the output schema).
     """
     import numpy as np
     import pandas as pd
 
     size = 2 * half_width + 1
     out_schema = StructType(
-        [df.schema[k] for k in keys]
-        + [df.schema[ts], df.schema[value], StructField(out, DoubleType())]
+        list(df.schema.fields) + [StructField(out, DoubleType())]
     )
-    cols = [*keys, ts, value, out]
+    cols = [*df.columns, out]
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts, kind="mergesort")
@@ -242,11 +251,18 @@ def median_smooth_reflect(
 
 
 def truncate_to_min(
-    df: DataFrame, group: list[str], series: str, ts: str
+    df: DataFrame,
+    group: list[str],
+    series: str,
+    ts: str | list[str],
 ) -> DataFrame:
     """W7: truncate every series in a group to the group's shortest series
-    (channel_utils.py:213-220) — row_number <= min(count) per series."""
-    w = Window.partitionBy(*group, series).orderBy(ts)
+    (channel_utils.py:213-220) — row_number <= min(count) per series.
+    ``ts`` may be a list of ordering columns: with duplicate timestamps the
+    single-column order makes WHICH tied rows get truncated at the cutoff
+    shuffle-dependent (the same determinism contract as the W4 kernels)."""
+    order_cols = [ts] if isinstance(ts, str) else list(ts)
+    w = Window.partitionBy(*group, series).orderBy(*order_cols)
     counts = df.groupBy(*group, series).agg(F.count(F.lit(1)).alias("_cnt"))
     min_counts = counts.groupBy(*group).agg(F.min("_cnt").alias("_min_cnt"))
     return (
@@ -268,9 +284,14 @@ def ewma(
 ) -> DataFrame:
     """Exponential moving average per series (s_i = α·x_i + (1-α)·s_{i-1},
     s_0 = x_0 — pandas ``ewm(adjust=False)`` semantics). Inherently
-    sequential per series → one applyInPandas per key group, recursion in
-    NumPy inside; the engine extension the reference's resample-based
-    smoothing lacks."""
+    sequential per series → one applyInPandas per key group with a
+    per-element Python recursion inside the Arrow batch (NOT vectorized:
+    pandas' own ewm kernel evaluates the recurrence in a different IEEE
+    op order, and scipy's lfilter is absent here — the explicit loop is
+    what the DuckDB oracle replays op-for-op). Cost is O(len) interpreter
+    steps per series; at 100 TB the per-series length, not the series
+    count, is the knob (chunk long series by session/day upstream if one
+    key concentrates)."""
     import numpy as np
     import pandas as pd
 
@@ -390,23 +411,29 @@ def skyline_2d(
     selector (quality vs length, recall vs cost) the quadratic NOT-EXISTS
     formulation answers in O(n²); this is the sort-based O(n log n) form.
 
-    Two windows over ONE shuffle on (keys) sorted by x:
-      • dominated by strictly-larger x: max(y) over the range frame
-        x' ∈ (x, ∞) — a from-the-right running max — ≥ y;
-      • dominated within equal x: max(y) over the (keys, x) partition > y.
-    ``x`` must be numeric (range frame). The oracle twin IS the quadratic
-    NOT EXISTS — equivalence of the two formulations is what the gate
-    checks. Scale: linear + per-key sort; no self-join, no explosion.
+    Strict-inequality form, exact for ANY numeric x (r7: the previous
+    ``rangeBetween(1, ∞)`` frame meant x' ≥ x+1, which silently missed
+    dominators less than one unit larger — wrong for fractional metrics
+    like the recall-vs-cost tradeoffs this docstring advertises):
+      • per-(keys, x) group max of y (one hash agg on the same keys);
+      • max over STRICTLY larger x via a rows frame over the DISTINCT-x
+        group rows ordered x DESC (each row is one x value, so
+        rowsBetween(unboundedPreceding, -1) is exactly x' > x — no
+        numeric offset, no unit assumption);
+      • join the two flags back on (keys, x) — AQE reuses the (keys, x)
+        partitioning from the agg.
+    The oracle twin IS the quadratic NOT EXISTS — equivalence of the two
+    formulations is what the gate checks. Scale: linear + per-key sort
+    over the distinct-x support; no self-join, no explosion.
     """
-    w_right = (
+    gx = df.groupBy(*keys, x).agg(F.max(F.col(y)).alias("_my_eq"))
+    w_desc = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(x))
-        .rangeBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col(x).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_eq = Window.partitionBy(*keys, x)
-    flagged = df.withColumn("_my_gt", F.max(F.col(y)).over(w_right)).withColumn(
-        "_my_eq", F.max(F.col(y)).over(w_eq)
-    )
+    flags = gx.withColumn("_my_gt", F.max("_my_eq").over(w_desc))
+    flagged = df.join(flags, on=[*keys, x])
     return flagged.filter(
         (F.col("_my_gt").isNull() | (F.col("_my_gt") < F.col(y)))
         & (F.col("_my_eq") <= F.col(y))

@@ -209,3 +209,55 @@ def test_salted_join_rejects_right_outer(spark):
     with pytest.raises(ValueError, match="fact-preserving"):
         salted_join(f, r, on=["k"], how="full_outer")
     assert salted_join(f, r, on=["k"], how="left").count() == 1
+
+
+def test_asof_join_null_valued_row_is_the_asof_row(spark):
+    """pd.merge_asof / DuckDB ASOF semantics: the as-of row is the latest
+    right ROW at-or-before t, even when its value is NULL — the r7 review
+    showed separate last(ignorenulls) carries returned a STALE value
+    paired with the null row's timestamp (mis-passing the tolerance
+    check)."""
+    from nilm_data_framework_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("k", 210)], "key string, ts long")
+    right = spark.createDataFrame(
+        [("k", 100, 5.0), ("k", 200, None)], "key string, ts long, power double"
+    )
+    assert asof_join(left, right, ["key"]).collect()[0]["asof_value"] is None
+    assert (
+        asof_join(left, right, ["key"], tolerance_s=50).collect()[0]["asof_value"]
+        is None
+    )
+    # and duplicate (key, ts) right rows resolve deterministically (max)
+    r2 = spark.createDataFrame(
+        [("k", 100, 1.0), ("k", 100, 2.0)], "key string, ts long, power double"
+    )
+    assert asof_join(left, r2, ["key"]).collect()[0]["asof_value"] == 2.0
+
+
+def test_range_join_extra_keys_no_ambiguous_column(spark):
+    from pyspark.sql import functions as F
+
+    from nilm_data_framework_spark.operators.joins import range_join
+
+    f = spark.createDataFrame([(1, 5, "h1")], "id long, ts long, house_id string")
+    iv = spark.createDataFrame(
+        [(0, 10, "h1", "c1")],
+        "start_ts long, end_ts long, house_id string, camp string",
+    )
+    out = range_join(f, iv, "ts", extra_keys=["house_id"])
+    assert out.columns.count("house_id") == 1
+    assert out.select(F.col("house_id")).collect()[0][0] == "h1"
+
+
+def test_skyline_2d_fractional_x_strict_dominance(spark):
+    """x' = x + 0.5 must dominate (the old rangeBetween(1, inf) frame
+    required a full integer unit and let dominated fractional rows
+    survive)."""
+    from nilm_data_framework_spark.operators.windows import skyline_2d
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 5), ("g", 1.5, 9)], "k string, x double, y long"
+    )
+    rows = sorted(tuple(r) for r in skyline_2d(df, ["k"], "x", "y").collect())
+    assert rows == [("g", 1.5, 9)]
