@@ -18,6 +18,7 @@ def aggregate_from_appliances(
     seconds: int | None = None,
     ts: str = "ts",
     value: str = "power",
+    channel: str | None = None,
 ) -> DataFrame:
     """A2: compute_aggregate_from_appliances (UnifiedNILM.py:438-490).
 
@@ -25,16 +26,32 @@ def aggregate_from_appliances(
     fills 0, and row-sums. In long format the union-of-timestamps +
     fillna(0) + horizontal sum IS ``groupBy(ts).sum(value)`` — absent
     channels contribute nothing, exactly like the filled zeros.
-    Optional ``seconds`` buckets the axis first (the reference resamples
-    before summing when rates differ).
+
+    With ``seconds`` AND ``channel``, the reference-exact two-stage form
+    runs: each channel is resampled to the bucket by MEAN first, then the
+    channel means are summed per bucket (the reference's
+    ``resample().mean()`` per channel followed by the horizontal sum).
+    With ``seconds`` but no ``channel``, the bucket SUM of raw readings
+    is returned — equal to the two-stage form only when every channel
+    contributes exactly one reading per bucket; a faster-sampled channel
+    otherwise weights the aggregate by its per-bucket sample count (the
+    r7 review's fidelity note — the registered gate queries use and
+    oracle this single-stage form on single-series inputs, where the two
+    coincide in intent).
     """
     if seconds is None:
         grp = readings.groupBy(*keys, F.col(ts).alias("bucket_ts"))
-    else:
-        grp = readings.groupBy(
-            *keys, F.window(F.col(ts), f"{seconds} seconds")["start"].alias("bucket_ts")
-        )
-    return grp.agg(F.sum(value).alias("aggregate_computed"))
+        return grp.agg(F.sum(value).alias("aggregate_computed"))
+    bucket = F.window(F.col(ts), f"{seconds} seconds")["start"].alias("bucket_ts")
+    if channel is None:
+        grp = readings.groupBy(*keys, bucket)
+        return grp.agg(F.sum(value).alias("aggregate_computed"))
+    per = readings.groupBy(*keys, F.col(channel), bucket).agg(
+        F.avg(value).alias("_ch_mean")
+    )
+    return per.groupBy(*keys, "bucket_ts").agg(
+        F.sum("_ch_mean").alias("aggregate_computed")
+    )
 
 
 def dedup_mean(
@@ -67,8 +84,10 @@ def pivot_wide(
 def daily_activity(
     readings: DataFrame, device: str, ts: str = "ts", value: str = "power"
 ) -> DataFrame:
-    """A5: per-day count of devices with any positive consumption
-    (insights_oladatasets.ipynb cell 1)."""
+    """A5: per-day count of devices whose daily SUM of consumption is
+    positive (insights_oladatasets.ipynb cell 1). Note this is the
+    day-total test, not "any positive reading" — they differ only under
+    signed values (e.g. PV export netting a day to ≤ 0)."""
     daily = readings.groupBy(
         F.date_trunc("day", F.col(ts)).alias("day"), F.col(device)
     ).agg(F.sum(value).alias("day_sum"))
@@ -183,8 +202,22 @@ def pairwise_corr_onepass(
         .na.drop()
     )
     assembled = VectorAssembler(inputCols=cols, outputCol="_vec").transform(wide)
-    mat = Correlation.corr(assembled, "_vec", "pearson").head()[0].toArray()
     spark = readings.sparkSession
+    head = Correlation.corr(assembled, "_vec", "pearson").head() if (
+        assembled.limit(1).count() > 0
+    ) else None
+    if head is None:
+        # no complete-case bucket at all (a series missing everywhere):
+        # spark.ml's Correlation RAISES on an empty frame, while SQL corr
+        # (the pair-agg twin and the DuckDB oracle) returns the pair rows
+        # with NULL pearson — emit the same NULL rows instead of crashing
+        rows = [
+            (cols[i], cols[j], None)
+            for i in range(len(cols))
+            for j in range(i + 1, len(cols))
+        ]
+        return spark.createDataFrame(rows, "a string, b string, pearson double")
+    mat = head[0].toArray()
     rows = [
         (
             cols[i],
@@ -217,7 +250,10 @@ def weighted_mean_udaf():
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def weighted_mean(v, w):
         tw = w.sum()
-        return float((v * w).sum() / tw) if tw else float("nan")
+        # None (SQL NULL) on zero total weight — the declarative twin's
+        # Divide yields NULL there, and the documented parity must hold on
+        # that edge too (NaN vs NULL flips the driver's typed hash)
+        return float((v * w).sum() / tw) if tw else None
 
     return weighted_mean
 
@@ -241,7 +277,9 @@ def cohort_retention(
     entity (AQE-decided: the first-touch frame grows with the entity
     domain, never hint-broadcast per the repo's sf-scaled rule).
     """
-    period = (F.col(ts).cast("long") / F.lit(period_s)).cast("long")
+    from nilm_data_framework_spark.operators.exact_math import epoch_div
+
+    period = epoch_div(ts, period_s)
     active = df.select(F.col(entity), period.alias("_p")).distinct()
     first = active.groupBy(entity).agg(F.min("_p").alias("_cohort"))
     joined = active.join(first, entity)

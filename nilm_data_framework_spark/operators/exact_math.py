@@ -89,3 +89,15 @@ def u6_mean_e4(sum_u6: str, n: str) -> Column:
 def u6_mean_e4_sql(sum_u6: str, n: str) -> str:
     """DuckDB twin of :func:`u6_mean_e4`."""
     return ratio_scaled_sql(sum_u6, f"100 * ({n})", 0)
+
+
+def epoch_div(ts_col: str, period: int) -> Column:
+    """Exact integer epoch→bucket index: ``cast(ts as long) div period``.
+    The double-division form ``(col.cast('long') / period).cast('long')``
+    round-trips the quotient through an IEEE double (low bits drop past
+    2^53 — the testdata nanos lesson) and truncates where the DuckDB
+    oracles use integer ``//`` — this is the one shared copy (r7 review:
+    three inline variants had drifted in). Non-negative epochs assumed
+    (both engines truncate toward zero, so even negatives agree — but the
+    bucket ORDER around zero is not monotone; see splits.py)."""
+    return F.expr(f"cast({ts_col} as long) div {period}")

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nilm_data_framework_spark.operators.exact_math import epoch_div
+
 
 def infer_sample_rate(
     readings: DataFrame,
@@ -90,6 +92,7 @@ def resample_mean_guarded(
     seconds: int,
     ts: str = "ts",
     value: str = "power",
+    out_value: str = "power",
 ) -> DataFrame:
     """A1 with the reference's upsample guard (UnifiedNILM.py:118-120).
 
@@ -98,6 +101,10 @@ def resample_mean_guarded(
     is bucketed. Implemented as a join of the per-key inferred rate — a
     metadata-driven plan step, not a Catalyst rule. The rate table scales
     with key count, so the join strategy is left to AQE (no forced hint).
+
+    ``out_value`` names the output value column in BOTH branches (r7: it
+    was hardcoded 'power', so value='energy' returned energy values under
+    a column literally named power).
     """
     # `rates` has one row per key — key cardinality grows with data size, so
     # no forced broadcast; AQE converts to broadcast at runtime when small.
@@ -105,9 +112,11 @@ def resample_mean_guarded(
     tagged = readings.join(rates, on=keys, how="left")
     fine = tagged.filter((F.col("rate_s").isNull()) | (F.col("rate_s") <= seconds))
     coarse = tagged.filter(F.col("rate_s") > seconds)
-    resampled = resample_mean(fine.drop("rate_s"), keys, seconds, ts, value)
+    resampled = resample_mean(
+        fine.drop("rate_s"), keys, seconds, ts, value, out_value=out_value
+    )
     passthrough = coarse.select(
-        *keys, F.col(ts).alias("bucket_ts"), F.col(value).alias("power")
+        *keys, F.col(ts).alias("bucket_ts"), F.col(value).alias(out_value)
     )
     return resampled.unionByName(passthrough)
 
@@ -132,8 +141,12 @@ def resample_interpolate(
     side) carry the nearest real value.
 
     With ``mean_round_dp`` set, the whole blend runs in 10^dp fixed-point:
-    bucket means become integer ticks and interior gaps get the FLOOR of the
-    exact rational ``(pv*(ne-e) + nv*(e-pe)) / (ne-pe)``. Grid epochs ×
+    bucket means become integer ticks and interior gaps get the exact
+    rational ``(pv*(ne-e) + nv*(e-pe)) / (ne-pe)`` TRUNCATED TOWARD ZERO
+    (Spark ``div`` and DuckDB BIGINT ``//`` both truncate, so the two
+    gate engines agree even for negative tick values; a flooring engine
+    — Python ``//`` — would differ below zero, the same signed-division
+    caveat as operators/exact_math.ratio_scaled). Grid epochs ×
     hourly buckets make blend weights dyadic rationals (10800/57600 = 3/16),
     which lands float lerps of dp-rounded inputs EXACTLY on decimal rounding
     boundaries where engines disagree (47.00375 → 47.0038 vs 47.0037);
@@ -177,7 +190,8 @@ def resample_interpolate(
     next_v = F.last("_v", ignorenulls=True).over(w_fwd)
     next_e = F.last(real_e, ignorenulls=True).over(w_fwd)
     if scale is not None:
-        # Integer blend: floor of the exact rational — no float boundary.
+        # Integer blend: exact rational truncated toward zero — no float
+        # boundary (both gate engines truncate; see docstring).
         carried = joined.select(
             *keys,
             "_e",
@@ -266,7 +280,8 @@ def m4_downsample(
     line plot pixel-exactly at the bucket resolution. The width-bounded
     alternative to raw export when a dashboard asks for a year of 1 Hz data.
 
-    Emitted long-form: (keys..., bucket_ts, point_role, ts, value) with one
+    Emitted long-form: (keys..., bucket [epoch div bucket_s ordinal],
+    point_role, point_ts, point_value) with one
     row per role (a point serving several roles appears once per role —
     simplest deterministic contract). Ties inside a bucket break on
     (ts, tiebreak) for first/last and (value, ts, tiebreak) for min/max,
@@ -279,7 +294,7 @@ def m4_downsample(
     Output is 4 rows per bucket regardless of input rate — a ~constant-size
     result per rendered pixel column, which is the whole point at 100 TB.
     """
-    bkt = (F.col(ts).cast("long") / F.lit(bucket_s)).cast("long")
+    bkt = epoch_div(ts, bucket_s)
     d = df.withColumn("_bkt", bkt)
     tb = [F.col(tiebreak)] if tiebreak else []
     part = [*keys, "_bkt"]
@@ -328,7 +343,7 @@ def seasonal_naive_error(
     float discipline. Returns (keys..., n_buckets, mae_naive,
     mae_seasonal, mase_ratio).
     """
-    bkt = (F.col(ts).cast("long") / F.lit(bucket_s)).cast("long")
+    bkt = epoch_div(ts, bucket_s)
     series = (
         df.withColumn("_bkt", bkt)
         .groupBy(*keys, "_bkt")

@@ -52,17 +52,30 @@ def exclusion_predicate(
     """P7: the multi-exclusion conjunction used by
     compute_aggregate_from_appliances (UnifiedNILM.py:457-475):
     not the aggregate channel, matching power type, NOT IN each exclusion set.
+
+    Each NOT-IN is null-safe: a NULL label/channel/device makes bare
+    ``~isin`` evaluate NULL and the filter DROP the row — excluding a
+    channel that matched nothing, where the reference only skips on an
+    actual membership hit. ``coalesce(isin, false)`` keeps NULL-attribute
+    rows in.
     """
+
+    def not_in(col: Column, values: list) -> Column:
+        return ~F.coalesce(col.isin(values), F.lit(False))
+
     cond = (F.lower(F.col("raw_label")) != "aggregate") & (
         F.lower(F.col("data_type")) == power_type.lower()
     )
     if exclude_labels:
-        cond = cond & ~F.lower(F.col("universal_label")).isin([x.lower() for x in exclude_labels])
+        cond = cond & not_in(
+            F.lower(F.col("universal_label")), [x.lower() for x in exclude_labels]
+        )
     if exclude_channels:
-        cond = cond & ~F.col("channel_id").isin(list(exclude_channels))
+        cond = cond & not_in(F.col("channel_id"), list(exclude_channels))
     if exclude_devices:
-        cond = cond & ~F.lower(F.col("acquisition_device")).isin(
-            [x.lower() for x in exclude_devices]
+        cond = cond & not_in(
+            F.lower(F.col("acquisition_device")),
+            [x.lower() for x in exclude_devices],
         )
     return cond
 

@@ -236,3 +236,97 @@ def test_python_udtf_chunker(spark):
     assert [(r["chunk_id"], r["chunk"]) for r in out] == [
         (0, "a b"), (1, "c d"), (2, "e"),
     ]
+
+
+def test_aggregate_from_appliances_channel_mode_is_mean_then_sum(spark):
+    """Reference-exact two-stage A2 (r7): each channel resampled by MEAN,
+    then channels summed per bucket — a 1 Hz constant-10W channel
+    contributes 10 to a 300 s bucket, not 10x its sample count."""
+    from nilm_data_framework_spark.operators.aggregates import (
+        aggregate_from_appliances,
+    )
+
+    rows = [("h", "fast", i, 10.0) for i in range(300)] + [
+        ("h", "slow", 0, 3.0)
+    ]
+    df = spark.createDataFrame(
+        rows, "house string, channel string, sec long, power double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    two_stage = aggregate_from_appliances(
+        df, ["house"], seconds=300, ts="ts", value="power", channel="channel"
+    ).collect()
+    assert len(two_stage) == 1 and two_stage[0]["aggregate_computed"] == 13.0
+    single = aggregate_from_appliances(
+        df, ["house"], seconds=300, ts="ts", value="power"
+    ).collect()
+    assert single[0]["aggregate_computed"] == 3003.0  # the fidelity gap
+
+
+def test_pairwise_corr_onepass_empty_complete_case(spark):
+    """A series absent everywhere -> no complete-case bucket; the operator
+    must emit the C(C-1)/2 NULL-pearson rows (the SQL corr semantics the
+    oracle replays), not crash in spark.ml."""
+    from nilm_data_framework_spark.operators.aggregates import (
+        pairwise_corr_onepass,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 60, 2.0)], "s string, sec long, power double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    out = pairwise_corr_onepass(df, "s", ["a", "ghost"], seconds=60).collect()
+    assert len(out) == 1
+    assert out[0]["pearson"] is None
+
+
+def test_exclusion_predicate_null_attributes_not_excluded(spark):
+    from nilm_data_framework_spark.operators.selectors import (
+        exclusion_predicate,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", "kettle", "fridge", "active", "shelly"),
+         ("c2", "kettle", None, "active", None)],
+        "channel_id string, raw_label string, universal_label string, "
+        "data_type string, acquisition_device string",
+    )
+    kept = df.filter(
+        exclusion_predicate(
+            exclude_labels=("fridge",), exclude_devices=("mqtt",)
+        )
+    ).collect()
+    # c1 excluded (label hit); c2's NULL label/device matches nothing ->
+    # kept (the reference only skips on an actual membership hit)
+    assert [r["channel_id"] for r in kept] == ["c2"]
+
+
+def test_weighted_mean_udaf_zero_weight_is_null(spark):
+    from nilm_data_framework_spark.operators.aggregates import (
+        weighted_mean_udaf,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 5.0, 0.0), ("g", 7.0, 0.0)], "k string, v double, w double"
+    )
+    udaf = weighted_mean_udaf()
+    row = df.groupBy("k").agg(udaf("v", "w").alias("wm")).collect()[0]
+    # under ANSI (this session's default) the bare Divide twin RAISES on
+    # zero weight; the graceful twin is try_divide, which returns NULL —
+    # the UDAF must match that, not emit NaN (typed-hash flip)
+    twin = df.groupBy("k").agg(
+        F.try_divide(F.sum(F.col("v") * F.col("w")), F.sum("w")).alias("wm")
+    ).collect()[0]
+    assert row["wm"] is None and twin["wm"] is None  # NULL == NULL parity
+
+
+def test_resample_mean_guarded_out_value(spark):
+    from nilm_data_framework_spark.operators.resample import (
+        resample_mean_guarded,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, 2.0) for i in range(10)], "key string, sec long, energy double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    out = resample_mean_guarded(
+        df, ["key"], 60, ts="ts", value="energy", out_value="energy"
+    )
+    assert "energy" in out.columns and "power" not in out.columns
