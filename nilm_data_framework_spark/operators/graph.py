@@ -199,9 +199,13 @@ def common_neighbors_topk(
         .groupBy("v1", "v2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # anti-join against the SYMMETRIZED set: probing only the (v1==src,
+    # v2==dst) direction trusted the src<dst precondition — one reversed
+    # edge would leak an already-adjacent pair into the "non-adjacent"
+    # predictions (r7 review; triangle_count normalizes, this now matches)
     non_adj = cand.join(
-        e,
-        (cand["v1"] == e["_u"]) & (cand["v2"] == e["_v"]),
+        sym,
+        (cand["v1"] == sym["_u"]) & (cand["v2"] == sym["_v"]),
         "left_anti",
     )
     return non_adj.orderBy(F.col("n_common").desc(), "v1", "v2").limit(k)

@@ -65,11 +65,21 @@ def oov_rate(
     exactly this case. Occurrences reduce to per-doc (tok, c) before the
     join.
     """
-    vocab = vocab_top_tokens(df, text=text, vocab_size=vocab_size).select("tok")
     doc_tok = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # vocab from the SAME per-doc reduction (r7: vocab_top_tokens ran a
+    # second full tokenize+explode scan over the corpus — the exact
+    # second-pass bigram_surprisal's docstring forbids); identical counts,
+    # identical (count desc, tok) cut
+    vocab = (
+        doc_tok.groupBy("tok")
+        .agg(F.sum("c").alias("_n"))
+        .orderBy(F.col("_n").desc(), "tok")
+        .limit(vocab_size)
+        .select("tok")
     )
     flagged = doc_tok.join(
         F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"

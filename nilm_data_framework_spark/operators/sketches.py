@@ -32,21 +32,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_hash60(item: Column, salt: str = "") -> Column:
+    """Low-60-bit md5 prefix of (salt || item) as a non-negative long —
+    THE deterministic cross-engine hash every sketch here builds on (one
+    copy, r7: Bloom/CMS/KMV each hand-rolled it; the DuckDB oracle twins
+    mirror it as ``('0x' || substr(md5(...), 1, 15))::BIGINT``)."""
+    expr = F.concat(F.lit(salt), item) if salt else item
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+
 def bloom_positions(gram: Column, m: int, k: int) -> Column:
     """Array of k bit positions for one gram: position_j = md5(j ':' gram)
     low-60-bit prefix mod m. Salting by the hash index j gives k independent
     uniform functions; md5 keeps both engines bit-identical (the repo's
     standard cross-engine hash)."""
     return F.array(
-        *[
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), gram)), 1, 15), 16, 10
-                ).cast("long"),
-                F.lit(m),
-            )
-            for j in range(k)
-        ]
+        *[F.pmod(salted_hash60(gram, f"{j}:"), F.lit(m)) for j in range(k)]
     )
 
 
@@ -124,11 +125,23 @@ def bloom_probe_docs(
 def cms_bucket(item: Column, row: int, width: int) -> Column:
     """Count-min hash for sketch row ``row``: salted-md5 bucket in
     [0, width). Same deterministic hash family as :func:`bloom_positions`."""
-    return F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), item)), 1, 15), 16, 10
-        ).cast("long"),
-        F.lit(width),
+    return F.pmod(salted_hash60(item, f"cms{row}:"), F.lit(width))
+
+
+def _cms_row_buckets(item: Column, depth: int, width: int) -> Column:
+    """array<struct<row,bucket>> of all depth hashes of one item — the
+    single-scan explode form (r7: the per-row union loop re-evaluated the
+    upstream subtree once per depth wherever no reusable exchange sat
+    below; the sibling bloom_positions always used the array form)."""
+    if depth < 1:
+        raise ValueError(f"cms depth must be >= 1, got {depth}")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), cms_bucket(item, r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
     )
 
 
@@ -138,35 +151,43 @@ def cms_build(
     """Build a count-min sketch from (item, count) rows: ``depth`` salted
     hash rows × ``width`` counters. Output (row, bucket, counter) —
     at most depth×width rows regardless of input cardinality, the
-    mergeable fixed-size summary (counters of two sketches ADD)."""
-    per_row = None
-    for r in range(depth):
-        p = items.select(
-            F.lit(r).alias("row"),
-            cms_bucket(F.col(item_col), r, width).alias("bucket"),
+    mergeable fixed-size summary (counters of two sketches ADD). One scan:
+    the depth hashes explode from a per-row array."""
+    return (
+        items.select(
             F.col(count_col).alias("_c"),
+            F.explode(_cms_row_buckets(F.col(item_col), depth, width)).alias("_rb"),
         )
-        per_row = p if per_row is None else per_row.unionByName(p)
-    return per_row.groupBy("row", "bucket").agg(F.sum("_c").alias("counter"))
+        .select(F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"), "_c")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_c").alias("counter"))
+    )
 
 
 def cms_estimate(
     queries: DataFrame, sketch: DataFrame, item_col: str, depth: int, width: int
 ) -> DataFrame:
     """Estimate each query item's count: min over the sketch rows of the
-    counter at that row's bucket. The sketch is ≤ depth×width rows — AQE
-    elects broadcast for the lookups (derived from sf-scaled data, so no
-    forced hint; size capped by construction, the same argument as the
-    Bloom bit table). Returns the query rows + ``cms_est``."""
-    probes = None
-    for r in range(depth):
-        p = queries.withColumn("row", F.lit(r)).withColumn(
-            "bucket", cms_bucket(F.col(item_col), r, width)
-        )
-        probes = p if probes is None else probes.unionByName(p)
-    joined = probes.join(sketch, ["row", "bucket"])
+    counter at that row's bucket, with an EMPTY cell counting as 0 (r7:
+    the inner-join form dropped probes whose buckets held no counter row
+    — an unseen item either vanished from the output or skipped its zero
+    cells and OVERestimated; left join + coalesce restores the standard
+    CMS answer min(..., 0) = 0 for never-seen items). The sketch is
+    ≤ depth×width rows — AQE elects broadcast for the lookups (derived
+    from sf-scaled data, so no forced hint; size capped by construction,
+    the same argument as the Bloom bit table). Returns one row per
+    DISTINCT query row + ``cms_est`` (duplicates collapse — the grouping
+    is the query columns); 'row'/'bucket'/'cms_est' are reserved names."""
+    for c in ("row", "bucket", "cms_est"):
+        if c in queries.columns:
+            raise ValueError(f"cms_estimate reserves column name {c!r}")
+    probes = queries.select(
+        *queries.columns,
+        F.explode(_cms_row_buckets(F.col(item_col), depth, width)).alias("_rb"),
+    ).select(*queries.columns, F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"))
+    joined = probes.join(sketch, ["row", "bucket"], "left")
     return joined.groupBy(*queries.columns).agg(
-        F.min("counter").alias("cms_est")
+        F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("cms_est")
     )
 
 
@@ -189,8 +210,8 @@ _KMV_SCALE = float(1 << 60)
 
 def kmv_hash(item: Column) -> Column:
     """60-bit md5 prefix as a non-negative long — the uniform [0, 2^60)
-    hash shared by build and oracle (same family as cms_bucket)."""
-    return F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("long")
+    hash shared by build and oracle (:func:`salted_hash60`, no salt)."""
+    return salted_hash60(item)
 
 
 def kmv_sketch(df: DataFrame, keys: list[str], item_col: str, k: int) -> DataFrame:
@@ -216,7 +237,16 @@ def kmv_estimate(sketch: DataFrame, keys: list[str], k: int) -> DataFrame:
     when the group holds fewer than k distinct hashes (the sketch IS the
     set), else (k-1) · 2^60 / h_(k). Returns (keys..., kmv_est) with the
     estimate rounded 2dp (double division is IEEE-identical cross-engine
-    given the exact integer inputs)."""
+    given the exact integer inputs).
+
+    KNOWN residual (r7 review, documented not fixed): round(x, 2) of a
+    quotient whose shortest decimal form ends in a 3rd-place 5 rounds
+    differently in Spark (shortest-string BigDecimal) vs DuckDB (raw
+    double) — the CLAUDE.md trap. ratio_scaled cannot apply here:
+    (k-1)·2^60·10^d overflows BIGINT for practical k. The boundary set
+    has measure ~0 over md5 hashes and the fixture is static, so the
+    gate is deterministic; an exact-integer variant would emit the raw
+    (n, h_k) pair and leave the division to the consumer."""
     agg = sketch.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n"), F.max("hv").alias("_hk")
     )

@@ -124,3 +124,37 @@ def test_doc_chunks_semantics(spark):
     assert not any(d == 2 for d, _ in rows)
     # overlap: chunk 1 of doc 0 starts mid-chunk-0
     assert rows[(0, 1)]["chunk_text"].startswith("t8 t9")
+
+
+def test_cms_estimate_unseen_item_is_zero(spark):
+    """Standard CMS contract (r7): probing a never-seen item whose buckets
+    hold no counters must return 0 (min over empty cells), and the probe
+    row must not vanish — the inner-join form dropped or overestimated
+    it."""
+    from pyspark.sql import functions as F
+
+    from nilm_data_framework_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    items = spark.createDataFrame([("alpha", 7), ("beta", 3)], "item string, c long")
+    sk = cms_build(items, "item", "c", depth=4, width=4096)
+    q = spark.createDataFrame(
+        [("alpha",), ("never-seen-item-xyz",)], "item string"
+    )
+    est = {r["item"]: r["cms_est"] for r in cms_estimate(q, sk, "item", 4, 4096).collect()}
+    assert est["alpha"] == 7
+    assert est["never-seen-item-xyz"] == 0  # row present, zero estimate
+
+
+def test_common_neighbors_excludes_reversed_adjacent_pairs(spark):
+    """An edge stored as (2,1) (violating src<dst) must still disqualify
+    the pair (1,2) from the non-adjacent predictions."""
+    from nilm_data_framework_spark.operators.graph import common_neighbors_topk
+
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 3), (2, 3)], "src long, dst long"
+    )
+    out = common_neighbors_topk(edges, k=10).collect()
+    assert all((r["v1"], r["v2"]) != (1, 2) for r in out)
