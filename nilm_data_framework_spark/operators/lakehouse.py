@@ -52,14 +52,21 @@ def merge_upsert(
     shuffle Delta's MERGE runs; bucketing both sides on the key
     (sources/canonical.py::write_readings_bucketed) makes it shuffle-free.
     """
-    s = snapshot.select(key, *value_cols).alias("s")
-    c = changes.select(key, *value_cols).alias("c")
+    # eqNullSafe, not ==: a NULL-keyed entity would never match itself and
+    # FRAGMENT — a stale 'carry' row plus a fresh 'insert' row, one more
+    # per merge (merge_accumulate below fixed this in r4; merge_upsert was
+    # left on == until the r7 review). Side-presence markers, not key
+    # nullity, drive merge_action: a matched NULL-key row has both keys
+    # NULL yet IS an update.
+    s = snapshot.select(key, *value_cols, F.lit(1).alias("_s_in")).alias("s")
+    c = changes.select(key, *value_cols, F.lit(1).alias("_c_in")).alias("c")
     sk, ck = F.col(f"s.{key}"), F.col(f"c.{key}")
-    merged = s.join(c, sk == ck, "full_outer").select(
+    s_in, c_in = F.col("s._s_in").isNotNull(), F.col("c._c_in").isNotNull()
+    merged = s.join(c, sk.eqNullSafe(ck), "full_outer").select(
         F.coalesce(ck, sk).alias(key),
         *[F.coalesce(F.col(f"c.{v}"), F.col(f"s.{v}")).alias(v) for v in value_cols],
-        F.when(ck.isNotNull() & sk.isNotNull(), F.lit("update"))
-        .when(ck.isNotNull(), F.lit("insert"))
+        F.when(c_in & s_in, F.lit("update"))
+        .when(c_in, F.lit("insert"))
         .otherwise(F.lit("carry"))
         .alias("merge_action"),
     )
@@ -109,8 +116,11 @@ def erase_keys(
     large), and the repo rule is that only provably-bounded relations get
     hard broadcast hints (test_no_broadcast_hint_over_sf_scaled_relation).
     Pair with the caller keeping before/after counts for the audit trail.
+    No ``distinct()`` on the deletion side (r7): a left-anti join's output
+    is identical with or without build-side duplicates, and the extra
+    exchange+aggregate bought nothing.
     """
-    return fact.join(deletions.select(key).distinct(), key, "left_anti")
+    return fact.join(deletions.select(key), key, "left_anti")
 
 
 _MANIFEST_MOD = 2147483647  # 2^31 - 1 (Mersenne): sums of ~4e9 residues fit a long
@@ -151,7 +161,13 @@ def dataset_manifest(
     beyond the group exchange. The checksum is order-independent, so the
     manifest is stable under repartitioning, speculative re-execution, and
     shard-parallel writes — the property that makes it usable as a
-    cross-cluster equality check."""
+    cross-cluster equality check.
+
+    PRECONDITION: ``row_repr`` must be NULL-SAFE (build it with
+    ``concat_ws``/coalesced fields, never bare ``concat``). A NULL repr
+    hashes to NULL and F.sum silently skips it — the row is counted in
+    n_rows but INVISIBLE to the checksum, so two materializations
+    differing only inside NULL-repr rows would compare equal."""
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(bytes_col).alias("n_bytes"),

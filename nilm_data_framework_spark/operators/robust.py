@@ -152,11 +152,23 @@ def psi_drift(
 
     One partial+final agg over (keys, slice, bin) — linear, map-side
     combined; the per-key bin frame is O(keys × n_bins).
+
+    r7 edge pinning: NULL values are DROPPED (F.least SKIPS null args, so
+    an unguarded NULL binned into the TOP bin — phantom drift); negative
+    values clamp to bin 0 (the grid is [0, n_bins) as documented). Bins
+    unobserved in BOTH slices are omitted from the sum — their smoothed
+    term is nonzero only when the two slice sizes differ, and the DuckDB
+    oracle replays the same observed-bin construction, so the reported
+    value is the observed-bin PSI (stated, not hidden).
     """
-    bin_col = F.least(
-        F.floor(F.col(value) / F.lit(bin_width)).cast("long"), F.lit(n_bins - 1)
+    bin_col = F.greatest(
+        F.least(
+            F.floor(F.col(value) / F.lit(bin_width)).cast("long"),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
     )
-    binned = df.select(
+    binned = df.filter(F.col(value).isNotNull()).select(
         *keys,
         bin_col.alias("_bin"),
         F.when(split_pred, 1).otherwise(0).alias("_ref"),
@@ -202,7 +214,16 @@ def trimmed_mean(
     (keys..., trimmed_mean, n_used). Cross-engine note: the picked slice is
     exact (integer rank bounds); only the final mean is a float agg —
     callers round per repo convention.
+
+    ``trim`` must be in [0, 0.5): at 0.5 an even-count key keeps ZERO rows
+    (cut = n/2 from each side) and silently vanishes from the output — use
+    an exact median for the limit case (r7 guard).
     """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(
+            f"trim must be in [0, 0.5) — at 0.5 even-count keys keep no rows "
+            f"and drop from the output (got {trim}); use median instead"
+        )
     order = [F.col(value), *[F.col(c) for c in tiebreak]]
     w = Window.partitionBy(*keys).orderBy(*order)
     wc = Window.partitionBy(*keys)
@@ -303,8 +324,13 @@ def ks_statistic(
     key in value order and a max agg. Every ECDF step is an integer ratio
     (cum/total), so D is deterministic cross-engine; callers round at the
     query edge. Returns (keys..., ks, n_ref, n_cmp).
+
+    NULL values are DROPPED (r7): an ECDF is defined over values, and a
+    NULL group would sort NULLS FIRST in Spark's cumulative but NULLS
+    LAST in the DuckDB oracle's ORDER BY — shifting every intermediate
+    step and diverging D cross-engine the moment a NULL appears.
     """
-    tagged = df.select(
+    tagged = df.filter(F.col(value).isNotNull()).select(
         *keys,
         F.col(value).alias("_v"),
         F.when(split_pred, 1).otherwise(0).alias("_ref"),
@@ -358,7 +384,14 @@ def chi_square_independence(
     margin×margin grid rebuild would explode. All counts are exact
     integers; χ² is one float sum over the observed cells, rounded by the
     caller per repo convention. Returns one row (chi2 unrounded, dof, n).
+
+    NULL categories are DROPPED up front (r7): they were counted in N but
+    never equi-joined their margins, so their whole mass surfaced as
+    spurious χ² through the sparse-grid (N − ΣE) term while countDistinct
+    excluded them from dof. A test over "unknown" categories should
+    recode NULL to an explicit level first.
     """
+    df = df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
     cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("_o"))
     rows = df.groupBy(row_col).agg(F.count(F.lit(1)).alias("_rt"))
     cols = df.groupBy(col_col).agg(F.count(F.lit(1)).alias("_ct"))

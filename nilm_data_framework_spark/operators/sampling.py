@@ -68,6 +68,9 @@ def stratified_sample(
     projection, no shuffle, no join. At 100 TB this is the only shape that
     doesn't move data: the alternative broadcast-join of a rates dim costs a
     build side for no benefit at typical strata counts (≤ thousands).
+
+    NULL-id rows never sample (NULL hash fraction fails ``< rate`` even at
+    rate 1.0) — the shared samplers' contract; see bottom_k_per_stratum.
     """
     frac = hash_fraction(F.col(id_col), salt)
     rate: Column | None = None
@@ -100,7 +103,14 @@ def bottom_k_per_stratum(
     the same result is computable as partial bottom-k per input partition →
     merge, without sorting whole strata; the window form here lets Catalyst
     pick the physical strategy (rank-limit pushdown in Spark 3.5+/4.x).
+
+    NULL ids are EXCLUDED (r7): md5(NULL) is NULL, which sorts FIRST and
+    would permanently occupy the k slots — the mirror of
+    :func:`stratified_sample`, where a NULL id's NULL fraction fails the
+    ``< rate`` filter and the row is unsampleable at any rate. Both
+    samplers therefore share one contract: NULL-id rows never sample.
     """
+    df = df.filter(F.col(id_col).isNotNull())
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
@@ -133,14 +143,21 @@ def sequential_poisson_bottom_k(
     at 100 TB it needs no per-stratum sort, just partial top-k merges; the
     window form lets Catalyst's rank-limit pushdown do that here.
     Adds ``sample_priority`` (the raw double) and keeps input columns.
+
+    Rows with NULL or non-positive weight are EXCLUDED up front (r7): PPS
+    semantics give them ~zero selection probability, but u/0.0 is NULL
+    (sorts FIRST under ASC) and negative weights sort before every real
+    priority — without the filter exactly the rows that should never be
+    drawn deterministically fill the k slots.
     """
+    eligible = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
     u = hash_fraction(F.col(id_col), salt)
     pri = u / F.col(weight_col).cast("double")
     w = Window.partitionBy(strata_col).orderBy(
         F.col("sample_priority").asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("sample_priority", pri)
+        eligible.withColumn("sample_priority", pri)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")

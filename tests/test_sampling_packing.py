@@ -142,3 +142,73 @@ def test_bottom_k_stratum_smaller_than_k(spark):
     d = _docs(spark, 9)  # 3 per stratum
     out = bottom_k_per_stratum(d, "lang", 20, id_col="doc_id").collect()
     assert len(out) == 9, "stratum smaller than k must keep every row"
+
+
+def test_sps_excludes_nonpositive_weights(spark):
+    """Zero/NULL/negative weights must have ~zero selection probability —
+    u/0 is NULL (sorts FIRST) and previously deterministically WON the
+    sample (r7)."""
+    from nilm_data_framework_spark.operators.sampling import (
+        sequential_poisson_bottom_k,
+    )
+
+    rows = [("s", i, 1.0) for i in range(10)] + [
+        ("s", 100, 0.0),
+        ("s", 101, None),
+        ("s", 102, -1.0),
+    ]
+    df = spark.createDataFrame(rows, "stratum string, id long, w double")
+    out = sequential_poisson_bottom_k(df, "stratum", 5, "id", "w").collect()
+    assert len(out) == 5
+    assert all(r["id"] < 100 for r in out)
+
+
+def test_bottom_k_excludes_null_ids(spark):
+    from nilm_data_framework_spark.operators.sampling import (
+        bottom_k_per_stratum,
+    )
+
+    rows = [("s", i) for i in range(10)] + [("s", None), ("s", None)]
+    df = spark.createDataFrame(rows, "stratum string, id long")
+    out = bottom_k_per_stratum(df, "stratum", 3, "id").collect()
+    assert len(out) == 3 and all(r["id"] is not None for r in out)
+
+
+def test_merge_upsert_null_key_does_not_fragment(spark):
+    from nilm_data_framework_spark.operators.lakehouse import merge_upsert
+
+    snap = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k long, v double")
+    chg = spark.createDataFrame([(None, 9.0)], "k long, v double")
+    out = merge_upsert(snap, chg, "k", ["v"]).collect()
+    by_key = {r["k"]: r for r in out}
+    assert len(out) == 2  # one NULL-key row, not carry+insert fragments
+    assert by_key[None]["v"] == 9.0 and by_key[None]["merge_action"] == "update"
+
+
+def test_psi_drift_null_and_negative_values(spark):
+    """NULLs drop (previously binned into the TOP bin — phantom drift);
+    negatives clamp to bin 0."""
+    from pyspark.sql import functions as F
+
+    from nilm_data_framework_spark.operators.robust import psi_drift
+
+    rows = [("k", None if v is None else float(v), s) for v, s in
+            [(10, 1), (10, 0), (-5, 1), (-5, 0), (None, 1)]]
+    df = spark.createDataFrame(rows, "key string, value double, is_ref int")
+    out = psi_drift(
+        df, ["key"], "value", F.col("is_ref") == 1, bin_width=50.0, n_bins=4
+    ).collect()[0]
+    # identical non-null distributions -> psi 0; the NULL row dropped
+    assert out["psi"] == 0.0
+    assert out["n_ref"] == 2 and out["n_cmp"] == 2
+
+
+def test_trimmed_mean_rejects_half_trim(spark):
+    from nilm_data_framework_spark.operators.robust import trimmed_mean
+
+    df = spark.createDataFrame([("k", 1.0)], "key string, v double")
+    try:
+        trimmed_mean(df, ["key"], "v", trim=0.5)
+        raise AssertionError("trim=0.5 not rejected")
+    except ValueError as e:
+        assert "median" in str(e)
