@@ -12,11 +12,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def write_readings(readings: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_readings(
+    readings: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    write_partitions: int = 32,
+) -> None:
     """At 100 TB: partition pruning on (dataset, house_id) + min/max ts
-    statistics in the footer give the P3 time-slice near-free scans."""
+    statistics in the footer give the P3 time-slice near-free scans.
+    The pre-write repartition count is PINNED (r7, the write_ivf_corpus
+    rule): bare repartition(keys) lets AQE coalesce the shuffle and
+    re-mix partition keys across writer tasks — the small-file
+    explosion. Size write_partitions ≈ touched partitions × K."""
     (
-        readings.repartition("dataset", "house_id")
+        readings.repartition(write_partitions, "dataset", "house_id")
         .sortWithinPartitions("channel_id", "ts")
         .write.mode(mode)
         .partitionBy("dataset", "house_id")
@@ -82,6 +91,22 @@ def merge_upsert_partitioned(
     """
     part_cols = list(partition_cols)
     keys = list(key_cols)
+    # real MERGE INTO errors when the source matches one target row twice;
+    # silently unioning a multi-row-per-PK changes batch would INSERT
+    # duplicate PK rows and double-count downstream (r7 review). Fail fast.
+    dup = (
+        changes.groupBy(*keys)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_upsert_partitioned: changes batch has multiple rows for "
+            "one primary key — deduplicate (last-wins by your own ordering) "
+            "before merging"
+        )
     current = spark.read.parquet(path)
     touched = changes.select(*part_cols).distinct()
     # Partition pruning: only touched partitions are scanned (semi join on
@@ -93,7 +118,7 @@ def merge_upsert_partitioned(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            merged.repartition(*part_cols)
+            merged.repartition(32, *part_cols)
             .sortWithinPartitions("channel_id", "ts")
             .write.mode("overwrite")
             .partitionBy(*part_cols)
@@ -113,7 +138,7 @@ def write_readings_orc(readings: DataFrame, path: str, mode: str = "overwrite") 
     format-symmetric, which `tests/test_sources.py` pins by round-tripping
     the same frame through both sinks and comparing exactly."""
     (
-        readings.repartition("dataset", "house_id")
+        readings.repartition(32, "dataset", "house_id")
         .sortWithinPartitions("channel_id", "ts")
         .write.mode(mode)
         .partitionBy("dataset", "house_id")

@@ -70,4 +70,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            # load_table, not a bare read: the SQL surface must see the
+            # SAME normalized events.ts (session-UTC TIMESTAMP) as the
+            # DataFrame path — a raw view exposed long-nanos/NTZ and the
+            # first spark.sql over events would fail or silently diverge
+            # (r7 review)
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -40,7 +40,11 @@ def read_ukdale(
     if house_id is not None:
         house = F.lit(house_id).cast("int")
     else:
-        house = F.regexp_extract("_file", r"house_?(\d+)", 1).cast("int")
+        # anchored to a PATH COMPONENT: the unanchored r"house_?(\d+)"
+        # matched the first occurrence anywhere in the path, so an
+        # ancestor directory like /data/warehouse_3/ hijacked the house id
+        # for every row (r7 review)
+        house = F.regexp_extract("_file", r"/house_?(\d+)/", 1).cast("int")
     if houses is not None:
         # Filter on the resolved ``house`` expression so an explicit
         # ``house_id`` override is honored; re-extracting from ``_file``

@@ -32,7 +32,10 @@ def _iter_dat_files(root: str) -> list[tuple[str, int, str]]:
 
     out = []
     for dirpath, _dirs, files in os.walk(root):
-        m_house = re.search(r"house_?(\d+)", dirpath)
+        # anchored: match only a house_N PATH COMPONENT (an ancestor dir like
+        # warehouse_3 hijacked the id with the unanchored search — r7, same
+        # fix as sources/ukdale.py)
+        m_house = re.search(r"(?:^|/)house_?(\d+)(?:/|$)", dirpath)
         for fn in sorted(files):
             if not fn.endswith(".dat") or "button_press" in fn:
                 continue

@@ -53,13 +53,25 @@ def track_runs(
     ts: str = "ts",
     value: str = "apower",
     watermark: str = "10 minutes",
+    flush_pad_ms: int = 10_000,
 ) -> DataFrame:
     """Emit completed ON/OFF runs per device as they close.
 
     Input: a streaming DataFrame with (device, ts timestamp, value double).
     Output: one row per completed run (device, state, start/end epoch
     seconds, n_samples). The open run stays in state until its state flips
-    (or the group times out at the watermark, which flushes it).
+    (or the group times out ``flush_pad_ms`` past the watermark, which
+    flushes it — that trailing flush is what drains open runs at the end
+    of an availableNow replay).
+
+    ``flush_pad_ms`` is a TRADE (r7 review): the batch twin (W5
+    run_segments) never splits a run on a time gap, so a device whose
+    files lag more than the pad behind the watermark gets its open run
+    flushed and then RESTARTED — one physical run emitted as two. Size
+    the pad above the worst per-device processing-time lag (plus the
+    sample interval) for split-free parity; the default suits prompt
+    in-order replays like the equivalence gates. Equal-epoch rows sort
+    with the value as tiebreak, keeping batch order deterministic.
     """
 
     def update(
@@ -75,7 +87,7 @@ def track_runs(
             )
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values("_epoch", kind="mergesort")
+        rows = rows.sort_values(["_epoch", "_val"], kind="mergesort")
         cur, start, n, last = state.get if state.exists else (None, None, 0, None)
         out = []
         for epoch, v in zip(rows["_epoch"], rows["_val"]):
@@ -88,7 +100,7 @@ def track_runs(
             n += 1
             last = int(epoch)
         state.update((cur, start, n, last))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 10_000)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + flush_pad_ms)
         yield pd.DataFrame(
             out, columns=["device", "state", "start_epoch", "end_epoch", "n_samples"]
         )
@@ -228,8 +240,14 @@ def debounce_stream(
     unique ACROSS state timeouts — a counter would restart at 1 after the
     idle-key timeout removes state, silently merging a post-timeout burst
     with the key's first burst in any downstream groupBy (r5 review fix).
-    Timeout-driven state removal is therefore safe AND the state bound
-    stays two longs.
+
+    State removal is SOUND by construction (r7 fix): the timeout fires
+    only once the watermark passes last_event + gap_us, i.e. exactly when
+    every event that could still CONTINUE the open burst would already be
+    late-dropped. The previous fixed wm+1h pad could remove state while a
+    continuing in-time event was still possible (whenever gap_us exceeded
+    the pad-minus-delay margin), splitting one burst into two ids against
+    the batch twin. The state bound stays two longs.
     """
 
     def update(
@@ -249,7 +267,15 @@ def debounce_stream(
             out.append((uid, et, int(eid), int(burst_start)))
             last_tus = int(tus)
         state.update((last_tus, int(burst_start)))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        # sound idle removal: fire only when wm > last_event + gap (any
+        # burst-continuing event would then be late); Spark requires the
+        # timeout ts to sit beyond the current watermark
+        state.setTimeoutTimestamp(
+            max(
+                last_tus // 1000 + gap_us // 1000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
         yield pd.DataFrame(
             out, columns=["user_id", "event_type", "event_id", "burst_id"]
         )
