@@ -99,5 +99,11 @@ def epoch_div(ts_col: str, period: int) -> Column:
     oracles use integer ``//`` — this is the one shared copy (r7 review:
     three inline variants had drifted in). Non-negative epochs assumed
     (both engines truncate toward zero, so even negatives agree — but the
-    bucket ORDER around zero is not monotone; see splits.py)."""
-    return F.expr(f"cast({ts_col} as long) div {period}")
+    bucket ORDER around zero is not monotone; see splits.py).
+
+    ``ts_col`` is an IDENTIFIER, not an expression: it is backtick-quoted
+    before splicing into the SQL text, so caller-supplied names containing
+    spaces/dots/hyphens parse as one column reference instead of breaking
+    the parse or resolving as a struct access (r7 advice)."""
+    quoted = "`" + ts_col.replace("`", "``") + "`"
+    return F.expr(f"cast({quoted} as long) div {period}")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    FloatType,
     LongType,
     StructField,
     StructType,
@@ -425,7 +426,22 @@ def skyline_2d(
     The oracle twin IS the quadratic NOT EXISTS — equivalence of the two
     formulations is what the gate checks. Scale: linear + per-key sort
     over the distinct-x support; no self-join, no explosion.
+
+    NULL/NaN coordinates are FILTERED up front (r7 advice): the join-back
+    on the double x column would silently drop NULL/NaN-x rows (equi-join
+    never matches them) while the quadratic NOT-EXISTS oracle KEPT them
+    (all comparisons false → vacuously undominated) — two formulations
+    diverging on garbage inputs. A skyline over a partial order with
+    incomparable NULL/NaN points is not well-defined, so the operator
+    defines the frontier over rows with comparable (non-null, non-NaN)
+    coordinates only, and the explicit filter makes operator and oracle
+    agree by construction.
     """
+    comparable = F.col(x).isNotNull() & F.col(y).isNotNull()
+    for c in (x, y):
+        if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
+            comparable = comparable & ~F.isnan(F.col(c))
+    df = df.filter(comparable)
     gx = df.groupBy(*keys, x).agg(F.max(F.col(y)).alias("_my_eq"))
     w_desc = (
         Window.partitionBy(*keys)

@@ -71,6 +71,7 @@ def merge_upsert_partitioned(
     path: str,
     partition_cols: list[str] = ("dataset", "house_id"),
     key_cols: list[str] = ("dataset", "house_id", "channel_id", "ts"),
+    write_partitions: int = 32,
 ) -> None:
     """Warehouse-style MERGE (upsert) against the canonical store WITHOUT a
     table format: rewrite ONLY the partitions the changelog touches, via
@@ -91,6 +92,13 @@ def merge_upsert_partitioned(
     """
     part_cols = list(partition_cols)
     keys = list(key_cols)
+    # Pin the changes frame BEFORE the duplicate-key guard: the guard is an
+    # eager extra job, and without pinning, a nondeterministic changes frame
+    # (sample(), rand() filter, shuffle-order-dependent pick) could pass the
+    # check yet merge DIFFERENT rows when re-evaluated below (r7 advice).
+    # localCheckpoint materializes one version that both the check and the
+    # merge read. Changelog batches are churn-sized, not table-sized.
+    changes = changes.localCheckpoint(eager=True)
     # real MERGE INTO errors when the source matches one target row twice;
     # silently unioning a multi-row-per-PK changes batch would INSERT
     # duplicate PK rows and double-count downstream (r7 review). Fail fast.
@@ -118,7 +126,7 @@ def merge_upsert_partitioned(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            merged.repartition(32, *part_cols)
+            merged.repartition(write_partitions, *part_cols)
             .sortWithinPartitions("channel_id", "ts")
             .write.mode("overwrite")
             .partitionBy(*part_cols)

@@ -161,3 +161,18 @@ def test_ratio_scaled_spark_equals_fraction_round_half_up(spark, pairs):
     out = df.select("num", "den", ratio_scaled("num", "den", 4).alias("e")).collect()
     for r in out:
         assert r["e"] == _py_round_half_up_e(r["num"], r["den"], 4)
+
+
+def test_epoch_div_backticks_awkward_column_names(spark):
+    """epoch_div splices an identifier into SQL text; names with spaces,
+    dots, or hyphens must parse as ONE column reference, not break the
+    parse or resolve as a struct access (r7 advice)."""
+    from nilm_data_framework_spark.operators.exact_math import epoch_div
+
+    df = spark.createDataFrame([(86401,), (172805,)], ["v"])
+    for awkward in ("event ts", "event.ts", "event-ts"):
+        renamed = df.withColumnRenamed("v", awkward)
+        got = sorted(
+            r[0] for r in renamed.select(epoch_div(awkward, 86400)).collect()
+        )
+        assert got == [1, 2]
