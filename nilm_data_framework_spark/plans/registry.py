@@ -90,6 +90,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extra_ops,
         extra_ops_r6,
         extra_ops_r7,
+        extra_ops_r8,
     )
 
     ordered = sorted(registry, key=lambda n: (n in _DRIVER_RECORDED,))

