@@ -499,7 +499,7 @@ def main() -> None:
             rag_persisted_pipeline(
                 spark, docs, emb,
                 bm_path=built["bm_path"], ivf_path=built["ivf_path"],
-                centroids=built["centroids"],
+                centroids=built["centroids"], kept_ids=built["kept_ids"],
             )["result"].write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings["rag_retrieval_pipeline_serve"] = round(best, 3)

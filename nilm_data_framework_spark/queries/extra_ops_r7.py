@@ -85,6 +85,7 @@ def rag_persisted_pipeline(
     bm_path: str | None = None,
     ivf_path: str | None = None,
     centroids: list[list[float]] | None = None,
+    kept_ids: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Frame-level form of the persisted-index RAG pipeline (see
     build_rag_persisted_frames for the full construction + proof). Two
@@ -102,6 +103,16 @@ def rag_persisted_pipeline(
     omitted they are re-derived by the deterministic sample_centroids
     over the kept embeddings, so write-time and probe-time lists still
     agree, at the cost of one extra kept-corpus pass.
+
+    ``kept_ids`` (r8, same caller-owns-identity contract): the gated id
+    frame returned by a previous call's frames dict. Passing it with the
+    paths removes the per-query quality-classifier corpus scan — the
+    ONE serve-mode stage that re-derived an index-time property per
+    query (the written layouts already contain exactly the kept docs;
+    measured ~1.0 s of the sf0.1 serve constant). When omitted it is
+    re-derived by the same deterministic gate, so results are identical
+    either way — the parameter trades a corpus scan for trusting the
+    caller to pass the ids the layouts were built from.
     """
     from nilm_data_framework_spark.operators import similarity as S
     from nilm_data_framework_spark.operators.embed_stats import u6_components
@@ -117,12 +128,13 @@ def rag_persisted_pipeline(
     )
     from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
 
-    kept_ids = (
-        quality_classifier_score(docs)
-        .where(F.col("keep") & (F.col("doc_id") != _RAG_QVEC))
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
+    if kept_ids is None:
+        kept_ids = (
+            quality_classifier_score(docs)
+            .where(F.col("keep") & (F.col("doc_id") != _RAG_QVEC))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
     kept_docs = docs.join(kept_ids, "doc_id")
     if bm_path is None:
         bm_path = pid_scratch_dir(
@@ -192,6 +204,7 @@ def rag_persisted_pipeline(
         "bm_path": bm_path,
         "ivf_path": ivf_path,
         "centroids": cents,
+        "kept_ids": kept_ids,
     }
 
 

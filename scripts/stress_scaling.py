@@ -1452,7 +1452,7 @@ def main() -> None:
             serve = lambda: rag_persisted_pipeline(  # noqa: E731
                 spark, docs, emb_rp,
                 bm_path=frames["bm_path"], ivf_path=frames["ivf_path"],
-                centroids=frames["centroids"],
+                centroids=frames["centroids"], kept_ids=frames["kept_ids"],
             )["result"].count()
             serve()  # warm
             times = []

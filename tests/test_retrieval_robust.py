@@ -756,6 +756,18 @@ def test_rag_persisted_serve_mode_matches_gate_mode(spark):
     )
     serve_rows = sorted(tuple(r) for r in serve["result"].collect())
     assert serve_rows == gate_rows
+    # r8: the full caller-owns-identity serve form — kept_ids passed too,
+    # removing the per-query quality-gate corpus scan — must also be exact
+    serve_full = rag_persisted_pipeline(
+        spark,
+        docs,
+        emb,
+        bm_path=gate["bm_path"],
+        ivf_path=gate["ivf_path"],
+        centroids=gate["centroids"],
+        kept_ids=gate["kept_ids"],
+    )
+    assert sorted(tuple(r) for r in serve_full["result"].collect()) == gate_rows
     exact = sorted(
         tuple(r)
         for r in all_queries()["rag_retrieval_pipeline"]
