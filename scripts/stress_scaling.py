@@ -1472,6 +1472,72 @@ def main() -> None:
             shutil.rmtree(frames["bm_path"], ignore_errors=True)
             shutil.rmtree(frames["ivf_path"], ignore_errors=True)
 
+        r8_names = {"pagerank_iters", "entity_clusters", "stratified_split"}
+        if only is None or only & r8_names:
+            # r8 kernels. pagerank: k disjoint copies of the bipartite
+            # supplier-part graph (keys shifted per replica) — edges and
+            # vertices both grow kx, rounds fixed at 4, so the claim is
+            # ~linear in edges. entity_clusters: k disjoint replicas of the
+            # sf-base linkage pairs (both endpoint ids shifted) — CC rounds
+            # iterate over the pair subgraph only. stratified_split: the
+            # replicated docs (same frame as the dedup sweeps) — one bucket
+            # shuffle + one agg, support fixed at langs x 62.
+            from nilm_data_framework_spark.queries.extra_ops import (
+                record_linkage_pairs,
+            )
+            from nilm_data_framework_spark.queries.extra_ops_r8 import (
+                entity_clusters_from_pairs,
+                pagerank_power,
+                stratified_split_frame,
+            )
+
+            li_parts = [li_base]
+            for r in range(1, k):
+                li_parts.append(
+                    li_base.select(
+                        "l_orderkey",
+                        (F.col("l_partkey") + 1_000_000 * r).alias("l_partkey"),
+                        (F.col("l_suppkey") + 1_000_000 * r).alias("l_suppkey"),
+                    )
+                )
+            li_k = li_parts[0]
+            for p in li_parts[1:]:
+                li_k = li_k.unionByName(p)
+            pr_edges = (
+                li_k.select(
+                    F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+                    F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            pairs_base = record_linkage_pairs(spark, SF_DIR).select(
+                "id_a", "id_b"
+            )
+            pair_parts = [pairs_base]
+            for r in range(1, k):
+                pair_parts.append(
+                    pairs_base.select(
+                        (F.col("id_a") + 100_000_000 * r).alias("id_a"),
+                        (F.col("id_b") + 100_000_000 * r).alias("id_b"),
+                    )
+                )
+            pairs_k = pair_parts[0]
+            for p in pair_parts[1:]:
+                pairs_k = pairs_k.unionByName(p)
+            pairs_k = pairs_k.localCheckpoint(eager=True)
+            for name, rows_in, fn in (
+                ("pagerank_iters", pr_edges.count(),
+                 lambda: pagerank_power(pr_edges).count()),
+                ("entity_clusters", pairs_k.count(),
+                 lambda: entity_clusters_from_pairs(pairs_k).count()),
+                ("stratified_split", n,
+                 lambda: stratified_split_frame(
+                     docs.select("doc_id", "lang")
+                 ).count()),
+            ):
+                sized.append(({name: fn}, rows_in))
+
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)
