@@ -260,6 +260,8 @@ HEADLINE = [
     "pagerank_power_iterations",
     "entity_resolution_clusters",
     "stratified_split_exact",
+    # round-8 batch 3: incremental SCD2 fold == full-recompute equivalence
+    "scd2_incremental_equiv",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —

@@ -359,3 +359,105 @@ def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     input three times (rows, support, total). Kernel:
     stratified_split_frame."""
     return stratified_split_frame(load_table(spark, sf_dir, "documents"))
+
+
+# --- incremental SCD2 maintenance == full-history recompute --------------------
+
+# 2024-01-16T00:00:00Z in microseconds — mid-span of the events fixture at
+# every sf (generator emits January 2024), so both batches are non-empty.
+_SCD2_CUT_US = 1_705_363_200_000_000
+
+
+def scd2_incremental(
+    batch1: DataFrame,
+    batch2: DataFrame,
+    key: str,
+    ts: str,
+    attr: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold an append-only changelog batch
+    into an existing interval table WITHOUT recomputing history.
+
+      closed(iv1)  — runs that ended inside batch1 are immutable (batch2
+                     is strictly later in event time), so they pass through
+                     untouched;
+      seed         — each key's OPEN run re-enters as one synthetic row at
+                     its run start (tiebreak -1 so it orders before any
+                     real row at the same instant — unreachable here since
+                     seed ts <= cut < batch2 ts, but total orders stay
+                     total);
+      iv2          — scd2_intervals over (seeds ∪ batch2): a batch2 row
+                     continuing the open run's attr MERGES into it (the
+                     original valid_from survives via the seed), a
+                     different attr closes it at the new row's ts.
+
+    Precondition: every batch2 row is strictly later (by ``ts``) than every
+    batch1 row of the same key — the clean time-cut an append-only
+    changelog gives. Scale: the increment touches closed history ZERO
+    times — cost is O(open intervals + batch), the same contract as
+    merge_upsert/append_bm25_batch; a daily batch against years of history
+    reads one row per live key plus the day's rows.
+    """
+    from nilm_data_framework_spark.operators.windows import scd2_intervals
+
+    iv1 = scd2_intervals(batch1, key=key, ts=ts, attr=attr, tiebreak=[tiebreak])
+    closed = iv1.filter(F.col("valid_to").isNotNull())
+    tb_type = batch1.schema[tiebreak].dataType
+    seeds = iv1.filter(F.col("valid_to").isNull()).select(
+        F.col(key),
+        F.col("valid_from").alias(ts),
+        F.col(attr),
+        F.lit(-1).cast(tb_type).alias(tiebreak),
+    )
+    iv2 = scd2_intervals(
+        seeds.unionByName(batch2.select(key, ts, attr, tiebreak)),
+        key=key, ts=ts, attr=attr, tiebreak=[tiebreak],
+    )
+    return closed.unionByName(iv2)
+
+
+def _scd2_incremental_oracle() -> str:
+    """The oracle IS the full-history recompute — shared verbatim from
+    scd2_user_intervals, because "incremental fold == recompute from
+    scratch" is exactly the equivalence this gate proves (the
+    ivf_append_probe_equiv / bm25_append_probe_equiv pattern, applied to
+    dimension history)."""
+    from nilm_data_framework_spark.queries import nilm_windows  # noqa: F401
+
+    return _registry["scd2_user_intervals"].oracle
+
+
+@query(
+    "scd2_incremental_equiv",
+    oracle=_scd2_incremental_oracle(),
+    survey_ref="§2.5 SCD2 extension: INCREMENTAL dimension-history "
+    "maintenance — closed runs pass through, each open run re-enters as a "
+    "seed row, scd2 re-collapses (seeds ∪ new batch) only; gated "
+    "hash-identical to the full-history recompute (oracle shared verbatim "
+    "from scd2_user_intervals) — the append-fold equivalence "
+    "ivf_append_probe_equiv/bm25_append_probe_equiv prove for indexes, "
+    "proved for SCD2",
+)
+def scd2_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the changelog at the fixed mid-span cut, maintain
+    incrementally, emit the same (user_id, event_type, valid_from_us,
+    valid_to_us) shape as scd2_user_intervals. Hash equality against the
+    full-recompute oracle proves the maintenance algebra exactly — run
+    boundaries, boundary-spanning merges, keys that appear in only one
+    batch, all of it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    iv = scd2_incremental(
+        ev.filter(us <= _SCD2_CUT_US),
+        ev.filter(us > _SCD2_CUT_US),
+        key="user_id", ts="ts", attr="event_type", tiebreak="event_id",
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+    )

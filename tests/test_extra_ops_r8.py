@@ -97,3 +97,35 @@ def test_entity_clusters_cover_all_linkage_pairs(spark):
     }
     for p in pairs.collect():
         assert assign[p["id_a"]] == assign[p["id_b"]]
+
+
+def test_scd2_incremental_equals_full_recompute_on_boundary_cases(spark):
+    """Hand-built boundary cases: a run spanning the cut with the SAME attr
+    must merge (original valid_from survives), a different attr must close
+    the open run at the new row's ts, and keys present in only one batch
+    pass through — all equal to the one-shot recompute."""
+    from nilm_data_framework_spark.operators.windows import scd2_intervals
+    from nilm_data_framework_spark.queries.extra_ops_r8 import scd2_incremental
+
+    rows1 = [
+        (1, 1, "A", 101), (1, 2, "A", 102), (1, 3, "B", 103),  # open run B
+        (2, 5, "X", 104),                                      # batch1-only key
+    ]
+    rows2 = [
+        (1, 10, "B", 201),  # continues the open run -> merge, keep from=3
+        (1, 20, "C", 202),  # closes B at 20
+        (3, 12, "Y", 203), (3, 15, "Y", 204),                  # batch2-only key
+    ]
+    schema = "k long, t long, a string, eid long"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    inc = scd2_incremental(b1, b2, key="k", ts="t", attr="a", tiebreak="eid")
+    full = scd2_intervals(
+        b1.unionByName(b2), key="k", ts="t", attr="a", tiebreak=["eid"]
+    )
+    got = sorted(tuple(r) for r in inc.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
+    assert (1, "B", 3, 20) in {
+        (r[0], r[1], r[2], r[3]) for r in got
+    }, "boundary-spanning run must keep its original valid_from"
