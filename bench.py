@@ -262,6 +262,8 @@ HEADLINE = [
     "stratified_split_exact",
     # round-8 batch 3: incremental SCD2 fold == full-recompute equivalence
     "scd2_incremental_equiv",
+    # round-8 batch 4: multi-probe SRP-LSH (query-side probe dial)
+    "cosine_topk_lsh_multiprobe",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —

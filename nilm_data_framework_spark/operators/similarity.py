@@ -152,6 +152,46 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return _bucket_of(vec, array_lit(planes))
 
 
+def _bucketize_tables(
+    df: DataFrame, idname: str, id_col: str, vec_col: str, tables: list
+) -> DataFrame:
+    """(id, vec) → one row per (id, table, SRP bucket). All tables in one
+    nested literal + one transform: the per-table expression-build loop was
+    the dominant plan-build cost."""
+    out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"))
+    buckets = F.transform(
+        array_lit(tables),
+        lambda planes, t: F.struct(
+            t.cast("integer").alias("tbl"),
+            _bucket_of(F.col(f"{idname}_v"), planes).alias("bkt"),
+        ),
+    )
+    return out.select(idname, f"{idname}_v", F.explode(buckets).alias("tb")).select(
+        idname, f"{idname}_v", "tb.tbl", "tb.bkt"
+    )
+
+
+def _lsh_rank_candidates(cb: DataFrame, qb: DataFrame, k: int) -> DataFrame:
+    """Shared candidate-join + dedup + rank tail of the SRP-LSH top-k
+    variants. Scores BEFORE deduping: every duplicate candidate has the
+    same cosine, so the dedup shuffle carries one double instead of two
+    dim-width vectors (first() is deterministic here — all values equal
+    per pair; TIES.md)."""
+    cand = (
+        cb.join(F.broadcast(qb), on=["tbl", "bkt"])
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("query_id_v"), F.col("match_id_v")))
+        .groupBy("query_id", "match_id")
+        .agg(F.first("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,40 +210,56 @@ def lsh_topk(
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
+    qb = _bucketize_tables(queries, "query_id", id_col, vec_col, tables)
+    cb = _bucketize_tables(corpus, "match_id", id_col, vec_col, tables)
+    return _lsh_rank_candidates(cb, qb, k)
 
-    def bucketize(df: DataFrame, idname: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"))
-        # all tables in one nested literal + one transform: the per-table
-        # expression-build loop was the dominant plan-build cost.
-        buckets = F.transform(
-            array_lit(tables),
-            lambda planes, t: F.struct(
-                t.cast("integer").alias("tbl"),
-                _bucket_of(F.col(f"{idname}_v"), planes).alias("bkt"),
-            ),
-        )
-        return out.select(idname, f"{idname}_v", F.explode(buckets).alias("tb")).select(
-            idname, f"{idname}_v", "tb.tbl", "tb.bkt"
-        )
 
-    qb = bucketize(queries, "query_id")
-    cb = bucketize(corpus, "match_id")
-    # score BEFORE deduping: every duplicate candidate has the same cosine,
-    # so the dedup shuffle carries one double instead of two dim-width
-    # vectors (first() is deterministic here — all values equal per pair)
-    cand = (
-        cb.join(F.broadcast(qb), on=["tbl", "bkt"])
-        .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("cosine", cosine(F.col("query_id_v"), F.col("match_id_v")))
-        .groupBy("query_id", "match_id")
-        .agg(F.first("cosine").alias("cosine"))
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe SRP-LSH top-k (the Hamming-1 specialization of Lv et
+    al., "Multi-Probe LSH", VLDB'07, to sign-bit buckets): the CORPUS
+    stores exactly one bucket per table — unchanged layout and storage —
+    while each QUERY additionally probes every bucket at Hamming distance
+    1 from its own (flip each of the n_planes sign bits). A near neighbor
+    that lands one hyperplane-side away from the query is recovered
+    without another whole hash table, which is the production tradeoff:
+    probe count is a QUERY-side dial (n_planes extra bucket lookups, each
+    a key-pruned join), table count is a STORAGE dial (another corpus
+    replica per table). The candidate set is a strict superset of
+    lsh_topk's at equal (n_planes, n_tables) — recall can only go up.
+    Plan shape is identical to lsh_topk: one (tbl, bkt) equi-join, dedup
+    agg, per-query rank."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    cb = _bucketize_tables(corpus, "match_id", id_col, vec_col, tables)
+    qb0 = _bucketize_tables(queries, "query_id", id_col, vec_col, tables)
+    # mask 0 = the base bucket; mask 2^i flips sign bit i. Plain-column
+    # outer ref inside the HOF lambda (not a computed array — the repo's
+    # HOF let-binding trap does not apply).
+    masks = F.array(
+        F.lit(0).cast("long"),
+        *[F.lit(1 << i).cast("long") for i in range(n_planes)],
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "match_id", "cosine", "rk")
+    qb = qb0.select(
+        "query_id",
+        "query_id_v",
+        "tbl",
+        F.explode(F.transform(masks, lambda m: F.col("bkt").bitwiseXOR(m))).alias(
+            "bkt"
+        ),
     )
+    return _lsh_rank_candidates(cb, qb, k)
 
 
 def sample_centroids(

@@ -461,3 +461,111 @@ def scd2_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
         F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
     )
+
+
+# --- multi-probe SRP-LSH ANN ----------------------------------------------------
+
+_MP_PLANES = 4
+_MP_TABLES = 2
+_MP_K = 5
+_MP_QUERIES = 8
+
+
+def _lsh_multiprobe_oracle() -> str:
+    """DuckDB twin of lsh_topk_multiprobe: same plane literals (the seeded
+    generator is shared Python), corpus bucketed once per table, query
+    buckets expanded with xor(bkt, 2^i) Hamming-1 probes, exact cosine
+    over the candidate union, rank by raw cosine with id tiebreak (the
+    r5 ln()-rank rule: never rank by the rounded display value)."""
+    from nilm_data_framework_spark.operators import similarity as S
+
+    tables = [
+        S._hyperplanes(64, _MP_PLANES, 42 + 1000 * t) for t in range(_MP_TABLES)
+    ]
+
+    def bucket_expr(planes: list[list[float]], vcol: str) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product({vcol}, {lit}) > 0"
+                f" THEN {1 << i} ELSE 0 END"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def case_bkt(vcol: str) -> str:
+        whens = "".join(
+            f" WHEN {t} THEN {bucket_expr(planes, vcol)}"
+            for t, planes in enumerate(tables)
+        )
+        return f"CASE tbl{whens} END"
+
+    masks = "[0" + "".join(f", {1 << i}" for i in range(_MP_PLANES)) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tbls AS (SELECT unnest(range(0, {_MP_TABLES})) AS tbl),
+    cb AS (
+      SELECT e.vec_id AS match_id, e.v AS mv, tbls.tbl, {case_bkt('e.v')} AS bkt
+      FROM e, tbls
+    ),
+    qb0 AS (
+      SELECT e.vec_id AS query_id, e.v AS qv, tbls.tbl, {case_bkt('e.v')} AS bkt
+      FROM e, tbls WHERE e.vec_id < {_MP_QUERIES}
+    ),
+    qb AS (
+      SELECT query_id, qv, tbl,
+             CASE WHEN m = 0 THEN bkt ELSE xor(bkt, m) END AS bkt
+      FROM qb0, (SELECT unnest({masks}) AS m)
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.match_id, q.qv, c.mv
+      FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bkt = q.bkt
+      WHERE c.match_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             list_dot_product(qv, mv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv)))
+               AS cos
+      FROM cand
+    ),
+    ranked AS (
+      SELECT query_id, match_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id)
+               AS rk
+      FROM scored
+    )
+    SELECT query_id, match_id, round(cos, 4) AS cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_MP_K}
+    """
+
+
+@query(
+    "cosine_topk_lsh_multiprobe",
+    oracle=_lsh_multiprobe_oracle(),
+    survey_ref="§2.10 ANN extension: MULTI-PROBE SRP-LSH top-k — the query "
+    "probes its own bucket plus every Hamming-1 neighbor (flip each sign "
+    "bit), recovering near neighbors one hyperplane-side away WITHOUT "
+    "another stored table; probe count is the query-side dial, table count "
+    "the storage dial (Lv et al., VLDB'07, specialized to sign buckets). "
+    "Half the tables of cosine_topk_lsh (2 vs 4) at the same plane width",
+)
+def cosine_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator: operators/similarity.py::lsh_topk_multiprobe. The corpus
+    layout (one bucket per table) is UNCHANGED vs plain SRP-LSH — only the
+    query's probe set grows, so at 100 TB the stored bucketed corpus and
+    its (tbl, bkt)-keyed join shape carry over verbatim while recall is
+    tuned per query. Candidate superset of lsh_topk at equal params (test:
+    tests/test_extra_ops_r8.py)."""
+    from nilm_data_framework_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    queries_df = emb.filter(F.col("vec_id") < _MP_QUERIES)
+    out = S.lsh_topk_multiprobe(
+        emb, queries_df, k=_MP_K, dim=64,
+        n_planes=_MP_PLANES, n_tables=_MP_TABLES,
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )

@@ -129,3 +129,23 @@ def test_scd2_incremental_equals_full_recompute_on_boundary_cases(spark):
     assert (1, "B", 3, 20) in {
         (r[0], r[1], r[2], r[3]) for r in got
     }, "boundary-spanning run must keep its original valid_from"
+
+
+def test_multiprobe_candidates_superset_of_plain_lsh(spark):
+    """At equal (n_planes, n_tables), multi-probe's candidate set contains
+    plain LSH's (mask 0 reproduces the base bucket), so per-query recall
+    vs brute force can only go up — the docstring's superset claim."""
+    from nilm_data_framework_spark.operators import similarity as S
+    from nilm_data_framework_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings", parallelize=True)
+    q = emb.filter(F.col("vec_id") < 4)
+    plain = S.lsh_topk(emb, q, k=1000, dim=64, n_planes=4, n_tables=2)
+    multi = S.lsh_topk_multiprobe(emb, q, k=1000, dim=64, n_planes=4, n_tables=2)
+    plain_pairs = {(r["query_id"], r["match_id"]) for r in plain.collect()}
+    multi_pairs = {(r["query_id"], r["match_id"]) for r in multi.collect()}
+    assert plain_pairs <= multi_pairs
+    assert len(multi_pairs) > len(plain_pairs), (
+        "Hamming-1 probes added no candidates at fixture scale — widen the "
+        "fixture or the claim is vacuous"
+    )
