@@ -264,6 +264,8 @@ HEADLINE = [
     "scd2_incremental_equiv",
     # round-8 batch 4: multi-probe SRP-LSH (query-side probe dial)
     "cosine_topk_lsh_multiprobe",
+    # round-8 batch 5: incremental CC fold == full recompute (graph ingest)
+    "entity_clusters_incremental_equiv",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —

@@ -1029,3 +1029,71 @@ def lsh_recall_audit(
         .cast("long")
         .alias("n_missed"),
     )
+
+
+def connected_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+) -> DataFrame:
+    """Fold a batch of NEW edges into an existing connected-components
+    labeling WITHOUT re-touching the old edge set — the graph-family
+    member of the repo's append-fold equivalences (append_bm25_batch,
+    ivf append, scd2_incremental).
+
+    Construction: contract every old component to its label. A new edge
+    (a, b) becomes a LABEL edge (L(a), L(b)) — endpoints absent from
+    ``labels`` (first-seen nodes) keep their own id as label. Hash-min CC
+    over the contracted graph then yields, for every old label, its new
+    component's min label; composing the two maps relabels every node.
+    Because each existing cluster_id IS the min member id of its old
+    component (the :func:`connected_components` invariant) and new nodes'
+    labels are their own ids, the contracted minimum equals the global
+    minimum member id — so the result is IDENTICAL to recomputing
+    connected_components over the union edge set (gate:
+    entity_clusters_incremental_equiv shares the full-recompute oracle
+    verbatim).
+
+    Scale: the increment costs O(new edges + touched labels) — the old
+    edges are never read, and the contracted graph is bounded by the
+    batch's endpoints, not the corpus. The CC rounds run on that
+    contracted graph only.
+    """
+    l_a = labels.select(F.col("node").alias("_n"), F.col("cluster_id").alias("_la"))
+    e = (
+        new_edges.select(F.col(edge_a).alias("_ea"), F.col(edge_b).alias("_eb"))
+        .join(l_a, F.col("_ea") == F.col("_n"), "left")
+        .select(F.coalesce("_la", "_ea").alias("la"), "_eb")
+        .join(
+            l_a.select(F.col("_n"), F.col("_la").alias("_lb")),
+            F.col("_eb") == F.col("_n"),
+            "left",
+        )
+        .select("la", F.coalesce("_lb", "_eb").alias("lb"))
+        .filter(F.col("la") != F.col("lb"))
+    )
+    touched = (
+        e.select(F.col("la").alias("id"))
+        .union(e.select(F.col("lb").alias("id")))
+        .distinct()
+    )
+    relabel = connected_components(
+        touched, e, id_col="id", edge_a="la", edge_b="lb"
+    ).select(F.col("node").alias("_old_label"), F.col("cluster_id").alias("_new_label"))
+    # nodes first seen in this batch enter the labeling as themselves, then
+    # the relabel map (which covers every touched label) applies uniformly
+    batch_nodes = (
+        new_edges.select(F.col(edge_a).alias("node"))
+        .union(new_edges.select(F.col(edge_b).alias("node")))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    all_labeled = labels.unionByName(batch_nodes)
+    return all_labeled.join(
+        relabel, all_labeled["cluster_id"] == relabel["_old_label"], "left"
+    ).select(
+        "node",
+        F.coalesce("_new_label", "cluster_id").alias("cluster_id"),
+    )

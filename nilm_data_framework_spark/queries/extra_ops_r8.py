@@ -569,3 +569,52 @@ def cosine_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+# --- incremental CC fold == full recompute --------------------------------------
+
+
+@query(
+    "entity_clusters_incremental_equiv",
+    oracle=_entity_clusters_oracle(),
+    survey_ref="§2.10 entity resolution, incremental: fold HALF the linkage "
+    "pairs into the labeling produced from the other half via label-graph "
+    "contraction (operators/dedup.py::connected_components_incremental) — "
+    "old edges never re-read, CC rounds run on the contracted batch graph "
+    "only; gated hash-identical to the one-shot closure (oracle shared "
+    "verbatim with entity_resolution_clusters) — the append-fold "
+    "equivalence (append_bm25/ivf-append/scd2_incremental) for graphs",
+)
+def entity_clusters_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic edge split ((id_a + id_b) % 2) so both batches are
+    non-empty and components SPAN the cut (the case a naive per-batch CC
+    gets wrong); batch1 labels + incremental batch2 fold must reproduce
+    the full clustering bit-for-bit. Same output shape + oracle as
+    entity_resolution_clusters."""
+    from nilm_data_framework_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+    from nilm_data_framework_spark.queries.extra_ops import record_linkage_pairs
+
+    pairs = (
+        record_linkage_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds both batches + the agg
+    )
+    b1 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    b2 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
+    nodes1 = (
+        b1.select(F.col("id_a").alias("id"))
+        .union(b1.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    labels1 = connected_components(nodes1, b1, id_col="id")
+    cc = connected_components_incremental(labels1, b2)
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.when(F.col("node") >= 3_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_synth"),
+        F.max("node").cast("long").alias("max_member"),
+    )

@@ -149,3 +149,50 @@ def test_multiprobe_candidates_superset_of_plain_lsh(spark):
         "Hamming-1 probes added no candidates at fixture scale — widen the "
         "fixture or the claim is vacuous"
     )
+
+
+def test_incremental_cc_equals_full_recompute_randomized(spark):
+    """connected_components_incremental == one-shot CC over the union edge
+    set, across seeds that produce empty batches, cross-batch chains, and
+    batch-2-only nodes. Deterministic seed grid (the derandomized-profile
+    discipline) instead of live hypothesis: Spark-backed examples are
+    expensive, and the grid pins the interesting shapes explicitly."""
+    import random
+
+    from nilm_data_framework_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n_edges = rng.choice([0, 1, 5, 20])
+        edges = [
+            (rng.randint(0, 25), rng.randint(0, 25)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        all_e = spark.createDataFrame(
+            edges or [(None, None)], "id_a long, id_b long"
+        ).filter(F.col("id_a").isNotNull())
+        nodes = (
+            all_e.select(F.col("id_a").alias("id"))
+            .union(all_e.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        full = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(nodes, all_e, id_col="id").collect()
+        }
+        b1 = all_e.filter((F.col("id_a") + F.col("id_b") + seed) % 2 == 0)
+        b2 = all_e.filter((F.col("id_a") + F.col("id_b") + seed) % 2 == 1)
+        n1 = (
+            b1.select(F.col("id_a").alias("id"))
+            .union(b1.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        labels1 = connected_components(n1, b1, id_col="id")
+        inc = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components_incremental(labels1, b2).collect()
+        }
+        assert inc == full, f"seed={seed}: {inc} != {full}"
