@@ -266,6 +266,13 @@ HEADLINE = [
     "cosine_topk_lsh_multiprobe",
     # round-8 batch 5: incremental CC fold == full recompute (graph ingest)
     "entity_clusters_incremental_equiv",
+    # round-8 flagship: full incremental near-dup ingest (persisted LSH
+    # screen + within-batch pairs + CC fold) == from-scratch clustering.
+    # Gate mode is self-contained (writes the reference + builds labels1
+    # inside the query, the RAG-gate precedent); the production per-batch
+    # cost composes the measured flat screen (STRESS r5) + the 0.32-slope
+    # CC fold (STRESS r8).
+    "incremental_neardup_clusters_equiv",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —

@@ -618,3 +618,78 @@ def entity_clusters_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataF
         .alias("n_synth"),
         F.max("node").cast("long").alias("max_member"),
     )
+
+
+# --- FLAGSHIP: full incremental near-dup ingest == from-scratch clustering ------
+
+
+def _neardup_incremental_oracle() -> str:
+    """Shared VERBATIM with neardup_clusters (queries/dedup_text.py): the
+    from-scratch minhash → LSH → connected-components clustering of the
+    whole corpus IS the spec the incremental ingest path must reproduce."""
+    from nilm_data_framework_spark.queries import dedup_text  # noqa: F401
+
+    return _registry["neardup_clusters"].oracle
+
+
+@query(
+    "incremental_neardup_clusters_equiv",
+    oracle=_neardup_incremental_oracle(),
+    survey_ref="§2.10 incremental dedup, COMPLETED end-to-end: a new batch "
+    "is screened against the persisted LSH reference (write_lsh_reference "
+    "layout — corpus side shuffle-free), deduped within itself, and its "
+    "pairs FOLDED into the existing cluster labels via "
+    "connected_components_incremental — old edges never re-read, old "
+    "corpus never re-shingled; gated hash-identical to neardup_clusters' "
+    "from-scratch clustering (oracle shared verbatim). Composes the r5 "
+    "persisted screen + the r8 CC fold into the full continuous-ingest "
+    "story",
+)
+def incremental_neardup_clusters_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB continuous-ingest path, complete: per batch the work is
+    O(batch shingles + matching reference buckets + touched labels) — the
+    three pieces that made it exact are (a) LSH candidate generation
+    decomposes by endpoint membership (c1×c1 ∪ b2×c1 ∪ b2×b2 with the
+    SAME persisted hash params covers exactly the full run's candidate
+    set), (b) Jaccard verification is per-pair (identical either way),
+    and (c) the CC fold is exact (label-is-min-id invariant,
+    entity_clusters_incremental_equiv). Batch docs with no matches enter
+    as their own singleton clusters, completing the (doc_id, cluster_id)
+    relation over the whole corpus."""
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.operators import dedup as D
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    c1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    prefix = f"lsh_inc_{os.getpid()}"
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_lsh_inc"), "lsh_inc_"
+    )
+    D.write_lsh_reference(
+        c1, prefix, shingle_n=3, num_hashes=16, bands=4, buckets=8, path=path
+    )
+    pairs1 = D.minhash_lsh_pairs(
+        c1, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
+    )
+    labels1 = D.connected_components(
+        c1.select("doc_id"), pairs1, id_col="doc_id", edge_a="id_a", edge_b="id_b"
+    )
+    cross = D.minhash_lsh_join_reference(b2, prefix, jaccard_threshold=0.5).select(
+        F.col("new_id").alias("id_a"), F.col("ref_id").alias("id_b")
+    )
+    within = D.minhash_lsh_pairs(
+        b2, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    inc = D.connected_components_incremental(labels1, cross.unionByName(within))
+    singles = (
+        b2.select("doc_id")
+        .join(inc.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("cluster_id"))
+    )
+    return inc.unionByName(singles).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
