@@ -192,6 +192,18 @@ SHOWCASE = [
     ("parts_supplier_census", "TPC-H Q16 shape (r6): NOT-IN exclusion "
      "planned as a left-anti hash join; distinct and census aggregates "
      "keep map-side partial aggregation"),
+    ("stratified_split_exact", "exact stratified split (r8): bucketed "
+     "global rank (one hash exchange on the (lang, h-range) bucket + a "
+     "support-sized cumulative window) joined to the bounded per-lang "
+     "offset support — no per-stratum sort of raw rows ever appears"),
+    ("cosine_topk_lsh_multiprobe", "multi-probe SRP-LSH (r8): the query "
+     "side explodes Hamming-1 probe masks; candidates come from the same "
+     "(tbl, bkt) EQUI-join as plain LSH — corpus bucketed once, no nested "
+     "loop, no extra stored table"),
+    ("scd2_incremental_equiv", "incremental SCD2 (r8): closed runs pass "
+     "through as a filter; the re-collapse runs lag+lead over (seeds ∪ "
+     "batch) only — every window exchange is keyed on user_id, none "
+     "SinglePartition"),
 ]
 
 
