@@ -273,6 +273,11 @@ HEADLINE = [
     # cost composes the measured flat screen (STRESS r5) + the 0.32-slope
     # CC fold (STRESS r8).
     "incremental_neardup_clusters_equiv",
+    # round-8 batch 6: persisted-index lifecycle completed — the composed
+    # CREATE→APPEND→DELETE→COMPACT BM25 gate (heaviest of the family) and
+    # the IVF copy-on-write erasure gate
+    "bm25_index_lifecycle",
+    "ivf_delete_probe_equiv",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —
@@ -427,6 +432,9 @@ EXCLUDED: dict[str, str] = {
     "contrastive_triplets": "rides benched 'cosine_topk_bruteforce' + bounded joins",
     "ivf_recall_at_k": "recall attestation gate over the benched IVF probe",
     "ivf_append_probe_equiv": "append-invariance gate (writes the layout twice by design); probe benched via 'ivf_topk_persisted'",
+    "ivf_compact_probe_equiv": "write+2-append+compact gate; the swap compactor is benched inside 'bm25_index_lifecycle' and the probe via 'ivf_topk_persisted'",
+    "bm25_delete_probe_equiv": "copy-on-write delete benched inside composed 'bm25_index_lifecycle' (same kernel, same layout)",
+    "bm25_compact_probe_equiv": "swap compaction benched inside composed 'bm25_index_lifecycle' (same kernel, same layout)",
     # --- streaming_equiv (the three heaviest streaming gates ARE benched:
     #     'streaming_paa_equiv', 'streaming_session_window_equiv',
     #     'streaming_bitmask_equiv') ---

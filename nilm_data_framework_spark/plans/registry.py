@@ -91,6 +91,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extra_ops_r6,
         extra_ops_r7,
         extra_ops_r8,
+        extra_ops_r8b,
     )
 
     ordered = sorted(registry, key=lambda n: (n in _DRIVER_RECORDED,))

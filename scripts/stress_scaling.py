@@ -1472,6 +1472,123 @@ def main() -> None:
             shutil.rmtree(frames["bm_path"], ignore_errors=True)
             shutil.rmtree(frames["ivf_path"], ignore_errors=True)
 
+        lc_names = {
+            "bm25_delete_fixed", "bm25_rebuild_survivors", "bm25_compact",
+            "ivf_delete_onelist", "ivf_rebuild_survivors",
+        }
+        if only is None or only & lc_names:
+            # r8b: persisted-index lifecycle maintenance. Claims under test:
+            #   bm25_delete_fixed — copy-on-write delete of a FIXED erasure
+            #     batch: one locating scan + rewrite of affected term
+            #     partitions. Common terms' partitions grow with the corpus,
+            #     so the honest claim is NOT flatness — it is that delete
+            #     costs materially less than the from-scratch rebuild
+            #     (bm25_rebuild_survivors) at every k; compare the two rows.
+            #   bm25_compact — full keyed rewrite by design: slope ~1.
+            #   ivf_delete_onelist — erasing every vector of ONE of 16
+            #     lists rewrites nothing (the emptied dir is dropped), vs
+            #     ivf_rebuild_survivors re-assigning and re-writing all 15.
+            # Deletes MUTATE the layout, so each rep rebuilds it; secs are
+            # min over 2 full cycles.
+            import shutil
+            import tempfile
+
+            from nilm_data_framework_spark.operators import similarity as SIM
+            from nilm_data_framework_spark.operators.index_maintenance import (
+                compact_bm25_postings,
+                delete_bm25_docs,
+                delete_ivf_vecs,
+            )
+            from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+            # fixed 1-in-50 erasure set from the BASE ids only, so the batch
+            # stays constant while the corpus replicates
+            del_ids = (
+                base.filter(F.col("doc_id") % 50 == 3)
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            surv = docs.join(
+                F.broadcast(del_ids), "doc_id", "anti"
+            ).localCheckpoint(eager=True)
+            lc_secs: dict[str, list[float]] = {}
+            for rep in (0, 1):
+                p = pid_scratch_dir(
+                    os.path.join(tempfile.gettempdir(), "nilm_spark_lc_sweep"),
+                    f"idx_k{k}_r{rep}_",
+                )
+                T.write_bm25_index(docs, p)
+                t0 = time.perf_counter()
+                delete_bm25_docs(spark, p, del_ids)
+                lc_secs.setdefault("bm25_delete_fixed", []).append(
+                    time.perf_counter() - t0
+                )
+                t0 = time.perf_counter()
+                compact_bm25_postings(spark, p)
+                lc_secs.setdefault("bm25_compact", []).append(
+                    time.perf_counter() - t0
+                )
+                shutil.rmtree(p, ignore_errors=True)
+                p2 = pid_scratch_dir(
+                    os.path.join(tempfile.gettempdir(), "nilm_spark_lc_sweep"),
+                    f"reb_k{k}_r{rep}_",
+                )
+                t0 = time.perf_counter()
+                T.write_bm25_index(surv, p2)
+                lc_secs.setdefault("bm25_rebuild_survivors", []).append(
+                    time.perf_counter() - t0
+                )
+                shutil.rmtree(p2, ignore_errors=True)
+            emb_lc = replicate_embeddings(emb_base, k)
+            n_emb_lc = emb_lc.count()
+            cents_lc = SIM.sample_centroids(
+                emb_lc, 16, "vec_id", "embedding", "hash", 42
+            )
+            onelist = (
+                SIM.assign_centroids(emb_lc, cents_lc)
+                .filter(F.col("cid") == 0)
+                .select("vec_id")
+                .localCheckpoint(eager=True)
+            )
+            surv_emb = emb_lc.join(
+                F.broadcast(onelist), "vec_id", "anti"
+            ).localCheckpoint(eager=True)
+            for rep in (0, 1):
+                pv = pid_scratch_dir(
+                    os.path.join(tempfile.gettempdir(), "nilm_spark_lc_sweep"),
+                    f"ivf_k{k}_r{rep}_",
+                )
+                SIM.write_ivf_corpus(emb_lc, pv, cents_lc)
+                t0 = time.perf_counter()
+                delete_ivf_vecs(spark, pv, onelist)
+                lc_secs.setdefault("ivf_delete_onelist", []).append(
+                    time.perf_counter() - t0
+                )
+                shutil.rmtree(pv, ignore_errors=True)
+                pv2 = pid_scratch_dir(
+                    os.path.join(tempfile.gettempdir(), "nilm_spark_lc_sweep"),
+                    f"ivfreb_k{k}_r{rep}_",
+                )
+                t0 = time.perf_counter()
+                SIM.write_ivf_corpus(surv_emb, pv2, cents_lc)
+                lc_secs.setdefault("ivf_rebuild_survivors", []).append(
+                    time.perf_counter() - t0
+                )
+                shutil.rmtree(pv2, ignore_errors=True)
+            for name, rows_in in (
+                ("bm25_delete_fixed", n),
+                ("bm25_compact", n),
+                ("bm25_rebuild_survivors", n),
+                ("ivf_delete_onelist", n_emb_lc),
+                ("ivf_rebuild_survivors", n_emb_lc),
+            ):
+                sec = min(lc_secs[name])
+                results.setdefault(name, []).append((rows_in, sec))
+                print(json.dumps({
+                    "query": name, "k": k, "corpus_rows": rows_in,
+                    "sec": round(sec, 3),
+                }))
+
         r8_names = {"pagerank_iters", "entity_clusters", "stratified_split"}
         if only is None or only & r8_names:
             # r8 kernels. pagerank: k disjoint copies of the bipartite
