@@ -278,6 +278,9 @@ HEADLINE = [
     # the IVF copy-on-write erasure gate
     "bm25_index_lifecycle",
     "ivf_delete_probe_equiv",
+    # round-8 batch 7: nearest-direction as-of join (one sorted union, two
+    # window passes — the both-sided alignment form)
+    "asof_nearest_purchase",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —
@@ -435,6 +438,7 @@ EXCLUDED: dict[str, str] = {
     "ivf_compact_probe_equiv": "write+2-append+compact gate; the swap compactor is benched inside 'bm25_index_lifecycle' and the probe via 'ivf_topk_persisted'",
     "bm25_delete_probe_equiv": "copy-on-write delete benched inside composed 'bm25_index_lifecycle' (same kernel, same layout)",
     "bm25_compact_probe_equiv": "swap compaction benched inside composed 'bm25_index_lifecycle' (same kernel, same layout)",
+    "bm25_delete_then_append_equiv": "ordering twin of benched 'bm25_index_lifecycle' (same ops, reversed order; algebra gate, not a new kernel)",
     # --- streaming_equiv (the three heaviest streaming gates ARE benched:
     #     'streaming_paa_equiv', 'streaming_session_window_equiv',
     #     'streaming_bitmask_equiv') ---

@@ -328,6 +328,111 @@ def asof_join_cogrouped(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value: str = "power",
+    out: str = "nearest_value",
+    out_ts: str | None = None,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (pd.merge_asof ``direction='nearest'``):
+    each left row matches the right row minimizing |left_ts − right_ts|,
+    optionally only within ``tolerance`` (same time unit as the ts
+    columns). Completes the as-of family (backward: :func:`asof_join`;
+    this adds the both-sided form sensor alignment and feature lookups
+    use when the nearest reading may be either side of the query time).
+
+    TIE POLICY (total, documented here and in TIES.md):
+    - duplicate (keys, right_ts) right rows are COLLAPSED to the max
+      value per timestamp first (nulls lose to non-nulls; all-null stays
+      null) — the uniform r8 family policy, applied by the same
+      groupBy/max as :func:`asof_join_cogrouped`;
+    - an EQUIDISTANT backward/forward pair resolves to the BACKWARD
+      (earlier) row. After the collapse, (keys, right_ts) is unique, so
+      (|diff|, direction) is a total order and the pick is deterministic.
+
+    Shape: two shuffles total — the tie collapse shuffles the RIGHT side
+    on (keys, right_ts) with map-side partial agg, then both directions
+    come from one tagged union shuffled once on ``keys`` and sorted
+    once: the backward candidate is the running ``last(payload)`` (right
+    rows sort before left at equal ts, giving <= semantics) and the
+    forward candidate the ``first(payload)`` over the following frame
+    (equal-ts rows are already owned by the backward side, diff 0 is
+    unbeatable and ties break backward anyway). Spark merges the two
+    frames into ONE Window node over one Sort (verified: 1 Window,
+    1 Sort in the physical plan) — never a range cross-product. Timestamps/values ride a double payload struct:
+    exact for integer inputs up to 2^53 (microsecond epochs ≈ 1.7e15 and
+    e6-scaled values fit; document at the call site otherwise).
+
+    Left rows with no in-tolerance candidate get null ``out`` (and null
+    ``out_ts`` when requested). Reference analog: none — extension of
+    the J4 alignment family, like the rest of the as-of kernels."""
+    pay_t = "struct<rt:double,rv:double>"
+    r2 = (
+        right.groupBy(*[F.col(k) for k in keys], F.col(right_ts).alias("_rts"))
+        .agg(F.max(F.col(right_value)).alias("_rv"))
+    )
+    lcols = left.columns
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).cast("double").alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(pay_t).alias("_pay"),
+    )
+    r_tagged = r2.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in keys
+        ],
+        *[F.col(k) for k in keys],
+        F.col("_rts").cast("double").alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.struct(
+            F.col("_rts").cast("double").alias("rt"),
+            F.col("_rv").cast("double").alias("rv"),
+        ).alias("_pay"),
+    ).select(*l_tagged.columns)
+    u = l_tagged.unionByName(r_tagged)
+    order = [F.col("_t"), F.col("_is_left"), F.col("_pay")]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    got = (
+        u.withColumn("_b", F.last("_pay", ignorenulls=True).over(wb))
+        .withColumn("_f", F.first("_pay", ignorenulls=True).over(wf))
+        .filter(F.col("_is_left") == 1)
+    )
+    db = F.col("_t") - F.col("_b.rt")
+    df_ = F.col("_f.rt") - F.col("_t")
+    b_ok = F.col("_b").isNotNull()
+    f_ok = F.col("_f").isNotNull()
+    if tolerance is not None:
+        b_ok = b_ok & (db <= F.lit(float(tolerance)))
+        f_ok = f_ok & (df_ <= F.lit(float(tolerance)))
+    pick_b = b_ok & (~f_ok | (db <= df_))
+    val = F.when(pick_b, F.col("_b.rv")).when(f_ok, F.col("_f.rv"))
+    extra = []
+    if out_ts is not None:
+        extra = [
+            F.when(pick_b, F.col("_b.rt"))
+            .when(f_ok, F.col("_f.rt"))
+            .alias(out_ts)
+        ]
+    return got.select(*lcols, val.alias(out), *extra)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

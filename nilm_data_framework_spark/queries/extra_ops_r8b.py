@@ -218,6 +218,136 @@ def bm25_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_delete_then_append_equiv",
+    oracle=_bm25_survivor_oracle(),
+    survey_ref="§2.10 text retrieval: maintenance-order commutativity — "
+    "DELETE first, then APPEND a disjoint batch into the post-delete "
+    "layout; must equal the same from-scratch survivor oracle as "
+    "bm25_index_lifecycle (which proves the append-then-delete order). "
+    "Together the two gates prove disjoint maintenance operations "
+    "commute on the layout",
+)
+def bm25_delete_then_append_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordering bm25_index_lifecycle does NOT exercise: erasure runs
+    BEFORE the ingest batch arrives, so the append lands in a layout
+    whose affected term directories were already rewritten (and some
+    dropped). Set algebra: (corpus − B − D) ∪ B = corpus − D when
+    B ∩ D = ∅ (batch % 10 == 7, erasure % 10 == 3) — the same survivor
+    oracle verbatim. Exactness hinges on the delete's stats decrement
+    and the append's stats merge composing: n_docs/sum_dl are plain
+    integer sums, df always derives from postings."""
+    from nilm_data_framework_spark.operators.index_maintenance import (
+        delete_bm25_docs,
+    )
+    from nilm_data_framework_spark.operators.text import (
+        append_bm25_batch,
+        write_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_bm25_da"), "idx_"
+    )
+    write_bm25_index(docs.filter(F.col("doc_id") % 10 != 7), path)
+    delete_bm25_docs(
+        spark, path, docs.filter(F.col("doc_id") % 10 == _DEL_MOD).select("doc_id")
+    )
+    append_bm25_batch(docs.filter(F.col("doc_id") % 10 == 7), path)
+    return _bm25_probe_frame(spark, path)
+
+
+# --- nearest-direction as-of join (completes the as-of family) -----------------
+
+_NEAREST_TOL_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "asof_nearest_purchase",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, event_id, epoch_us(ts) AS lus
+      FROM events WHERE event_type = 'click'
+    ),
+    r0 AS (
+      SELECT user_id, epoch_us(ts) AS rus,
+             CAST(floor(value * 1000000) AS BIGINT) AS v6
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (SELECT user_id, rus, max(v6) AS v6 FROM r0 GROUP BY 1, 2),
+    cand AS (
+      SELECT l.user_id, l.event_id,
+             abs(l.lus - r.rus) AS adiff,
+             CASE WHEN r.rus <= l.lus THEN 0 ELSE 1 END AS fwd,
+             r.v6
+      FROM l JOIN r ON l.user_id = r.user_id
+      WHERE abs(l.lus - r.rus) <= {_NEAREST_TOL_US}
+    ),
+    pick AS (
+      SELECT user_id, event_id, v6, adiff FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_id
+                                     ORDER BY adiff, fwd) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT l.user_id, l.event_id,
+           p.v6 AS nearest_v6,
+           p.adiff AS nearest_diff_us
+    FROM l LEFT JOIN pick p
+      ON l.user_id = p.user_id AND l.event_id = p.event_id
+    """,
+    survey_ref="§2.5 J-ext as-of family: NEAREST-direction as-of join "
+    "(pd.merge_asof direction='nearest' semantics with the family's "
+    "max-value tie collapse and a backward-on-equidistant rule) — one "
+    "shuffle, both directions from one sorted union, never a range "
+    "cross-product; the oracle replays the pick as a total-order "
+    "row_number over in-tolerance candidates",
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the NEAREST purchase value of the same user
+    within ±1 h — either side of the click (the both-sided alignment
+    backward as-of cannot express; operators/joins.py::asof_join_nearest).
+    All arithmetic rides exact integers: microsecond epochs and
+    e6-floored values pass through the kernel's double payload losslessly
+    (≪ 2^53), and the returned diff is re-derived as an exact BIGINT.
+    Ties: duplicate (user, ts) purchases collapse to max-v6; equidistant
+    pairs resolve backward — both replayed by the oracle's
+    (adiff, fwd) total order."""
+    from nilm_data_framework_spark.operators.joins import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("v6"),
+    )
+    left = base.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "us"
+    )
+    right = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", "v6"
+    )
+    out = asof_join_nearest(
+        left,
+        right,
+        keys=["user_id"],
+        left_ts="us",
+        right_ts="us",
+        right_value="v6",
+        out="_nv",
+        out_ts="_nts",
+        tolerance=_NEAREST_TOL_US,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("_nv").cast("long").alias("nearest_v6"),
+        F.abs(F.col("us") - F.col("_nts")).cast("long").alias("nearest_diff_us"),
+    )
+
+
+@query(
     "ivf_delete_probe_equiv",
     oracle=_ivf_survivor_oracle(),
     survey_ref="§2.10 ANN: copy-on-write DELETE from the persisted "

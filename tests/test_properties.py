@@ -153,6 +153,63 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts):
     assert got_vals == want_vals
 
 
+def _nearest_ref(lts, rts, tol):
+    """Pure-Python reference for asof_join_nearest's documented policy:
+    collapse duplicate right ts to max value, keep candidates within tol,
+    pick min (|diff|, direction) with backward (0) beating forward (1).
+    (|diff|, direction) is unique per right ts, so the min is total."""
+    coll: dict[int, int] = {}
+    for t, v in rts:
+        coll[t] = v if t not in coll else max(coll[t], v)
+    out = []
+    for lt in sorted(lts):
+        cands = [
+            (abs(lt - rt), 0 if rt <= lt else 1, v)
+            for rt, v in coll.items()
+            if tol is None or abs(lt - rt) <= tol
+        ]
+        out.append((lt, min(cands)[2] if cands else None))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lts=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+    rts=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 100)),
+        min_size=0,
+        max_size=15,
+    ),
+    tol=st.one_of(st.none(), st.integers(0, 25)),
+)
+# duplicate right ts with different values → max-value collapse (the asof
+# family's pinned tie case), and an exactly equidistant backward/forward
+# pair → backward wins; pinned so both tie paths run on every seed.
+@example(lts=[0], rts=[(0, 1), (0, 0)], tol=None)
+@example(lts=[5], rts=[(4, 1), (6, 9)], tol=None)
+@example(lts=[5], rts=[(4, 1), (6, 9)], tol=0)
+def test_asof_nearest_matches_python_reference(spark, lts, rts, tol):
+    from nilm_data_framework_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame([(1, t) for t in lts], "k int, ts long")
+    right = spark.createDataFrame(
+        [(1, t, v) for t, v in rts] or [(None, None, None)],
+        "k int, ts long, power long",
+    ).filter(F.col("k").isNotNull())
+    got = asof_join_nearest(
+        left, right, keys=["k"], right_value="power", tolerance=tol
+    ).toPandas()
+    got_pairs = sorted(
+        (int(r.ts), None if pd.isna(r.nearest_value) else int(r.nearest_value))
+        for r in got.itertuples()
+    )
+    assert got_pairs == sorted(_nearest_ref(lts, rts, tol))
+
+
 def test_scd2_intervals_tile_the_timeline(spark):
     """Per key: intervals are disjoint, ordered, gap-free (each valid_to ==
     next valid_from), the last is open, and concatenated runs reproduce the
