@@ -109,16 +109,27 @@ def _delete_partition_dirs(
 
 
 def _swap_directory(spark: SparkSession, old_path: str, new_path: str) -> None:
-    """delete(old) + rename(new -> old): the commit step of the
-    write-new-then-swap compaction. Not transactional — single-writer
-    contract, concurrent readers race the swap (documented in the module
-    docstring); a real table format would commit a manifest instead."""
+    """Three-step swap: rename(old -> old_retired), rename(new -> old),
+    delete(old_retired) — the commit step of the write-new-then-swap
+    compaction. The retire-first order means the previous layout is never
+    DELETED before its replacement is in place: a failure between the two
+    renames leaves the data recoverable at ``<old>_retired`` (and the
+    next compaction clears a stale retiree). Still not transactional —
+    single-writer contract, concurrent readers race the renames
+    (documented in the module docstring); a real table format would
+    commit a manifest instead."""
     fs, old = _hadoop_fs(spark, old_path)
     jvm = spark._jvm
     new = jvm.org.apache.hadoop.fs.Path(new_path)
-    fs.delete(old, True)
+    retired = jvm.org.apache.hadoop.fs.Path(f"{old_path}_retired")
+    fs.delete(retired, True)  # clear a stale retiree from a failed swap
+    if not fs.rename(old, retired):
+        raise IOError(f"compaction swap failed: retire {old_path}")
     if not fs.rename(new, old):
+        # put the old layout back so the live path never dangles
+        fs.rename(retired, old)
         raise IOError(f"compaction swap failed: rename {new_path} -> {old_path}")
+    fs.delete(retired, True)
 
 
 # --- BM25 inverted-index maintenance ------------------------------------------

@@ -371,6 +371,12 @@ def asof_join_nearest(
     Left rows with no in-tolerance candidate get null ``out`` (and null
     ``out_ts`` when requested). Reference analog: none — extension of
     the J4 alignment family, like the rest of the as-of kernels."""
+    reserved = {"_t", "_is_left", "_pay", "_b", "_f", "_rts", "_rv"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        # the range_join _iv_* lesson (ADVICE r7): colliding temp names
+        # silently drop or shadow caller columns — reject them instead
+        raise ValueError(f"asof_join_nearest reserves column names {clash}")
     pay_t = "struct<rt:double,rv:double>"
     r2 = (
         right.groupBy(*[F.col(k) for k in keys], F.col(right_ts).alias("_rts"))

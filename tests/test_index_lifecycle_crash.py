@@ -40,8 +40,11 @@ def test_compact_recovers_from_stale_tmp_dir(spark):
         [(999, 1, 1, "bogus")], "doc_id long, tf long, dl long, term string"
     ).write.partitionBy("term").parquet(stale)
     assert os.path.isdir(stale)
+    # ... and a stale retiree from a swap that died between its renames
+    os.makedirs(f"{p}/postings_retired/junk", exist_ok=True)
     compact_bm25_postings(spark, p)
     assert not os.path.exists(stale)  # swap consumed the tmp dir
+    assert not os.path.exists(f"{p}/postings_retired")  # retiree cleared
     assert _postings_set(spark, p) == before  # fresh rewrite, not the stale one
 
     # live layout intact if the tmp WRITE itself fails (pre-swap): emulate
