@@ -148,6 +148,48 @@ def test_bm25_compact_restores_one_file_per_term_and_preserves_rows(spark):
     assert _postings_set(spark, p) == before
 
 
+def _file_identity(root, skip_prefixes=()):
+    """(relpath, size, mtime_ns) for every file under root — unchanged
+    identity means the file was never rewritten."""
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if any(rel.startswith(p) for p in skip_prefixes):
+            continue
+        for f in files:
+            st = os.stat(os.path.join(dirpath, f))
+            out.add((os.path.join(rel, f), st.st_size, st.st_mtime_ns))
+    return out
+
+
+def test_bm25_delete_leaves_unaffected_term_files_untouched(spark):
+    """The copy-on-write I/O claim STRESS.md cites, pinned structurally:
+    deleting doc 3 ("stream delta") may rewrite only term=stream and
+    term=delta — every other term directory's files keep their exact
+    (name, size, mtime) identity, proving the rewrite touched nothing
+    else (toy wall-clock cannot show this; file identity can)."""
+    p = tempfile.mkdtemp(prefix="bm25_del_touch_") + "/idx"
+    write_bm25_index(_docs_df(spark), p)
+    post_root = f"{p}/postings"
+    affected = {"term=stream", "term=delta"}
+    before = _file_identity(post_root, skip_prefixes=tuple(affected))
+    delete_bm25_docs(spark, p, spark.createDataFrame([(3,)], "doc_id long"))
+    after = _file_identity(post_root, skip_prefixes=tuple(affected))
+    assert before == after
+
+
+def test_ivf_delete_leaves_unaffected_list_files_untouched(spark):
+    from nilm_data_framework_spark.operators.similarity import write_ivf_corpus
+
+    p = tempfile.mkdtemp(prefix="ivf_del_touch_") + "/corpus"
+    write_ivf_corpus(_vec_df(spark), p, CENTS)
+    # delete one vector of list cid=1: only that directory may change
+    before = _file_identity(p, skip_prefixes=("cid=1",))
+    delete_ivf_vecs(spark, p, spark.createDataFrame([(1,)], "vec_id long"))
+    after = _file_identity(p, skip_prefixes=("cid=1",))
+    assert before == after
+
+
 def test_partition_value_unescape_roundtrip(spark):
     # a term containing a path-reserved char: Spark escapes it in the
     # directory name; list_partition_values must map the dir back to the
