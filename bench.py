@@ -439,6 +439,7 @@ EXCLUDED: dict[str, str] = {
     "bm25_delete_probe_equiv": "copy-on-write delete benched inside composed 'bm25_index_lifecycle' (same kernel, same layout)",
     "bm25_compact_probe_equiv": "swap compaction benched inside composed 'bm25_index_lifecycle' (same kernel, same layout)",
     "bm25_delete_then_append_equiv": "ordering twin of benched 'bm25_index_lifecycle' (same ops, reversed order; algebra gate, not a new kernel)",
+    "asof_forward_next_purchase": "same single-sort kernel as benched 'asof_nearest_purchase' (direction dial only)",
     # --- streaming_equiv (the three heaviest streaming gates ARE benched:
     #     'streaming_paa_equiv', 'streaming_session_window_equiv',
     #     'streaming_bitmask_equiv') ---

@@ -338,13 +338,17 @@ def asof_join_nearest(
     out: str = "nearest_value",
     out_ts: str | None = None,
     tolerance: float | None = None,
+    direction: str = "nearest",
 ) -> DataFrame:
-    """Nearest-direction as-of join (pd.merge_asof ``direction='nearest'``):
-    each left row matches the right row minimizing |left_ts − right_ts|,
-    optionally only within ``tolerance`` (same time unit as the ts
-    columns). Completes the as-of family (backward: :func:`asof_join`;
-    this adds the both-sided form sensor alignment and feature lookups
-    use when the nearest reading may be either side of the query time).
+    """Nearest/forward as-of join (pd.merge_asof ``direction='nearest'``
+    and ``direction='forward'``): each left row matches the right row
+    minimizing |left_ts − right_ts| (``nearest``) or the first right row
+    at-or-after left_ts (``forward``, >= semantics — the
+    time-to-next-event lookup), optionally only within ``tolerance``
+    (same time unit as the ts columns). Completes the as-of family
+    (backward: :func:`asof_join`; this adds the both-sided and forward
+    forms sensor alignment and feature lookups use when the reading may
+    be at or after the query time).
 
     TIE POLICY (total, documented here and in TIES.md):
     - duplicate (keys, right_ts) right rows are COLLAPSED to the max
@@ -369,8 +373,14 @@ def asof_join_nearest(
     e6-scaled values fit; document at the call site otherwise).
 
     Left rows with no in-tolerance candidate get null ``out`` (and null
-    ``out_ts`` when requested). Reference analog: none — extension of
-    the J4 alignment family, like the rest of the as-of kernels."""
+    ``out_ts`` when requested). ``forward`` reuses the same single-sort
+    plan: an exact-ts match IS the backward carry at diff 0 (the
+    collapse makes it unique), so forward = that row if present, else
+    the strictly-after candidate — no third window. Reference analog:
+    none — extension of the J4 alignment family, like the rest of the
+    as-of kernels."""
+    if direction not in ("nearest", "forward"):
+        raise ValueError(f"direction must be 'nearest' or 'forward': {direction!r}")
     reserved = {"_t", "_is_left", "_pay", "_b", "_f", "_rts", "_rv"}
     clash = reserved & set(left.columns) | reserved & set(right.columns)
     if clash:
@@ -427,7 +437,12 @@ def asof_join_nearest(
     if tolerance is not None:
         b_ok = b_ok & (db <= F.lit(float(tolerance)))
         f_ok = f_ok & (df_ <= F.lit(float(tolerance)))
-    pick_b = b_ok & (~f_ok | (db <= df_))
+    if direction == "forward":
+        # ">= ts": the exact-ts row (unique after the collapse) is the
+        # backward carry at diff 0; otherwise the strictly-after candidate
+        pick_b = b_ok & (db == F.lit(0.0))
+    else:
+        pick_b = b_ok & (~f_ok | (db <= df_))
     val = F.when(pick_b, F.col("_b.rv")).when(f_ok, F.col("_f.rv"))
     extra = []
     if out_ts is not None:

@@ -348,6 +348,85 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_forward_next_purchase",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, event_id, epoch_us(ts) AS lus
+      FROM events WHERE event_type = 'click'
+    ),
+    r0 AS (
+      SELECT user_id, epoch_us(ts) AS rus,
+             CAST(floor(value * 1000000) AS BIGINT) AS v6
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (SELECT user_id, rus, max(v6) AS v6 FROM r0 GROUP BY 1, 2),
+    cand AS (
+      SELECT l.user_id, l.event_id, r.rus - l.lus AS wait_us, r.v6
+      FROM l JOIN r ON l.user_id = r.user_id
+      WHERE r.rus >= l.lus AND r.rus - l.lus <= {_NEAREST_TOL_US}
+    ),
+    pick AS (
+      SELECT user_id, event_id, v6, wait_us FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_id
+                                     ORDER BY wait_us) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT l.user_id, l.event_id,
+           p.v6 AS next_v6,
+           p.wait_us AS wait_us
+    FROM l LEFT JOIN pick p
+      ON l.user_id = p.user_id AND l.event_id = p.event_id
+    """,
+    survey_ref="§2.5 J-ext as-of family: FORWARD as-of (>= semantics, "
+    "pd.merge_asof direction='forward') — time-to-next-event lookup via "
+    "the same single-sort kernel (exact-ts match = the backward carry at "
+    "diff 0, no third window); wait_us exact BIGINT",
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the NEXT purchase value of the same user within
+    +1 h and the exact wait in microseconds — the time-to-convert lookup
+    (operators/joins.py::asof_join_nearest, direction='forward').
+    Collapsed duplicate purchase timestamps make the pick total: wait_us
+    is unique per candidate, so the oracle's single-column ORDER BY
+    replays it."""
+    from nilm_data_framework_spark.operators.joins import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("v6"),
+    )
+    left = base.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "us"
+    )
+    right = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", "v6"
+    )
+    out = asof_join_nearest(
+        left,
+        right,
+        keys=["user_id"],
+        left_ts="us",
+        right_ts="us",
+        right_value="v6",
+        out="_nv",
+        out_ts="_nts",
+        tolerance=_NEAREST_TOL_US,
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("_nv").cast("long").alias("next_v6"),
+        (F.col("_nts") - F.col("us")).cast("long").alias("wait_us"),
+    )
+
+
+@query(
     "ivf_delete_probe_equiv",
     oracle=_ivf_survivor_oracle(),
     survey_ref="§2.10 ANN: copy-on-write DELETE from the persisted "

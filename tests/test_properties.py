@@ -153,11 +153,12 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts):
     assert got_vals == want_vals
 
 
-def _nearest_ref(lts, rts, tol):
+def _nearest_ref(lts, rts, tol, direction="nearest"):
     """Pure-Python reference for asof_join_nearest's documented policy:
-    collapse duplicate right ts to max value, keep candidates within tol,
-    pick min (|diff|, direction) with backward (0) beating forward (1).
-    (|diff|, direction) is unique per right ts, so the min is total."""
+    collapse duplicate right ts to max value, keep candidates within tol
+    (forward: only rt >= lt), pick min (|diff|, direction) with backward
+    (0) beating forward (1). (|diff|, direction) is unique per right ts,
+    so the min is total."""
     coll: dict[int, int] = {}
     for t, v in rts:
         coll[t] = v if t not in coll else max(coll[t], v)
@@ -166,7 +167,8 @@ def _nearest_ref(lts, rts, tol):
         cands = [
             (abs(lt - rt), 0 if rt <= lt else 1, v)
             for rt, v in coll.items()
-            if tol is None or abs(lt - rt) <= tol
+            if (tol is None or abs(lt - rt) <= tol)
+            and (direction == "nearest" or rt >= lt)
         ]
         out.append((lt, min(cands)[2] if cands else None))
     return out
@@ -185,14 +187,18 @@ def _nearest_ref(lts, rts, tol):
         max_size=15,
     ),
     tol=st.one_of(st.none(), st.integers(0, 25)),
+    direction=st.sampled_from(["nearest", "forward"]),
 )
 # duplicate right ts with different values → max-value collapse (the asof
-# family's pinned tie case), and an exactly equidistant backward/forward
-# pair → backward wins; pinned so both tie paths run on every seed.
-@example(lts=[0], rts=[(0, 1), (0, 0)], tol=None)
-@example(lts=[5], rts=[(4, 1), (6, 9)], tol=None)
-@example(lts=[5], rts=[(4, 1), (6, 9)], tol=0)
-def test_asof_nearest_matches_python_reference(spark, lts, rts, tol):
+# family's pinned tie case), an exactly equidistant backward/forward
+# pair → backward wins, and forward's exact-ts inclusion; pinned so every
+# tie path runs on every seed.
+@example(lts=[0], rts=[(0, 1), (0, 0)], tol=None, direction="nearest")
+@example(lts=[5], rts=[(4, 1), (6, 9)], tol=None, direction="nearest")
+@example(lts=[5], rts=[(4, 1), (6, 9)], tol=0, direction="nearest")
+@example(lts=[5], rts=[(5, 2), (6, 9)], tol=None, direction="forward")
+@example(lts=[5], rts=[(4, 1)], tol=None, direction="forward")
+def test_asof_nearest_matches_python_reference(spark, lts, rts, tol, direction):
     from nilm_data_framework_spark.operators.joins import asof_join_nearest
 
     left = spark.createDataFrame([(1, t) for t in lts], "k int, ts long")
@@ -201,13 +207,14 @@ def test_asof_nearest_matches_python_reference(spark, lts, rts, tol):
         "k int, ts long, power long",
     ).filter(F.col("k").isNotNull())
     got = asof_join_nearest(
-        left, right, keys=["k"], right_value="power", tolerance=tol
+        left, right, keys=["k"], right_value="power", tolerance=tol,
+        direction=direction,
     ).toPandas()
     got_pairs = sorted(
         (int(r.ts), None if pd.isna(r.nearest_value) else int(r.nearest_value))
         for r in got.itertuples()
     )
-    assert got_pairs == sorted(_nearest_ref(lts, rts, tol))
+    assert got_pairs == sorted(_nearest_ref(lts, rts, tol, direction))
 
 
 def test_scd2_intervals_tile_the_timeline(spark):
