@@ -135,12 +135,21 @@ def _swap_directory(spark: SparkSession, old_path: str, new_path: str) -> None:
 # --- BM25 inverted-index maintenance ------------------------------------------
 
 
+# above this many affected terms the rewrite switches from a partition-
+# pruned isin literal to a term semi-join: a driver-side list of 10^5+
+# terms would bloat the plan (and its collect), while the semi-join keeps
+# the term set distributed at the cost of an unpruned second scan — the
+# standard literal-vs-join pushdown crossover
+_ISIN_MAX_TERMS = 10_000
+
+
 def delete_bm25_docs(
     spark: SparkSession,
     path: str,
     deleted: DataFrame,
     id_col: str = "doc_id",
     write_partitions: int = 32,
+    isin_max_terms: int = _ISIN_MAX_TERMS,
 ) -> None:
     """Copy-on-write DELETE from a ``write_bm25_index`` layout (the
     right-to-be-forgotten path a GDPR erasure demands of a persisted
@@ -183,8 +192,12 @@ def delete_bm25_docs(
     post = spark.read.parquet(f"{path}/postings")
     victims = post.join(F.broadcast(del_ids), "doc_id", "semi").localCheckpoint()
 
-    affected = {r["term"] for r in victims.select("term").distinct().collect()}
-    if not affected:
+    aff_terms = victims.select("term").distinct().localCheckpoint()
+    # peek one past the isin crossover instead of collecting the full set:
+    # the affected-term LIST only ever reaches the driver when it is small
+    # enough to splice as a partition-pruning literal
+    head = [r["term"] for r in aff_terms.limit(isin_max_terms + 1).collect()]
+    if not head:
         return
     # stats delta: one row per deleted doc (dl is denormalized into every
     # posting of the doc; first() over identical values)
@@ -198,6 +211,17 @@ def delete_bm25_docs(
         .collect()[0]
     )
 
+    if len(head) <= isin_max_terms:
+        # small erasure vocabulary: literal filter → parquet partition
+        # pruning, the scan touches only affected directories
+        affected_posts = post.filter(F.col("term").isin(head))
+        n_parts = max(min(write_partitions, len(head)), 1)
+    else:
+        # huge erasure vocabulary: keep the term set distributed (a 10^5+
+        # element isin literal bloats the plan and the driver); costs one
+        # unpruned re-scan, still ≪ a rebuild which re-tokenizes the corpus
+        affected_posts = post.join(aff_terms, "term", "semi")
+        n_parts = write_partitions
     # localCheckpoint before the rewrite: (a) Spark refuses to overwrite a
     # path its plan still reads from — the checkpoint cuts that lineage
     # (the rewrite materializes exactly this data anyway; at 100 TB a
@@ -205,19 +229,23 @@ def delete_bm25_docs(
     # compactor does); (b) the frame feeds two consumers (surviving-term
     # set + the write)
     surv = (
-        post.filter(F.col("term").isin(list(affected)))
-        .join(F.broadcast(del_ids), "doc_id", "anti")
+        affected_posts.join(F.broadcast(del_ids), "doc_id", "anti")
         .localCheckpoint()
     )
     # a term dir left with zero survivors gets NO rows in the dynamic
-    # overwrite — collect the surviving term set (bounded by |affected|)
-    # to find dirs that must be dropped explicitly
-    surviving = {r["term"] for r in surv.select("term").distinct().collect()}
-    n_parts = max(min(write_partitions, len(affected)), 1)
+    # overwrite — those dirs must be dropped explicitly; the emptied set
+    # is computed DISTRIBUTED (affected anti surviving) and only it is
+    # collected — bounded by terms that lost their every posting
+    emptied = {
+        r["term"]
+        for r in aff_terms.join(
+            surv.select("term").distinct(), "term", "anti"
+        ).collect()
+    }
     surv.repartition(n_parts, "term").write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("term").parquet(f"{path}/postings")
-    _delete_partition_dirs(spark, f"{path}/postings", "term", affected - surviving)
+    _delete_partition_dirs(spark, f"{path}/postings", "term", emptied)
 
     old = spark.read.parquet(f"{path}/stats").collect()[0]
     spark.createDataFrame(

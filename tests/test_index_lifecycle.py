@@ -85,6 +85,24 @@ def test_bm25_delete_matches_fresh_rebuild(spark):
     assert a == b  # bit-equal scores: same stats, same op order
 
 
+def test_bm25_delete_semi_join_branch_matches_isin_branch(spark):
+    """isin_max_terms=0 forces the huge-erasure-vocabulary path (term
+    semi-join instead of the partition-pruned isin literal); it must
+    produce the identical layout, including the emptied-directory drop
+    (doc 5 is the only holder of 'onlyinfive'/'zeta')."""
+    base = tempfile.mkdtemp(prefix="bm25_del_semi_")
+    p_a, p_b = f"{base}/isin", f"{base}/semi"
+    df = _docs_df(spark)
+    deleted = spark.createDataFrame([(1,), (5,)], "doc_id long")
+    write_bm25_index(df, p_a)
+    delete_bm25_docs(spark, p_a, deleted)
+    write_bm25_index(df, p_b)
+    delete_bm25_docs(spark, p_b, deleted, isin_max_terms=0)
+    assert _postings_set(spark, p_a) == _postings_set(spark, p_b)
+    assert _stats(spark, p_a) == _stats(spark, p_b)
+    assert "onlyinfive" not in list_partition_values(spark, f"{p_b}/postings", "term")
+
+
 def test_bm25_delete_empties_term_directory(spark):
     p = tempfile.mkdtemp(prefix="bm25_del_empty_") + "/idx"
     df = _docs_df(spark)
