@@ -136,7 +136,6 @@ HEADLINE = [
     "sole_return_suppliers",
     # round-5 batch 5: runtime-filter pruning + graph link prediction
     "runtime_filter_pruned_join",
-    "common_neighbors_linkpred",
     "topk_per_group_limit",
     # round-5 batch 6: persisted IVF layout (write + partition-pruned probe)
     "ivf_topk_persisted",
@@ -281,6 +280,18 @@ HEADLINE = [
     # round-8 batch 7: nearest-direction as-of join (one sorted union, two
     # window passes — the both-sided alignment form)
     "asof_nearest_purchase",
+    # round-8 batch 8: degree-weighted link prediction (supersedes the plain
+    # common-neighbor wedge kernel in the bench — same wedge enumeration plus
+    # the degree join) and Spearman over two scale-safe bucketed global ranks
+    "resource_allocation_linkpred",
+    "spearman_rho_corr",
+    # round-8 batch 9: winnowing local fingerprints (per-row HOF hashing +
+    # df-capped bucket join) and ColBERT-style MaxSim late interaction
+    "winnowing_fingerprint_pairs",
+    "maxsim_multivector_topk",
+    # round-8 batch 10: Apriori level-3 itemsets (triple HOF explosion —
+    # one lattice level above benched 'association_rules')
+    "apriori_triples",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —
@@ -299,6 +310,9 @@ EXCLUDED: dict[str, str] = {
     "vocab_growth_stats": "token-explode + agg; text-kernel family benched via 'unigram_surprisal_score'",
     # --- attribution_trends ---
     "ols_trend_daily": "closed-form OLS on the bounded day grid; trend family benched via 'theil_sen_daily_trend'",
+    "common_neighbors_linkpred": "same wedge-enumeration kernel as benched 'resource_allocation_linkpred' minus its degree join",
+    "kendall_tau_daily": "year-bucketed pair join on the calendar-bounded day grid; same grain as benched 'theil_sen_daily_trend'",
+    "disparate_impact_audit": "20-row governance agg over 'quality_filter' features; feature kernel benched via 'text_quality'",
     "session_bounce_rate": "rides benched 'sessionize' session ids + one agg",
     "salted_join_hot_keys": "salting demo on a constant key list; join family benched via 'runtime_filter_pruned_join'",
     "compaction_audit": "bounded file-manifest audit; layout family benched via 'zorder_layout_stats'",
@@ -331,6 +345,8 @@ EXCLUDED: dict[str, str] = {
     "transitive_closure_paths": "bounded-iteration closure on the small co-purchase graph; graph family benched via 'pagerank_step'",
     "event_type_trigrams": "same trigram kernel as benched 'gap_constrained_trigrams'",
     "kfold_assignment": "hash-mod projection; split family benched via 'temporal_embargo_split'",
+    "conformal_split_threshold": "value-histogram order statistic, same exact-quantile pattern as benched 'temporal_embargo_split'",
+    "rolling_origin_cv_splits": "calendar-bounded daily grid + 4-row fold dim; split family benched via 'temporal_embargo_split'",
     "join_size_from_histograms": "estimate over bounded histograms; benched via 'cbo_column_stats'",
     "streaming_trigram_equiv": "streaming equivalence gate; family represented by the three benched streaming gates",
     "multiset_except_views": "EXCEPT ALL plan shape over two subsecond scans; set-op microshape",
@@ -339,6 +355,7 @@ EXCLUDED: dict[str, str] = {
     "label_centroid_stats": "embedding agg family benched via 'embedding_gram_matrix'",
     "poisson_bootstrap_ci": "replicate-weighted aggs; weighting family benched via 'weight_ess_by_source'",
     "leave_one_out_influence": "algebraic LOO on bounded groups; eval family benched via 'knn_label_accuracy'",
+    "knn_reliability_bins": "≤5-row calibration rollup over benched 'knn_label_accuracy' predictions",
     "benford_digit_audit": "digit-histogram agg; audit family benched via 'constraint_suite_report'",
     "gini_key_skew": "same ranked-share kernel as benched 'lorenz_curve_deciles'",
     "dedup_quality_impact": "reruns the full LSH clustering inside the gate (r5, documented); deliberately not bench-listed",

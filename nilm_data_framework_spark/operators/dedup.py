@@ -689,6 +689,111 @@ def containment_prefix_pairs(
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every word
+    ``n``-gram IN ORDER, slide a window of ``w`` consecutive gram hashes,
+    and select each window's MINIMUM hash. Guarantees: any shared
+    substring of ≥ w+n-1 words yields at least one shared fingerprint
+    (the local-selection property MinHash lacks — MinHash samples
+    globally, winnowing detects LOCAL overlap), and the selected set is
+    position-independent, so it survives content reordering around the
+    match.
+
+    Tie note: we keep the DISTINCT selected hash VALUES per document;
+    equal-minima windows select the same value whichever position a
+    robust-winnowing implementation would record, so the emitted set is
+    tie-free by construction (no TIES.md hazard). Documents with fewer
+    than w gram windows (but ≥ 1 gram) contribute their single global
+    minimum — short docs are never silently unfingerprinted.
+
+    Shape: pure per-row HOFs (tokenize → gram → md5-hash → sliding
+    array_min) + one explode — a narrow 1→N map with NO shuffle; the
+    fingerprint stream partitions downstream by fp exactly like shingle
+    tables. All hashing is the repo's md5-residue idiom, bit-identical
+    in DuckDB. Emits (id, fp)."""
+    from nilm_data_framework_spark.operators.text import word_ngrams_all
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams_all(F.col(text), n).alias("_g"),
+    )
+    hashed = grams.select(
+        "id", F.transform("_g", lambda g: _md5_64(g)).alias("_h")
+    )
+    m = F.size("_h")
+    window_mins = F.transform(
+        F.sequence(F.lit(0), m - w),
+        lambda j: F.array_min(F.slice(F.col("_h"), j + 1, w)),
+    )
+    fps = (
+        F.when(m >= w, window_mins)
+        .when(m >= 1, F.array(F.array_min("_h")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return hashed.select(
+        "id", F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def winnowing_shared_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the MOSS plagiarism/copy-detection join. Fingerprints occurring in
+    more than ``max_df`` documents are dropped BEFORE pairing (boilerplate
+    grams — the deterministic df-cap analog of a stopword list; the cap
+    is part of the declared semantics, replayed exactly by the oracle,
+    not a silent recall trade). Candidate pairs form only inside a
+    fingerprint bucket (≤ max_df² per bucket), never via a cross join.
+
+    Emits (id_a, id_b, n_shared, n_fp_a, n_fp_b) with id_a < id_b."""
+    fps = winnowing_fingerprints(df, id_col=id_col, text=text, n=n, w=w)
+    fps = fps.localCheckpoint(eager=True)  # feeds df-cap, sizes, and pairing
+    kept = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp"),
+        "fp",
+    )
+    sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("id").alias("id_a"), "fp")
+    b = kept.select(F.col("id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("n_fp", "n_fp_a")
+        .join(sizes.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("n_fp", "n_fp_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.col("n_fp_a").cast("long").alias("n_fp_a"),
+            F.col("n_fp_b").cast("long").alias("n_fp_b"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 63) -> DataFrame:
     """SimHash signature: per-token md5-derived hash; each bit votes ±1;
     signature bit b = sign of the vote sum. Emits (id, simhash long).

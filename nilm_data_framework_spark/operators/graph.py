@@ -211,6 +211,61 @@ def common_neighbors_topk(
     return non_adj.orderBy(F.col("n_common").desc(), "v1", "v2").limit(k)
 
 
+def resource_allocation_topk(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 15,
+    materialize: bool = True,
+) -> DataFrame:
+    """Top-k NON-adjacent vertex pairs by the Resource-Allocation index
+    RA(a, b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) (Zhou/Lü/Zhang EPJ B 2009) —
+    the degree-penalized refinement of plain common-neighbor counting:
+    a wedge through a low-degree (specific) vertex is stronger evidence
+    than one through a hub.
+
+    Exactness: each wedge contributes the EXACT scaled integer
+    ``1e6 div deg(z)`` and the pair score is the BIGINT sum of those
+    contributions, so the ranking replays bit-identically in DuckDB
+    (sum-of-floors, never floor-of-sum — deterministic by construction,
+    no ln()/float anywhere; contrast Adamic–Adar's 1/ln(deg), which is
+    why RA ships and AA does not). Ties in ra_e6 break on (v1, v2).
+
+    Shape and scale: identical wedge enumeration to
+    :func:`common_neighbors_topk` (symmetrize → self-join on the shared
+    neighbor → hash agg per pair → anti-join vs the symmetrized edge set
+    → TakeOrdered top-k); the only addition is one broadcast-sized degree
+    agg joined onto the wedge center BEFORE the pair agg. Wedge volume is
+    Σ_z deg(z)² with the same upstream support-threshold/hub-cap levers.
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    if materialize:
+        # feeds the adjacency twice, the degree agg, and the anti-join
+        e = e.localCheckpoint(eager=True)
+    sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    deg = sym.groupBy(F.col("_u").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    a1 = sym.select(F.col("_u").alias("_n"), F.col("_v").alias("v1"))
+    a2 = sym.select(F.col("_u").alias("_n"), F.col("_v").alias("v2"))
+    cand = (
+        a1.join(a2, "_n")
+        .filter(F.col("v1") < F.col("v2"))
+        .join(deg, "_n")
+        .groupBy("v1", "v2")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr("1000000 div _deg")).cast("long").alias("ra_e6"),
+        )
+    )
+    non_adj = cand.join(
+        sym,
+        (cand["v1"] == sym["_u"]) & (cand["v2"] == sym["_v"]),
+        "left_anti",
+    )
+    return non_adj.orderBy(F.col("ra_e6").desc(), "v1", "v2").limit(k)
+
+
 def transitive_closure(
     edges: DataFrame,
     child: str = "child",

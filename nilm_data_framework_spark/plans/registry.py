@@ -92,6 +92,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extra_ops_r7,
         extra_ops_r8,
         extra_ops_r8b,
+        extra_ops_r8c,
     )
 
     ordered = sorted(registry, key=lambda n: (n in _DRIVER_RECORDED,))

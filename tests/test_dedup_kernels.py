@@ -371,3 +371,49 @@ def test_connected_components_raises_on_nonconvergence(spark):
         raise AssertionError("non-convergence not raised")
     except RuntimeError as e:
         assert "did not converge" in str(e)
+
+
+def test_winnowing_python_oracle_parity(spark):
+    """winnowing_fingerprints must equal a pure-Python replay of the same
+    contract: md5-residue hashes of ordered word 3-grams, window-4 minima,
+    distinct values (global min for docs with 1..3 grams, nothing for
+    gram-less docs)."""
+
+    def py_fps(text, n=3, w=4):
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        ]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    got = (
+        D.winnowing_fingerprints(_pdf(spark))
+        .groupBy("id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .collect()
+    )
+    got_map = {r["id"]: set(r["fps"]) for r in got}
+    for doc_id, text in DOCS:
+        want = py_fps(text)
+        assert got_map.get(doc_id, set()) == want, (doc_id, text)
+
+
+def test_winnowing_local_overlap_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a run of >= w+n-1
+    = 6 words MUST share at least one fingerprint, even when everything
+    around the run differs (the local-detection property MinHash lacks)."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"zz yy xx ww {shared} vv uu tt ss rr"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    fps = D.winnowing_fingerprints(df).collect()
+    s0 = {r["fp"] for r in fps if r["id"] == 0}
+    s1 = {r["fp"] for r in fps if r["id"] == 1}
+    assert s0 & s1, "shared 6-word run produced no shared fingerprint"

@@ -51,6 +51,44 @@ def test_common_neighbors_count_and_topk_order(spark):
     assert [(r["v1"], r["v2"], r["n_common"]) for r in out] == [(1, 4, 2)]
 
 
+def test_resource_allocation_weights_by_center_degree(spark):
+    # star center 0 with leaves 1..3 plus a pendant 5 on 1 and 6 on 2:
+    # wedges through hub 0 (deg 3) score 1e6 div 3 = 333333, while the
+    # wedges (0,5) through 1 and (0,6) through 2 (deg 2 each) score
+    # 500000 — OUTRANKING the hub-mediated pairs despite identical
+    # n_common: the exact hub-penalty behavior RA exists for.
+    from nilm_data_framework_spark.operators.graph import resource_allocation_topk
+
+    out = resource_allocation_topk(
+        _edges(spark, [(0, 1), (0, 2), (0, 3), (1, 5), (2, 6)]),
+        k=10,
+        materialize=False,
+    ).collect()
+    got = {(r["v1"], r["v2"]): (r["n_common"], r["ra_e6"]) for r in out}
+    assert got[(0, 5)] == (1, 500000)  # through vertex 1, deg 2
+    assert got[(0, 6)] == (1, 500000)  # through vertex 2, deg 2
+    assert got[(1, 2)] == (1, 333333)  # through hub 0, deg 3
+    assert got[(1, 3)] == (1, 333333)
+    assert got[(2, 3)] == (1, 333333)
+    assert len(got) == 5
+    ordered = [(r["v1"], r["v2"]) for r in out]
+    # deg-2 wedges rank above hub wedges; ties break on (v1, v2)
+    assert ordered[:2] == [(0, 5), (0, 6)]
+
+
+def test_resource_allocation_excludes_adjacent_pairs(spark):
+    # triangle 1-2-3 + pendant 4 on 3: adjacent pairs never predicted even
+    # though each shares a neighbor; (1,4)/(2,4) score 1e6 div deg(3) with
+    # deg(3) = 3 (neighbors 1, 2, 4).
+    from nilm_data_framework_spark.operators.graph import resource_allocation_topk
+
+    out = resource_allocation_topk(
+        _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)]), k=10, materialize=False
+    ).collect()
+    got = {(r["v1"], r["v2"]): r["ra_e6"] for r in out}
+    assert got == {(1, 4): 333333, (2, 4): 333333}
+
+
 def test_runtime_filter_confs_restored_on_error(spark):
     old_app = spark.conf.get(_APP_THRESHOLD)
     old_bc = spark.conf.get(_BROADCAST_THRESHOLD)
