@@ -292,6 +292,10 @@ HEADLINE = [
     # round-8 batch 10: Apriori level-3 itemsets (triple HOF explosion —
     # one lattice level above benched 'association_rules')
     "apriori_triples",
+    # round-8 batch 11: bitemporal two-axis PIT lookup and the ±3-window
+    # skip-gram PMI (3x the pair volume of the adjacent bigram form)
+    "bitemporal_pit_lookup",
+    "skipgram_pmi_topk",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —
@@ -356,6 +360,9 @@ EXCLUDED: dict[str, str] = {
     "poisson_bootstrap_ci": "replicate-weighted aggs; weighting family benched via 'weight_ess_by_source'",
     "leave_one_out_influence": "algebraic LOO on bounded groups; eval family benched via 'knn_label_accuracy'",
     "knn_reliability_bins": "≤5-row calibration rollup over benched 'knn_label_accuracy' predictions",
+    "harmonic_centrality": "one extra hash agg over the same path-doubling closure as benched 'closeness_centrality'",
+    "mcnemar_gate_comparison": "one global agg over 'quality_filter'-style features; feature kernel benched via 'text_quality'",
+    "cuped_moments": "two hash aggs of integer moments; stats family benched via 'classifier_agreement_kappa'",
     "benford_digit_audit": "digit-histogram agg; audit family benched via 'constraint_suite_report'",
     "gini_key_skew": "same ranked-share kernel as benched 'lorenz_curve_deciles'",
     "dedup_quality_impact": "reruns the full LSH clustering inside the gate (r5, documented); deliberately not bench-listed",

@@ -907,21 +907,24 @@ def knn_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "apriori_triples",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH op AS (
+      SELECT DISTINCT
+             o.o_custkey * 100 + (epoch_us(o.o_orderdate) // 86400000000)
+               // 730 AS bk,
+             l.l_partkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
     tri AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
              CAST(count(*) AS BIGINT) AS c_abc
       FROM op a
-      JOIN op b ON b.l_orderkey = a.l_orderkey
-               AND a.l_partkey < b.l_partkey
-      JOIN op c ON c.l_orderkey = a.l_orderkey
-               AND b.l_partkey < c.l_partkey
+      JOIN op b ON b.bk = a.bk AND a.l_partkey < b.l_partkey
+      JOIN op c ON c.bk = a.bk AND b.l_partkey < c.l_partkey
       GROUP BY 1, 2, 3 HAVING count(*) >= 2
     ),
     pair AS (
       SELECT a.l_partkey AS s, b.l_partkey AS t, CAST(count(*) AS BIGINT) AS c
-      FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey
-                         AND a.l_partkey < b.l_partkey
+      FROM op a JOIN op b ON b.bk = a.bk AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
     )
     SELECT t.p1, t.p2, t.p3, t.c_abc,
@@ -932,20 +935,35 @@ def knn_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN pair ab ON ab.s = t.p1 AND ab.t = t.p2
     JOIN pair ac ON ac.s = t.p1 AND ac.t = t.p3
     JOIN pair bc ON bc.s = t.p2 AND bc.t = t.p3
+    ORDER BY t.c_abc DESC, t.p1, t.p2, t.p3
+    LIMIT 25
     """,
     survey_ref="§2 extension: frequent 3-itemsets (Apriori level 3, "
-    "Agrawal & Srikant VLDB'94) over the order-basket grain — triples "
-    "with support ≥ 2 plus their three sub-pair supports and the "
+    "Agrawal & Srikant VLDB'94) over (customer, 2-year) baskets — top-25 "
+    "triples with support ≥ 2 plus their three sub-pair supports and the "
     "ab→c confidence as an exact e4 ratio; extends the pairwise "
     "association_rules mining one lattice level up",
 )
 def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent part triples: per-order sorted distinct part array →
-    JVM-side HOF triple explosion (the _copurchase_edges pair kernel one
-    level deeper — baskets are small, ≤B parts explode to ≤B³/6 structs
-    per order, and the fact table is scanned/shuffled ONCE) → hash count
-    per triple → support filter → three equi-joins back to the pair
-    supports for the rule confidences.
+    """Frequent part triples over (customer, 2-year-window) baskets —
+    the grain choice is load-bearing twice: the order grain is too
+    sparse (random 4-item orders over an sf-scaled part universe produce
+    ZERO support-2 triples at sf0.1, the vacuous-gate trap) and the
+    lifetime-customer grain too dense (B≈40-part baskets explode to
+    ~10k triples each — measured 32 s at the gate scale); the windowed
+    basket keeps B bounded by per-window order volume (~10 parts) at
+    every sf. bk = custkey·100 + epoch-day div 730 is collision-free
+    (the day bucket is < 100 for any realistic calendar).
+
+    Shape: one (basket, part) membership frame (checkpointed — it feeds
+    the pair-stage baskets and the three triple-join legs) → pairs via
+    the single-level HOF explosion (the _copurchase_edges kernel, its
+    measured-fastest depth) → triples via two codegen'd basket-key
+    equi-joins (measured faster than the depth-3 HOF — see inline note)
+    → hash count per triple → support filter → three equi-joins back to
+    the pair supports for the rule confidences → deterministic top-25
+    (c_abc DESC, triple). Candidate volume is basket-local (Σ B³/6)
+    either way — the engines differ only in constants.
 
     The Apriori property itself is why no candidate-generation pass is
     needed batch-side: support(abc) ≥ 2 IMPLIES every sub-pair's support
@@ -955,24 +973,24 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the exact e4 integer ratio; sub-pair joins are key-equi on
     (part, part) pairs."""
     li = load_table(spark, sf_dir, "lineitem")
-    parts = (
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "o_custkey * 100 + (unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000) div 730"
+        ).alias("bk"),
+    )
+    # (basket, part) membership feeds the pair stage AND the pruned
+    # triple rebuild — materialize the join once
+    op = (
         li.select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("bk", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    # triples (x, y, z) at ascending positions via nested slice transforms
-    tri_expr = F.expr(
-        "flatten(flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps) - i - 1), (y, j) -> "
-        "transform(slice(ps, i + j + 3, size(ps) - i - j - 2), "
-        "z -> struct(x AS p1, y AS p2, z AS p3))))))"
-    )
-    tri = (
-        parts.select(F.explode(tri_expr).alias("t"))
-        .select("t.p1", "t.p2", "t.p3")
-        .groupBy("p1", "p2", "p3")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_abc"))
-        .where(F.col("c_abc") >= 2)
+    parts = op.groupBy("bk").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
     pair = (
         parts.select(
@@ -987,6 +1005,26 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.s", "p.t")
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # Triple counting via two codegen'd equi-joins on the basket key, NOT
+    # the nested HOF (measured at sf0.1: join 6.7-7.2 s vs nested HOF
+    # 8-11 s — depth-3 interpreted lambdas building structs lose to
+    # whole-stage-codegen joins, the opposite of the PAIR stage where the
+    # single-level HOF wins ~20%; both measured, both kept at their
+    # winning depth). The classic Apriori hot-part prune was measured
+    # USELESS here and removed: at sf0.1 the frequent-pair part set
+    # covers essentially the whole catalog (2.9M pair instances over
+    # C(20k,2) bins → ~every part is in some frequent pair), so the
+    # prune added a join + materializations and saved nothing.
+    a = op.select("bk", F.col("l_partkey").alias("p1"))
+    b2 = op.select(F.col("bk").alias("_bk2"), F.col("l_partkey").alias("p2"))
+    c3 = op.select(F.col("bk").alias("_bk3"), F.col("l_partkey").alias("p3"))
+    tri = (
+        a.join(b2, (F.col("bk") == F.col("_bk2")) & (F.col("p1") < F.col("p2")))
+        .join(c3, (F.col("bk") == F.col("_bk3")) & (F.col("p2") < F.col("p3")))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_abc"))
+        .where(F.col("c_abc") >= 2)
     )
     ab = pair.select(
         F.col("s").alias("p1"), F.col("t").alias("p2"), F.col("c").alias("c_ab")
@@ -1004,13 +1042,495 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bc, (F.col("_b2") == F.col("p2")) & (F.col("_b3") == F.col("p3")))
         .drop("_b2", "_b3")
     )
-    return out.select(
-        "p1",
-        "p2",
-        "p3",
-        "c_abc",
-        "c_ab",
-        "c_ac",
-        "c_bc",
-        ratio_e4("c_abc", "c_ab").alias("conf_ab_c_e4"),
+    return (
+        out.select(
+            "p1",
+            "p2",
+            "p3",
+            "c_abc",
+            "c_ab",
+            "c_ac",
+            "c_bc",
+            ratio_e4("c_abc", "c_ab").alias("conf_ab_c_e4"),
+        )
+        .orderBy(F.col("c_abc").desc(), "p1", "p2", "p3")
+        .limit(25)
+    )
+
+
+# --- bitemporal point-in-time lookup ---------------------------------------------
+
+
+@query(
+    "bitemporal_pit_lookup",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS tt_us,
+             epoch_us(ts) - (event_id % 5) * 3600000000 AS vt_us,
+             CAST(floor(value * 1000000) AS BIGINT) AS v6
+      FROM events
+    ),
+    b AS (SELECT min(tt_us) AS t0, max(tt_us) AS t1 FROM ev),
+    cut AS (SELECT t0 + ((t1 - t0) * 3) // 5 AS tx_cut, t0, t1 FROM b),
+    probes AS (
+      SELECT CAST(f AS INT) AS probe_idx,
+             t0 + ((t1 - t0) * f) // 4 AS vt_probe_us
+      FROM (SELECT unnest([1, 2, 3]) AS f) CROSS JOIN cut
+    ),
+    known AS (SELECT ev.* FROM ev CROSS JOIN cut WHERE ev.tt_us <= cut.tx_cut),
+    cand AS (
+      SELECT k.user_id, p.probe_idx, p.vt_probe_us,
+             k.vt_us, k.tt_us, k.v6,
+             row_number() OVER (PARTITION BY k.user_id, p.probe_idx
+                                ORDER BY k.vt_us DESC, k.tt_us DESC,
+                                         k.event_id DESC) AS rk
+      FROM known k JOIN probes p ON k.vt_us <= p.vt_probe_us
+    )
+    SELECT user_id, probe_idx, CAST(vt_probe_us AS BIGINT) AS vt_probe_us,
+           CAST(vt_us AS BIGINT) AS vt_us, CAST(tt_us AS BIGINT) AS tt_us,
+           v6
+    FROM cand WHERE rk = 1
+    """,
+    survey_ref="§2.5 J-ext completion: BITEMPORAL point-in-time lookup "
+    "(valid time × transaction time, Snodgrass TSQL2) — 'what did we "
+    "believe at transaction cut T_tx the state was at valid time T_v' — "
+    "the two-axis generalization of pit_state_lookup's single-axis as-of; "
+    "backdated corrections (vt = tt − (event_id mod 5)h) make later "
+    "transactions revise earlier valid times, so the two axes genuinely "
+    "disagree",
+)
+def bitemporal_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of: facts carry BOTH a transaction time (when the
+    row was recorded — here the event ts) and a valid time (when it
+    applies — deterministically backdated by (event_id mod 5) hours, the
+    correction pattern of late-arriving revisions). The lookup fixes one
+    transaction-time cut (60% of the span: 'the state of knowledge then')
+    and answers three valid-time probes (25/50/75% of the span): among
+    rows with tt ≤ cut and vt ≤ probe, the (vt, tt, event_id)-max row —
+    latest applicable version, latest recorded among revisions of it.
+
+    Scale shape: the cut/probe dims are 1-row/3-row global aggs
+    (broadcast); the fact scans once, filters on tt, joins the 3-row
+    probe dim (explode-style fan-out ×3), and resolves per
+    (user, probe) with ONE partitioned argmax window — the same
+    partitioned-window shape as pit_state_lookup, two time axes instead
+    of one. The pick's total order (vt DESC, tt DESC, event_id DESC) is
+    unique by event_id — TIES.md row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tt_us"),
+        (
+            F.unix_micros("ts")
+            - (F.col("event_id") % 5) * F.lit(3_600_000_000)
+        ).alias("vt_us"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("v6"),
+    )
+    bounds = ev.agg(
+        F.min("tt_us").alias("t0"), F.max("tt_us").alias("t1")
+    ).select(
+        "t0", "t1", F.expr("t0 + ((t1 - t0) * 3) div 5").alias("tx_cut")
+    )
+    probes = (
+        bounds.select(
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)])).alias("f"),
+            "t0",
+            "t1",
+        )
+        .select(
+            F.col("f").cast("int").alias("probe_idx"),
+            F.expr("t0 + ((t1 - t0) * f) div 4").alias("vt_probe_us"),
+        )
+    )
+    known = ev.crossJoin(F.broadcast(bounds.select("tx_cut"))).where(
+        F.col("tt_us") <= F.col("tx_cut")
+    )
+    cand = known.join(
+        F.broadcast(probes), F.col("vt_us") <= F.col("vt_probe_us")
+    )
+    w = Window.partitionBy("user_id", "probe_idx").orderBy(
+        F.col("vt_us").desc(), F.col("tt_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "probe_idx",
+            F.col("vt_probe_us").cast("long").alias("vt_probe_us"),
+            F.col("vt_us").cast("long").alias("vt_us"),
+            F.col("tt_us").cast("long").alias("tt_us"),
+            "v6",
+        )
+    )
+
+
+# --- skip-gram window PMI ---------------------------------------------------------
+
+
+def _skipgram_pmi_oracle() -> str:
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled_sql
+
+    return f"""
+    WITH toksrc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    pr AS (
+      SELECT unnest(list_distinct(flatten(
+        list_transform(range(1, len(toks) + 1), i ->
+          list_transform(list_filter(toks[i+1:i+3], y -> y <> toks[i]),
+            y -> CASE WHEN toks[i] < y THEN toks[i] || ' ' || y
+                 ELSE y || ' ' || toks[i] END))))) AS pair
+      FROM toksrc WHERE len(toks) >= 2
+    ),
+    pc AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS c_xy
+      FROM pr GROUP BY 1 HAVING count(*) >= 5
+    ),
+    uni AS (
+      SELECT unnest(list_distinct(toks)) AS w FROM toksrc
+      WHERE len(toks) >= 1
+    ),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    scored AS (
+      SELECT p.pair, p.c_xy, u1.c AS c_x, u2.c AS c_y,
+             {ratio_scaled_sql('(p.c_xy * n.n_docs)', '(u1.c * u2.c)', 6)}
+               AS pmi_ratio_e6
+      FROM pc p
+      CROSS JOIN n
+      JOIN uc u1 ON u1.w = string_split(p.pair, ' ')[1]
+      JOIN uc u2 ON u2.w = string_split(p.pair, ' ')[2]
+    )
+    SELECT pair, c_xy, c_x, c_y, pmi_ratio_e6
+    FROM scored
+    ORDER BY pmi_ratio_e6 DESC, pair
+    LIMIT 20
+    """
+
+
+_SKIPGRAM_PAIRS_EXPR = (
+    "transform(array(filter(split(lower(text), '\\\\s+'), x -> x != '')), "
+    "tk -> array_distinct(flatten(transform(sequence(1, size(tk)), i -> "
+    "transform(filter(slice(tk, i + 1, 3), y -> y != tk[i-1]), "
+    "y -> CASE WHEN tk[i-1] < y THEN concat(tk[i-1], ' ', y) "
+    "ELSE concat(y, ' ', tk[i-1]) END)))))[0]"
+)
+
+
+@query(
+    "skipgram_pmi_topk",
+    oracle=_skipgram_pmi_oracle(),
+    survey_ref="§2.10 text analysis: skip-gram window PMI collocations — "
+    "top-20 unordered word pairs co-occurring within a ±3-token window "
+    "(the word2vec/GloVe co-occurrence grain) by document-frequency PMI "
+    "ratio N·df(xy)/(df(x)·df(y)), min support 5, exact e6 integer "
+    "ranking with a pair tiebreak; the windowed generalization of the "
+    "adjacent-only bigram_pmi_topk",
+)
+def skipgram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window co-occurrence PMI: each token pairs with the next 3 tokens
+    (unordered, self-pairs dropped, canonicalized least-first), deduped
+    per document, counted as document frequencies — the co-occurrence
+    statistic distributional embeddings train on, exact in BIGINTs. The
+    token array is LET-BOUND once via the single-element-array transform
+    (the word_ngrams discipline — tk and tk[i-1] are O(1) re-reads, the
+    tokenizer is not re-run per position). One explode + hash count, two
+    broadcast-sized vocab joins, TakeOrdered(20)."""
+    from nilm_data_framework_spark.operators.exact_math import ratio_scaled
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    pc = (
+        docs.select(F.explode(F.expr(_SKIPGRAM_PAIRS_EXPR)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+    )
+    uc = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "array_distinct(filter(split(lower(text), '\\\\s+'), "
+                    "x -> x != ''))"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    u1 = uc.select(F.col("w").alias("_w1"), F.col("c").alias("c_x"))
+    u2 = uc.select(F.col("w").alias("_w2"), F.col("c").alias("c_y"))
+    scored = (
+        pc.crossJoin(n_docs)
+        .join(u1, F.split(F.col("pair"), " ")[0] == F.col("_w1"))
+        .join(u2, F.split(F.col("pair"), " ")[1] == F.col("_w2"))
+        .select(
+            "pair",
+            "c_xy",
+            "c_x",
+            "c_y",
+            ratio_scaled("(c_xy * n_docs)", "(c_x * c_y)", 6).alias(
+                "pmi_ratio_e6"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("pmi_ratio_e6").desc(), "pair").limit(20)
+
+
+# --- harmonic centrality -----------------------------------------------------------
+
+
+def _harmonic_oracle() -> str:
+    from nilm_data_framework_spark.queries.extra_ops import _CLOSURE_CTES
+
+    return f"""
+    WITH RECURSIVE {_CLOSURE_CTES}
+    SELECT anc,
+           CAST(count(*) AS BIGINT) AS n_desc,
+           CAST(sum(1000000 // depth) AS BIGINT) AS harmonic_e6
+    FROM cl GROUP BY anc
+    HAVING count(*) >= 5
+    """
+
+
+@query(
+    "harmonic_centrality",
+    oracle=_harmonic_oracle(),
+    survey_ref="§2 graph extension: harmonic centrality Σ 1/d "
+    "(Boldi & Vigna 2014) per ancestor over the same path-doubling "
+    "closure as closeness_centrality — exact BIGINT sums of 1e6 div "
+    "depth (sum-of-floors, bit-identical cross-engine), the centrality "
+    "that stays meaningful on disconnected graphs where closeness "
+    "degenerates",
+)
+def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality over the part hierarchy closure: unreachable
+    pairs contribute 0 instead of poisoning the mean distance, which is
+    why harmonic (not closeness) is the recommended form for the
+    disconnected graphs real corpora produce. Cost on top of the shared
+    closure: ONE hash agg — each reachable (anc, desc, depth) row
+    contributes the exact scaled integer 1e6 div depth. Same ≥5-descendant
+    support filter as the closeness twin."""
+    from nilm_data_framework_spark.operators.graph import transitive_closure
+    from nilm_data_framework_spark.queries.extra_ops import _part_edges
+
+    cl = transitive_closure(_part_edges(spark, sf_dir), rounds=3)
+    return (
+        cl.groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_desc"),
+            F.sum(F.expr("1000000 div depth")).cast("long").alias("harmonic_e6"),
+        )
+        .where(F.col("n_desc") >= 5)
+    )
+
+
+# --- McNemar paired-classifier test ------------------------------------------------
+
+
+@query(
+    "mcnemar_gate_comparison",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT
+        CASE WHEN len(toks) BETWEEN 10 AND 1000
+              AND (CASE WHEN len(toks) > 0
+                   THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                   ELSE 0.0 END) > 0.3
+              AND (CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                        / length(text)
+                   ELSE 0.0 END) < 0.2
+             THEN 1 ELSE 0 END AS a,
+        CASE WHEN len(toks) BETWEEN 10 AND 1000
+              AND (CASE WHEN len(toks) > 0
+                   THEN len(list_filter(toks, x -> x IN
+                       ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+                        / len(toks)
+                   ELSE 0.0 END) > 0.05
+             THEN 1 ELSE 0 END AS b
+      FROM t
+    )
+    SELECT CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n11,
+           CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n00,
+           CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n01,
+           CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n10,
+           CAST((sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                 - sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END))
+                * (sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                   - sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END))
+                AS BIGINT) AS chi2_num,
+           CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT)
+             AS chi2_den
+    FROM q
+    """,
+    survey_ref="§2.10 ML-eval extension: McNemar paired test (McNemar "
+    "1947) between two quality gates over the SAME documents — the "
+    "discordant-cell contingency with the χ² statistic as the exact "
+    "rational (n01−n10)²/(n01+n10); the statistically correct way to "
+    "compare paired classifiers (marginal accuracy comparisons ignore "
+    "the pairing)",
+)
+def mcnemar_gate_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired comparison of two curation gates: A = the Gopher-style
+    token/distinct/punct filter (quality_filter's predicate), B = a
+    stopword-density filter (tokens 10..1000, stopword ratio > 0.05).
+    McNemar's test looks ONLY at the discordant cells n01/n10 — documents
+    the gates disagree on — which is the correct paired design; the
+    concordant diagonal carries no information about which gate is
+    stricter. χ² = (n01−n10)²/(n01+n10) ships as exact num/den (no
+    division, sign-free because squared). Ratios inside the predicates
+    are single IEEE double divisions of exact integers, identical op
+    order cross-engine (the quality_filter precedent). One scan, one
+    global agg."""
+    from nilm_data_framework_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    q = T.quality_features(docs)
+    a = (
+        F.col("q_tokens").between(10, 1000)
+        & (F.col("q_distinct_token_ratio") > 0.3)
+        & (F.col("q_punct_ratio") < 0.2)
+    ).cast("int")
+    b = (
+        F.col("q_tokens").between(10, 1000)
+        & (F.col("q_stopword_ratio") > 0.05)
+    ).cast("int")
+    cells = q.select(a.alias("a"), b.alias("b"))
+    n01 = F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+    n10 = F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+    return cells.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+        n01.cast("long").alias("n01"),
+        n10.cast("long").alias("n10"),
+        ((n01 - n10) * (n01 - n10)).cast("long").alias("chi2_num"),
+        F.sum(F.when(F.col("a") != F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("chi2_den"),
+    )
+
+
+# --- CUPED variance-reduction moments ------------------------------------------------
+
+
+@query(
+    "cuped_moments",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100) AS BIGINT) AS v2
+      FROM events
+    ),
+    b AS (SELECT min(us) AS t0, max(us) AS t1 FROM ev),
+    cut AS (SELECT t0 + ((t1 - t0) * 3) // 5 AS c FROM b),
+    u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CAST(sum(CASE WHEN us <  (SELECT c FROM cut) THEN v2 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN us >= (SELECT c FROM cut) THEN v2 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM ev GROUP BY 1
+    )
+    SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+           CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+           CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+           CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             AS theta_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             AS theta_den
+    FROM u
+    """,
+    survey_ref="§2.4 extension: CUPED variance reduction (Deng et al. "
+    "WSDM'13) — pre-period covariate moments for the A/B family: per-user "
+    "pre/post integer-cents sums, per-variant totals, and the pooled "
+    "θ = cov(pre,post)/var(pre) as the exact rational nΣxy−ΣxΣy over "
+    "nΣx²−(Σx)² (the ols_trend num/den discipline, sign-safe undivided)",
+)
+def cuped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation-platform companion to ab_test_zstat: CUPED
+    adjusts each user's post-period metric by θ·(pre-period metric),
+    removing pre-existing between-user variance from the treatment-effect
+    estimate. Everything the adjustment needs ships as exact BIGINTs —
+    per-variant counts and pre/post sums plus the pooled θ numerator /
+    denominator; the one float composition Δ_adj = Δy − θ·Δx happens
+    consumer-side (composing it exactly would overflow int64, per the
+    exact_math decomposition note).
+
+    Shape: one fact scan → per-user conditional pre/post sums (hash agg
+    on user), → ONE global agg with conditional per-variant sums and the
+    pooled moments (map-side combined). The split cut is a 1-row global
+    min/max agg. Deterministic variant = user_id % 2 (the hash_split
+    convention)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("long").alias("v2"),
+    )
+    bounds = ev.agg(F.min("us").alias("t0"), F.max("us").alias("t1")).select(
+        F.expr("t0 + ((t1 - t0) * 3) div 5").alias("c")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("c"), F.col("v2")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("us") >= F.col("c"), F.col("v2")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"), "x", "y"
+        )
+    )
+    n = F.count(F.lit(1))
+    return u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy1"),
+        (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("long")
+        .alias("theta_num"),
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("long")
+        .alias("theta_den"),
     )

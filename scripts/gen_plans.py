@@ -204,6 +204,24 @@ SHOWCASE = [
      "through as a filter; the re-collapse runs lag+lead over (seeds ∪ "
      "batch) only — every window exchange is keyed on user_id, none "
      "SinglePartition"),
+    ("spearman_rho_corr", "Spearman rho (r8c): TWO bucketed global ranks "
+     "over one checkpointed base (each: bucket hash exchange + "
+     "support-sized cumulative + bucket-partitioned row_number) joined "
+     "on custkey — no SinglePartition sort anywhere; rho ships as the "
+     "undivided exact rational"),
+    ("apriori_triples", "Apriori level-3 (r8c): triples via two "
+     "codegen'd basket-key equi-joins over the checkpointed membership "
+     "frame (measured faster than the depth-3 interpreted HOF); pair "
+     "supports via the single-level HOF explosion (its winning depth); "
+     "TakeOrderedAndProject top-25"),
+    ("winnowing_fingerprint_pairs", "winnowing (r8c): fingerprint "
+     "SELECTION is a pure per-row HOF pipeline (tokenize → gram-hash → "
+     "sliding array_min) with NO exchange; pairs form only inside the "
+     "df-capped fp-bucket equi-join — no cross join, no window"),
+    ("maxsim_multivector_topk", "MaxSim late interaction (r8c): the "
+     "6-row query slice broadcasts (BroadcastNestedLoopJoin); per-"
+     "(query-token, doc) maxes partial-agg map-side; the 3-term score "
+     "is a projection over PIVOTED columns — no shuffled float sum"),
 ]
 
 

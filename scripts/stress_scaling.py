@@ -1078,6 +1078,122 @@ def replicate_customers(cust: DataFrame, k: int) -> DataFrame:
     return out.repartition(32, "id").localCheckpoint(eager=True)
 
 
+def r8c_workloads(
+    docs: DataFrame, li: DataFrame, emb: DataFrame, ev_full: DataFrame
+) -> dict:
+    """r8 third-batch kernels. The winnowing PAIR stage is deliberately
+    NOT swept on replicas: replicas are true near-dups of their originals,
+    so the correct pair output is Θ(k²·dup-groups) and the slope would
+    measure the ANSWER, not the algorithm (the r5 lossless-join lesson);
+    pair correctness is proven by oracle equality instead. The fingerprint
+    SELECTION stage (per-row HOFs + one explode) is the linear claim.
+    Spearman is not swept separately — it is two invocations of the
+    already-swept bucketed_global_rank kernel (rfm/lorenz entries)."""
+    from nilm_data_framework_spark.operators import graph as G
+    from nilm_data_framework_spark.operators import similarity as S
+    from nilm_data_framework_spark.queries.advanced_analytics import (
+        _copurchase_edges,
+    )
+    from pyspark.sql import Window
+
+    def _apriori():
+        # the registered query's JOIN-based triple kernel (measured faster
+        # than the depth-3 HOF — see apriori_triples' inline note), over
+        # the replicated order baskets
+        opx = li.select("l_orderkey", "l_partkey").distinct()
+        a = opx.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("p1"))
+        b = opx.select(F.col("l_orderkey").alias("_bk2"), F.col("l_partkey").alias("p2"))
+        c = opx.select(F.col("l_orderkey").alias("_bk3"), F.col("l_partkey").alias("p3"))
+        return (
+            a.join(b, (F.col("bk") == F.col("_bk2")) & (F.col("p1") < F.col("p2")))
+            .join(c, (F.col("bk") == F.col("_bk3")) & (F.col("p2") < F.col("p3")))
+            .groupBy("p1", "p2", "p3")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+            .count()
+        )
+
+    def _maxsim():
+        q = emb.where(F.col("vec_id") < 6).select(
+            F.expr("vec_id div 3").alias("query_id"),
+            (F.col("vec_id") % 3).alias("tok"),
+            F.col("embedding").alias("qv"),
+        )
+        d = emb.select(
+            F.expr("vec_id div 4").alias("mdoc_id"),
+            F.col("embedding").alias("dv"),
+        )
+        dots = (
+            d.crossJoin(F.broadcast(q))
+            .select(
+                "query_id", "tok", "mdoc_id",
+                S.dot(F.col("qv"), F.col("dv")).alias("dp"),
+            )
+            .groupBy("query_id", "tok", "mdoc_id")
+            .agg(F.max("dp").alias("mx"))
+        )
+        sc = dots.groupBy("query_id", "mdoc_id").agg(
+            (
+                F.max(F.when(F.col("tok") == 0, F.col("mx")))
+                + F.max(F.when(F.col("tok") == 1, F.col("mx")))
+                + F.max(F.when(F.col("tok") == 2, F.col("mx")))
+            ).alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), "mdoc_id"
+        )
+        return (
+            sc.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .count()
+        )
+
+    def _bitemporal():
+        ev = ev_full.select(
+            "user_id", "event_id", F.col("us").alias("tt_us"),
+            (F.col("us") - (F.col("event_id") % 5) * F.lit(3_600_000_000))
+            .alias("vt_us"),
+            "v6",
+        )
+        bounds = ev.agg(
+            F.min("tt_us").alias("t0"), F.max("tt_us").alias("t1")
+        ).select(
+            "t0", "t1", F.expr("t0 + ((t1 - t0) * 3) div 5").alias("tx_cut")
+        )
+        probes = bounds.select(
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)])).alias("f"),
+            "t0", "t1",
+        ).select(
+            F.col("f").alias("probe_idx"),
+            F.expr("t0 + ((t1 - t0) * f) div 4").alias("vt_probe_us"),
+        )
+        known = ev.crossJoin(F.broadcast(bounds.select("tx_cut"))).where(
+            F.col("tt_us") <= F.col("tx_cut")
+        )
+        cand = known.join(
+            F.broadcast(probes), F.col("vt_us") <= F.col("vt_probe_us")
+        )
+        w = Window.partitionBy("user_id", "probe_idx").orderBy(
+            F.col("vt_us").desc(), F.col("tt_us").desc(),
+            F.col("event_id").desc(),
+        )
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .count()
+        )
+
+    return {
+        "winnowing_fps": lambda: D.winnowing_fingerprints(docs).count(),
+        "ra_linkpred": lambda: G.resource_allocation_topk(
+            _copurchase_edges(li), k=15
+        ).count(),
+        "apriori_triples": _apriori,
+        "maxsim_score": _maxsim,
+        "bitemporal_pit": _bitemporal,
+    }
+
+
 def screen_workloads(docs: DataFrame, spark) -> dict:
     """Incremental near-dup screen of a FIXED batch against a k×-growing
     reference corpus, both ways. The claim under test: the on-the-fly
@@ -1317,6 +1433,24 @@ def main() -> None:
                 ("norm_drift", emb_r6.count()),
             ):
                 sized.append(({name: r6[name]}, rows_in))
+        r8c_names = {
+            "winnowing_fps", "ra_linkpred", "apriori_triples",
+            "maxsim_score", "bitemporal_pit",
+        }
+        if only is None or only & r8c_names:
+            if ev_full is None:
+                ev_full = replicate_events_full(ev_full_base, k)
+            emb_r8c = replicate_embeddings(emb_base, k)
+            r8c = r8c_workloads(docs, li, emb_r8c, ev_full)
+            n_ev_r8c = ev_full.count()
+            for name, rows_in in (
+                ("winnowing_fps", n),
+                ("ra_linkpred", n_li),
+                ("apriori_triples", n_li),
+                ("maxsim_score", emb_r8c.count()),
+                ("bitemporal_pit", n_ev_r8c),
+            ):
+                sized.append(({name: r8c[name]}, rows_in))
         bm25_idx_names = {
             "bm25_index_write", "bm25_index_probe",
             "bm25_index_append_fixed", "bm25_index_append_kbatch",
