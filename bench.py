@@ -363,6 +363,7 @@ EXCLUDED: dict[str, str] = {
     "harmonic_centrality": "one extra hash agg over the same path-doubling closure as benched 'closeness_centrality'",
     "mcnemar_gate_comparison": "one global agg over 'quality_filter'-style features; feature kernel benched via 'text_quality'",
     "cuped_moments": "two hash aggs of integer moments; stats family benched via 'classifier_agreement_kappa'",
+    "interval_coalesce_coverage": "single-exchange gaps-and-islands window shape; W5 family benched via 'run_length_filter'",
     "benford_digit_audit": "digit-histogram agg; audit family benched via 'constraint_suite_report'",
     "gini_key_skew": "same ranked-share kernel as benched 'lorenz_curve_deciles'",
     "dedup_quality_impact": "reruns the full LSH clustering inside the gate (r5, documented); deliberately not bench-listed",

@@ -454,3 +454,66 @@ def skyline_2d(
         (F.col("_my_gt").isNull() | (F.col("_my_gt") < F.col(y)))
         & (F.col("_my_eq") <= F.col(y))
     ).drop("_my_gt", "_my_eq")
+
+
+def interval_coalesce(
+    df: DataFrame,
+    keys: list[str],
+    s: str = "s",
+    e: str = "e",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key (interval
+    COALESCING — the union/gaps-and-islands kernel): a new island starts
+    exactly where an interval's start exceeds the running max of all
+    PRIOR ends. Returns one row per (keys, island) with
+    ``island_s``/``island_e`` (exact min start / max end) and
+    ``n_raw_in`` (member count). Touching intervals (start == prior end)
+    MERGE; strict gaps split.
+
+    Both windows — the prior-end running max and the island-id running
+    sum — order by the SAME total key (s, tiebreak). Ordering the
+    island-id sum by anything else (e.g. (s, e, new_island)) sorts the
+    marked first-of-island row AFTER its equal-(s, e) peers, assigning
+    those peers to the PREVIOUS island and silently bridging a genuine
+    gap — the authoring-time near-miss pinned by
+    tests/test_extra_ops_r8c.py::test_interval_coalesce_equal_start_tie.
+
+    Scale: ONE exchange on ``keys`` serves both windows and the island
+    aggregation (Catalyst reuses the sort); nothing is unpartitioned.
+    Reference analog: none (interval union is absent from the reference;
+    its activity masks are per-sample booleans)."""
+    order = [F.col(s), F.col(tiebreak)]
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = df.select(
+        *keys,
+        tiebreak,
+        s,
+        e,
+        F.when(
+            F.col(s)
+            > F.coalesce(
+                F.max(e).over(w_prev), F.lit(-(2 ** 63)).cast("long")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new_island"),
+    )
+    w_isl = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        *keys, s, e, F.sum("_new_island").over(w_isl).alias("island")
+    )
+    return islands.groupBy(*keys, "island").agg(
+        F.min(s).cast("long").alias("island_s"),
+        F.max(e).cast("long").alias("island_e"),
+        F.count(F.lit(1)).cast("long").alias("n_raw_in"),
+    )

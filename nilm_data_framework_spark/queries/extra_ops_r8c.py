@@ -958,20 +958,17 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one (basket, part) membership frame (checkpointed — it feeds
     the pair-stage baskets and the three triple-join legs) → pairs via
     the single-level HOF explosion (the _copurchase_edges kernel, its
-    measured-fastest depth) → triples via two codegen'd basket-key
-    equi-joins (measured faster than the depth-3 HOF — see inline note)
-    → hash count per triple → support filter → three equi-joins back to
-    the pair supports for the rule confidences → deterministic top-25
-    (c_abc DESC, triple). Candidate volume is basket-local (Σ B³/6)
-    either way — the engines differ only in constants.
-
-    The Apriori property itself is why no candidate-generation pass is
-    needed batch-side: support(abc) ≥ 2 IMPLIES every sub-pair's support
-    ≥ 2, so counting triples directly and filtering yields exactly the
-    level-3 frequent set (the iterative candidate pruning matters for
-    the streaming/low-memory variant, not the shuffle plan). Confidence
-    is the exact e4 integer ratio; sub-pair joins are key-equi on
-    (part, part) pairs."""
+    measured-fastest depth) → wedges via one codegen'd basket-key
+    equi-join → THE Apriori candidate prune (semi-join the wedge stream
+    against frequent pairs — exact by downward closure: an infrequent
+    (p1, p2) cannot extend to a frequent triple, and every wedge of a
+    frequent pair survives, so counts are untouched; measured 16.9 s →
+    6.6 s warm at sf0.1, wedge stream ~2.9M → ~45k) → the second
+    basket-key join → hash count → support filter → three equi-joins
+    back to the pair supports for the rule confidences → deterministic
+    top-25 (c_abc DESC, triple). The ORACLE counts triples over the
+    UNPRUNED self-joins, so the gate's hash equality PROVES the prune
+    drops nothing. Confidence is the exact e4 integer ratio."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1005,22 +1002,32 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.s", "p.t")
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # feeds the Apriori prune + three confidence joins — materialize
+        .localCheckpoint(eager=True)
     )
     # Triple counting via two codegen'd equi-joins on the basket key, NOT
     # the nested HOF (measured at sf0.1: join 6.7-7.2 s vs nested HOF
     # 8-11 s — depth-3 interpreted lambdas building structs lose to
     # whole-stage-codegen joins, the opposite of the PAIR stage where the
     # single-level HOF wins ~20%; both measured, both kept at their
-    # winning depth). The classic Apriori hot-part prune was measured
-    # USELESS here and removed: at sf0.1 the frequent-pair part set
-    # covers essentially the whole catalog (2.9M pair instances over
-    # C(20k,2) bins → ~every part is in some frequent pair), so the
-    # prune added a join + materializations and saved nothing.
+    # winning depth). Between the two joins sits the REAL Apriori
+    # candidate prune, at the PAIR level: a wedge whose (p1, p2) is not
+    # frequent cannot extend to a frequent triple (downward closure), and
+    # every wedge of a frequent pair IS kept, so triple counts are exact.
+    # Measured at sf0.1: the semi-join cuts the wedge stream ~2.9M → ~45k
+    # instances and the candidate agg 8.6M → ~0.5M groups — 16.9 s → 6.6 s
+    # warm, byte-identical output (the PART-level variant of this prune
+    # measured useless — frequent-pair parts cover the whole catalog —
+    # and was discarded; pruning must bite at the pair grain).
     a = op.select("bk", F.col("l_partkey").alias("p1"))
     b2 = op.select(F.col("bk").alias("_bk2"), F.col("l_partkey").alias("p2"))
     c3 = op.select(F.col("bk").alias("_bk3"), F.col("l_partkey").alias("p3"))
+    fp2 = pair.where(F.col("c") >= 2).select(
+        F.col("s").alias("p1"), F.col("t").alias("p2")
+    )
     tri = (
         a.join(b2, (F.col("bk") == F.col("_bk2")) & (F.col("p1") < F.col("p2")))
+        .join(fp2, ["p1", "p2"], "left_semi")
         .join(c3, (F.col("bk") == F.col("_bk3")) & (F.col("p2") < F.col("p3")))
         .groupBy("p1", "p2", "p3")
         .agg(F.count(F.lit(1)).cast("long").alias("c_abc"))
@@ -1533,4 +1540,94 @@ def cuped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
         .cast("long")
         .alias("theta_den"),
+    )
+
+
+# --- interval coalescing (union length) ---------------------------------------------
+
+
+@query(
+    "interval_coalesce_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, island,
+             CAST(min(s) AS BIGINT) AS island_s,
+             CAST(max(e) AS BIGINT) AS island_e,
+             CAST(count(*) AS BIGINT) AS n_raw_in
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n_raw_in) AS BIGINT) AS n_raw,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(island_e - island_s) AS BIGINT) AS covered_us,
+           CAST(max(island_e - island_s) AS BIGINT) AS max_island_us
+    FROM merged GROUP BY user_id
+    """,
+    survey_ref="§2.6 W-ext completion: interval COALESCING (gaps-and-"
+    "islands union) — merge overlapping-or-touching per-user activity "
+    "intervals and report exact union length; the third classic interval "
+    "kernel beside sweep-line counting (concurrency_peaks) and value-run "
+    "segmentation (steady_state_segments)",
+)
+def interval_coalesce_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping intervals per user: each event opens a
+    deterministic (event_id mod 7 + 1)-minute window; overlapping or
+    touching windows merge into islands (new island ⇔ start > running max
+    of PRIOR ends), and the per-user coverage report is exact micros —
+    device-usage duty cycle, PII-exposure windows, SLA-covered time: the
+    same question everywhere. Dual of coverage_gaps (which reports the
+    holes between POINTS; this reports the covered union of SPANS).
+
+    Shape: ONE exchange on user_id serves the running-max window, the
+    island-id running sum, and both aggregations (Catalyst reuses the
+    sort). Both windows order by the SAME total key (s, event_id) — an
+    authoring-time near-miss worth recording: ordering the island-id sum
+    by (s, e, new_island) instead sorts the marked row AFTER its
+    equal-(s, e) peers, assigning those peers to the PREVIOUS island and
+    silently inflating its span (pinned by
+    tests/test_extra_ops_r8c.py::test_interval_coalesce_equal_start_tie).
+    All arithmetic is exact BIGINT micros."""
+    from nilm_data_framework_spark.operators.windows import interval_coalesce
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.col("event_id") % 7 + 1) * F.lit(60_000_000)
+        ).alias("e"),
+    )
+    merged = interval_coalesce(ev, ["user_id"])
+    return merged.groupBy("user_id").agg(
+        F.sum("n_raw_in").cast("long").alias("n_raw"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s"))
+        .cast("long")
+        .alias("covered_us"),
+        F.max(F.col("island_e") - F.col("island_s"))
+        .cast("long")
+        .alias("max_island_us"),
     )

@@ -1097,15 +1097,24 @@ def r8c_workloads(
     from pyspark.sql import Window
 
     def _apriori():
-        # the registered query's JOIN-based triple kernel (measured faster
-        # than the depth-3 HOF — see apriori_triples' inline note), over
-        # the replicated order baskets
+        # the registered query's kernel: join-based wedges + the
+        # PAIR-LEVEL Apriori semi-join prune (see apriori_triples' inline
+        # note), over the replicated order baskets
         opx = li.select("l_orderkey", "l_partkey").distinct()
         a = opx.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("p1"))
         b = opx.select(F.col("l_orderkey").alias("_bk2"), F.col("l_partkey").alias("p2"))
         c = opx.select(F.col("l_orderkey").alias("_bk3"), F.col("l_partkey").alias("p3"))
+        wedges = a.join(
+            b, (F.col("bk") == F.col("_bk2")) & (F.col("p1") < F.col("p2"))
+        )
+        fp2 = (
+            wedges.groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") >= 2)
+            .select("p1", "p2")
+        )
         return (
-            a.join(b, (F.col("bk") == F.col("_bk2")) & (F.col("p1") < F.col("p2")))
+            wedges.join(fp2, ["p1", "p2"], "left_semi")
             .join(c, (F.col("bk") == F.col("_bk3")) & (F.col("p2") < F.col("p3")))
             .groupBy("p1", "p2", "p3")
             .agg(F.count(F.lit(1)).alias("c"))
