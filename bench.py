@@ -364,6 +364,7 @@ EXCLUDED: dict[str, str] = {
     "mcnemar_gate_comparison": "one global agg over 'quality_filter'-style features; feature kernel benched via 'text_quality'",
     "cuped_moments": "two hash aggs of integer moments; stats family benched via 'classifier_agreement_kappa'",
     "interval_coalesce_coverage": "single-exchange gaps-and-islands window shape; W5 family benched via 'run_length_filter'",
+    "interval_coalesce_incremental_equiv": "incremental fold twin of 'interval_coalesce_coverage' — same kernel over (islands ∪ batch)",
     "benford_digit_audit": "digit-histogram agg; audit family benched via 'constraint_suite_report'",
     "gini_key_skew": "same ranked-share kernel as benched 'lorenz_curve_deciles'",
     "dedup_quality_impact": "reruns the full LSH clustering inside the gate (r5, documented); deliberately not bench-listed",

@@ -462,6 +462,7 @@ def interval_coalesce(
     s: str = "s",
     e: str = "e",
     tiebreak: str = "event_id",
+    weight: str | None = None,
 ) -> DataFrame:
     """Merge overlapping-or-touching intervals per key (interval
     COALESCING — the union/gaps-and-islands kernel): a new island starts
@@ -479,6 +480,12 @@ def interval_coalesce(
     gap — the authoring-time near-miss pinned by
     tests/test_extra_ops_r8c.py::test_interval_coalesce_equal_start_tie.
 
+    ``weight`` (optional integer column) makes ``n_raw_in`` a weighted
+    member count instead of a row count — the hook the INCREMENTAL fold
+    uses: previously-coalesced islands re-enter as intervals carrying
+    their member counts, and interval union's associativity/idempotence
+    (coalesce(coalesce(A) ∪ B) = coalesce(A ∪ B)) makes the fold exact.
+
     Scale: ONE exchange on ``keys`` serves both windows and the island
     aggregation (Catalyst reuses the sort); nothing is unpartitioned.
     Reference analog: none (interval union is absent from the reference;
@@ -489,11 +496,13 @@ def interval_coalesce(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_col = F.col(weight) if weight else F.lit(1)
     marked = df.select(
         *keys,
         tiebreak,
         s,
         e,
+        w_col.alias("_w"),
         F.when(
             F.col(s)
             > F.coalesce(
@@ -510,10 +519,10 @@ def interval_coalesce(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = marked.select(
-        *keys, s, e, F.sum("_new_island").over(w_isl).alias("island")
+        *keys, s, e, "_w", F.sum("_new_island").over(w_isl).alias("island")
     )
     return islands.groupBy(*keys, "island").agg(
         F.min(s).cast("long").alias("island_s"),
         F.max(e).cast("long").alias("island_e"),
-        F.count(F.lit(1)).cast("long").alias("n_raw_in"),
+        F.sum("_w").cast("long").alias("n_raw_in"),
     )

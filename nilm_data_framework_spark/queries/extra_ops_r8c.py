@@ -1631,3 +1631,82 @@ def interval_coalesce_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_island_us"),
     )
+
+
+# --- incremental interval-union fold == full recompute --------------------------------
+
+
+def _interval_coalesce_oracle() -> str:
+    """The full-recompute oracle, shared VERBATIM from the registered
+    interval_coalesce_coverage — the gate IS the algebra proof that the
+    incremental fold changes nothing (the r8 incremental-equivalence
+    discipline). Import-inside-helper per the registry-reuse rule."""
+    from nilm_data_framework_spark.plans.registry import registry as _reg
+
+    return _reg["interval_coalesce_coverage"].oracle
+
+
+@query(
+    "interval_coalesce_incremental_equiv",
+    oracle=_interval_coalesce_oracle(),
+    survey_ref="§2.6/§2.9 extension: INCREMENTAL interval-union "
+    "maintenance — previously-coalesced islands re-enter the coalesce as "
+    "weighted intervals alongside the new batch, and the fold must equal "
+    "the full recompute bit-for-bit (oracle shared verbatim): interval "
+    "union is associative and idempotent, so coalesce(coalesce(A) ∪ B) "
+    "= coalesce(A ∪ B) — the ingest-fold algebra the SCD2/CC/near-dup "
+    "equivalence gates established, now for the coverage kernel",
+)
+def interval_coalesce_incremental_equiv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-batch interval-union maintenance: the persisted state is the
+    island table (spans + member counts) — O(islands), not O(events) —
+    and an arriving batch folds in by re-coalescing (islands ∪ batch)
+    only. This gate splits events into old (event_id % 4 != 0, the
+    harder interleaved split — batch intervals land INSIDE old islands,
+    bridge them, and extend them) and batch, folds, and must hash-match
+    the full-recompute oracle on the final per-user coverage report.
+
+    Exactness: seed islands carry their member counts through the
+    operator's ``weight`` hook (n_raw sums exactly); seed tiebreak ids
+    are negative island ordinals, disjoint from the batch's positive
+    event_ids, so the fold's (s, tiebreak) order stays total. At 100 TB
+    the fold's window input per batch is O(islands + batch), never the
+    event history."""
+    from nilm_data_framework_spark.operators.windows import interval_coalesce
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (F.col("event_id") % 7 + 1) * F.lit(60_000_000)
+        ).alias("e"),
+    )
+    old = ev.where(F.col("event_id") % 4 != 0)
+    batch = ev.where(F.col("event_id") % 4 == 0)
+    seeds = interval_coalesce(old, ["user_id"]).select(
+        "user_id",
+        (-F.col("island")).cast("long").alias("event_id"),
+        F.col("island_s").alias("s"),
+        F.col("island_e").alias("e"),
+        F.col("n_raw_in").alias("w"),
+    )
+    batch_iv = batch.select(
+        "user_id", "event_id", "s", "e", F.lit(1).cast("long").alias("w")
+    )
+    fold = interval_coalesce(
+        seeds.unionByName(batch_iv), ["user_id"], weight="w"
+    )
+    return fold.groupBy("user_id").agg(
+        F.sum("n_raw_in").cast("long").alias("n_raw"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s"))
+        .cast("long")
+        .alias("covered_us"),
+        F.max(F.col("island_e") - F.col("island_s"))
+        .cast("long")
+        .alias("max_island_us"),
+    )

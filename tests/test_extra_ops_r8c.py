@@ -6,6 +6,7 @@ regress silently."""
 from __future__ import annotations
 
 import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from nilm_data_framework_spark.operators.windows import interval_coalesce
@@ -130,3 +131,68 @@ def test_bitemporal_monotone_in_probe(spark):
         picks.sort()
         vts = [v for _, v in picks]
         assert vts == sorted(vts), picks
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivs=st.lists(
+        # (user, start, length): ts drawn 0..40 with lengths 1..12 so
+        # overlaps, touches, containments, AND equal-(s, e) duplicates all
+        # occur; two users exercise partition isolation
+        st.tuples(st.integers(1, 2), st.integers(0, 40), st.integers(1, 12)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_interval_coalesce_matches_python_union(spark, ivs):
+    """Property oracle: island spans and the per-user covered length must
+    equal a pure-Python sweep merging sorted intervals (touch merges)."""
+    rows = [
+        (u, i, s, s + ln) for i, (u, s, ln) in enumerate(ivs)
+    ]
+    df = _iv(spark, rows)
+    got = {}
+    for r in interval_coalesce(df, ["user_id"]).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["island_s"], r["island_e"], r["n_raw_in"])
+        )
+    want = {}
+    by_user = {}
+    for u, _i, s, e in rows:
+        by_user.setdefault(u, []).append((s, e))
+    for u, spans in by_user.items():
+        spans.sort()
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (
+                    merged[-1][0],
+                    max(merged[-1][1], e),
+                    merged[-1][2] + 1,
+                )
+            else:
+                merged.append((s, e, 1))
+        want[u] = [(s, e, n) for s, e, n in merged]
+    assert {u: sorted(v) for u, v in got.items()} == {
+        u: sorted(v) for u, v in want.items()
+    }
+
+
+def test_interval_coalesce_weight_hook(spark):
+    """n_raw_in sums the weight column when given (the incremental-fold
+    hook): a 3-member island re-entering as one weighted span plus one
+    overlapping batch row must report 4 members."""
+    rows = pd.DataFrame(
+        [(1, -1, 0, 30, 3), (1, 5, 25, 40, 1)],
+        columns=["user_id", "event_id", "s", "e", "w"],
+    )
+    out = interval_coalesce(
+        spark.createDataFrame(rows), ["user_id"], weight="w"
+    ).collect()
+    assert [(r["island_s"], r["island_e"], r["n_raw_in"]) for r in out] == [
+        (0, 40, 4)
+    ]
