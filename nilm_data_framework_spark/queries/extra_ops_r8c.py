@@ -358,9 +358,11 @@ def resource_allocation_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.source, p.n_total, p.n_keep,
            {ratio_e4_sql('p.n_keep', 'p.n_total')} AS sel_rate_e4,
-           {ratio_e4_sql('p.n_keep * r.ref_total', 'p.n_total * r.ref_keep')}
-             AS di_e4,
-           CAST(CASE WHEN {ratio_e4_sql('p.n_keep * r.ref_total',
+           CASE WHEN r.ref_keep > 0 THEN
+             {ratio_e4_sql('p.n_keep * r.ref_total', 'p.n_total * r.ref_keep')}
+           END AS di_e4,
+           CAST(CASE WHEN r.ref_keep > 0
+                      AND {ratio_e4_sql('p.n_keep * r.ref_total',
                                         'p.n_total * r.ref_keep')} < 8000
                 THEN 1 ELSE 0 END AS INT) AS below_four_fifths
     FROM per p CROSS JOIN ref r
@@ -415,7 +417,12 @@ def disparate_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = per.crossJoin(F.broadcast(ref))
-    di = ratio_e4("n_keep * ref_total", "n_total * ref_keep")
+    # guard the degenerate all-rejected reference (ref_keep = 0): DI is
+    # undefined there, and the e4 integer division would raise in BOTH
+    # engines — emit NULL instead (CASE short-circuits in both)
+    di = F.when(
+        F.col("ref_keep") > 0, ratio_e4("n_keep * ref_total", "n_total * ref_keep")
+    )
     return out.select(
         "source",
         "n_total",

@@ -1192,6 +1192,50 @@ def r8c_workloads(
             .count()
         )
 
+    def _iv_frame():
+        return ev_full.select(
+            "user_id",
+            "event_id",
+            F.col("us").alias("s"),
+            (F.col("us") + (F.col("event_id") % 7 + 1) * F.lit(60_000_000))
+            .alias("e"),
+        )
+
+    def _coalesce_recompute():
+        from nilm_data_framework_spark.operators.windows import (
+            interval_coalesce,
+        )
+
+        return interval_coalesce(_iv_frame(), ["user_id"]).count()
+
+    # fold seeds built + checkpointed OUTSIDE the timed thunk (they are
+    # the persisted state, paid once per history); the timed fold is
+    # (weighted seed islands ∪ fixed ~25% batch) through the same kernel.
+    # Compared against interval_recompute, this is the per-ingest claim:
+    # the fold's window input is islands + batch, never the event history
+    # (at this fixture's ~3:1 events:islands ratio the win is the
+    # constant; at 100 TB histories it is the point).
+    from nilm_data_framework_spark.operators.windows import interval_coalesce
+
+    _iv_all = _iv_frame()
+    _fold_seeds = interval_coalesce(
+        _iv_all.where(F.col("event_id") % 4 != 0), ["user_id"]
+    ).select(
+        "user_id",
+        (-F.col("island")).cast("long").alias("event_id"),
+        F.col("island_s").alias("s"),
+        F.col("island_e").alias("e"),
+        F.col("n_raw_in").alias("w"),
+    ).localCheckpoint(eager=True)
+    _fold_batch = _iv_all.where(F.col("event_id") % 4 == 0).select(
+        "user_id", "event_id", "s", "e", F.lit(1).cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+
+    def _coalesce_fold():
+        return interval_coalesce(
+            _fold_seeds.unionByName(_fold_batch), ["user_id"], weight="w"
+        ).count()
+
     return {
         "winnowing_fps": lambda: D.winnowing_fingerprints(docs).count(),
         "ra_linkpred": lambda: G.resource_allocation_topk(
@@ -1200,6 +1244,8 @@ def r8c_workloads(
         "apriori_triples": _apriori,
         "maxsim_score": _maxsim,
         "bitemporal_pit": _bitemporal,
+        "interval_recompute": _coalesce_recompute,
+        "interval_fold": _coalesce_fold,
     }
 
 
@@ -1445,6 +1491,7 @@ def main() -> None:
         r8c_names = {
             "winnowing_fps", "ra_linkpred", "apriori_triples",
             "maxsim_score", "bitemporal_pit",
+            "interval_recompute", "interval_fold",
         }
         if only is None or only & r8c_names:
             if ev_full is None:
@@ -1458,6 +1505,8 @@ def main() -> None:
                 ("apriori_triples", n_li),
                 ("maxsim_score", emb_r8c.count()),
                 ("bitemporal_pit", n_ev_r8c),
+                ("interval_recompute", n_ev_r8c),
+                ("interval_fold", n_ev_r8c),
             ):
                 sized.append(({name: r8c[name]}, rows_in))
         bm25_idx_names = {
