@@ -1,32 +1,47 @@
-"""Round-8 third batch: rank statistics, degree-weighted link prediction,
-and a fairness audit.
+"""Round-8 third batch: the analytics / evaluation / classics widening —
+17 queries, every one exact-arithmetic cross-engine.
 
 Registered LAST (after extra_ops_r8b) so the earlier r8 batches keep the
 head of the driver's 50-row window — see tests/test_registry_order.py.
 Net-new this round stays well under the window capacity (judge r7 item 6).
 
-Theme: statistics the registry computes only in moment form (Pearson via
-pairwise_corr) or unweighted form (common-neighbor link prediction), now in
-their rank-based / degree-weighted production variants — all in EXACT
-integer arithmetic so the DuckDB gate is a bit-identical replay:
+Families:
 
-  * spearman_rho_corr — Spearman rank correlation WITHOUT a single-partition
-    sort: both global rank vectors come from the scale-safe bucketed build
-    (operators/scale_windows.py), and rho ships as the exact rational
-    (n³−n−6Σd²)/(n³−n) — the ols_trend_daily num/den discipline, sign-safe
-    because no integer division is performed.
-  * kendall_tau_daily — Kendall concordance between two daily series via
-    the theil_sen year-bucketed pair join (pairs are bucket-local and the
-    daily support is calendar-bounded, not sf-scaled).
-  * resource_allocation_linkpred — RA index Σ 1/deg(z), the
-    degree-penalized common-neighbor score, as exact BIGINT sums of
-    1e6 div deg (sum-of-floors replays identically cross-engine).
-  * disparate_impact_audit — the four-fifths-rule selection-rate audit of
-    the Gopher/C4 quality gate by source, with exact cross-multiplied
-    rate ratios.
+  * Rank statistics — spearman_rho_corr (two scale-safe bucketed global
+    ranks; rho as the undivided exact rational (n³−n−6Σd²)/(n³−n), the
+    ols_trend num/den discipline) and kendall_tau_daily (theil_sen's
+    year-bucketed pair join; exact concordant/discordant/tie census,
+    signed S).
+  * Graph — resource_allocation_linkpred (Σ 1e6 div deg, the
+    degree-penalized common-neighbor score; sum-of-floors is bit-exact,
+    which is why RA ships and Adamic–Adar's 1/ln does not) and
+    harmonic_centrality (Σ 1e6 div depth over the shared closure).
+  * Governance / ML-eval — disparate_impact_audit (four-fifths rule via
+    cross-multiplied exact ratios), conformal_split_threshold (exact
+    ⌈0.9(n+1)⌉-th order statistic off the value histogram),
+    knn_reliability_bins (ECE bins reusing the registered kNN grain
+    VERBATIM — spark callable and oracle both), mcnemar_gate_comparison
+    (paired 2×2 discordant test, χ² as exact num/den), cuped_moments
+    (pre/post covariate moments + pooled θ num/den), and
+    rolling_origin_cv_splits (expanding-window time CV manifest).
+  * Dedup / retrieval classics — winnowing_fingerprint_pairs (MOSS local
+    fingerprints: sliding window-min over ordered gram hashes, df-capped
+    bucket join), maxsim_multivector_topk (ColBERT late interaction with
+    a FIXED-op-order float score: pivoted per-token maxes, left-assoc
+    sum), apriori_triples (level-3 itemsets over (customer, 2-yr)
+    baskets; join-based triple kernel + the PAIR-level downward-closure
+    prune, proven lossless by the unpruned oracle).
+  * Temporal — bitemporal_pit_lookup (valid-time × transaction-time
+    two-axis as-of), interval_coalesce_coverage (gaps-and-islands union
+    length) and interval_coalesce_incremental_equiv (the island-table
+    ingest fold, gated against the full recompute via the shared
+    oracle — interval union is associative + idempotent).
+  * Text — skipgram_pmi_topk (±3-window co-occurrence PMI, exact e6
+    ranking; the word2vec grain above the adjacent-only bigram form).
 
-Reference analog: none (pure analytics/fairness extensions; the reference
-frameworks stop at Pearson correlation — insights_oladatasets.ipynb).
+Reference analog: none (pure analytics/fairness/eval extensions; the
+reference frameworks stop at Pearson correlation —
+insights_oladatasets.ipynb).
 """
 
 from __future__ import annotations
