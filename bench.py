@@ -296,6 +296,9 @@ HEADLINE = [
     # skip-gram PMI (3x the pair volume of the adjacent bigram form)
     "bitemporal_pit_lookup",
     "skipgram_pmi_topk",
+    # round-8 batch 12: grid-blocked spatial radius self-join (cell-local
+    # candidates, brute-force-oracle losslessness proof)
+    "spatial_radius_pairs",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —

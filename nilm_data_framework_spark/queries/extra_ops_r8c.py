@@ -1732,3 +1732,108 @@ def interval_coalesce_incremental_equiv(
         .cast("long")
         .alias("max_island_us"),
     )
+
+
+# --- grid-blocked spatial radius self-join ---------------------------------------
+
+_RADIUS = 3800
+
+
+@query(
+    "spatial_radius_pairs",
+    oracle=f"""
+    WITH p AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('x' || CAST(c_custkey AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 1000000 AS px,
+             CAST(('0x' || substr(md5('y' || CAST(c_custkey AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 1000000 AS py
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.px - b.px) * (a.px - b.px)
+                + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS dist2
+    FROM p a JOIN p b ON b.id > a.id
+    WHERE (a.px - b.px) * (a.px - b.px)
+          + (a.py - b.py) * (a.py - b.py) <= {_RADIUS * _RADIUS}
+    """,
+    survey_ref="§2.5 J-ext: spatial RADIUS self-join with grid-cell "
+    "blocking (the grid-file / DJ spatial-join classic) — all point "
+    "pairs within L2 distance r, candidates only from the 3×3 neighbor "
+    "cells of an r-sized grid; the brute-force all-pairs oracle makes "
+    "the gate a LOSSLESSNESS proof (cell size ≥ r ⇒ every "
+    "within-radius pair lands in adjacent cells), the prefix-filter "
+    "discipline applied to geometry",
+)
+def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join over md5-derived synthetic coordinates (1M×1M
+    integer plane; deterministic in both engines — a multiplicative-hash
+    layout was tried first and produced a LATTICE with zero close pairs,
+    the classic pseudo-randomness trap). Blocking: each point lands in
+    its own r-sized grid cell on the build side and fans out to the 3×3
+    neighborhood on the probe side, so every candidate pair meets in
+    EXACTLY one cell (the build point's own) and within-radius pairs can
+    never escape — candidates are cell-local, never all-pairs; the
+    quadratic form exists only in the oracle, whose hash equality proves
+    the blocking drops nothing. Verification is the exact integer
+    squared distance (no sqrt, no float).
+
+    Scale: one narrow projection per side (probe side ×9), one equi-join
+    on the cell key, map-side-combinable everywhere; skewed cells (dense
+    regions) are AQE-splittable. At 100 TB this is the standard
+    geo-dedup / store-proximity / co-location join shape."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def _coord(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix), F.col("c_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+
+    p = cust.select(
+        F.col("c_custkey").alias("id"),
+        _coord("x").alias("px"),
+        _coord("y").alias("py"),
+    )
+    r2 = _RADIUS * _RADIUS
+    a = p.select(
+        F.col("id").alias("id_a"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        F.expr(f"px div {_RADIUS}").alias("cx"),
+        F.expr(f"py div {_RADIUS}").alias("cy"),
+    )
+    b = p.select(
+        F.col("id").alias("id_b"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(px div {_RADIUS} + dx AS cx, "
+                f"py div {_RADIUS} + dy AS cy))))"
+            )
+        ).alias("c"),
+    ).select("id_b", "bx", "by", "c.cx", "c.cy")
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("id_b") > F.col("id_a"))
+        .where(dist2 <= r2)
+        .select("id_a", "id_b", dist2.cast("long").alias("dist2"))
+    )

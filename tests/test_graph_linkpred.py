@@ -139,3 +139,51 @@ def test_rev_e4_matches_decimal_arithmetic(spark):
             * (100 - int(Decimal(str(r["l_discount"])) * 100))
         )
         assert r["rev_e4"] == want, (r["l_extendedprice"], r["l_discount"])
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edge_set=hst.sets(
+        hst.tuples(hst.integers(0, 7), hst.integers(0, 7)).filter(
+            lambda p: p[0] < p[1]
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_resource_allocation_matches_python_reference(spark, edge_set):
+    """RA scores and the non-adjacency filter replayed in pure Python:
+    for every non-adjacent pair, score = sum over common neighbors of
+    1e6 // deg — sum-of-floors, exactly as the operator computes."""
+    from nilm_data_framework_spark.operators.graph import resource_allocation_topk
+
+    edges = sorted(edge_set)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if v in adj[u]:
+                continue
+            common = adj[u] & adj[v]
+            if common:
+                want[(u, v)] = (
+                    len(common),
+                    sum(1_000_000 // len(adj[z]) for z in common),
+                )
+    out = resource_allocation_topk(
+        _edges(spark, edges), k=100, materialize=False
+    ).collect()
+    got = {(r["v1"], r["v2"]): (r["n_common"], r["ra_e6"]) for r in out}
+    assert got == want
