@@ -433,8 +433,15 @@ def disparate_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = per.crossJoin(F.broadcast(ref))
     # guard the degenerate all-rejected reference (ref_keep = 0): DI is
-    # undefined there, and the e4 integer division would raise in BOTH
-    # engines — emit NULL instead (CASE short-circuits in both)
+    # undefined there — emit NULL. The two engines differ on UNGUARDED
+    # integer div-by-zero in the pinned configs (verified r9): Spark 4.1
+    # runs ANSI mode by default so `div 0` RAISES — this WHEN's lazy
+    # branch evaluation is genuine crash protection — while DuckDB `//0`
+    # yields NULL, which is why the oracle's below_four_fifths is safe
+    # even with the ratio inside a non-short-circuiting AND (false AND
+    # NULL → false → ELSE 0, matching this side's NULL→0 otherwise).
+    # The r8 advice note claimed both engines yield NULL; that is true
+    # only for DuckDB — don't relax the Spark-side CASE.
     di = F.when(
         F.col("ref_keep") > 0, ratio_e4("n_keep * ref_total", "n_total * ref_keep")
     )
@@ -1512,7 +1519,19 @@ def cuped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user), → ONE global agg with conditional per-variant sums and the
     pooled moments (map-side combined). The split cut is a 1-row global
     min/max agg. Deterministic variant = user_id % 2 (the hash_split
-    convention)."""
+    convention).
+
+    int64 bound (advice r8): theta_num/theta_den need n·Σ(x·y) and
+    n·Σ(x²) < 2^63 — with per-user cent sums ~1e6 that holds to ~1e5
+    users × 1e6 events/user (n·x·y ≈ 1e5·1e12 = 1e17 ≪ 9.2e18); at
+    sf0.1 the headroom is ~600×. Past the bound the engines FAIL LOUDLY
+    rather than diverge: Spark 4 runs ANSI mode (long-sum overflow
+    raises ARITHMETIC_OVERFLOW; verified div-0 raises too, r9) and the
+    oracle's CAST(HUGEINT AS BIGINT) errors in DuckDB. For larger
+    scales decompose per operators/exact_math.py (spearman_rho_corr's
+    documented escape hatch): center by the integer mean first, or
+    emit per-variant Σx/Σy/Σxy/Σx² and compose driver-side in Python
+    arbitrary-precision ints."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
@@ -1780,8 +1799,17 @@ def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one narrow projection per side (probe side ×9), one equi-join
     on the cell key, map-side-combinable everywhere; skewed cells (dense
-    regions) are AQE-splittable. At 100 TB this is the standard
-    geo-dedup / store-proximity / co-location join shape."""
+    regions) are AQE-splittable. The JOIN SHAPE is the standard 100 TB
+    geo-dedup / store-proximity / co-location form — but THIS FIXTURE's
+    output is density-quadratic (advice r8): the plane is a fixed 1M×1M,
+    so doubling the rows doubles density and the within-radius pair
+    count (and per-cell candidate volume) grows ~Θ(n²) — the
+    measures-the-answer caveat STRESS.md applies to the winnowing pair
+    stage holds here too; don't read a pair-count sweep on this fixture
+    as the operator's slope. Real deployments keep density roughly
+    constant (more data covers more territory); to sweep the OPERATOR,
+    scale the plane side with sqrt(n) (constant density) or bound the
+    output (per-point k-nearest within r via a top-k by dist2)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
 
     def _coord(prefix: str):
