@@ -299,6 +299,11 @@ HEADLINE = [
     # round-8 batch 12: grid-blocked spatial radius self-join (cell-local
     # candidates, brute-force-oracle losslessness proof)
     "spatial_radius_pairs",
+    # round-9 additions: FILTERED vector search over the persisted IVF
+    # layout (partition pruning + predicate pushdown on one scan) and
+    # seeded-teleport personalized PageRank (iterated integer fixpoint)
+    "cosine_topk_ivf_filtered",
+    "personalized_pagerank_seeds",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —
@@ -469,6 +474,11 @@ EXCLUDED: dict[str, str] = {
     "bm25_compact_probe_equiv": "swap compaction benched inside composed 'bm25_index_lifecycle' (same kernel, same layout)",
     "bm25_delete_then_append_equiv": "ordering twin of benched 'bm25_index_lifecycle' (same ops, reversed order; algebra gate, not a new kernel)",
     "asof_forward_next_purchase": "same single-sort kernel as benched 'asof_nearest_purchase' (direction dial only)",
+    # --- extra_ops_r9 ---
+    "cosine_topk_filtered_exact": "selectivity-scaled twin of benched 'cosine_topk_bruteforce' (same broadcast-NL join topology; the pushed filter only shrinks the corpus side)",
+    "ivf_filtered_recall_at_k": "recall attestation gate over the benched 'cosine_topk_ivf_filtered' probe",
+    "bm25_upsert_probe_equiv": "delete∘append composition of kernels benched inside 'bm25_index_lifecycle' (same layout; algebra gate, not a new kernel)",
+    "streaming_neardup_ingest_equiv": "streaming micro-batch equivalence gate; batch twin 'incremental_neardup_clusters_equiv' is benched and the family is represented by the three benched streaming gates",
     # --- streaming_equiv (the three heaviest streaming gates ARE benched:
     #     'streaming_paa_equiv', 'streaming_session_window_equiv',
     #     'streaming_bitmask_equiv') ---

@@ -436,6 +436,53 @@ def read_lsh_reference(
     )
 
 
+def append_lsh_reference(
+    batch: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> None:
+    """The bucket-spec INSERT :func:`write_lsh_reference`'s layout note
+    promises: grow the persisted reference by a SCREENED batch's
+    (id, band, bucket) and (id, hs) rows — hash parameters read from the
+    persisted meta table, so the append can never use a different
+    seed/banding than the layout (the same reader-enforced soundness rule
+    as :func:`minhash_lsh_join_reference`). Spark appends per-bucket
+    files under the existing bucketBy spec; the layout is maintained
+    incrementally, never rebuilt.
+
+    PRECONDITION — batch ids must be DISJOINT from every previously
+    ingested batch (append-only ingest, the ``append_bm25_batch``
+    contract): re-appending an id duplicates its bucket/hs rows and
+    inflates verify-join matches. In the incremental ingest composition
+    the batch is appended AFTER being screened against the reference, so
+    the next batch's candidates cover (old ∪ this) — the endpoint
+    decomposition stays exact (see streaming_neardup_ingest_equiv)."""
+    spark = batch.sparkSession
+    meta = spark.table(f"{table_prefix}_meta").head().asDict()
+    rows_per = meta["num_hashes"] // meta["bands"]
+    params = _minhash_hash_params(meta["num_hashes"], meta["seed"])
+    hashed = _hashed_shingles(batch, id_col, text, meta["shingle_n"]).persist()
+    try:
+        (
+            _banded(hashed, params, meta["bands"], rows_per)
+            .write.mode("append")
+            .bucketBy(meta["buckets"], "band", "bucket")
+            .sortBy("band", "bucket")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_buckets")
+        )
+        (
+            hashed.write.mode("append")
+            .bucketBy(meta["buckets"], "id")
+            .sortBy("id")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_hs")
+        )
+    finally:
+        hashed.unpersist()
+
+
 def minhash_lsh_join_reference(
     df_new: DataFrame,
     table_prefix: str,

@@ -372,7 +372,10 @@ def assign_centroids(
     """Assign every vector to its nearest centroid by cosine (ties → lower
     centroid index), via a per-row argmax over a one-call centroid literal —
     no shuffle, no join; the centroid list rides into the task closure like
-    a broadcast variable. Returns (id, vec, cid)."""
+    a broadcast variable. Returns the corpus's columns + cid: metadata
+    columns (label/lang/tenant) ride along into the partitioned layout,
+    which is what makes FILTERED vector search a parquet pushdown instead
+    of a join-back (ivf_topk_partitioned's pre_filter)."""
     cent_arr = array_lit(centroids)
     scored = F.transform(
         cent_arr,
@@ -382,8 +385,7 @@ def assign_centroids(
         ),
     )
     return corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
+        "*",
         F.array_sort(scored)[0]["cid"].alias("cid"),
     )
 
@@ -905,6 +907,7 @@ def ivf_topk_partitioned(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_filter: Column | None = None,
 ) -> DataFrame:
     """IVF top-k against a :func:`write_ivf_corpus` layout: the probed
     centroid ids become a LITERAL partition filter on the corpus scan
@@ -917,6 +920,24 @@ def ivf_topk_partitioned(
     bounded-collect rule as sample_centroids); results are identical to
     :func:`ivf_topk` with the same centroids because the per-query
     candidate join on cid already restricts to each query's own probes.
+
+    ``pre_filter`` is FILTERED vector search (the metadata-constrained
+    ANN every RAG deployment runs — "top-k among docs with lang='de'"):
+    a predicate over the layout's metadata columns applied to the SAME
+    pruned scan, so Spark pushes it into the parquet reader
+    (PushedFilters; row-group stats skip non-matching groups) and
+    candidates are restricted BEFORE ranking. That is PRE-filter
+    semantics: each query returns up to k MATCHING results drawn from
+    its probed lists. The alternative — POST-filter (rank the
+    unfiltered top-k, then drop non-matching rows) — returns
+    ≤ k·selectivity survivors and loses recall exactly when the filter
+    is selective; pre-filter instead loses recall only through the
+    probe dial (a matching vector outside the probed lists), the same
+    approximation plain IVF already makes, and n_probe can be raised
+    per-query to compensate (see the filtered recall gate
+    ivf_filtered_recall_at_k). At 100 TB: partition pruning cuts
+    directories, the pushed predicate cuts row groups inside them, and
+    the cosine evaluates only on surviving rows.
     """
     cent_arr = array_lit(centroids)
 
@@ -937,12 +958,11 @@ def ivf_topk_partitioned(
         ).alias("cid"),
     )
     probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
-    c = (
-        spark.read.parquet(path)
-        .filter(F.col("cid").isin(probed))
-        .select(
-            F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"), "cid"
-        )
+    c = spark.read.parquet(path).filter(F.col("cid").isin(probed))
+    if pre_filter is not None:
+        c = c.filter(pre_filter)
+    c = c.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"), "cid"
     )
     cand = (
         c.join(F.broadcast(q), on="cid")

@@ -93,6 +93,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extra_ops_r8,
         extra_ops_r8b,
         extra_ops_r8c,
+        extra_ops_r9,
     )
 
     ordered = sorted(registry, key=lambda n: (n in _DRIVER_RECORDED,))
