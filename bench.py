@@ -479,6 +479,9 @@ EXCLUDED: dict[str, str] = {
     "ivf_filtered_recall_at_k": "recall attestation gate over the benched 'cosine_topk_ivf_filtered' probe",
     "bm25_upsert_probe_equiv": "delete∘append composition of kernels benched inside 'bm25_index_lifecycle' (same layout; algebra gate, not a new kernel)",
     "streaming_neardup_ingest_equiv": "streaming micro-batch equivalence gate; batch twin 'incremental_neardup_clusters_equiv' is benched and the family is represented by the three benched streaming gates",
+    "bm25_topk_filtered": "pruned probe + one AQE-decided doc-dim semi-join over the layout benched via 'bm25_topk_indexed' (write-in-gate twin)",
+    "ivf_upsert_probe_equiv": "delete∘append composition of kernels benched via 'ivf_topk_persisted' and 'ivf_delete_probe_equiv' (algebra gate, not a new kernel)",
+    "gram_power_iteration": "rides benched 'embedding_gram_matrix' (the corpus pass) + a 64-row iteration loop — the iteration cost is frame-count, not data",
     # --- streaming_equiv (the three heaviest streaming gates ARE benched:
     #     'streaming_paa_equiv', 'streaming_session_window_equiv',
     #     'streaming_bitmask_equiv') ---

@@ -63,6 +63,23 @@ def ratio_scaled_sql(num: str, den: str, digits: int = 4) -> str:
     )
 
 
+def trunc_div_sql(num: str, den: str) -> str:
+    """DuckDB text for SIGNED integer division with Spark's semantics.
+
+    Spark ``div`` truncates toward zero for any sign; DuckDB ``//`` floors
+    — the two diverge exactly when the quotient is negative and inexact
+    (the reason ratio_scaled requires num >= 0). When a SIGNED quantity
+    must pass through a division INSIDE a recurrence (so emitting num/den
+    isn't possible — e.g. the power-iteration renormalization in
+    queries/extra_ops_r9.py), the oracle uses this sign-magnitude form,
+    which equals Spark's ``div`` bit-for-bit: ``den`` must be > 0."""
+    return (
+        f"CAST(CASE WHEN ({num}) < 0"
+        f" THEN -((-({num})) // ({den}))"
+        f" ELSE ({num}) // ({den}) END AS BIGINT)"
+    )
+
+
 def ratio_e4(num: str, den: str) -> Column:
     """Four-decimal (basis-point-of-percent) form of :func:`ratio_scaled`."""
     return ratio_scaled(num, den, 4)

@@ -332,6 +332,287 @@ def bm25_upsert_probe_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_probe_frame(spark, path)
 
 
+# --- filtered lexical retrieval over the persisted BM25 index ---------------------
+
+_BM25_FLT_LANG = "de"
+
+
+def _bm25_filtered_oracle(lang: str = _BM25_FLT_LANG) -> str:
+    """The indexed-probe oracle re-ranked over matching docs that ALSO
+    satisfy the metadata predicate. Corpus-wide stats on purpose: the
+    filter restricts CANDIDATES, not the score function — idf/avgdl stay
+    global so a doc scores identically under any filter (the Lucene
+    filter-query semantics; per-filter idf would make scores
+    incomparable across filters and unable to reuse the shared stats
+    table). Spliced with the asserted single-occurrence replace."""
+    from nilm_data_framework_spark.queries.extra_ops import _BM25_TERMS
+    from nilm_data_framework_spark.queries.extra_ops_r6 import _bm25_indexed_oracle
+
+    full = _bm25_indexed_oracle()
+    match = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    target = f"FROM scored WHERE {match} > 0"
+    assert full.count(target) == 1
+    return full.replace(
+        target,
+        f"FROM scored JOIN (SELECT doc_id AS f_id, lang FROM documents) f"
+        f" ON scored.doc_id = f.f_id"
+        f" WHERE {match} > 0 AND f.lang = '{lang}'",
+    )
+
+
+@query(
+    "bm25_topk_filtered",
+    oracle=_bm25_filtered_oracle(),
+    survey_ref="§2.10 text retrieval: FILTERED lexical search — BM25 top-k "
+    "under a metadata predicate over the persisted inverted index (pruned "
+    "term-partition probe, then a doc-dim semi-join restricts candidates "
+    "BEFORE ranking; corpus-wide idf/avgdl by the Lucene filter-query "
+    "semantics); the lexical twin of cosine_topk_ivf_filtered — together "
+    "they make BOTH legs of the RAG stack filter-aware",
+)
+def bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index is keyed by term, not metadata, so the filter is
+    a semi-join against the (doc_id) ids satisfying the predicate — the
+    posting-list ∩ doc-store shape every lexical engine runs. Unlike the
+    IVF case there is NO recall trade: posting probes are exact, so
+    filtered top-k == full-scan top-k restricted to matching docs, which
+    is literally what the oracle replays. Scale: probe reads q term
+    directories; the filter side is a metadata scan pruned to (doc_id)
+    by column pruning (predicate pushed); the semi-join is AQE-decided
+    (both sides sf-scaled — no broadcast hint per the repo rule); at
+    100 TB a high-traffic predicate column graduates into the postings
+    as a partition key (term, lang), the same evolution as the IVF
+    layout's metadata ride-along."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators.text import (
+        bm25_hits_indexed,
+        write_bm25_index,
+    )
+    from nilm_data_framework_spark.queries.extra_ops import _BM25_K, _BM25_TERMS
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_bm25_flt"), "idx_"
+    )
+    write_bm25_index(docs, path)
+    hits = bm25_hits_indexed(spark, path, _BM25_TERMS)
+    keep = docs.filter(F.col("lang") == _BM25_FLT_LANG).select("doc_id")
+    flt = hits.join(keep, "doc_id", "left_semi")
+    top = flt.orderBy(F.col("bm25_raw").desc(), "doc_id").limit(_BM25_K).coalesce(1)
+    w = Window.orderBy(F.col("bm25_raw").desc(), "doc_id")
+    out = top.withColumn("rk", F.row_number().over(w)).drop("bm25_raw")
+    return out.select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        "bm25",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+# --- IVF upsert: the vector twin of bm25_upsert_probe_equiv -----------------------
+
+
+def _ivf_upsert_oracle() -> str:
+    """The IVF probe oracle with the CANDIDATE corpus rewritten to the
+    upserted embeddings (re-crawled docs arrive with fresh vectors —
+    modeled as list_reverse, which moves both the assignment and the
+    scores). Centroids and query probes stay on the ORIGINAL table: the
+    quantizer was trained before the upsert (the no-retrain contract of
+    delete_ivf_vecs) and queries are external vectors. Spliced with
+    asserted single-occurrence replaces."""
+    from nilm_data_framework_spark.queries.similarity import _ivf_oracle_sql
+
+    full = _ivf_oracle_sql()
+    t_e = "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+    assert full.count(t_e) == 1
+    full = full.replace(
+        t_e,
+        t_e
+        + f"\n    eu AS (SELECT vec_id, CASE WHEN vec_id % 10 = {_UPS_MOD}"
+        " THEN list_reverse(v) ELSE v END AS v FROM e),",
+    )
+    t_ca = "FROM e, cents c\n      ) WHERE rn = 1"
+    assert full.count(t_ca) == 1
+    return full.replace(t_ca, "FROM eu e, cents c\n      ) WHERE rn = 1")
+
+
+@query(
+    "ivf_upsert_probe_equiv",
+    oracle=_ivf_upsert_oracle(),
+    survey_ref="§2.10 ANN: persisted-index UPDATE for the IVF layout — "
+    "re-embedding a changed document as delete(old vector) ∘ append(new "
+    "vector, SAME trained centroids); probe must equal a from-scratch "
+    "layout over the upserted corpus. With bm25_upsert_probe_equiv (same "
+    "doc_id % 10 == 4 upsert set) a re-crawl refreshes BOTH retrieval "
+    "layouts through gated paths — CRUD complete on both",
+)
+def ivf_upsert_probe_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The new embedding (list reversal — deterministic in both engines,
+    norm-preserving, assignment-moving) usually lands in a DIFFERENT
+    centroid list than the old one: the delete rewrites the old list's
+    directory, the append adds a file to the new list's — which is
+    exactly the failure surface this gate pins (a stale old-list row
+    would surface in probes of the old centroid). Cost: O(affected cid
+    partitions + batch); centroids are NOT retrained (re-clustering
+    after drift is an offline rebuild, per append_ivf_batch)."""
+    from nilm_data_framework_spark.operators import similarity as S
+    from nilm_data_framework_spark.operators.index_maintenance import (
+        delete_ivf_vecs,
+    )
+
+    path, cents, queries_df = _write_filtered_layout(spark, sf_dir, "ups")
+    emb = _emb(spark, sf_dir)
+    changed = emb.filter(F.col("vec_id") % 10 == _UPS_MOD).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    delete_ivf_vecs(
+        spark, path, emb.filter(F.col("vec_id") % 10 == _UPS_MOD).select("vec_id")
+    )
+    S.append_ivf_batch(changed, path, cents)
+    out = S.ivf_topk_partitioned(
+        spark, path, queries_df, k=_FLT_K, centroids=cents, n_probe=_FLT_PROBE
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+# --- dominant embedding direction: exact integer power iteration ------------------
+
+_GPI_ITERS = 4
+_GPI_GCAP = 2 ** 36  # |normalized Gram entry| bound
+_GPI_XS = 1024  # per-iteration max-|component| normalization target
+
+
+def _gram_power_oracle(iters: int = _GPI_ITERS) -> str:
+    """Chained-CTE twin of the integer power iteration: Gram build (the
+    embedding_gram_matrix SQL), mirror to full symmetric, one-time
+    magnitude normalization of G (data-dependent divisor as a 1-row agg —
+    keeps every matvec inside int64 at ANY corpus size), then per round
+    matvec + max-|y| renormalization. Signed divisions use the
+    sign-magnitude form (operators/exact_math.py::trunc_div_sql) because
+    Spark `div` truncates toward zero while DuckDB `//` floors."""
+    from nilm_data_framework_spark.operators.exact_math import trunc_div_sql
+
+    ctes = [
+        """u AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN range(0, 64) t(i)
+    )""",
+        "gu AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g\n"
+        "       FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i\n"
+        "       GROUP BY 1, 2)",
+        "gf AS (SELECT i, j, g FROM gu\n"
+        "       UNION ALL SELECT j AS i, i AS j, g FROM gu WHERE j > i)",
+        f"nrm AS (SELECT greatest(CAST(1 AS BIGINT),\n"
+        f"               CAST(max(abs(g)) // {_GPI_GCAP} AS BIGINT)) AS dd FROM gf)",
+        f"gs AS (SELECT i, j, {trunc_div_sql('g', 'dd')} AS gq\n"
+        "       FROM gf CROSS JOIN nrm)",
+        f"x0 AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS i,\n"
+        f"              CAST({_GPI_XS} AS BIGINT) AS x)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"y{k} AS (SELECT gs.i AS i, CAST(sum(gs.gq * x{k}.x) AS BIGINT) AS y\n"
+            f"         FROM gs JOIN x{k} ON gs.j = x{k}.i GROUP BY 1)"
+        )
+        ctes.append(
+            f"m{k} AS (SELECT CAST(max(abs(y)) AS BIGINT) AS m FROM y{k})"
+        )
+        ctes.append(
+            f"x{k + 1} AS (SELECT i, {trunc_div_sql(f'y * {_GPI_XS}', 'm')} AS x\n"
+            f"       FROM y{k} CROSS JOIN m{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT i AS pos, x AS v_q10 FROM x{iters}"
+    )
+
+
+def gram_power_direction(emb: DataFrame) -> DataFrame:
+    """Frame-level kernel behind gram_power_iteration (exposed for
+    scripts/stress_scaling.py): embeddings frame → (pos, v_q10), the
+    dominant Gram direction at max-|component| = 1024 fixed point after
+    _GPI_ITERS exact-integer power-iteration rounds. See the registered
+    query's docstring for the overflow algebra and division semantics."""
+    from nilm_data_framework_spark.operators import embed_stats as ES
+
+    gu = ES.gram_matrix_u6(emb, "embedding").select("i", "j", "g")
+    gf = gu.unionByName(
+        gu.filter(F.col("j") > F.col("i")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    nrm = gf.agg(
+        F.expr(
+            f"greatest(CAST(1 AS BIGINT), max(abs(g)) div {_GPI_GCAP})"
+        ).alias("dd")
+    )
+    gs = (
+        gf.crossJoin(F.broadcast(nrm))
+        .select("i", "j", F.expr("g div dd").cast("long").alias("gq"))
+        .localCheckpoint(eager=True)  # feeds every round
+    )
+    spark = emb.sparkSession
+    x = spark.range(64).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(_GPI_XS).cast("long").alias("x"),
+    )
+    for _ in range(_GPI_ITERS):
+        y = (
+            gs.join(x.select(F.col("i").alias("j"), "x"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("gq") * F.col("x")).cast("long").alias("y"))
+        )
+        m = y.agg(F.max(F.abs(F.col("y"))).cast("long").alias("m"))
+        x = (
+            y.crossJoin(F.broadcast(m))
+            .select("i", F.expr(f"(y * {_GPI_XS}) div m").cast("long").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    return x.select(F.col("i").alias("pos"), F.col("x").alias("v_q10"))
+
+
+@query(
+    "gram_power_iteration",
+    oracle=_gram_power_oracle(),
+    survey_ref="§2.10 embedding stats extension: dominant principal "
+    "direction of the embedding second-moment (Gram) matrix via EXACT "
+    f"integer power iteration ({_GPI_ITERS} rounds, per-round max-|x| "
+    "renormalization to 1024, one-time data-dependent Gram magnitude cap "
+    "keeping every matvec inside int64 at any corpus size) — the "
+    "anisotropy / common-direction diagnostic ('All-but-the-Top', Mu & "
+    "Viswanath ICLR'18) and the third iterated-numeric-fixpoint family "
+    "member beside PageRank and personalized PageRank",
+)
+def gram_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase shape that scales independently of corpus size: ONE
+    linear pass builds the d×d Gram (operators/embed_stats.py::
+    gram_matrix_u6 — d²-bounded shuffle), then the iteration runs
+    entirely on d²/d-row frames (4096/64 rows at d=64; localCheckpoint
+    per round keeps the plan flat, the pagerank discipline at toy frame
+    sizes). Overflow algebra: |gq| ≤ 2^36 (the one-time cap), |x| ≤ 2^10
+    (per-round renorm) ⇒ |Σ_j gq·x| ≤ 64·2^46 = 2^52 and the renorm
+    numerator |y·1024| ≤ 2^62 < 2^63. Signed renormalization divisions
+    match cross-engine via Spark's truncate-toward-zero `div` vs the
+    oracle's sign-magnitude `//` form (exact_math.trunc_div_sql). Output
+    is the direction at max-|component| = 1024 fixed-point — for Gram
+    (PSD) matrices with a non-degenerate spectral gap this converges to
+    the top eigenvector; 4 rounds is the gated horizon, not a
+    convergence claim. Kernel: gram_power_direction."""
+    return gram_power_direction(_emb(spark, sf_dir))
+
+
 # --- streaming twin of the incremental near-dup ingest (§2.9 closure) -------------
 
 

@@ -1812,10 +1812,13 @@ def main() -> None:
             li_k = li_parts[0]
             for p in li_parts[1:]:
                 li_k = li_k.unionByName(p)
+            # tagged-long keys, matching the registered kernel since the r9
+            # re-key (labels are built only in the query's final projection,
+            # which the kernel sweep doesn't need)
             pr_edges = (
                 li_k.select(
-                    F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-                    F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+                    (F.col("l_suppkey").cast("long") * 2).alias("src"),
+                    (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"),
                 )
                 .distinct()
                 .localCheckpoint(eager=True)
@@ -1846,6 +1849,107 @@ def main() -> None:
                  ).count()),
             ):
                 sized.append(({name: fn}, rows_in))
+
+        r9_names = {"ppr_iters", "ivf_filtered_probe", "gram_power"}
+        if only is None or only & r9_names:
+            # r9 kernels. ppr_iters: the same k×-disjoint bipartite graph as
+            # pagerank_iters (replica key shift is a multiple of 10, so the
+            # suppkey % 10 == 0 seed pattern replicates — each copy gets its
+            # own seed set) — claim ~linear in edges, same as uniform.
+            # ivf_filtered_probe: layout written ONCE per k (untimed), then
+            # the filtered partition-pruned probe alone — probe work is the
+            # probed fraction (n_probe/n_centroids) of the corpus at FIXED
+            # centroid count, so the honest claim is linear-in-probed-lists
+            # with pruning+pushdown constants; production scales n_centroids
+            # with the corpus to hold list size. gram_power: Gram pass is
+            # the linear scan (gram_matrix sweep above); the 4-round
+            # iteration runs on d²-row frames — claim: indistinguishable
+            # from gram_matrix alone.
+            import shutil as _sh
+            import tempfile as _tf
+
+            from nilm_data_framework_spark.operators import similarity as SIM9
+            from nilm_data_framework_spark.queries.extra_ops_r9 import (
+                _FLT_PROBE,
+                personalized_pagerank_power,
+            )
+            from nilm_data_framework_spark.tmpdirs import pid_scratch_dir as _psd
+
+            if only is None or "ppr_iters" in (only or r9_names):
+                li_parts9 = [li_base]
+                for r in range(1, k):
+                    li_parts9.append(
+                        li_base.select(
+                            "l_orderkey",
+                            (F.col("l_partkey") + 1_000_000 * r).alias("l_partkey"),
+                            (F.col("l_suppkey") + 1_000_000 * r).alias("l_suppkey"),
+                        )
+                    )
+                li_k9 = li_parts9[0]
+                for p in li_parts9[1:]:
+                    li_k9 = li_k9.unionByName(p)
+                ppr_edges = (
+                    li_k9.select(
+                        (F.col("l_suppkey").cast("long") * 2).alias("src"),
+                        (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"),
+                    )
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+
+                def _ppr():
+                    return personalized_pagerank_power(
+                        ppr_edges,
+                        lambda v: (v % 2 == 0) & (F.shiftright(v, 1) % 10 == 0),
+                    ).count()
+
+                sized.append(({"ppr_iters": _ppr}, ppr_edges.count()))
+
+            emb9_parts = [emb_base.select("vec_id", "embedding", "label")]
+            for r in range(1, k):
+                emb9_parts.append(
+                    emb_base.select(
+                        (F.col("vec_id") + 10_000_000 * r).alias("vec_id"),
+                        "embedding",
+                        "label",
+                    )
+                )
+            emb9 = emb9_parts[0]
+            for p in emb9_parts[1:]:
+                emb9 = emb9.unionByName(p)
+            emb9 = emb9.repartition(32, "vec_id").localCheckpoint(eager=True)
+            n_emb9 = emb9.count()
+            if only is None or "ivf_filtered_probe" in (only or r9_names):
+                cents9 = SIM9.sample_centroids(
+                    emb9, 16, "vec_id", "embedding", "hash", 42
+                )
+                p9 = _psd(
+                    os.path.join(_tf.gettempdir(), "nilm_spark_fltprobe"),
+                    f"k{k}_",
+                )
+                _sh.rmtree(p9, ignore_errors=True)
+                SIM9.write_ivf_corpus(emb9, p9, cents9)
+                q9 = emb9.filter(F.col("vec_id") < 8)
+
+                def _flt_probe():
+                    return SIM9.ivf_topk_partitioned(
+                        spark, p9, q9, k=5, centroids=cents9,
+                        n_probe=_FLT_PROBE,
+                        pre_filter=F.col("label") == 3,
+                    ).count()
+
+                sized.append(({"ivf_filtered_probe": _flt_probe}, n_emb9))
+            if only is None or "gram_power" in (only or r9_names):
+                from nilm_data_framework_spark.queries.extra_ops_r9 import (
+                    gram_power_direction,
+                )
+
+                def _gram_power():
+                    # the SAME kernel the registered query runs (shared impl
+                    # — the repo's grain-definitions-live-once rule)
+                    return gram_power_direction(emb9).count()
+
+                sized.append(({"gram_power": _gram_power}, n_emb9))
 
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:

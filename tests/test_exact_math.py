@@ -176,3 +176,31 @@ def test_epoch_div_backticks_awkward_column_names(spark):
             r[0] for r in renamed.select(epoch_div(awkward, 86400)).collect()
         )
         assert got == [1, 2]
+
+
+def test_trunc_div_sql_matches_spark_div_on_signed(spark):
+    """trunc_div_sql's sign-magnitude DuckDB form must equal Spark's
+    truncate-toward-zero `div` on every sign combination (den > 0) — the
+    contract the gram_power_iteration renormalization rides on. A plain
+    DuckDB `//` FLOORS and would differ on every negative inexact
+    quotient."""
+    import duckdb
+
+    from nilm_data_framework_spark.operators.exact_math import trunc_div_sql
+
+    from pyspark.sql import functions as F
+
+    cases = [(-7, 2), (-8, 2), (-1, 3), (7, 2), (0, 5), (-1000001, 1024)]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got_spark = {
+        (r["num"], r["den"]): r["q"]
+        for r in df.select("num", "den", F.expr("num div den").alias("q")).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        (n, d): con.execute(f"SELECT {trunc_div_sql(str(n), str(d))}").fetchone()[0]
+        for n, d in cases
+    }
+    floored = {(n, d): n // d for n, d in cases}
+    assert got_spark == got_duck
+    assert got_duck != floored  # the trap is real: plain floor diverges
