@@ -300,10 +300,15 @@ HEADLINE = [
     # candidates, brute-force-oracle losslessness proof)
     "spatial_radius_pairs",
     # round-9 additions: FILTERED vector search over the persisted IVF
-    # layout (partition pruning + predicate pushdown on one scan) and
-    # seeded-teleport personalized PageRank (iterated integer fixpoint)
+    # layout (partition pruning + predicate pushdown on one scan),
+    # seeded-teleport personalized PageRank (iterated integer fixpoint),
+    # and PRF/RM3 query expansion (two probe passes + quantized impacts)
     "cosine_topk_ivf_filtered",
     "personalized_pagerank_seeds",
+    "bm25_prf_expanded_topk",
+    # round-9 batch 4: all-pairs kNN join (sf-scaled query side — the
+    # cid-keyed equi-join shape, neither side broadcast)
+    "ivf_knn_self_join",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —
@@ -482,6 +487,9 @@ EXCLUDED: dict[str, str] = {
     "bm25_topk_filtered": "pruned probe + one AQE-decided doc-dim semi-join over the layout benched via 'bm25_topk_indexed' (write-in-gate twin)",
     "ivf_upsert_probe_equiv": "delete∘append composition of kernels benched via 'ivf_topk_persisted' and 'ivf_delete_probe_equiv' (algebra gate, not a new kernel)",
     "gram_power_iteration": "rides benched 'embedding_gram_matrix' (the corpus pass) + a 64-row iteration loop — the iteration cost is frame-count, not data",
+    "streaming_scd2_ingest_equiv": "streaming micro-batch equivalence gate; batch twin 'scd2_incremental_equiv' is benched and the family is represented by the three benched streaming gates",
+    "scd2_late_arrivals_equiv": "same scd2_intervals kernel as benched 'scd2_incremental_equiv' (affected-keys slice + interval passthrough)",
+    "gram_incremental_equiv": "two half-corpus runs of benched 'embedding_gram_matrix' + one d²-bounded merge agg (algebra gate)",
     # --- streaming_equiv (the three heaviest streaming gates ARE benched:
     #     'streaming_paa_equiv', 'streaming_session_window_equiv',
     #     'streaming_bitmask_equiv') ---

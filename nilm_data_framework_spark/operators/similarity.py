@@ -363,6 +363,71 @@ def ivf_topk(
     )
 
 
+def ivf_knn_join(
+    corpus: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs approximate kNN over the corpus — EVERY vector is a query
+    (the batch kNN-join behind dedup graphs, related-item tables and
+    recommendation candidate generation), in the shape that survives an
+    sf-scaled query side: a cid-keyed EQUI-JOIN with NEITHER side
+    broadcast.
+
+    The bounded-query functions (:func:`ivf_topk`,
+    :func:`ivf_topk_partitioned`) broadcast the query frame — correct for
+    interactive top-k, fatal when the query set IS the corpus (an
+    sf-scaled broadcast is exactly what the repo's hint guard forbids).
+    Here both sides shuffle once on cid: the build side carries each
+    vector's single assigned list, the probe side explodes each vector
+    into its ``n_probe`` nearest lists, so a candidate pair meets in
+    EXACTLY one cid (the build vector's own) — no dedup aggregate needed.
+    Hot lists (dense regions) are AQE-skew-splittable; at 100 TB this
+    composes with the persisted layout (probe side scans the
+    cid-partitioned corpus once, already co-located on the join key).
+    Returns (query_id, match_id, cosine, rk) with rk ≤ k per query,
+    ties broken on match_id (the uniform similarity-family policy)."""
+    cent_arr = array_lit(centroids)
+
+    def nearest(vec: Column, n: int) -> Column:
+        scored = F.transform(
+            cent_arr,
+            lambda cv, i: F.struct(
+                (-cosine(vec, cv)).alias("negcos"), i.cast("integer").alias("cid")
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        nearest(F.col(vec_col), 1)[0]["cid"].alias("cid"),
+    )
+    q = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.transform(nearest(F.col(vec_col), n_probe), lambda s: s["cid"])
+        ).alias("cid"),
+    )
+    cand = (
+        c.join(q, on="cid")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )
+
+
 def assign_centroids(
     corpus: DataFrame,
     centroids: list[list[float]],

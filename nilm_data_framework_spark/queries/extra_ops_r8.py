@@ -385,6 +385,54 @@ def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_CUT_US = 1_705_363_200_000_000
 
 
+def scd2_fold(
+    intervals: DataFrame,
+    batch: DataFrame,
+    key: str,
+    ts: str,
+    attr: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Fold an append-only changelog batch into an EXISTING interval table
+    (the interval-level half of :func:`scd2_incremental`, exposed so the
+    streaming twin can iterate it per micro-batch):
+
+      closed       — runs that already ended are immutable (the batch is
+                     strictly later in event time), so they pass through
+                     untouched;
+      seed         — each key's OPEN run re-enters as one synthetic row at
+                     its run start (tiebreak -1 so it orders before any
+                     real row at the same instant — unreachable here since
+                     seed ts <= cut < batch ts, but total orders stay
+                     total);
+      iv2          — scd2_intervals over (seeds ∪ batch): a batch row
+                     continuing the open run's attr MERGES into it (the
+                     original valid_from survives via the seed), a
+                     different attr closes it at the new row's ts.
+
+    Precondition: every batch row is strictly later (by ``ts``) than every
+    row already folded for the same key — the clean time-cut an
+    append-only changelog gives. Iterating the fold over time-ordered
+    batches is exact for the same reason one fold is: each fold's output
+    is a valid interval table whose open runs carry their true
+    valid_from."""
+    from nilm_data_framework_spark.operators.windows import scd2_intervals
+
+    closed = intervals.filter(F.col("valid_to").isNotNull())
+    tb_type = batch.schema[tiebreak].dataType
+    seeds = intervals.filter(F.col("valid_to").isNull()).select(
+        F.col(key),
+        F.col("valid_from").alias(ts),
+        F.col(attr),
+        F.lit(-1).cast(tb_type).alias(tiebreak),
+    )
+    iv2 = scd2_intervals(
+        seeds.unionByName(batch.select(key, ts, attr, tiebreak)),
+        key=key, ts=ts, attr=attr, tiebreak=[tiebreak],
+    )
+    return closed.unionByName(iv2)
+
+
 def scd2_incremental(
     batch1: DataFrame,
     batch2: DataFrame,
@@ -394,44 +442,18 @@ def scd2_incremental(
     tiebreak: str,
 ) -> DataFrame:
     """Incremental SCD2 maintenance: fold an append-only changelog batch
-    into an existing interval table WITHOUT recomputing history.
-
-      closed(iv1)  — runs that ended inside batch1 are immutable (batch2
-                     is strictly later in event time), so they pass through
-                     untouched;
-      seed         — each key's OPEN run re-enters as one synthetic row at
-                     its run start (tiebreak -1 so it orders before any
-                     real row at the same instant — unreachable here since
-                     seed ts <= cut < batch2 ts, but total orders stay
-                     total);
-      iv2          — scd2_intervals over (seeds ∪ batch2): a batch2 row
-                     continuing the open run's attr MERGES into it (the
-                     original valid_from survives via the seed), a
-                     different attr closes it at the new row's ts.
-
-    Precondition: every batch2 row is strictly later (by ``ts``) than every
-    batch1 row of the same key — the clean time-cut an append-only
-    changelog gives. Scale: the increment touches closed history ZERO
-    times — cost is O(open intervals + batch), the same contract as
-    merge_upsert/append_bm25_batch; a daily batch against years of history
-    reads one row per live key plus the day's rows.
+    into an existing interval table WITHOUT recomputing history —
+    scd2_intervals over batch1 composed with :func:`scd2_fold` (see there
+    for the algebra and the strictly-later precondition). Scale: the
+    increment touches closed history ZERO times — cost is O(open
+    intervals + batch), the same contract as merge_upsert/
+    append_bm25_batch; a daily batch against years of history reads one
+    row per live key plus the day's rows.
     """
     from nilm_data_framework_spark.operators.windows import scd2_intervals
 
     iv1 = scd2_intervals(batch1, key=key, ts=ts, attr=attr, tiebreak=[tiebreak])
-    closed = iv1.filter(F.col("valid_to").isNotNull())
-    tb_type = batch1.schema[tiebreak].dataType
-    seeds = iv1.filter(F.col("valid_to").isNull()).select(
-        F.col(key),
-        F.col("valid_from").alias(ts),
-        F.col(attr),
-        F.lit(-1).cast(tb_type).alias(tiebreak),
-    )
-    iv2 = scd2_intervals(
-        seeds.unionByName(batch2.select(key, ts, attr, tiebreak)),
-        key=key, ts=ts, attr=attr, tiebreak=[tiebreak],
-    )
-    return closed.unionByName(iv2)
+    return scd2_fold(iv1, batch2, key=key, ts=ts, attr=attr, tiebreak=tiebreak)
 
 
 def _scd2_incremental_oracle() -> str:

@@ -4,28 +4,45 @@ window — see tests/test_registry_order.py. The r8 backlog is ZERO (every
 registered query is driver-attested), so all 50 of this round's window
 slots are free; net-new stays well under that (judge r8 item 1).
 
-Theme: FILTERED vector search (judge r8 item 2 — the highest-leverage
-missing production shape) plus the remaining lifecycle/streaming/graph
-items from the r8 verdict list:
+Theme: FILTERED retrieval on both RAG legs (judge r8 item 2 — the
+highest-leverage missing production shape), the remaining
+lifecycle/streaming/graph items from the r8 verdict list, and the
+round's organic follow-ons:
 
+  Filtered search family —
   * cosine_topk_ivf_filtered — ANN top-k under a metadata predicate over
     the EXISTING cid-partitioned IVF layout: partition pruning for the
-    probe, predicate pushdown for the filter, PRE-filter semantics
-    (candidates restricted before ranking).
-  * cosine_topk_filtered_exact — the exact filtered baseline: brute-force
-    top-k over the SAME persisted layout with the predicate pushed into a
-    full (unpruned) scan; what a deployment falls back to when the filter
-    is so selective the probed lists starve.
-  * ivf_filtered_recall_at_k — per-query recall of the filtered-IVF probe
-    against the exact filtered top-k, as exact e4 integers: the
-    measurement half of the pre-filter recall trade the operator
-    docstring describes.
-  * bm25_upsert_probe_equiv — persisted-index UPDATE: re-ingesting a
-    CHANGED document == delete(old) ∘ append(new); completes CRUD.
-  * personalized_pagerank_seeds — seeded-teleport PageRank over the
-    tagged-long integer-fixpoint kernel.
+    probe, predicate pushdown for the filter, PRE-filter semantics.
+  * cosine_topk_filtered_exact — the exact filtered baseline (pushed
+    filter, full scan); the fallback when the filter starves the lists.
+  * ivf_filtered_recall_at_k — per-query recall of filtered IVF vs the
+    exact filtered top-k, exact e4 integers.
+  * bm25_topk_filtered — the lexical leg: pruned term probe + doc-dim
+    semi-join before ranking (corpus-wide idf, Lucene filter semantics).
+
+  Index lifecycle completed to full CRUD on BOTH layouts —
+  * bm25_upsert_probe_equiv / ivf_upsert_probe_equiv — re-ingesting a
+    CHANGED document == delete(old) ∘ append(new), same %10==4 upsert
+    set on both (a re-crawl refreshes text AND embedding).
+
+  Streaming closure of the incremental-fold family —
   * streaming_neardup_ingest_equiv — foreachBatch twin of the r8
-    incremental near-dup ingest flagship (§2.9 closure).
+    incremental near-dup ingest flagship (per-batch LSH segments).
+  * streaming_scd2_ingest_equiv — scd2_fold iterated over a TIME-sliced
+    fixture; plus scd2_late_arrivals_equiv for the out-of-order regime
+    (affected-keys-only recompute) and gram_incremental_equiv (the
+    linear-algebra member: mergeable second moments).
+
+  Graph / linear-algebra iterated fixpoints —
+  * personalized_pagerank_seeds — seeded-teleport integer PageRank.
+  * gram_power_iteration — dominant embedding direction, exact integer
+    power iteration (anisotropy diagnostic).
+
+  Retrieval extensions —
+  * bm25_prf_expanded_topk — RM3-style pseudo-relevance-feedback
+    expansion with order-free quantized impacts.
+  * ivf_knn_self_join — all-pairs batch kNN join (sf-scaled query side,
+    cid-keyed equi-join, neither side broadcast).
 
 Reference analog: none of these exist in the reference (pure §2.10/§2.9
 extensions); the filter-composition idea mirrors its P4/P6 label+type
@@ -741,6 +758,408 @@ def streaming_neardup_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFram
     assert seen == {0, 1, 2}, f"expected 3 ingest rounds, got {seen}"
     return spark.read.parquet(os.path.join(state_root, "v2")).select(
         F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+# --- all-pairs kNN join (every vector is a query) ----------------------------------
+
+_KNN_K = 3
+
+
+def _knn_join_oracle() -> str:
+    """The IVF probe oracle with the query restriction REMOVED — every
+    vector probes (spliced from _ivf_oracle_sql so the two stay in sync;
+    its DISTINCT over candidates is a no-op here since a pair meets in
+    exactly one cid, and k is the only other change)."""
+    from nilm_data_framework_spark.queries.similarity import _ivf_oracle_sql
+
+    full = _ivf_oracle_sql(k=_KNN_K)
+    target = ", cents c WHERE e.vec_id < 8"
+    assert full.count(target) == 1
+    return full.replace(target, ", cents c")
+
+
+@query(
+    "ivf_knn_self_join",
+    oracle=_knn_join_oracle(),
+    survey_ref="§2.10 ANN extension: all-pairs batch kNN JOIN — every "
+    "corpus vector is a query; candidates via a cid-keyed equi-join with "
+    "NEITHER side broadcast (the bounded-query IVF functions broadcast "
+    "the query frame — fatal when the query set IS the corpus); the "
+    "candidate-generation workhorse behind dedup graphs, related-item "
+    "tables and recommendation pipelines",
+)
+def ivf_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator: operators/similarity.py::ivf_knn_join (see there for the
+    exactly-one-cid no-dedup argument and the AQE-skew note). Same probe
+    dial and centroid contract as the interactive IVF path, same
+    candidate set per query — this gate's oracle IS the interactive
+    oracle with the query filter removed, so the two forms are provably
+    the same search at different query-side scales."""
+    from nilm_data_framework_spark.operators import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    cents = S.sample_centroids(emb, _FLT_CENTROIDS, "vec_id", "embedding", "hash", 42)
+    out = S.ivf_knn_join(emb, k=_KNN_K, centroids=cents, n_probe=_FLT_PROBE)
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+# --- incremental Gram fold: mergeable second moments --------------------------------
+
+
+def _gram_fold_oracle() -> str:
+    """Shared VERBATIM with embedding_gram_matrix: merged per-shard Grams
+    must equal the one-shot Gram — the moments are associative sums."""
+    from nilm_data_framework_spark.queries import extra_ops  # noqa: F401
+
+    return _registry["embedding_gram_matrix"].oracle
+
+
+@query(
+    "gram_incremental_equiv",
+    oracle=_gram_fold_oracle(),
+    survey_ref="§2.10 embedding stats: INCREMENTAL Gram maintenance — "
+    "per-shard second-moment matrices merged by (i, j) integer addition "
+    "must equal the one-shot Gram (oracle shared verbatim with "
+    "embedding_gram_matrix); the linear-algebra member of the "
+    "incremental-fold family (append_bm25/ivf/scd2/CC/interval-union), "
+    "and what lets PCA/whitening stats refresh per ingest batch without "
+    "re-touching the corpus",
+)
+def gram_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G(A ∪ B) = G(A) + G(B) entry-wise because Σ q_i·q_j is associative
+    over rows — exact BIGINT, no float drift by construction. The gate
+    splits the corpus by vec_id parity, builds each shard's Gram
+    independently, and merges with one (i, j)-keyed sum (d²-bounded —
+    4160 rows at d=64). Production: persist per-batch Grams next to each
+    ingest (the merge_accumulate pattern); the full-corpus matrix is
+    always one bounded merge away, and gram_power_iteration's direction
+    refreshes from it without a corpus pass."""
+    from nilm_data_framework_spark.operators import embed_stats as ES
+
+    emb = _emb(spark, sf_dir)
+    ga = ES.gram_matrix_u6(emb.filter(F.col("vec_id") % 2 == 0), "embedding")
+    gb = ES.gram_matrix_u6(emb.filter(F.col("vec_id") % 2 == 1), "embedding")
+    return (
+        ga.unionByName(gb)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("g").cast("long").alias("g"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    )
+
+
+# --- streaming twin of the incremental SCD2 fold ----------------------------------
+
+
+def _scd2_stream_oracle() -> str:
+    """Shared VERBATIM with scd2_user_intervals / scd2_incremental_equiv:
+    the full-history recompute is the spec any ingest order must match."""
+    from nilm_data_framework_spark.queries import nilm_windows  # noqa: F401
+
+    return _registry["scd2_user_intervals"].oracle
+
+
+@query(
+    "streaming_scd2_ingest_equiv",
+    oracle=_scd2_stream_oracle(),
+    survey_ref="§2.9 + §2.5 composed: the SCD2 incremental fold iterated "
+    "per micro-batch in a foreachBatch sink — a TIME-sliced 3-file fixture "
+    "(order-sensitive stateful kernels need time cuts, not id cuts) feeds "
+    "scd2_fold against batch-id-versioned interval state; the final state "
+    "must hash-match the full-history recompute (oracle shared verbatim "
+    "with scd2_user_intervals) — the streaming story for the SCD2 member "
+    "of the incremental-fold family",
+    tags=("streaming",),
+)
+def streaming_scd2_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-history maintenance as a stream: state v{id} is the
+    interval table computed from v{id-1} and OVERWRITTEN (replay-idempotent
+    per the r5 foreachBatch discipline). The fixture's slices are cut by
+    EVENT TIME (mid-span calendar cuts), which is what licenses the fold's
+    strictly-later precondition per key across every batch boundary —
+    FileStreamSource delivers the staged files in mtime order, so batch k
+    is wholly later than batch k−1. Iterating the fold is exact because
+    each fold's output is itself a valid interval table whose open runs
+    carry their true valid_from (scd2_fold docstring). Per-batch cost:
+    O(open runs + batch) — closed history is never re-read."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from nilm_data_framework_spark.operators.windows import scd2_intervals
+    from nilm_data_framework_spark.queries.extra_ops_r8 import scd2_fold
+    from nilm_data_framework_spark.queries.streaming_equiv import (
+        _staged_stream_dir,
+    )
+    from nilm_data_framework_spark.sources.testdata import _ensure_session_confs
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    _ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = _staged_stream_dir(
+        f"scd2t3_{tag}",
+        {
+            "b0": ev.filter(F.col("ts") < F.lit("2024-01-12")),
+            "b1": ev.filter(
+                (F.col("ts") >= F.lit("2024-01-12"))
+                & (F.col("ts") < F.lit("2024-01-22"))
+            ),
+            "b2": ev.filter(F.col("ts") >= F.lit("2024-01-22")),
+        },
+    )
+    scratch = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_scd2_stream"), "st_"
+    )
+    state_root = os.path.join(scratch, "iv")
+    shutil.rmtree(state_root, ignore_errors=True)
+    os.makedirs(state_root, exist_ok=True)
+    seen: set[int] = set()
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            iv = scd2_intervals(
+                batch, key="user_id", ts="ts", attr="event_type",
+                tiebreak=["event_id"],
+            )
+        else:
+            prev = spark.read.parquet(
+                os.path.join(state_root, f"v{batch_id - 1}")
+            )
+            iv = scd2_fold(
+                prev, batch, key="user_id", ts="ts", attr="event_type",
+                tiebreak="event_id",
+            )
+        iv.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id}")
+        )
+        seen.add(batch_id)
+
+    schema = spark.read.parquet(os.path.join(d, "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert seen == {0, 1, 2}, f"expected 3 fold rounds, got {seen}"
+    iv = spark.read.parquet(os.path.join(state_root, "v2"))
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+    )
+
+
+# --- SCD2 late arrivals: recompute AFFECTED KEYS ONLY ------------------------------
+
+
+@query(
+    "scd2_late_arrivals_equiv",
+    oracle=_scd2_stream_oracle(),
+    survey_ref="§2.5 SCD2 extension: LATE-arriving changelog rows — the "
+    "case the incremental fold's strictly-later precondition excludes — "
+    "handled by recomputing ONLY the affected keys from their raw history "
+    "(unaffected keys' intervals pass through untouched); gated "
+    "hash-identical to the full recompute (oracle shared verbatim with "
+    "scd2_user_intervals). Together with scd2_incremental_equiv this "
+    "covers both maintenance regimes: in-order folds cost O(open runs + "
+    "batch), out-of-order fixes cost O(affected keys' history + batch)",
+)
+def scd2_late_arrivals_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A late row can SPLIT a previously collapsed run (…A→late B mid-run
+    →A…), and the interval table alone cannot reconstruct the second A
+    boundary — the within-run rows were collapsed away. So the correct
+    (and industry-standard) repair keeps the raw changelog and recomputes
+    per KEY: affected = keys present in the late batch (a semi-join);
+    their raw rows ∪ late rows re-collapse; everyone else's intervals are
+    reused as-is. The ~6% late slice (event_id % 16 == 0, interleaved in
+    TIME — deliberately not a time cut) leaves ~15% of users untouched at
+    gate scale, so both paths are exercised non-vacuously."""
+    from nilm_data_framework_spark.operators.windows import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    main = ev.filter(F.col("event_id") % 16 != 0)
+    late = ev.filter(F.col("event_id") % 16 == 0)
+    main = main.localCheckpoint(eager=True)  # feeds iv1 + the affected re-collapse
+    iv1 = scd2_intervals(
+        main, key="user_id", ts="ts", attr="event_type", tiebreak=["event_id"]
+    )
+    affected = late.select("user_id").distinct()
+    untouched = iv1.join(affected, "user_id", "left_anti")
+    redo = scd2_intervals(
+        main.join(affected, "user_id", "left_semi").unionByName(late),
+        key="user_id", ts="ts", attr="event_type", tiebreak=["event_id"],
+    )
+    iv = untouched.unionByName(redo)
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to")).alias("valid_to_us"),
+    )
+
+
+# --- pseudo-relevance feedback (RM3-style) query expansion over the index ----------
+
+_PRF_EXPAND = 2
+# the per-(doc, term) quantized BM25 contribution — ONE shared SQL text so
+# Spark and DuckDB run the textually identical IEEE op sequence (the
+# _bm25_score_expr discipline), then floor to an e6 integer IMPACT whose
+# per-doc sum is order-free (integer addition commutes; a float Σ over
+# dynamic per-term ROWS would be accumulation-order nondeterministic —
+# impact quantization is exactly how production impact-ordered indexes
+# solve this, cf. Anh & Moffat's quantized impact scores)
+_PRF_CONTRIB = (
+    "CAST(floor((ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5))"
+    " * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+    " + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+    " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def _prf_oracle() -> str:
+    """Pass 1 = the registered indexed-BM25 oracle NESTED verbatim (top-20
+    matching docs as the feedback set); expansion = top-2 feedback tokens
+    by total tf (base terms excluded, token-string tiebreak); pass 2 =
+    generic term-set scoring with the shared quantized-impact expression."""
+    from nilm_data_framework_spark.queries.extra_ops import _BM25_K, _BM25_TERMS
+    from nilm_data_framework_spark.queries.extra_ops_r6 import _bm25_indexed_oracle
+
+    base_not_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    base_union = " UNION ALL ".join(f"SELECT '{t}' AS term" for t in _BM25_TERMS)
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    return f"""
+    WITH fb AS (SELECT doc_id FROM ({_bm25_indexed_oracle()}) pass1),
+    toks2 AS (SELECT doc_id, {toks} AS t FROM documents),
+    dld AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks2),
+    fbtok AS (
+      SELECT unnest(t) AS tok FROM toks2 JOIN fb USING (doc_id)
+    ),
+    expt AS (
+      SELECT tok FROM (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM fbtok
+        WHERE tok NOT IN ({base_not_in}) GROUP BY 1
+      ) ORDER BY c DESC, tok LIMIT {_PRF_EXPAND}
+    ),
+    termset AS ({base_union} UNION ALL SELECT tok FROM expt),
+    occ AS (
+      SELECT u.doc_id, u.tok AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks2) u
+      JOIN termset ON u.tok = termset.term
+      GROUP BY 1, 2
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM occ GROUP BY 1),
+    gst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dld),
+    contrib AS (
+      SELECT occ.doc_id, {_PRF_CONTRIB} AS c
+      FROM occ JOIN dfq USING (term) JOIN dld USING (doc_id) CROSS JOIN gst
+    ),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_q6
+            FROM contrib GROUP BY 1)
+    SELECT doc_id, dl, score_q6, CAST(rk AS INT) AS rk FROM (
+      SELECT a.doc_id, d.dl, a.score_q6,
+             row_number() OVER (ORDER BY a.score_q6 DESC, a.doc_id) AS rk
+      FROM agg a JOIN dld d USING (doc_id)
+    ) WHERE rk <= {_BM25_K}
+    """
+
+
+@query(
+    "bm25_prf_expanded_topk",
+    oracle=_prf_oracle(),
+    survey_ref="§2.10 text retrieval: pseudo-relevance-feedback query "
+    "expansion (the RM3/Rocchio family) served from the persisted index — "
+    "pass 1 probes the base terms (the registered bm25_topk_indexed "
+    "ranking, oracle nested verbatim), the top feedback docs vote 2 "
+    "expansion terms by exact tf counts, pass 2 re-probes with the "
+    "expanded term set and ranks by order-free QUANTIZED per-term impacts "
+    "(Anh & Moffat impact quantization — what makes a dynamic term set's "
+    "score sum deterministic cross-engine)",
+)
+def bm25_prf_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two probe passes against one layout, corpus text touched only at
+    feedback-token counting over the 20 feedback docs (a LIMIT-bounded
+    semi-join — at 100 TB this reads 20 documents). The 2 expansion terms
+    collect to the driver (the sanctioned bounded collect: 2 strings) and
+    become pass-2 partition-filter literals — total postings read = 5
+    term directories. Exactness: expansion picks are exact-integer tf
+    counts with a token-string tiebreak (both engines recompute the same
+    set, or the gate fails loudly); pass-2 per-(doc, term) contributions
+    evaluate the textually shared _PRF_CONTRIB expression and quantize to
+    e6 integers BEFORE the per-doc sum, so the ranking key is an
+    order-free BIGINT. Output carries (doc_id, dl, score_q6, rk) — no
+    per-term tf columns, since the schema must not depend on which terms
+    the data votes in."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from nilm_data_framework_spark.operators import text as T
+    from nilm_data_framework_spark.operators.text import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from nilm_data_framework_spark.queries.extra_ops import _BM25_K, _BM25_TERMS
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_bm25_prf"), "idx_"
+    )
+    write_bm25_index(docs, path)
+    fb = bm25_topk_indexed(spark, path, _BM25_TERMS, k=_BM25_K).select("doc_id")
+    fbtok = (
+        docs.join(fb, "doc_id", "left_semi")
+        .select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .filter(~F.col("tok").isin(_BM25_TERMS))
+    )
+    exp_rows = (
+        fbtok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_PRF_EXPAND)
+        .collect()
+    )
+    terms5 = list(_BM25_TERMS) + [r["tok"] for r in exp_rows]
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term").isin(terms5)
+    )
+    dfq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = spark.read.parquet(f"{path}/stats")
+    contrib = (
+        post.join(dfq, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", F.expr(_PRF_CONTRIB).alias("c"))
+    )
+    agg = contrib.groupBy("doc_id").agg(
+        # dl is denormalized identically into every posting of a doc —
+        # first() over equal values (the BM25 F.first("dl") TIES.md rule)
+        F.first("dl").alias("dl"),
+        F.sum("c").cast("long").alias("score_q6"),
+    )
+    top = (
+        agg.orderBy(F.col("score_q6").desc(), "doc_id")
+        .limit(_BM25_K)
+        .coalesce(1)
+    )
+    w = Window.orderBy(F.col("score_q6").desc(), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "doc_id", "dl", "score_q6", "rk"
     )
 
 

@@ -1951,6 +1951,49 @@ def main() -> None:
 
                 sized.append(({"gram_power": _gram_power}, n_emb9))
 
+        knn_names = {"knn_join_fixedc", "knn_join_scaledc"}
+        if only is None or only & knn_names:
+            # all-pairs kNN join: candidate volume = n × (n_probe/n_lists)·n
+            # — QUADRATIC at a FIXED centroid count (fixedc arm measures
+            # exactly that, the honest negative), linear when the centroid
+            # count scales with the corpus so list size stays constant
+            # (scaledc arm — the documented 100 TB mitigation). Same kernel,
+            # two quantizer policies.
+            from nilm_data_framework_spark.operators import similarity as SIMK
+
+            embk_parts = [emb_base.select("vec_id", "embedding")]
+            for r in range(1, k):
+                embk_parts.append(
+                    emb_base.select(
+                        (F.col("vec_id") + 10_000_000 * r).alias("vec_id"),
+                        "embedding",
+                    )
+                )
+            embk = embk_parts[0]
+            for p in embk_parts[1:]:
+                embk = embk.unionByName(p)
+            embk = embk.repartition(32, "vec_id").localCheckpoint(eager=True)
+            n_embk = embk.count()
+            cents_fixed = SIMK.sample_centroids(
+                embk, 16, "vec_id", "embedding", "hash", 42
+            )
+            cents_scaled = SIMK.sample_centroids(
+                embk, 16 * k, "vec_id", "embedding", "hash", 42
+            )
+
+            def _knn_fixed():
+                return SIMK.ivf_knn_join(
+                    embk, k=3, centroids=cents_fixed, n_probe=4
+                ).count()
+
+            def _knn_scaled():
+                return SIMK.ivf_knn_join(
+                    embk, k=3, centroids=cents_scaled, n_probe=4
+                ).count()
+
+            sized.append(({"knn_join_fixedc": _knn_fixed}, n_embk))
+            sized.append(({"knn_join_scaledc": _knn_scaled}, n_embk))
+
         extra_names = {"gram_matrix", "transitive_closure", "embargo_split"}
         if only is None or only & extra_names:
             emb = replicate_embeddings(emb_base, k)

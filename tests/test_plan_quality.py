@@ -1050,3 +1050,29 @@ def test_filtered_exact_scan_pushes_predicate(spark):
     assert any("label" in l and "EqualTo" in l for l in pushed), (
         f"label predicate not pushed into the layout scan: {pushed[:3]}"
     )
+
+
+def test_bm25_filtered_pushes_lang_predicate(spark):
+    # the filter side of the lexical filtered search must reach the
+    # documents scan as a pushed predicate (selectivity-scaled metadata
+    # read), alongside the postings scan's term partition filter.
+    plan = _plan(spark, "bm25_topk_filtered")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("lang" in l and "EqualTo" in l for l in pushed), (
+        f"lang predicate not pushed into the documents scan: {pushed[:4]}"
+    )
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("term" in l for l in part), (
+        f"postings scan not term-partition-pruned: {part[:4]}"
+    )
+
+
+def test_prf_pass2_scan_partition_pruned(spark):
+    # pass 2 of the PRF expansion probes exactly the 5 term directories:
+    # the (base + voted) term literals must land as partition filters on
+    # the postings scan.
+    plan = _plan(spark, "bm25_prf_expanded_topk")
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any(
+        "term" in l and ("In(" in l or "IN" in l or "EqualTo" in l) for l in part
+    ), f"PRF pass-2 postings scan not term-partition-pruned: {part[:4]}"
