@@ -165,3 +165,83 @@ def test_ppr_nonseed_sources_hold_zero_mass(spark):
         assert out[nonseed_src] == 0
     assert out[101] > 0  # seed's part receives damped mass
     assert out[105] == 0  # part reachable only from non-seeds stays dry
+
+
+def test_scd2_fold_chain_equals_full_recompute(spark):
+    # the streaming gate iterates scd2_fold over 3 time-sliced batches;
+    # this pins the kernel algebra on a dense synthetic changelog with
+    # same-instant ties (event_id tiebreak) and keys absent from early
+    # batches. Cuts chosen mid-stream so every batch is non-empty.
+    import datetime as dt
+
+    from nilm_data_framework_spark.operators.windows import scd2_intervals
+    from nilm_data_framework_spark.queries.extra_ops_r8 import scd2_fold
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for key in (1, 2, 3):
+        for step in range(12):
+            # key 3 starts late (only in the last third)
+            if key == 3 and step < 8:
+                continue
+            rows.append(
+                (
+                    key,
+                    base + dt.timedelta(hours=step),
+                    ["on", "on", "off", "idle"][(step + key) % 4],
+                    eid,
+                )
+            )
+            eid += 1
+    # same-instant tie: two rows for key 1 at hour 5 with different attrs
+    rows.append((1, base + dt.timedelta(hours=5), "tiebreak_attr", 9000))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    full = scd2_intervals(
+        ev, key="user_id", ts="ts", attr="event_type", tiebreak=["event_id"]
+    )
+    cut1 = base + dt.timedelta(hours=4)
+    cut2 = base + dt.timedelta(hours=8)
+    b0 = ev.filter(F.col("ts") < F.lit(cut1))
+    b1 = ev.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2)))
+    b2 = ev.filter(F.col("ts") >= F.lit(cut2))
+    iv = scd2_intervals(
+        b0, key="user_id", ts="ts", attr="event_type", tiebreak=["event_id"]
+    )
+    for b in (b1, b2):
+        iv = scd2_fold(
+            iv, b, key="user_id", ts="ts", attr="event_type", tiebreak="event_id"
+        )
+    cols = ["user_id", "event_type", "valid_from", "valid_to"]
+    got = sorted(map(tuple, iv.select(*cols).collect()))
+    want = sorted(map(tuple, full.select(*cols).collect()))
+    assert got == want
+    assert len(want) > 6  # non-vacuous: several runs per key
+
+
+def test_ivf_knn_join_equals_broadcast_form(spark):
+    # the sf-scaled-query-side join form must return exactly what the
+    # broadcast form returns when fed the corpus as its query set — same
+    # candidates (per-query probed lists), same ranking, same tiebreak.
+    emb = _emb(spark)
+    cents = S.sample_centroids(emb, 8, "vec_id", "embedding", "hash", 42)
+    got = sorted(
+        map(
+            tuple,
+            S.ivf_knn_join(emb, k=3, centroids=cents, n_probe=3)
+            .select("query_id", "match_id", "rk")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ivf_topk(emb, emb, k=3, n_probe=3, centroids=cents)
+            .select("query_id", "match_id", "rk")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
