@@ -309,6 +309,9 @@ HEADLINE = [
     # round-9 batch 4: all-pairs kNN join (sf-scaled query side — the
     # cid-keyed equi-join shape, neither side broadcast)
     "ivf_knn_self_join",
+    # round-9 batch 5: declared-phrase shingle index (bigram tokenization
+    # pipeline + index write + phrase-term probe in-gate)
+    "bm25_phrase_shingle_topk",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —
@@ -490,6 +493,7 @@ EXCLUDED: dict[str, str] = {
     "streaming_scd2_ingest_equiv": "streaming micro-batch equivalence gate; batch twin 'scd2_incremental_equiv' is benched and the family is represented by the three benched streaming gates",
     "scd2_late_arrivals_equiv": "same scd2_intervals kernel as benched 'scd2_incremental_equiv' (affected-keys slice + interval passthrough)",
     "gram_incremental_equiv": "two half-corpus runs of benched 'embedding_gram_matrix' + one d²-bounded merge agg (algebra gate)",
+    "knn_mrr_exact": "rides benched 'cosine_topk_bruteforce' + two label joins and a 1-row agg (retrieval-eval metric gate)",
     # --- streaming_equiv (the three heaviest streaming gates ARE benched:
     #     'streaming_paa_equiv', 'streaming_session_window_equiv',
     #     'streaming_bitmask_equiv') ---

@@ -930,15 +930,25 @@ _BM25_TERMS = ["vector", "join", "stream"]
 _BM25_K = 20
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(
+    terms: list[str] | None = None,
+    corpus: str = "documents",
+    k: int | None = None,
+) -> str:
+    """Full-scan BM25 oracle. Parameterized (r9) so derived indexes over a
+    TRANSFORMED corpus (e.g. the bigram phrase index) and non-default term
+    sets can share the generator; the no-arg call is byte-identical to the
+    r1 text, which the splice-based derived oracles assert on."""
+    terms_ = _BM25_TERMS if terms is None else terms
+    k_ = _BM25_K if k is None else k
     toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     per_cols = ",\n         ".join(
         f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
-        for t in _BM25_TERMS
+        for t in terms_
     )
     df_cols = ",\n         ".join(
         f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
-        for t in _BM25_TERMS
+        for t in terms_
     )
     avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
     score = "\n    + ".join(
@@ -946,11 +956,11 @@ def _bm25_oracle() -> str:
         f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
         f" * ((CAST(tf_{t} AS DOUBLE) * 2.2) / (CAST(tf_{t} AS DOUBLE)"
         f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / {avgdl}))))"
-        for t in _BM25_TERMS
+        for t in terms_
     )
-    tf_out = ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+    tf_out = ", ".join(f"tf_{t}" for t in terms_)
     return f"""
-    WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM {corpus}),
     per AS (
       SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
          {per_cols}
@@ -971,7 +981,7 @@ def _bm25_oracle() -> str:
     FROM (
       SELECT *, row_number() OVER (ORDER BY bm25_raw DESC, doc_id) AS rk
       FROM scored
-    ) WHERE rk <= {_BM25_K}
+    ) WHERE rk <= {k_}
     """
 
 

@@ -400,26 +400,33 @@ def context_overflow_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- persisted inverted-index BM25 (partition-pruned probe) --------------------
 
 
-def _bm25_indexed_oracle() -> str:
+def _bm25_indexed_oracle(
+    terms: list[str] | None = None,
+    corpus: str = "documents",
+    k: int | None = None,
+) -> str:
     """The full-scan BM25 oracle restricted to docs holding ≥1 query term
     — exactly the candidate set the inverted index can ever surface (a
-    zero-hit doc scores exactly 0 under the non-negative Lucene idf)."""
+    zero-hit doc scores exactly 0 under the non-negative Lucene idf).
+    Parameterized (r9) like _bm25_oracle; no-arg output byte-identical."""
     from nilm_data_framework_spark.queries.extra_ops import (
         _BM25_K,
         _BM25_TERMS,
         _bm25_oracle,
     )
 
-    full = _bm25_oracle()
-    match = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    terms_ = _BM25_TERMS if terms is None else terms
+    k_ = _BM25_K if k is None else k
+    full = _bm25_oracle(terms_, corpus, k_)
+    match = " + ".join(f"tf_{t}" for t in terms_)
     old_rank = f"""FROM (
       SELECT *, row_number() OVER (ORDER BY bm25_raw DESC, doc_id) AS rk
       FROM scored
-    ) WHERE rk <= {_BM25_K}"""
+    ) WHERE rk <= {k_}"""
     new_rank = f"""FROM (
       SELECT *, row_number() OVER (ORDER BY bm25_raw DESC, doc_id) AS rk
       FROM scored WHERE {match} > 0
-    ) WHERE rk <= {_BM25_K}"""
+    ) WHERE rk <= {k_}"""
     assert old_rank in full
     return full.replace(old_rank, new_rank)
 

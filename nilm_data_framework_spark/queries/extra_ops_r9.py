@@ -761,6 +761,180 @@ def streaming_neardup_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --- phrase search via a bigram (shingle) index -------------------------------------
+
+# fixed phrase literals present at every sf (the synthetic vocab is fixed;
+# these are among its most frequent adjacent pairs)
+_PHRASES = ["table_hash", "customer_join", "vector_small"]
+_PHRASE_IN = ", ".join(f"'{p}'" for p in _PHRASES)
+# the corpus TRANSFORM (DuckDB text): each doc's token stream rewritten as
+# its adjacent-bigram stream (underscore-joined so each bigram is one
+# whitespace-token for the standard indexer), KEPT only for the declared
+# phrase set — the tracked-phrase-field form (see the query docstring for
+# why the unrestricted shingle index is the wrong gate shape). DuckDB
+# list_transform's lambda index is 1-based, so tk[i + 1] is the NEXT token.
+_PHRASE_CORPUS_SQL = (
+    "(SELECT doc_id, array_to_string(list_filter(list_transform("
+    "list_slice(tk, 1, len(tk) - 1), (x, i) -> x || '_' || tk[i + 1]),"
+    f" x -> x IN ({_PHRASE_IN})), ' ')"
+    " AS text FROM (SELECT doc_id,"
+    " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    " AS tk FROM documents))"
+)
+
+
+def _phrase_oracle() -> str:
+    """The indexed-BM25 oracle generated over the bigram-transformed
+    corpus with the phrase literals as terms (the r9 parameterization of
+    _bm25_indexed_oracle)."""
+    from nilm_data_framework_spark.queries.extra_ops_r6 import _bm25_indexed_oracle
+
+    return _bm25_indexed_oracle(terms=_PHRASES, corpus=_PHRASE_CORPUS_SQL)
+
+
+@query(
+    "bm25_phrase_shingle_topk",
+    oracle=_phrase_oracle(),
+    survey_ref="§2.10 text retrieval: PHRASE search without positional "
+    "postings — each doc's adjacent word bigrams (Lucene ShingleFilter "
+    "technique), restricted to the DECLARED phrase set, indexed with the "
+    "UNCHANGED write_bm25_index; an exact 2-word phrase query becomes a "
+    "single term lookup, tf = phrase occurrence count, scored by the same "
+    "BM25 over phrase-df / tracked-phrase-stream dl",
+)
+def bm25_phrase_shingle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic space/positions trade: positional postings store every
+    occurrence offset; the shingle index instead makes a phrase a TERM —
+    probe = partition pruning on the phrase literal, identical plan shape
+    to bm25_topk_indexed (one indexer, two tokenizations — the point).
+    The shingle DOMAIN is the declared phrase list, the tracked-phrase-
+    field form real engines ship: the UNRESTRICTED bigram index is
+    ~vocab² terms, and because this layout partitions postings BY TERM
+    that means ~vocab² partition directories — measured 1,600 dirs and a
+    ~15 s write/probe at a 500-doc gate (pure filesystem metadata, the
+    small-file problem in term-key form). Declaring the phrases keeps the
+    layout at |phrases| directories; a production middle ground hashes
+    terms into bucket directories (partition key = hash(term) % B,
+    pushed filter on term inside each bucket). dl = the tracked-phrase
+    stream length per doc (the phrase-field scoring model); df = phrase
+    document frequency; the oracle replays the whole construction over
+    the SQL-transformed corpus via the parameterized
+    _bm25_indexed_oracle."""
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.operators import text as T
+    from nilm_data_framework_spark.operators.text import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from nilm_data_framework_spark.queries.extra_ops import _BM25_K
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    bigrams = F.transform(
+        T.word_ngrams_all(F.col("text"), 2),
+        lambda g: F.translate(g, " ", "_"),
+    )
+    bg_docs = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(bigrams, lambda g: g.isin(*_PHRASES)), " "
+        ).alias("text"),
+    )
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_bm25_phr"), "idx_"
+    )
+    write_bm25_index(bg_docs, path)
+    out = bm25_topk_indexed(spark, path, _PHRASES, k=_BM25_K)
+    return out.select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _PHRASES],
+        "bm25",
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+# --- exact MRR@k retrieval evaluation ------------------------------------------------
+
+_MRR_Q = 16
+_MRR_K = 10
+_MRR_LCM = 2520  # lcm(1..10): every reciprocal rank is an exact integer /2520
+
+
+def _mrr_oracle() -> str:
+    from nilm_data_framework_spark.queries.similarity import _brute_oracle_sql
+
+    return f"""
+    WITH topk AS (
+      SELECT query_id, match_id, rk
+      FROM ({_brute_oracle_sql(n_queries=_MRR_Q, k=_MRR_K)}) b
+    ),
+    ql AS (SELECT vec_id, label FROM embeddings),
+    rel AS (
+      SELECT t.query_id, min(t.rk) AS first_rel
+      FROM topk t
+      JOIN ql q ON q.vec_id = t.query_id
+      JOIN ql m ON m.vec_id = t.match_id
+      WHERE q.label = m.label
+      GROUP BY 1
+    )
+    SELECT CAST({_MRR_Q} AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           CAST(coalesce(sum({_MRR_LCM} // first_rel), 0) AS BIGINT) AS mrr_num,
+           CAST({_MRR_LCM * _MRR_Q} AS BIGINT) AS mrr_den
+    FROM rel
+    """
+
+
+@query(
+    "knn_mrr_exact",
+    oracle=_mrr_oracle(),
+    survey_ref="§2.10 retrieval evaluation: EXACT mean reciprocal rank — "
+    "per query the rank of the first same-label neighbor in the "
+    "brute-force top-10; reciprocal ranks carried as integers scaled by "
+    "lcm(1..10) = 2520 so the MEAN is an exact rational (mrr_num/mrr_den) "
+    "— the MRR companion to ivf_recall_at_k and knn_label_accuracy, with "
+    "zero float division anywhere",
+)
+def knn_mrr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard retrieval-eval metric made driver-gateable: 1/rank is not
+    float-safe to average, but rank ∈ 1..10 makes 2520/rank an exact
+    BIGINT, and Σ over queries stays exact. Queries with no same-label
+    neighbor in the top-10 contribute 0 (the standard MRR convention).
+    Cost: one brute-force top-k over the 16-query set + two label joins
+    + one grouped min + one global agg."""
+    from nilm_data_framework_spark.operators import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    topk = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _MRR_Q), k=_MRR_K
+    )
+    lab = emb.select("vec_id", "label")
+    rel = (
+        topk.join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+            "query_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("match_id"), F.col("label").alias("ml")),
+            "match_id",
+        )
+        .filter(F.col("ql") == F.col("ml"))
+        .groupBy("query_id")
+        .agg(F.min("rk").alias("first_rel"))
+    )
+    return rel.agg(
+        F.lit(_MRR_Q).cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.coalesce(F.sum(F.expr(f"{_MRR_LCM} div first_rel")), F.lit(0))
+        .cast("long")
+        .alias("mrr_num"),
+        F.lit(_MRR_LCM * _MRR_Q).cast("long").alias("mrr_den"),
+    )
+
+
 # --- all-pairs kNN join (every vector is a query) ----------------------------------
 
 _KNN_K = 3
