@@ -312,6 +312,9 @@ HEADLINE = [
     # round-9 batch 5: declared-phrase shingle index (bigram tokenization
     # pipeline + index write + phrase-term probe in-gate)
     "bm25_phrase_shingle_topk",
+    # round-9 batch 6: IVF retrain→rebuild (the only row timing the
+    # quantizer TRAIN + layout rebuild path)
+    "ivf_retrain_rebuild_equiv",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —

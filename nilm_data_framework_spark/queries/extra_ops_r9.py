@@ -20,10 +20,13 @@ round's organic follow-ons:
   * bm25_topk_filtered — the lexical leg: pruned term probe + doc-dim
     semi-join before ranking (corpus-wide idf, Lucene filter semantics).
 
-  Index lifecycle completed to full CRUD on BOTH layouts —
+  Index lifecycle completed to full CRUD + RETRAIN on BOTH layouts —
   * bm25_upsert_probe_equiv / ivf_upsert_probe_equiv — re-ingesting a
     CHANGED document == delete(old) ∘ append(new), same %10==4 upsert
     set on both (a re-crawl refreshes text AND embedding).
+  * ivf_retrain_rebuild_equiv — one exact-arithmetic Lloyd step refines
+    the quantizer, the layout rebuilds under it, the probe gates against
+    an oracle that replays the TRAINING itself.
 
   Streaming closure of the incremental-fold family —
   * streaming_neardup_ingest_equiv — foreachBatch twin of the r8
@@ -43,6 +46,10 @@ round's organic follow-ons:
     expansion with order-free quantized impacts.
   * ivf_knn_self_join — all-pairs batch kNN join (sf-scaled query side,
     cid-keyed equi-join, neither side broadcast).
+  * bm25_phrase_shingle_topk — declared-phrase shingle index (phrase =
+    one term; the term-directory-explosion lesson in its docstring).
+  * knn_mrr_exact — exact-rational mean reciprocal rank (lcm-scaled
+    integer reciprocals).
 
 Reference analog: none of these exist in the reference (pure §2.10/§2.9
 extensions); the filter-composition idea mirrors its P4/P6 label+type
@@ -1024,6 +1031,153 @@ def gram_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g").cast("long").alias("g"),
             F.sum("n").cast("long").alias("n"),
         )
+    )
+
+
+# --- IVF retrain → rebuild: the last ungated lifecycle operation -------------------
+
+
+def _ivf_retrain_oracle() -> str:
+    """The IVF probe oracle with centroids REFINED by one Lloyd step in
+    SQL: seed centroids = the hash sample, assignment argmax, per-(cid,
+    pos) exact fixed-point means (the kmeans_centroid_update arithmetic),
+    re-assembled as double arrays (list(... ORDER BY pos)); empty
+    clusters keep their seed centroid. Everything downstream (assignment,
+    probing, ranking) then runs against the refined quantizer."""
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    c_vs_cent = cos.format(a="e.v", b="c.cv")
+    q_vs_m = cos.format(a="qv", b="mv")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT v AS cv, rn - 1 AS cid FROM (
+        SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+        FROM e WHERE md5(CAST(vec_id AS VARCHAR)) < '2'
+      ) WHERE rn <= {_FLT_CENTROIDS}
+    ),
+    assign0 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {c_vs_cent} DESC, c.cid) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ),
+    flat AS (SELECT cid, v, unnest(range(0, 64)) AS pos FROM assign0),
+    refined AS (
+      SELECT cid, CAST(pos AS INT) AS pos,
+             CAST(sum(CAST(floor(v[pos + 1] * 1000000) AS BIGINT)) AS BIGINT)
+               AS c_num,
+             CAST(count(*) AS BIGINT) AS c_den
+      FROM flat GROUP BY 1, 2
+    ),
+    cnew0 AS (
+      SELECT cid,
+             list(CAST(c_num AS DOUBLE) / CAST(c_den AS DOUBLE) ORDER BY pos)
+               AS cv
+      FROM refined GROUP BY cid
+    ),
+    cnew AS (
+      SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+      FROM cents c LEFT JOIN cnew0 n ON n.cid = c.cid
+    ),
+    cassign AS (
+      SELECT match_id, mv, cid FROM (
+        SELECT e.vec_id AS match_id, e.v AS mv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {c_vs_cent} DESC, c.cid) AS rn
+        FROM e, cnew c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {c_vs_cent} DESC, c.cid) AS rn
+        FROM e, cnew c WHERE e.vec_id < {_FLT_QUERIES}
+      ) WHERE rn <= {_FLT_PROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.match_id, q.qv, c.mv
+      FROM cassign c JOIN qprobe q ON c.cid = q.cid
+      WHERE c.match_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, match_id, {q_vs_m} AS cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {q_vs_m} DESC, match_id) AS rk
+      FROM cand
+    )
+    SELECT query_id, match_id, round(cos, 4) AS cosine, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_FLT_K}
+    """
+
+
+@query(
+    "ivf_retrain_rebuild_equiv",
+    oracle=_ivf_retrain_oracle(),
+    survey_ref="§2.10 ANN lifecycle, completed: RETRAIN → REBUILD — the "
+    "quantizer is refined by one exact-arithmetic Lloyd step "
+    "(kmeans_step's fixed-point means), the layout rebuilt under the "
+    "refined centroids, and the probe gated against a from-scratch "
+    "oracle that replays the training itself; the offline re-clustering "
+    "path every docstring in the IVF family promises "
+    "(append_ivf_batch: 'centroid drift after heavy growth is an "
+    "offline rebuild') — now gated, so the full lifecycle is "
+    "CREATE/APPEND/DELETE/COMPACT/UPSERT/RETRAIN, all hash-checked",
+)
+def ivf_retrain_rebuild_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training in-gate, exactly: refined centroid components are the
+    EXACT fixed-point means c_num/c_den (sum of 1e-6-floored components
+    over the assigned vectors — the kmeans_centroid_update discipline;
+    a float avg's accumulation order diverges cross-engine), divided
+    once as IEEE doubles identically in Python and SQL, so both engines
+    derive bit-equal refined centroids and therefore bit-equal
+    assignments, probes and rankings. The 16×64 c_num/c_den collect is
+    the sanctioned bounded pull (centroids are driver-side lists in this
+    API by design); c_num stays exact below ~2^53/1e6 ≈ 9e9 rows per
+    cluster — decompose per exact_math past that. Empty clusters keep
+    their seed centroid (both sides). Scale: retrain = one corpus pass
+    (argmax + (cid, pos) agg), rebuild = write_ivf_corpus — the same
+    one-pass costs as CREATE."""
+    from nilm_data_framework_spark.operators import similarity as S
+
+    emb = _emb(spark, sf_dir)
+    cents0 = S.sample_centroids(
+        emb, _FLT_CENTROIDS, "vec_id", "embedding", "hash", 42
+    )
+    cents0_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents0)], "cid int, cv array<double>"
+    )
+    km = (
+        S.kmeans_step(emb, cents0_df)
+        .select("cid", "pos", "c_num", "c_den")
+        .collect()
+    )
+    acc: dict[int, list[float]] = {}
+    for r in km:
+        acc.setdefault(r["cid"], [0.0] * 64)[r["pos"]] = r["c_num"] / r["c_den"]
+    refined = [acc.get(i, cents0[i]) for i in range(_FLT_CENTROIDS)]
+
+    import os
+    import tempfile
+
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    path = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_ivf_rt"), "corpus_"
+    )
+    S.write_ivf_corpus(emb, path, refined)
+    queries_df = emb.filter(F.col("vec_id") < _FLT_QUERIES)
+    out = S.ivf_topk_partitioned(
+        spark, path, queries_df, k=_FLT_K, centroids=refined, n_probe=_FLT_PROBE
+    )
+    return out.select(
+        "query_id", "match_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rk").cast("int").alias("rk"),
     )
 
 
