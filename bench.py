@@ -315,12 +315,25 @@ HEADLINE = [
     # round-9 batch 6: IVF retrain→rebuild (the only row timing the
     # quantizer TRAIN + layout rebuild path)
     "ivf_retrain_rebuild_equiv",
+    # round-9 batch 7: best-passage selection (positional explode + per-doc
+    # position window — the only row exercising the token-position window
+    # kernel over the full corpus)
+    "best_passage_topk",
+    # round-9 batch 8: greedy k-center coreset (k iterated
+    # broadcast+fold+checkpoint rounds over the embedding corpus — the
+    # iterated-selection shape, distinct from the one-shot ANN probes)
+    "kcenter_coreset_seeds",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —
 # see the HEADLINE-SET CONTRACT in the module docstring. Names quoted in
 # single quotes inside a reason must exist in the registry (tested).
 EXCLUDED: dict[str, str] = {
+    # --- extra_ops_r9b ---
+    "capped_topk_per_source": "same WindowGroupLimit per-group-limit plan as benched 'topk_per_group_limit' plus a k-row global cut",
+    "clustering_coefficient_parts": "same degree-ordered wedge kernel as benched 'triangle_count_parts' (inner close + bounded 3x explode instead of the semi-join tail)",
+    "chi2_term_selection": "same distinct-explode contingency agg as benched 'mutual_information_lang_source' with a chi-squared scorer",
+    "score_auc_exact": "distinct-score histogram agg + O(|domain|) window; subsecond flat, rank family benched via 'rank_calibration'",
     # --- advanced_analytics ---
     "kmv_jaccard_pairs": "same KMV sketch kernel as benched 'kmv_distinct_ops'",
     "trimmed_mean_price": "same order-statistic trim kernel as benched 'winsorized_mean_value'",

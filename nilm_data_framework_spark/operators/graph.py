@@ -90,6 +90,91 @@ def pagerank_iteration(
     )
 
 
+def _degree_oriented_wedges(e: DataFrame):
+    """Shared degree-ordered-orientation prelude for the triangle kernels.
+
+    ``e`` is a unique undirected edge list (_u, _v). Returns
+    (deg, wedges, closing): symmetrized degrees (_u, _d), the oriented
+    wedge stream (_s, _t1, _t2) with _t1 < _t2, and the symmetrized
+    closure probe set (_c1, _c2). Both triangle kernels consume these; a
+    wedge whose (_t1, _t2) matches a closure row closes exactly one
+    triangle (the closing edge's two direction-rows are distinct pairs, so
+    at most one equals the ordered (_t1, _t2)).
+    """
+    sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_d"))
+    # orient by (degree, id): attach degrees to both endpoints once
+    du = deg.select(F.col("_u").alias("_a"), F.col("_d").alias("_da"))
+    dv = deg.select(F.col("_u").alias("_b"), F.col("_d").alias("_db"))
+    with_deg = (
+        e.join(du, e["_u"] == du["_a"]).join(dv, e["_v"] == dv["_b"]).select(
+            "_u", "_v", "_da", "_db"
+        )
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(lower_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
+    )
+    w1 = oriented.select(F.col("_s"), F.col("_t").alias("_t1"))
+    w2 = oriented.select(F.col("_s"), F.col("_t").alias("_t2"))
+    wedges = w1.join(w2, "_s").filter(F.col("_t1") < F.col("_t2"))
+    closing = oriented.select(
+        F.col("_s").alias("_c1"), F.col("_t").alias("_c2")
+    ).unionByName(
+        # the closing edge's orientation between _t1 and _t2 is unknown —
+        # probe both directions via the symmetrized closure set
+        oriented.select(F.col("_t").alias("_c1"), F.col("_s").alias("_c2"))
+    )
+    return deg, wedges, closing
+
+
+def triangles_per_vertex(
+    edges: DataFrame, src: str = "src", dst: str = "dst", materialize: bool = True
+) -> DataFrame:
+    """Per-vertex triangle participation + degree over an undirected simple
+    graph (edge list with each edge in ONE direction, no self-loops).
+
+    Same degree-ordered orientation as :func:`triangle_count` (hub-safe:
+    oriented out-degree is O(√m)), but the closure check is an INNER join
+    instead of a semi-join so each closed wedge surfaces once with all
+    three vertices (_s, _t1, _t2), which then explode 3-ways into a hash
+    agg — still three linear passes plus one bounded 3× fan-out. The
+    (vertex, n_triangles, degree) output is the local-clustering-
+    coefficient input: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)).
+
+    Returns (vertex, degree, n_triangles) for every vertex, n_triangles=0
+    where the vertex closes nothing. Degree = distinct-neighbor count
+    (edges are unique), exactly the cc denominator's n.
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    if materialize:
+        e = e.localCheckpoint(eager=True)
+    deg, wedges, closing = _degree_oriented_wedges(e)
+    tri = wedges.join(
+        closing,
+        (F.col("_t1") == F.col("_c1")) & (F.col("_t2") == F.col("_c2")),
+    )
+    tv = (
+        tri.select(
+            F.explode(F.array(F.col("_s"), F.col("_t1"), F.col("_t2"))).alias("vertex")
+        )
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select(F.col("_u").alias("vertex"), F.col("_d").alias("degree"))
+        .join(tv, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst", materialize: bool = True
 ) -> DataFrame:
@@ -122,33 +207,7 @@ def triangle_count(
     e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
     if materialize:
         e = e.localCheckpoint(eager=True)
-    sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
-    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_d"))
-    # orient by (degree, id): attach degrees to both endpoints once
-    du = deg.select(F.col("_u").alias("_a"), F.col("_d").alias("_da"))
-    dv = deg.select(F.col("_u").alias("_b"), F.col("_d").alias("_db"))
-    with_deg = (
-        e.join(du, e["_u"] == du["_a"]).join(dv, e["_v"] == dv["_b"]).select(
-            "_u", "_v", "_da", "_db"
-        )
-    )
-    lower_first = (F.col("_da") < F.col("_db")) | (
-        (F.col("_da") == F.col("_db")) & (F.col("_u") < F.col("_v"))
-    )
-    oriented = with_deg.select(
-        F.when(lower_first, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
-        F.when(lower_first, F.col("_v")).otherwise(F.col("_u")).alias("_t"),
-    )
-    w1 = oriented.select(F.col("_s"), F.col("_t").alias("_t1"))
-    w2 = oriented.select(F.col("_s"), F.col("_t").alias("_t2"))
-    wedges = w1.join(w2, "_s").filter(F.col("_t1") < F.col("_t2"))
-    closing = oriented.select(
-        F.col("_s").alias("_c1"), F.col("_t").alias("_c2")
-    ).unionByName(
-        # the closing edge's orientation between _t1 and _t2 is unknown —
-        # probe both directions via the symmetrized closure set
-        oriented.select(F.col("_t").alias("_c1"), F.col("_s").alias("_c2"))
-    )
+    deg, wedges, closing = _degree_oriented_wedges(e)
     tri = wedges.join(
         closing,
         (F.col("_t1") == F.col("_c1")) & (F.col("_t2") == F.col("_c2")),

@@ -94,6 +94,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extra_ops_r8b,
         extra_ops_r8c,
         extra_ops_r9,
+        extra_ops_r9b,
     )
 
     ordered = sorted(registry, key=lambda n: (n in _DRIVER_RECORDED,))
