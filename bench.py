@@ -323,6 +323,12 @@ HEADLINE = [
     # broadcast+fold+checkpoint rounds over the embedding corpus — the
     # iterated-selection shape, distinct from the one-shot ANN probes)
     "kcenter_coreset_seeds",
+    # round-9 batch 9: BPE tokenizer training (corpus histogram agg + 4
+    # vocab-sized argmax+HOF-rewrite rounds — the tokenizer-training loop)
+    "bpe_train_merges",
+    # round-9 batch 10: Holt exact forecast (day-grain agg over sf-scaled
+    # orders + the sequential HOF fold — the ETS recurrence shape)
+    "holt_forecast_exact",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —
@@ -334,6 +340,10 @@ EXCLUDED: dict[str, str] = {
     "clustering_coefficient_parts": "same degree-ordered wedge kernel as benched 'triangle_count_parts' (inner close + bounded 3x explode instead of the semi-join tail)",
     "chi2_term_selection": "same distinct-explode contingency agg as benched 'mutual_information_lang_source' with a chi-squared scorer",
     "score_auc_exact": "distinct-score histogram agg + O(|domain|) window; subsecond flat, rank family benched via 'rank_calibration'",
+    "bpe_segment_corpus": "same training loop as benched 'bpe_train_merges' (shared _bpe_train) plus a vocab-sized projection",
+    "holt_incremental_equiv": "same fold kernel as benched 'holt_forecast_exact' run over 3 date slices (the resume-state equivalence gate)",
+    "knn_map_exact": "rides benched 'cosine_topk_bruteforce' + two label joins and a bounded window (retrieval-eval metric gate, same family as 'knn_mrr_exact')",
+    "rendezvous_rebalance_audit": "shuffle-free per-row hash HOF + one global agg (subsecond scan microshape, same family as 'shard_layout_audit')",
     # --- advanced_analytics ---
     "kmv_jaccard_pairs": "same KMV sketch kernel as benched 'kmv_distinct_ops'",
     "trimmed_mean_price": "same order-statistic trim kernel as benched 'winsorized_mean_value'",

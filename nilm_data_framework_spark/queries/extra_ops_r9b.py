@@ -24,6 +24,19 @@ feature discrimination, ranking quality) plus two serving shapes:
   * best_passage_topk — query-term-density passage selection (the
     passage-retrieval primitive under every RAG chunker): best w-token
     window per doc via a per-doc position window, global top-k docs.
+  * kcenter_coreset_seeds — greedy farthest-first coreset selection
+    (Gonzalez 2-approx): k broadcast+fold+checkpoint rounds, exact u6
+    integer distances, never a pairwise matrix.
+  * bpe_train_merges / bpe_segment_corpus — BPE tokenizer TRAINING as a
+    dataflow on the word-type histogram (corpus scanned once), plus the
+    apply half; oracle = per-word recursive-CTE greedy fold, an
+    independent sequential-merge implementation.
+  * holt_forecast_exact / holt_incremental_equiv — Holt level+trend ETS
+    as an exact BIGINT recurrence over the day-grain series (trunc-div
+    replayed via exact_math.trunc_div_sql), and the resumable-state fold
+    gated bit-identical to the one-shot recurrence.
+  * knn_map_exact — exact MAP@k via lcm(1..k)-scaled integer precision
+    terms, beside knn_mrr_exact.
 
 Reference analog: none (pure §2.10 extensions); the eval shapes mirror
 BASELINE.md's ML-quality-metric framing (the reference reports F1/NDE-
@@ -542,7 +555,7 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 4
 
 
-def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS, final_select: str | None = None) -> str:
     """Chained unroll of the BPE training loop. The merge REWRITE is a
     per-word recursive CTE (left-to-right greedy fold over symbol
     positions) — an INDEPENDENT formulation from Spark's aggregate() HOF
@@ -588,15 +601,17 @@ def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
     ),
     a{r} AS (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) AS corpus_tokens_after
              FROM w{r + 1})""")
-    sels = " UNION ALL ".join(
-        f"SELECT {r} AS merge_round, b{r}.lsym, b{r}.rsym, b{r}.pair_count, "
-        f"a{r}.corpus_tokens_after FROM b{r}, a{r}"
-        for r in range(1, rounds + 1)
-    )
-    parts.append(
-        f"\n    SELECT CAST(merge_round AS INT) AS merge_round, lsym, rsym,"
-        f" pair_count, corpus_tokens_after FROM ({sels})"
-    )
+    if final_select is None:
+        sels = " UNION ALL ".join(
+            f"SELECT {r} AS merge_round, b{r}.lsym, b{r}.rsym, b{r}.pair_count, "
+            f"a{r}.corpus_tokens_after FROM b{r}, a{r}"
+            for r in range(1, rounds + 1)
+        )
+        final_select = (
+            f"\n    SELECT CAST(merge_round AS INT) AS merge_round, lsym, rsym,"
+            f" pair_count, corpus_tokens_after FROM ({sels})"
+        )
+    parts.append(final_select)
     return "".join(parts)
 
 
@@ -613,35 +628,12 @@ _BPE_MERGE = (
 )
 
 
-@query(
-    "bpe_train_merges",
-    oracle=_bpe_oracle_sql(),
-    survey_ref="§2.10 LLM-pipeline extension: BPE tokenizer TRAINING as a "
-    "dataflow (Sennrich '16; the word-type-histogram formulation that "
-    "makes training corpus-size-independent) — 4 argmax+merge rounds, "
-    "exact integer counts; oracle = per-word recursive-CTE greedy fold, "
-    "an independent sequential-merge implementation",
-)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train 4 BPE merges on the corpus and emit per round (lsym, rsym,
-    pair_count, corpus_tokens_after) — the actual tokenizer-training
-    loop, not a proxy: adjacent-pair counts weighted by word frequency,
-    argmax with (count desc, pair asc) tiebreak, greedy left-to-right
-    non-overlapping rewrite, repeat. THE scale trick is the first line:
-    training runs on the WORD-TYPE HISTOGRAM (one linear agg over the
-    corpus — Heaps-law-bounded, ~31 types here, ~10⁶ at web scale), so
-    every subsequent round is vocabulary-sized work; the corpus is never
-    rescanned. Per round the plan is: bounded pair explode + hash agg,
-    LIMIT-1 argmax broadcast (guard-exempt), one aggregate() HOF rewrite
-    pass, localCheckpoint of the vocab-bounded word table (each round
-    references it twice — argmax + rewrite — so the lazy chain would
-    re-fold 2^rounds times). corpus_tokens_after pins each REWRITE
-    exactly (not just the argmax): it is the post-merge corpus token
-    count. Words restricted to ^[a-z]+$ — the standard alphabetic
-    pre-tokenization class (multi-byte slicing and collation differ
-    cross-engine; a production tokenizer pre-splits byte-level anyway).
-    Ties everywhere integer with lexicographic pair tiebreaks — TIES.md
-    row 'bpe argmax'."""
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the BPE training loop; returns (per-round merge-rule frames,
+    final segmented word-type table (word, cnt, syms)). Shared by the
+    train gate and the segmentation (apply) gate — the loop lives once."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
@@ -655,7 +647,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     rows = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pairs = (
             # size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) and
             # ANSI element_at then raises on fully-merged single-token
@@ -697,7 +689,441 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_count",
             ).crossJoin(F.broadcast(after))
         )
+    return rows, w
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_oracle_sql(),
+    survey_ref="§2.10 LLM-pipeline extension: BPE tokenizer TRAINING as a "
+    "dataflow (Sennrich '16; the word-type-histogram formulation that "
+    "makes training corpus-size-independent) — 4 argmax+merge rounds, "
+    "exact integer counts; oracle = per-word recursive-CTE greedy fold, "
+    "an independent sequential-merge implementation",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 4 BPE merges on the corpus and emit per round (lsym, rsym,
+    pair_count, corpus_tokens_after) — the actual tokenizer-training
+    loop, not a proxy: adjacent-pair counts weighted by word frequency,
+    argmax with (count desc, pair asc) tiebreak, greedy left-to-right
+    non-overlapping rewrite, repeat. THE scale trick is the first line:
+    training runs on the WORD-TYPE HISTOGRAM (one linear agg over the
+    corpus — Heaps-law-bounded, ~31 types here, ~10⁶ at web scale), so
+    every subsequent round is vocabulary-sized work; the corpus is never
+    rescanned. Per round the plan is: bounded pair explode + hash agg,
+    LIMIT-1 argmax broadcast (guard-exempt), one aggregate() HOF rewrite
+    pass, localCheckpoint of the vocab-bounded word table (each round
+    references it twice — argmax + rewrite — so the lazy chain would
+    re-fold 2^rounds times). corpus_tokens_after pins each REWRITE
+    exactly (not just the argmax): it is the post-merge corpus token
+    count. Words restricted to ^[a-z]+$ — the standard alphabetic
+    pre-tokenization class (multi-byte slicing and collation differ
+    cross-engine; a production tokenizer pre-splits byte-level anyway).
+    Ties everywhere integer with lexicographic pair tiebreaks — TIES.md
+    row 'bpe argmax'."""
+    rows, _w = _bpe_train(spark, sf_dir)
     out = rows[0]
     for s in rows[1:]:
         out = out.unionByName(s)
     return out
+
+
+@query(
+    "bpe_segment_corpus",
+    oracle=_bpe_oracle_sql(
+        final_select=f"""
+    SELECT word, cnt, CAST(len(syms) AS BIGINT) AS n_pieces,
+           array_to_string(syms, ' ') AS pieces
+    FROM w{_BPE_ROUNDS + 1}"""
+    ),
+    survey_ref="§2.10 LLM-pipeline extension: BPE segmentation (the APPLY "
+    "half of bpe_train_merges — the trained merges re-segment the word "
+    "vocabulary; tokenization of new text is a vocab-table join away); "
+    "oracle = the training chain's final word table w5",
+)
+def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the tokenizer: after the 4 trained merges, the
+    word-type table IS the tokenization lookup (word → pieces) — this is
+    how production tokenization scales too: segment the vocab once
+    (vocab-sized work), then tokenizing the corpus is a broadcast
+    word→pieces join, never per-document merge replay. Emits every word
+    type with its count, piece count and space-joined pieces; the gate
+    hash pins the full segmentation of every type, a stronger check than
+    the train gate's corpus_tokens_after aggregate. Same loop via
+    _bpe_train (the code lives once); oracle = the recursive-fold chain's
+    final w{rounds+1} table verbatim — verifying that BOTH sequential
+    merge implementations land on identical segmentations per word."""
+    _rows, w = _bpe_train(spark, sf_dir)
+    return w.select(
+        "word",
+        "cnt",
+        F.size("syms").cast("long").alias("n_pieces"),
+        F.array_join("syms", " ").alias("pieces"),
+    )
+
+
+# --- Holt double exponential smoothing (exact integer recurrence) ---------------
+
+# alpha = 3/10, beta = 2/10 as exact rational smoothing weights; all state
+# stays BIGINT cents via truncating division (Spark `div`; the oracle
+# mirrors with exact_math.trunc_div_sql because the TREND state goes
+# negative and DuckDB // floors)
+_HOLT_LNEW_SPARK = "(3 * x.y + 7 * (acc.l + acc.b)) div 10"
+_HOLT_ZERO_INIT = (
+    "named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),"
+    " 'sae', CAST(0 AS BIGINT), 'n', 0)"
+)
+
+
+def _holt_fold_expr(init: str = _HOLT_ZERO_INIT) -> str:
+    """The Holt fold with an injectable initial state — the zero init's
+    n=0 branch seeds from the first observation; a resumed fold passes
+    the prior (l, b, sae, n) and the recurrence continues exactly (the
+    incremental-equivalence hook)."""
+    return f"""
+aggregate(s,
+  {init},
+  (acc, x) -> IF(acc.n = 0,
+    named_struct('l', x.y, 'b', CAST(0 AS BIGINT),
+                 'sae', CAST(0 AS BIGINT), 'n', 1),
+    named_struct(
+      'l', {_HOLT_LNEW_SPARK},
+      'b', (2 * (({_HOLT_LNEW_SPARK}) - acc.l) + 8 * acc.b) div 10,
+      'sae', acc.sae + abs(x.y - (acc.l + acc.b)),
+      'n', acc.n + 1)))
+"""
+
+
+_HOLT_FOLD = _holt_fold_expr()
+
+
+def _holt_oracle_sql() -> str:
+    from nilm_data_framework_spark.operators.exact_math import trunc_div_sql
+
+    lnew = trunc_div_sql("3*d.y + 7*(s.l + s.b)", "10")
+    bnew = trunc_div_sql(f"2*(({lnew}) - s.l) + 8*s.b", "10")
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY o_orderdate) AS INT) AS t, y
+      FROM (SELECT o_orderdate,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM orders GROUP BY o_orderdate)
+    ),
+    st AS (
+      SELECT 1 AS t, y AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+      FROM daily WHERE t = 1
+      UNION ALL
+      SELECT s.t + 1, {lnew} AS l, {bnew} AS b,
+             s.sae + abs(d.y - (s.l + s.b))
+      FROM st s JOIN daily d ON d.t = s.t + 1
+    ),
+    fin AS (SELECT * FROM st ORDER BY t DESC LIMIT 1)
+    SELECT CAST((SELECT max(t) FROM daily) AS BIGINT) AS n_days,
+           l AS l_final, b AS b_final, sae,
+           l + b AS fc_1, l + 7 * b AS fc_7
+    FROM fin
+    """
+
+
+@query(
+    "holt_forecast_exact",
+    oracle=_holt_oracle_sql(),
+    survey_ref="§2 time-series extension: Holt double exponential "
+    "smoothing (level+trend ETS) as an exact BIGINT recurrence over the "
+    "daily-revenue series — the forecasting member of the iterated-"
+    "numeric-fixpoint family (pagerank / gram power iteration); oracle = "
+    "recursive-CTE replay with trunc_div_sql carrying Spark's signed "
+    "truncating division",
+)
+def holt_forecast_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method (α=0.3, β=0.2 as exact rationals) over daily
+    order revenue in cents: level/trend recurrences with TRUNCATING
+    integer division, one-step-ahead absolute-error sum, and 1/7-day
+    forecasts. The sequential fold runs over the DAY-GRAIN series — a
+    bounded value domain (the order calendar spans a fixed ~2.4k days at
+    every sf, so the collected array is constant-sized while the per-day
+    aggregation underneath absorbs the sf-scaled rows; at 100 TB the agg
+    shuffles, the fold doesn't grow). Kernel: groupBy(day) exact-cents
+    sums → ONE sorted collect + aggregate() HOF fold carrying
+    (l, b, sae, n). The trend state goes NEGATIVE, so the division inside
+    the recurrence cannot be deferred as num/den — Spark `div` truncates
+    toward zero and the oracle replays it via exact_math.trunc_div_sql
+    (the r9 sign-magnitude discipline); the gate is bit-exact over ~2.4k
+    chained divisions. Smoothing weights are the rational dial: any a/10,
+    b/10 pair works unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("o_orderdate", "y"))).alias("s")
+    )
+    r = arr.select(F.expr(_HOLT_FOLD).alias("r")).select(
+        F.col("r.n").cast("long").alias("n_days"),
+        F.col("r.l").alias("l_final"),
+        F.col("r.b").alias("b_final"),
+        F.col("r.sae").alias("sae"),
+        (F.col("r.l") + F.col("r.b")).alias("fc_1"),
+        (F.col("r.l") + 7 * F.col("r.b")).alias("fc_7"),
+    )
+    return r
+
+
+# --- incremental Holt fold (resumable forecasting state) ------------------------
+
+_HOLT_CUTS = ("1994-01-01", "1996-01-01")  # 3 time slices
+
+
+@query(
+    "holt_incremental_equiv",
+    oracle=_holt_oracle_sql(),
+    survey_ref="§2 time-series extension: INCREMENTAL Holt fold — the "
+    "(l, b, sae, n) state resumes across time-sliced batches and lands "
+    "bit-identical to the one-shot recurrence (oracle shared verbatim "
+    "with holt_forecast_exact); the checkpointed-forecasting-state member "
+    "of the incremental-fold family (SCD2/CC/interval-union/Gram)",
+)
+def holt_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of the forecaster: each ingest batch folds only
+    ITS days, seeded with the persisted (l, b, sae, n) state — closed
+    history is never re-read (cost O(batch days), the SCD2-fold
+    discipline). Exactness is by construction — the recurrence is a left
+    fold and fold(s1 ++ s2) = fold(fold(s1), s2) — but the gate proves
+    the IMPLEMENTATION: three date-sliced folds with injected initial
+    state (_holt_fold_expr(init)) must land bit-identical to the one-shot
+    fold, across the slice boundaries where (l, b) carry live trend.
+    Slices partition the calendar (date ranges), so each day lands in
+    exactly one batch; a LATE day would violate the fold's in-order
+    precondition — the recovery is the SCD2-late-arrivals pattern
+    (re-fold from the last state before the late day), documented here,
+    not gated."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo = [None, *_HOLT_CUTS]
+    hi = [*_HOLT_CUTS, None]
+    st = None
+    for lo_d, hi_d in zip(lo, hi):
+        sl = orders
+        if lo_d is not None:
+            sl = sl.filter(F.col("o_orderdate") >= F.lit(lo_d))
+        if hi_d is not None:
+            sl = sl.filter(F.col("o_orderdate") < F.lit(hi_d))
+        daily = sl.groupBy("o_orderdate").agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("y")
+        )
+        arr = daily.agg(
+            F.array_sort(F.collect_list(F.struct("o_orderdate", "y"))).alias("s")
+        )
+        if st is None:
+            folded = arr.select(F.expr(_holt_fold_expr()).alias("r"))
+        else:
+            init = "named_struct('l', pl, 'b', pb, 'sae', psae, 'n', pn)"
+            folded = arr.crossJoin(F.broadcast(st)).select(
+                F.expr(_holt_fold_expr(init)).alias("r")
+            )
+        st = folded.select(
+            F.col("r.l").alias("pl"),
+            F.col("r.b").alias("pb"),
+            F.col("r.sae").alias("psae"),
+            F.col("r.n").alias("pn"),
+        ).localCheckpoint(eager=True)
+    return st.select(
+        F.col("pn").cast("long").alias("n_days"),
+        F.col("pl").alias("l_final"),
+        F.col("pb").alias("b_final"),
+        F.col("psae").alias("sae"),
+        (F.col("pl") + F.col("pb")).alias("fc_1"),
+        (F.col("pl") + 7 * F.col("pb")).alias("fc_7"),
+    )
+
+
+# --- exact MAP@k retrieval evaluation -------------------------------------------
+
+_MAP_Q = 16
+_MAP_K = 10
+_MAP_LCM = 2520  # lcm(1..10)
+
+
+def _map_oracle() -> str:
+    from nilm_data_framework_spark.queries.similarity import _brute_oracle_sql
+
+    return f"""
+    WITH topk AS (
+      SELECT query_id, match_id, rk
+      FROM ({_brute_oracle_sql(n_queries=_MAP_Q, k=_MAP_K)}) b
+    ),
+    ql AS (SELECT vec_id, label FROM embeddings),
+    hits AS (
+      SELECT t.query_id, t.rk,
+             CAST(row_number() OVER (PARTITION BY t.query_id ORDER BY t.rk)
+                  AS BIGINT) AS i
+      FROM topk t
+      JOIN ql q ON q.vec_id = t.query_id
+      JOIN ql m ON m.vec_id = t.match_id
+      WHERE q.label = m.label
+    ),
+    perq AS (
+      SELECT query_id,
+             CAST(count(*) AS BIGINT) AS r_k,
+             CAST(sum({_MAP_LCM} * i // rk) AS BIGINT) AS s_q
+      FROM hits GROUP BY 1
+    )
+    SELECT CAST({_MAP_Q} AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_with_hits,
+           CAST(coalesce(sum(s_q * ({_MAP_LCM} // r_k)), 0) AS BIGINT)
+             AS map_num,
+           CAST({_MAP_Q} AS BIGINT) * {_MAP_LCM} * {_MAP_LCM} AS map_den
+    FROM perq
+    """
+
+
+@query(
+    "knn_map_exact",
+    oracle=_map_oracle(),
+    survey_ref="§2.10 eval extension: exact mean average precision @ k "
+    "(the ranking-quality metric beside knn_mrr_exact) — every i/r_i "
+    "precision term and the per-query 1/R_q normalization carried as "
+    "lcm(1..k)-scaled exact integers",
+)
+def knn_map_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 over the 16-query brute-force neighbor lists (relevant =
+    same-label): AP_q = (1/R_q)·Σ_i i/r_i at the ranks r_i of the R_q
+    relevant hits. Floats never appear: with k ≤ 10, 2520·i div r_i and
+    2520 div R_q are exact integers, so map_num/map_den is the exact
+    rational Σ_q AP_q with map_den = Q·2520² (magnitudes ≤ ~1e10, far
+    inside int64 to thousands of queries — past that, emit per-query
+    S_q/R_q pairs). The hit-index window partitions by query (≤ k rows
+    per partition); queries with zero relevant hits contribute 0 (the
+    standard convention, same as MRR). Cost: rides the same brute-force
+    top-k as knn_mrr_exact + two label joins + one bounded window."""
+    from nilm_data_framework_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _MAP_Q), k=_MAP_K
+    )
+    lab = emb.select("vec_id", "label")
+    hits = (
+        topk.join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+            "query_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("match_id"), F.col("label").alias("ml")),
+            "match_id",
+        )
+        .filter(F.col("ql") == F.col("ml"))
+        .withColumn(
+            "i",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy("rk"))
+            .cast("long"),
+        )
+    )
+    perq = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("r_k"),
+        F.sum(F.expr(f"{_MAP_LCM} * i div rk")).alias("s_q"),
+    )
+    return perq.agg(
+        F.lit(_MAP_Q).cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_with_hits"),
+        F.coalesce(F.sum(F.expr(f"s_q * ({_MAP_LCM} div r_k)")), F.lit(0))
+        .cast("long")
+        .alias("map_num"),
+        F.lit(_MAP_Q * _MAP_LCM * _MAP_LCM).cast("long").alias("map_den"),
+    )
+
+
+# --- rendezvous (HRW) re-sharding audit -----------------------------------------
+
+_HRW_OLD = 8
+_HRW_NEW = 9
+
+
+def _hrw_enc_sql(n_shards: int, spark_side: bool) -> str:
+    """Per-key HRW winner encoded as ONE BIGINT: 56-bit md5 score * 16 +
+    shard id (shard ids < 16), so argmax-with-tiebreak is a plain integer
+    max — no structs, no window, no explode. Same text modulo each
+    engine's hex→int cast."""
+    if spark_side:
+        h = (
+            "CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING), '#',"
+            " CAST(s AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+        )
+        return (
+            f"array_max(transform(sequence(0, {n_shards - 1}),"
+            f" s -> {h} * 16 + s))"
+        )
+    h = (
+        "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' ||"
+        " CAST(s AS VARCHAR)), 1, 14)) AS BIGINT)"
+    )
+    return (
+        f"list_max(list_transform(range(0, {n_shards}),"
+        f" s -> {h} * 16 + s))"
+    )
+
+
+@query(
+    "rendezvous_rebalance_audit",
+    oracle=f"""
+    WITH k AS (
+      SELECT c_custkey,
+             c_custkey % {_HRW_OLD} AS m_old, c_custkey % {_HRW_NEW} AS m_new,
+             {_hrw_enc_sql(_HRW_OLD, False)} % 16 AS h_old,
+             {_hrw_enc_sql(_HRW_NEW, False)} % 16 AS h_new
+      FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN m_old <> m_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS moved_mod,
+           CAST(sum(CASE WHEN h_old <> h_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS moved_hrw,
+           CAST((sum(CASE WHEN m_old <> m_new THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS moved_mod_e6,
+           CAST((sum(CASE WHEN h_old <> h_new THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS moved_hrw_e6
+    FROM k
+    """,
+    survey_ref="§2 data-layout extension: rendezvous/HRW re-sharding audit "
+    "(Thaler & Ravishankar '98 highest-random-weight hashing) — moved-key "
+    "census of mod-N vs HRW placement when the shard count grows 8→9; "
+    "the quantitative case for consistent placement in any partitioned "
+    "layout (shards/buckets/index segments)",
+)
+def rendezvous_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of keys MOVE when a shard joins? mod-N placement
+    remaps ~(N)/(N+1) of all keys (here ~8/9 ≈ 889k e-6); rendezvous
+    hashing moves only the keys the NEW shard wins (~1/9 ≈ 111k e-6) —
+    the minimal-disruption optimum, and the reason bucketed layouts that
+    expect growth hash by HRW/consistent rings rather than modulo. The
+    kernel is shuffle-free: each key evaluates its N candidate scores in
+    ONE JVM-side array HOF (56-bit md5 score · 16 + shard encodes
+    argmax-with-tiebreak as integer max — no window, no explode, no
+    struct compare), then one global agg; linear, map-side combined, and
+    the per-key cost is O(N_shards) = O(1). Counts and e6 ratios exact
+    (`div`, nonneg). The 8-shard winner set is a strict subset of the
+    9-shard candidate scores, so h_old ≠ h_new ⟺ shard 8 wins — the
+    1/(N+1) expectation; the gate pins both engines' md5 arithmetic."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = cust.select(
+        (F.col("c_custkey") % _HRW_OLD).alias("m_old"),
+        (F.col("c_custkey") % _HRW_NEW).alias("m_new"),
+        (F.expr(_hrw_enc_sql(_HRW_OLD, True)) % 16).alias("h_old"),
+        (F.expr(_hrw_enc_sql(_HRW_NEW, True)) % 16).alias("h_new"),
+    )
+    moved_mod = F.sum(F.when(F.col("m_old") != F.col("m_new"), 1).otherwise(0))
+    moved_hrw = F.sum(F.when(F.col("h_old") != F.col("h_new"), 1).otherwise(0))
+    return k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        moved_mod.cast("long").alias("moved_mod"),
+        moved_hrw.cast("long").alias("moved_hrw"),
+        F.expr(
+            "CAST((sum(CASE WHEN m_old <> m_new THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*) AS BIGINT)"
+        ).alias("moved_mod_e6"),
+        F.expr(
+            "CAST((sum(CASE WHEN h_old <> h_new THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*) AS BIGINT)"
+        ).alias("moved_hrw_e6"),
+    )
