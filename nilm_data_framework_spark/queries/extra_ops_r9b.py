@@ -388,7 +388,11 @@ def best_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     start)), global TakeOrderedAndProject. The oracle recounts every
     start with a quadratic list slice — the equivalence is the check.
     All-integer scores ⇒ deterministic cut."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _passage_kernel(load_table(spark, sf_dir, "documents"))
+
+
+def _passage_kernel(docs: DataFrame) -> DataFrame:
+    """Frame-level best-passage kernel (shared with the stress sweep)."""
     pos = docs.select(
         "doc_id", F.posexplode(T.tokens(F.col("text"))).alias("p0", "tok")
     ).select(
@@ -505,9 +509,13 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     point's dist drops to 0, so re-selection needs an all-duplicate
     corpus); radius2 = the k-center objective after all selections,
     pinned on every output row."""
+    return _kcenter_kernel(load_table(spark, sf_dir, "embeddings"))
+
+
+def _kcenter_kernel(emb: DataFrame) -> DataFrame:
+    """Frame-level farthest-first kernel (shared with the stress sweep)."""
     from nilm_data_framework_spark.operators.embed_stats import u6_components
 
-    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", u6_components("embedding").alias("q6"))
     n2 = q.withColumn(
         "norm2", F.expr("aggregate(transform(q6, x -> x * x), 0L, (a, v) -> a + v)")
@@ -634,7 +642,13 @@ def _bpe_train(
     """Run the BPE training loop; returns (per-round merge-rule frames,
     final segmented word-type table (word, cnt, syms)). Shared by the
     train gate and the segmentation (apply) gate — the loop lives once."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _bpe_train_frames(load_table(spark, sf_dir, "documents"), rounds)
+
+
+def _bpe_train_frames(
+    docs: DataFrame, rounds: int = _BPE_ROUNDS
+) -> tuple[list[DataFrame], DataFrame]:
+    """Frame-level BPE training loop (shared with the stress sweep)."""
     w = (
         docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$"))
@@ -852,14 +866,18 @@ def holt_forecast_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r9 sign-magnitude discipline); the gate is bit-exact over ~2.4k
     chained divisions. Smoothing weights are the rational dial: any a/10,
     b/10 pair works unchanged."""
-    orders = load_table(spark, sf_dir, "orders")
+    return _holt_kernel(load_table(spark, sf_dir, "orders"))
+
+
+def _holt_kernel(orders: DataFrame) -> DataFrame:
+    """Frame-level Holt kernel (shared with the stress sweep)."""
     daily = orders.groupBy("o_orderdate").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("y")
     )
     arr = daily.agg(
         F.array_sort(F.collect_list(F.struct("o_orderdate", "y"))).alias("s")
     )
-    r = arr.select(F.expr(_HOLT_FOLD).alias("r")).select(
+    return arr.select(F.expr(_HOLT_FOLD).alias("r")).select(
         F.col("r.n").cast("long").alias("n_days"),
         F.col("r.l").alias("l_final"),
         F.col("r.b").alias("b_final"),
@@ -867,7 +885,6 @@ def holt_forecast_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r.l") + F.col("r.b")).alias("fc_1"),
         (F.col("r.l") + 7 * F.col("r.b")).alias("fc_7"),
     )
-    return r
 
 
 # --- incremental Holt fold (resumable forecasting state) ------------------------

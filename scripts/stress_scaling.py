@@ -101,6 +101,41 @@ def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
     return out.repartition(32, "vec_id").localCheckpoint(eager=True)
 
 
+def replicate_embeddings_perturbed(emb: DataFrame, k: int) -> DataFrame:
+    """k DISTINCT copies for the k-center sweep: ids shifted AND component 0
+    offset per replica — identical replicas would sit at distance 0 from
+    their originals and the farthest-first argmax would tie on duplicates
+    (the kernel's documented k ≪ distinct-vectors precondition)."""
+    parts = [emb.select("vec_id", "embedding")]
+    for r in range(1, k):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + 10_000_000 * r).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, (x, i) -> IF(i = 0,"
+                    f" CAST(x + {r} * 0.001 AS FLOAT), x))"
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32, "vec_id").localCheckpoint(eager=True)
+
+
+def replicate_orders_rev(orders: DataFrame, k: int) -> DataFrame:
+    """k copies of (o_orderdate, o_totalprice) — holt aggregates by date,
+    so replicas scale the per-day sums ×k while the day DOMAIN (and with
+    it the fold length) stays fixed: the linear claim is the agg."""
+    parts = [orders]
+    for _ in range(1, k):
+        parts.append(orders)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint(eager=True)
+
+
 def replicate_part_edges(part: DataFrame, k: int) -> DataFrame:
     """k disjoint copies of the part containment forest (keys shifted):
     closure size grows exactly k× (disjoint components)."""
@@ -1509,6 +1544,36 @@ def main() -> None:
                 ("interval_fold", n_ev_r8c),
             ):
                 sized.append(({name: r8c[name]}, rows_in))
+        r9b_names = {"kcenter_rounds", "bpe_train", "best_passage", "holt_fold"}
+        if only is None or only & r9b_names:
+            from nilm_data_framework_spark.queries import extra_ops_r9b as R9B
+
+            emb_pert = replicate_embeddings_perturbed(emb_base, k)
+            orders_rep = replicate_orders_rev(
+                load_table(spark, SF_DIR, "orders").select(
+                    "o_orderdate", "o_totalprice"
+                ),
+                k,
+            )
+            n_embp = emb_pert.count()
+            n_or = orders_rep.count()
+            r9b = {
+                # kernels are shared with the registered queries (frame-level
+                # entry points); the eager checkpoints inside kcenter/bpe
+                # mean construction itself does the work — the lambda times
+                # the whole loop
+                "kcenter_rounds": lambda: R9B._kcenter_kernel(emb_pert).count(),
+                "bpe_train": lambda: R9B._bpe_train_frames(docs)[1].count(),
+                "best_passage": lambda: R9B._passage_kernel(docs).count(),
+                "holt_fold": lambda: R9B._holt_kernel(orders_rep).count(),
+            }
+            for name, rows_in in (
+                ("kcenter_rounds", n_embp),
+                ("bpe_train", n),
+                ("best_passage", n),
+                ("holt_fold", n_or),
+            ):
+                sized.append(({name: r9b[name]}, rows_in))
         bm25_idx_names = {
             "bm25_index_write", "bm25_index_probe",
             "bm25_index_append_fixed", "bm25_index_append_kbatch",
