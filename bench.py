@@ -344,6 +344,8 @@ EXCLUDED: dict[str, str] = {
     "holt_incremental_equiv": "same fold kernel as benched 'holt_forecast_exact' run over 3 date slices (the resume-state equivalence gate)",
     "knn_map_exact": "rides benched 'cosine_topk_bruteforce' + two label joins and a bounded window (retrieval-eval metric gate, same family as 'knn_mrr_exact')",
     "rendezvous_rebalance_audit": "shuffle-free per-row hash HOF + one global agg (subsecond scan microshape, same family as 'shard_layout_audit')",
+    "streaming_holt_ingest_equiv": "streaming micro-batch equivalence gate; family represented by the three benched streaming gates",
+    "dbscan_grid_clusters": "composition of benched kernels ('spatial_radius_pairs' grid join + the CC family benched via 'neardup_clusters'); wall cost at toy scale is star-contraction round dispatch (~tens of jobs over sub-5k-row frames — the r8 job-count lesson), not data work",
     # --- advanced_analytics ---
     "kmv_jaccard_pairs": "same KMV sketch kernel as benched 'kmv_distinct_ops'",
     "trimmed_mean_price": "same order-statistic trim kernel as benched 'winsorized_mean_value'",

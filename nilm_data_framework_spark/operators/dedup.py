@@ -925,6 +925,129 @@ def simhash_near_pairs(
     )
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the DIAMETER-SAFE escalation the hash-min
+    kernel's error message points at.
+
+    Hash-min propagates the component's min id ONE hop per round, so a
+    chainy graph (propagation distance > max_iter) aborts — exactly what
+    a percolating geometric graph produces (measured: the sf0.1 DBSCAN
+    core graph, ~15k nodes whose within-radius components span the whole
+    1M-unit plane, needs >25 hops). Star contraction instead REWRITES the
+    edge set each round: large-star points every neighbor larger than u
+    at u's neighborhood minimum, small-star stars the smaller neighbors
+    onto it, and the edge set monotonically contracts to a star forest
+    whose centers are the component minima — O(log²·n) rounds REGARDLESS
+    of diameter, each round two grouped aggs + a distinct over the
+    current (shrinking) edge set.
+
+    Same contract as :func:`connected_components`: returns
+    (node, cluster_id), cluster_id = min node id of the component,
+    singletons labeled by themselves. Equivalence on converging inputs is
+    pytest-pinned; prefer THIS form when the similarity graph can be
+    long-chained (geometric/temporal adjacency), the hash-min form when
+    components are shallow (near-dup clusters, entity resolution).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(edge_a), F.col(edge_b)).alias("_a"),
+            F.greatest(F.col(edge_a), F.col(edge_b)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")).unionByName(
+            ed.select(F.col("_b").alias("_u"), F.col("_a").alias("_v"))
+        )
+
+    def _norm(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(
+                F.least(F.col("_a"), F.col("_b")).alias("_a"),
+                F.greatest(F.col("_a"), F.col("_b")).alias("_b"),
+            )
+            .filter(F.col("_a") != F.col("_b"))
+            .distinct()
+        )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        # for every u: neighbors v > u re-point at m = min(N(u) ∪ {u})
+        sym = _sym(ed)
+        m = (
+            sym.groupBy("_u")
+            .agg(F.min("_v").alias("_mv"))
+            .select("_u", F.least(F.col("_mv"), F.col("_u")).alias("_m"))
+        )
+        return _norm(
+            sym.filter(F.col("_v") > F.col("_u"))
+            .join(m, "_u")
+            .select(F.col("_m").alias("_a"), F.col("_v").alias("_b"))
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # for every u: the strictly smaller neighbors (and u itself) star
+        # onto their minimum
+        le = _sym(ed).filter(F.col("_v") < F.col("_u"))
+        smins = le.groupBy("_u").agg(F.min("_v").alias("_m"))
+        return _norm(
+            le.join(smins, "_u")
+            .select(F.col("_m").alias("_a"), F.col("_v").alias("_b"))
+            .unionByName(
+                smins.select(F.col("_m").alias("_a"), F.col("_u").alias("_b"))
+            )
+        )
+
+    n_e = e.count()
+    for _ in range(max_iter):
+        # the published alternation: E ← small-star(large-star(E)); the
+        # mid frame is checkpointed too (small-star reads it twice)
+        e_mid = _large_star(e).localCheckpoint(eager=True)
+        e_new = _small_star(e_mid).localCheckpoint(eager=True)
+        # convergence = set equality; counts are distinct-deduped, so
+        # equal counts + one-sided empty difference ⟺ equal sets. The
+        # count-first guard skips the exceptAll join entirely while the
+        # edge set is still shrinking (most rounds) — convergence checks
+        # are pure job dispatch at small edge counts, and halving them
+        # measurably cuts the toy-scale constant.
+        n_new = e_new.count()
+        changed = 1
+        if n_new == n_e:
+            changed = e_new.exceptAll(e).limit(1).count()
+        e, n_e = e_new, n_new
+        if changed == 0:
+            # star forest: every edge is (component-min center, leaf)
+            leaves = e.select(
+                F.col("_b").alias("node"), F.col("_a").alias("cluster_id")
+            )
+            centers = e.select(F.col("_a").alias("node")).distinct().select(
+                "node", F.col("node").alias("cluster_id")
+            )
+            labeled = leaves.unionByName(centers)
+            singles = (
+                nodes.select(F.col(id_col).alias("node"))
+                .join(labeled.select("node"), "node", "left_anti")
+                .select("node", F.col("node").alias("cluster_id"))
+            )
+            return labeled.unionByName(singles)
+    raise RuntimeError(
+        f"connected_components_star did not converge in max_iter={max_iter} "
+        f"rounds — beyond the O(log² n) bound; the edge set is likely being "
+        f"re-fed non-deterministically upstream"
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

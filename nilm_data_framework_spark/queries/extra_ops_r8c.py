@@ -1811,6 +1811,12 @@ def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the plane side with sqrt(n) (constant density) or bound the
     output (per-point k-nearest within r via a top-k by dist2)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return _radius_pairs_frame(_hash_points(cust), _RADIUS)
+
+
+def _hash_points(cust: DataFrame) -> DataFrame:
+    """(c_custkey) → (id, px, py) md5-derived points on the 1M×1M integer
+    plane (shared by the radius join and the DBSCAN composition)."""
 
     def _coord(prefix: str):
         return (
@@ -1830,18 +1836,28 @@ def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 1000000
         )
 
-    p = cust.select(
+    return cust.select(
         F.col("c_custkey").alias("id"),
         _coord("x").alias("px"),
         _coord("y").alias("py"),
     )
-    r2 = _RADIUS * _RADIUS
+
+
+def _radius_pairs_frame(p: DataFrame, radius: int, r2: int | None = None) -> DataFrame:
+    """Grid-blocked radius self-join over (id, px, py) — the kernel the
+    spatial_radius_pairs docstring describes, frame-level so compositions
+    (DBSCAN) reuse it at their own radius. ``r2`` overrides the squared
+    threshold when the TRUE radius is irrational (density-constant R² =
+    A/n): blocking stays lossless for any cell size ``radius`` ≥ √r2."""
+    if r2 is None:
+        r2 = radius * radius
+    assert radius * radius >= r2, "grid cell must be at least the radius"
     a = p.select(
         F.col("id").alias("id_a"),
         F.col("px").alias("ax"),
         F.col("py").alias("ay"),
-        F.expr(f"px div {_RADIUS}").alias("cx"),
-        F.expr(f"py div {_RADIUS}").alias("cy"),
+        F.expr(f"px div {radius}").alias("cx"),
+        F.expr(f"py div {radius}").alias("cy"),
     )
     b = p.select(
         F.col("id").alias("id_b"),
@@ -1851,8 +1867,8 @@ def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"flatten(transform(sequence(-1, 1), dx -> "
                 f"transform(sequence(-1, 1), dy -> "
-                f"struct(px div {_RADIUS} + dx AS cx, "
-                f"py div {_RADIUS} + dy AS cy))))"
+                f"struct(px div {radius} + dx AS cx, "
+                f"py div {radius} + dy AS cy))))"
             )
         ).alias("c"),
     ).select("id_b", "bx", "by", "c.cx", "c.cy")

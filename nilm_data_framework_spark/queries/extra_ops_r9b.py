@@ -37,6 +37,13 @@ feature discrimination, ranking quality) plus two serving shapes:
     gated bit-identical to the one-shot recurrence.
   * knn_map_exact — exact MAP@k via lcm(1..k)-scaled integer precision
     terms, beside knn_mrr_exact.
+  * rendezvous_rebalance_audit — HRW vs mod-N moved-key census for a
+    growing shard count (shuffle-free per-row hash HOF).
+  * dbscan_grid_clusters — DBSCAN composed from the audited grid radius
+    join + the NEW diameter-safe large-star/small-star CC
+    (operators/dedup.py::connected_components_star — added after the
+    sf0.1 pre-bench run showed the percolating core graph aborting the
+    one-hop hash-min kernel), with a density-constant radius (R² = A/n).
 
 Reference analog: none (pure §2.10 extensions); the eval shapes mirror
 BASELINE.md's ML-quality-metric framing (the reference reports F1/NDE-
@@ -1143,4 +1150,240 @@ def rendezvous_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(CASE WHEN h_old <> h_new THEN 1 ELSE 0 END) * 1000000)"
             " div count(*) AS BIGINT)"
         ).alias("moved_hrw_e6"),
+    )
+
+
+# --- grid-DBSCAN (density clustering composed from audited kernels) -------------
+
+# density-CONSTANT squared radius: R^2 = 20000^2 * 1500 / n, so the expected
+# neighbor count per point (n * pi * R^2 / plane_area) is the SAME at every
+# sf — the fix for the fixed-plane density trap (advice r8: at fixed R the
+# sf0.1 core graph PERCOLATES into one giant plane-spanning cluster; measured
+# before bench-listing). Exact integer in both engines: (4e8 * 1500) div n.
+_DB_R2_NUM = 400_000_000 * 1500
+_DB_R2_SQL = f"(SELECT {_DB_R2_NUM} // count(*) FROM customer)"
+_DB_MINNBRS = 3  # core = at least 3 neighbors within R (minPts = 4)
+_DB_PTS_SQL = """
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('x' || CAST(c_custkey AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 1000000 AS px,
+             CAST(('0x' || substr(md5('y' || CAST(c_custkey AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 1000000 AS py
+      FROM customer
+"""
+
+
+@query(
+    "dbscan_grid_clusters",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_DB_PTS_SQL}),
+    pr AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM p a JOIN p b ON b.id > a.id
+      WHERE (a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py) <= {_DB_R2_SQL}
+    ),
+    sym AS (SELECT ia AS s, ib AS t FROM pr UNION ALL SELECT ib, ia FROM pr),
+    deg AS (SELECT s AS id, count(*) AS c FROM sym GROUP BY 1),
+    core AS (SELECT id FROM deg WHERE c >= {_DB_MINNBRS}),
+    ce AS (
+      SELECT s, t FROM sym
+      WHERE s IN (SELECT id FROM core) AND t IN (SELECT id FROM core)
+    ),
+    reach AS (
+      SELECT id AS s, id AS t FROM core
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN ce e ON e.s = r.t
+    ),
+    comp AS (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY 1),
+    brd AS (
+      SELECT x.s AS id, min(c.cluster_id) AS cluster_id
+      FROM sym x JOIN comp c ON c.id = x.t
+      WHERE x.s NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    ),
+    ccounts AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_core
+                FROM comp GROUP BY 1),
+    bcounts AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_border
+                FROM brd GROUP BY 1)
+    SELECT c.cluster_id, c.n_core, COALESCE(b.n_border, 0) AS n_border
+    FROM ccounts c LEFT JOIN bcounts b USING (cluster_id)
+    """,
+    survey_ref="§2.10 clustering extension: DBSCAN (Ester et al. KDD'96) "
+    "composed from the audited grid radius join + hash-min connected "
+    "components — core points by neighbor count, clusters = CC over the "
+    "core-core within-radius graph, border points attach to their min "
+    "core cluster; oracle = brute-force pairs + recursive-CTE closure",
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering as a three-stage composition of kernels this
+    repo already gates: (1) within-radius pairs from the grid-blocked
+    self-join (extra_ops_r8c._radius_pairs_frame — cell-local candidates,
+    never all-pairs), (2) core test = one degree agg (deg ≥ 3, i.e.
+    minPts=4 counting the point itself), (3) clusters = large-star/small-star CC over
+    the CORE-CORE subgraph (operators/dedup.py::connected_components_star
+    — DIAMETER-SAFE: the percolating sf0.1 core graph spans the plane,
+    ~70+ propagation hops, which aborts the one-hop hash-min kernel at
+    max_iter=25; star contraction converges in O(log² n) rounds — found
+    by running this query at sf0.1 before bench-listing it, the r8c
+    sweep-before-bench rule), then border points attach to
+    the MINIMUM cluster id among their core neighbors (standard DBSCAN
+    leaves border assignment order-dependent; the min rule makes it a
+    deterministic function — TIES.md row). Output = per-cluster
+    (n_core, n_border) census; noise = everything else, derivable as
+    n_points − Σ(core+border). The pair frame feeds THREE branches
+    (degrees, core edges, border attach) — localCheckpointed once per
+    the fan-out rule. Scale: every stage is the audited kernel's shape;
+    the quadratic closure exists only in the oracle."""
+    from nilm_data_framework_spark.operators import dedup as D
+    from nilm_data_framework_spark.queries.extra_ops_r8c import (
+        _hash_points,
+        _radius_pairs_frame,
+    )
+
+    import math
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    # density-constant threshold: the 1-row count collect is the documented
+    # driver-side stats read; cell size = ceil(sqrt(r2)) keeps the blocking
+    # lossless (cell >= true radius)
+    n = cust.count()
+    r2 = _DB_R2_NUM // n
+    cell = math.isqrt(r2) + 1
+    pairs = (
+        _radius_pairs_frame(_hash_points(cust), cell, r2=r2)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("t")
+    ).unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t")))
+    deg = sym.groupBy(F.col("s").alias("id")).agg(F.count(F.lit(1)).alias("c"))
+    core = deg.filter(F.col("c") >= _DB_MINNBRS).select("id")
+    core_edges = pairs.join(
+        core.select(F.col("id").alias("id_a")), "id_a", "left_semi"
+    ).join(core.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+    labels = D.connected_components_star(
+        core, core_edges, id_col="id", edge_a="id_a", edge_b="id_b"
+    )
+    border = (
+        sym.join(core.select(F.col("id").alias("s")), "s", "left_anti")
+        .join(
+            labels.select(F.col("node").alias("t"), "cluster_id"), "t"
+        )
+        .groupBy("s")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    ccounts = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_core")
+    )
+    bcounts = border.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_border")
+    )
+    return ccounts.join(bcounts, "cluster_id", "left").select(
+        "cluster_id",
+        "n_core",
+        F.coalesce(F.col("n_border"), F.lit(0)).cast("long").alias("n_border"),
+    )
+
+
+# --- streaming Holt ingest (foreachBatch twin of the incremental fold) ----------
+
+
+@query(
+    "streaming_holt_ingest_equiv",
+    oracle=_holt_oracle_sql(),
+    survey_ref="§2.9 + time-series: the Holt fold as a STREAM — "
+    "foreachBatch over event-time-sliced micro-batches, (l, b, sae, n) "
+    "state versioned by batch id (read v{id-1}, overwrite v{id} — "
+    "replay-idempotent); final state == the one-shot recurrence (oracle "
+    "shared verbatim with holt_forecast_exact); completes the streaming "
+    "story for the forecasting fold like the SCD2/near-dup twins",
+)
+def streaming_holt_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-state maintenance as a stream: each micro-batch reduces to
+    ITS daily sums and folds them onto the persisted (l, b, sae, n) state.
+    Event-time slicing (calendar cuts) + FileStreamSource's mtime
+    delivery order license the fold's strictly-later precondition across
+    batch boundaries — the same argument streaming_scd2_ingest_equiv
+    makes; state is a 1-ROW parquet (the smallest state table in the
+    repo), versioned per batch id so replays overwrite instead of
+    double-counting. Per-batch cost O(batch days); the gate lands
+    bit-identical to the one-shot recurrence across both boundaries
+    where live trend carries."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from nilm_data_framework_spark.queries.streaming_equiv import (
+        _staged_stream_dir,
+    )
+    from nilm_data_framework_spark.sources.testdata import _ensure_session_confs
+    from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
+
+    _ensure_session_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    lo = [None, *_HOLT_CUTS]
+    hi = [*_HOLT_CUTS, None]
+    slices = {}
+    for i, (lo_d, hi_d) in enumerate(zip(lo, hi)):
+        sl = orders
+        if lo_d is not None:
+            sl = sl.filter(F.col("o_orderdate") >= F.lit(lo_d))
+        if hi_d is not None:
+            sl = sl.filter(F.col("o_orderdate") < F.lit(hi_d))
+        slices[f"b{i}"] = sl
+    d = _staged_stream_dir(f"holt3_{tag}", slices)
+    scratch = pid_scratch_dir(
+        os.path.join(tempfile.gettempdir(), "nilm_spark_holt_stream"), "st_"
+    )
+    state_root = os.path.join(scratch, "hs")
+    shutil.rmtree(state_root, ignore_errors=True)
+    os.makedirs(state_root, exist_ok=True)
+    seen: set[int] = set()
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        daily = batch.groupBy("o_orderdate").agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("y")
+        )
+        arr = daily.agg(
+            F.array_sort(F.collect_list(F.struct("o_orderdate", "y"))).alias("s")
+        )
+        if batch_id == 0:
+            folded = arr.select(F.expr(_holt_fold_expr()).alias("r"))
+        else:
+            prev = spark.read.parquet(
+                os.path.join(state_root, f"v{batch_id - 1}")
+            )
+            init = "named_struct('l', pl, 'b', pb, 'sae', psae, 'n', pn)"
+            folded = arr.crossJoin(F.broadcast(prev)).select(
+                F.expr(_holt_fold_expr(init)).alias("r")
+            )
+        folded.select(
+            F.col("r.l").alias("pl"),
+            F.col("r.b").alias("pb"),
+            F.col("r.sae").alias("psae"),
+            F.col("r.n").alias("pn"),
+        ).write.mode("overwrite").parquet(os.path.join(state_root, f"v{batch_id}"))
+        seen.add(batch_id)
+
+    schema = spark.read.parquet(os.path.join(d, "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert seen == {0, 1, 2}, f"expected 3 fold rounds, got {seen}"
+    st = spark.read.parquet(os.path.join(state_root, "v2"))
+    return st.select(
+        F.col("pn").cast("long").alias("n_days"),
+        F.col("pl").alias("l_final"),
+        F.col("pb").alias("b_final"),
+        F.col("psae").alias("sae"),
+        (F.col("pl") + F.col("pb")).alias("fc_1"),
+        (F.col("pl") + 7 * F.col("pb")).alias("fc_7"),
     )

@@ -99,3 +99,57 @@ def test_capped_topk_plan_uses_window_group_limit(spark):
         "per-source rank filter should compile to WindowGroupLimit "
         f"(map-side per-group top-m), got:\n{plan[:2000]}"
     )
+
+
+# --- large-star/small-star connected components --------------------------------
+
+
+def test_star_cc_long_path_beyond_hashmin_horizon(spark):
+    # a 300-node path has propagation distance 299 — the one-hop hash-min
+    # kernel aborts at max_iter=25; star contraction must converge fast
+    import pytest
+
+    from nilm_data_framework_spark.operators import dedup as D
+
+    nodes = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(nodes, edges, id_col="id")
+    got = D.connected_components_star(nodes, edges, id_col="id")
+    labels = {r["node"]: r["cluster_id"] for r in got.collect()}
+    assert len(labels) == 300
+    assert set(labels.values()) == {0}
+
+
+def test_star_cc_matches_hashmin_on_shallow_graph(spark):
+    from nilm_data_framework_spark.operators import dedup as D
+
+    # pseudo-random sparse graph + isolated singletons: both kernels must
+    # produce identical (node, cluster_id) labelings
+    edges = sorted(
+        {(min(a, b), max(a, b))
+         for k in range(120)
+         for a, b in [((k * 37) % 60, (k * 53 + 7) % 60)]
+         if a != b}
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(80)], "id long")
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {(r["node"], r["cluster_id"])
+         for r in D.connected_components(nodes, e, id_col="id").collect()}
+    b = {(r["node"], r["cluster_id"])
+         for r in D.connected_components_star(nodes, e, id_col="id").collect()}
+    assert a == b
+
+
+def test_star_cc_two_components_and_singleton(spark):
+    from nilm_data_framework_spark.operators import dedup as D
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 42)], "id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in D.connected_components_star(nodes, edges, id_col="id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 42: 42}
