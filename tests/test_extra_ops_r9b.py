@@ -13,6 +13,7 @@ from __future__ import annotations
 import duckdb
 from hypothesis import assume, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 
 # --- per-vertex triangles -----------------------------------------------------
@@ -153,3 +154,40 @@ def test_star_cc_two_components_and_singleton(spark):
     got = {r["node"]: r["cluster_id"]
            for r in D.connected_components_star(nodes, edges, id_col="id").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 42: 42}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=0, max_size=30
+    )
+)
+def test_star_cc_matches_union_find(spark, raw):
+    # independent reference: pure-Python union-find (not hash-min, which
+    # shares no code but also no convergence envelope) — pins the
+    # alternating star contraction's LABELS on arbitrary small graphs,
+    # including chains, self-loop-free multi-edges, and isolated nodes
+    from nilm_data_framework_spark.operators import dedup as D
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    parent = list(range(15))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(15)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(15)], "id long")
+    e = spark.createDataFrame(
+        edges or [(None, None)], "id_a long, id_b long"
+    ).filter(F.col("id_a").isNotNull())
+    got = {r["node"]: r["cluster_id"]
+           for r in D.connected_components_star(nodes, e, id_col="id").collect()}
+    assert got == want
