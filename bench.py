@@ -345,6 +345,7 @@ EXCLUDED: dict[str, str] = {
     "knn_map_exact": "rides benched 'cosine_topk_bruteforce' + two label joins and a bounded window (retrieval-eval metric gate, same family as 'knn_mrr_exact')",
     "rendezvous_rebalance_audit": "shuffle-free per-row hash HOF + one global agg (subsecond scan microshape, same family as 'shard_layout_audit')",
     "streaming_holt_ingest_equiv": "streaming micro-batch equivalence gate; family represented by the three benched streaming gates",
+    "spatial_nn_join": "same grid-blocked kernel as benched 'spatial_radius_pairs' plus one grouped integer argmin",
     "dbscan_grid_clusters": "composition of benched kernels ('spatial_radius_pairs' grid join + the CC family benched via 'neardup_clusters'); wall cost at toy scale is star-contraction round dispatch (~tens of jobs over sub-5k-row frames — the r8 job-count lesson), not data work",
     # --- advanced_analytics ---
     "kmv_jaccard_pairs": "same KMV sketch kernel as benched 'kmv_distinct_ops'",

@@ -1387,3 +1387,72 @@ def streaming_holt_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pl") + F.col("pb")).alias("fc_1"),
         (F.col("pl") + 7 * F.col("pb")).alias("fc_7"),
     )
+
+
+# --- spatial nearest-neighbor join (k=1 within radius) --------------------------
+
+
+@query(
+    "spatial_nn_join",
+    oracle=f"""
+    WITH p AS ({_DB_PTS_SQL}),
+    pr AS (
+      SELECT a.id AS ia, b.id AS ib,
+             (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) AS d2
+      FROM p a JOIN p b ON b.id > a.id
+      WHERE (a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py) <= {_DB_R2_SQL}
+    ),
+    sym AS (
+      SELECT ia AS id, ib AS nbr, d2 FROM pr
+      UNION ALL SELECT ib, ia, d2 FROM pr
+    ),
+    best AS (
+      SELECT id, nbr, d2, row_number() OVER (
+        PARTITION BY id ORDER BY d2, nbr) AS rn
+      FROM sym
+    )
+    SELECT id, nbr AS nn_id, CAST(d2 AS BIGINT) AS dist2
+    FROM best WHERE rn = 1
+    """,
+    survey_ref="§2.5 J-ext: spatial NEAREST-NEIGHBOR join (k=1 within "
+    "radius) over the same grid-blocked kernel — the store-to-nearest-"
+    "depot / record-to-nearest-centroid geometric join; oracle = "
+    "brute-force all-pairs argmin",
+)
+def spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every point with at least one within-R neighbor, its NEAREST
+    one (exact integer squared distance; ties by neighbor id — TIES.md).
+    Composition: the density-constant grid radius join (candidates
+    cell-local, R² = A/n exact in both engines) symmetrized, then ONE
+    grouped integer argmin via min(struct(d2, nbr)) — no window over
+    row-scaled rows, no sort. Points whose R-ball is empty are absent
+    (the within-radius contract; an unbounded NN needs expanding-ring
+    probes — documented, not implemented). At 100 TB this is the
+    standard blocked kNN-join shape with k=1: one cell-keyed join, one
+    hash agg."""
+    import math
+
+    from nilm_data_framework_spark.queries.extra_ops_r8c import (
+        _hash_points,
+        _radius_pairs_frame,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    n = cust.count()
+    r2 = _DB_R2_NUM // n
+    cell = math.isqrt(r2) + 1
+    pairs = _radius_pairs_frame(_hash_points(cust), cell, r2=r2)
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "dist2"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "dist2"
+        )
+    )
+    return (
+        sym.groupBy("id")
+        .agg(F.min(F.struct("dist2", "nbr")).alias("b"))
+        .select("id", F.col("b.nbr").alias("nn_id"), F.col("b.dist2").alias("dist2"))
+    )
