@@ -329,6 +329,9 @@ HEADLINE = [
     # round-9 batch 10: Holt exact forecast (day-grain agg over sf-scaled
     # orders + the sequential HOF fold — the ETS recurrence shape)
     "holt_forecast_exact",
+    # round-9 batch 11: per-user tamper-evident hash chain (sorted collect
+    # + order-sensitive string fold — the audit/provenance kernel)
+    "ledger_hash_chain",
 ]
 
 # Registry queries deliberately NOT bench-listed, each with the reason —

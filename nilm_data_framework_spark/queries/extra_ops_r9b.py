@@ -1456,3 +1456,73 @@ def spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("dist2", "nbr")).alias("b"))
         .select("id", F.col("b.nbr").alias("nn_id"), F.col("b.dist2").alias("dist2"))
     )
+
+
+# --- tamper-evident per-user hash chain -----------------------------------------
+
+_CHAIN_SEED = "genesis"
+
+
+@query(
+    "ledger_hash_chain",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(event_id AS VARCHAR) || '|' || event_type || '|'
+               || CAST(CAST(floor(value * 1000000) AS BIGINT) AS VARCHAR)
+               AS x
+      FROM events
+    ),
+    arr AS (
+      SELECT user_id, list(x ORDER BY us, event_id) AS lx
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(lx) AS BIGINT) AS n_events,
+           list_reduce(list_prepend('{_CHAIN_SEED}', lx),
+                       (a, b) -> md5(a || b)) AS chain
+    FROM arr
+    """,
+    survey_ref="§2 governance extension: per-key tamper-evident hash "
+    "chain (blockchain-style ledger head: h_i = md5(h_{{i-1}} || "
+    "serialized event_i)) — the audit-log integrity / dataset-lineage-"
+    "receipt primitive; oracle = DuckDB list_reduce over the identically "
+    "ordered, identically serialized event list",
+)
+def ledger_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every user's event history reduced to a chain head: any
+    re-ordering, mutation, insertion or deletion of a past event changes
+    the head — the receipt a pipeline publishes so a consumer can verify
+    the exact event sequence that produced a dataset (audit-log
+    integrity; also the dataset-provenance 'content hash' for training
+    runs). Determinism is total: serialization is exact integers + the
+    type string, order is the (event-time, event_id) total key (collected
+    as sorted structs — Spark's collect_list has no ORDER BY; the oracle
+    uses DuckDB's ordered list() instead, two independent orderings that
+    must agree), and md5 is byte-identical cross-engine. The chain is
+    inherently sequential PER KEY (that's the tamper-evidence), but keys
+    parallelize: one hash agg + one per-row fold, per-user history
+    bounded by retention. u6 value quantization keeps the serialized
+    payload float-free."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_id",
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 1000000).cast("long").cast("string"),
+        ).alias("x"),
+    )
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_id", "x"))).alias("a")
+    )
+    return arr.select(
+        "user_id",
+        F.size("a").cast("long").alias("n_events"),
+        F.expr(
+            f"aggregate(transform(a, e -> e.x), '{_CHAIN_SEED}',"
+            f" (acc, s) -> md5(concat(acc, s)))"
+        ).alias("chain"),
+    )
