@@ -2582,6 +2582,11 @@ def label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAG_QVEC = 0
 _RAG_CANDS = 20
 _RAG_K = 5
+# provable upper bound on |cand_ids| across every _rag_tail caller: two
+# exact top-128 shortlists plus the persisted twin's ≤128-row IVF probe
+# (3×128 = 384 ≤ 512); used as a semantic-no-op limit() that carries the
+# bound into the planner's size estimate (see _rag_tail)
+_RAG_CANDS_BOUND = 512
 
 
 def _rag_oracle() -> str:
@@ -2862,12 +2867,24 @@ def _rag_tail(
         exact_ranks_for_candidates,
     )
 
+    # The value-attach join (cand_ids ⋈ scoring frame) multiplies the two
+    # sides' size estimates (size-only join stats), so the candidate frame
+    # looked corpus-sized to the planner and the support-inequality join
+    # inside exact_ranks_for_candidates planned as CartesianProduct instead
+    # of a broadcast nested-loop build (guide §3.1 — pick the strategy
+    # deliberately). cand_ids is ≤ 3×128 rows BY CONSTRUCTION (union of two
+    # exact top-128 lists plus, in the persisted twin, a ≤128-row IVF probe,
+    # then distinct), and doc_id is unique in bmscored/rels, so a
+    # limit(_RAG_CANDS_BOUND) on the joined frame drops nothing — it only
+    # hands the planner the true bound, which flips both exact_ranks joins
+    # to broadcast builds with the ≤384-row side as the build side.
+    cand_b = cand_ids.join(bmscored, "doc_id").limit(_RAG_CANDS_BOUND)
+    cand_r = cand_ids.join(rels, "doc_id").limit(_RAG_CANDS_BOUND)
     rb = exact_ranks_for_candidates(
-        bmscored, cand_ids.join(bmscored, "doc_id"), "bm25_raw", "doc_id",
-        out="rank_bm25",
+        bmscored, cand_b, "bm25_raw", "doc_id", out="rank_bm25",
     )
     rc = exact_ranks_for_candidates(
-        rels, cand_ids.join(rels, "doc_id"), "rel", "doc_id", out="rank_cos"
+        rels, cand_r, "rel", "doc_id", out="rank_cos"
     )
     fused = (
         cand_ids.join(rb.select("doc_id", "rank_bm25"), "doc_id")
@@ -2899,76 +2916,90 @@ def _rag_tail(
             "rrf_e6",
             "rel",
         )
-        .localCheckpoint(eager=True)
     )
-    # shortlist is <= _RAG_CANDS rows — collapse to one partition so the
-    # pair cross product doesn't inherit 32x32 task parallelism for 400 rows
-    s_i = (
-        short.select("match_id")
-        .join(cvec, "match_id")
-        .select(F.col("match_id").alias("id_i"), F.col("c6").alias("v_i"))
-        .coalesce(1)
+    # MMR tail as ONE fold (guide §5 — job-count collapse, r9 opt round):
+    # the shortlist is ≤ _RAG_CANDS rows, so the greedy K-step selection is
+    # constant-size sequential work; running it as _RAG_K-1 rounds of
+    # anti-join + pair-join + groupBy + window (the previous form) cost a
+    # pairs crossJoin checkpoint plus ~(_RAG_K-1) lazy checkpoints of pure
+    # job dispatch at ANY scale. Instead: collect the shortlist WITH its
+    # u6 vectors into a single row and run the exact greedy recurrence as
+    # an aggregate() HOF over sequence(1, K) (the bounded-domain fold
+    # pattern from operators/forecast.py). Per step the pick is the argmax
+    # over remaining by (rel - coalesce(msim, 0)) desc with match_id asc
+    # tiebreak — identical to the old windows: at step 1 msim is null for
+    # every row (rel - 0 = rel, the (rel desc, match_id) window) and
+    # afterwards msim is the running max sim over selected, maintained
+    # incrementally by folding the pick's dot product into each survivor
+    # (the same zip_with/aggregate bigint expression the pairs frame
+    # computed — exact integer arithmetic, so the fold is bit-identical to
+    # the joined form; the shared oracle gates all three RAG queries).
+    # The argmax reduce is order-insensitive (total order via the
+    # match_id tiebreak), so collect_list's nondeterministic order is
+    # immaterial. All fields are bigint (doc_id INT64, ranks/rrf/rel/sim
+    # products of u6 casts).
+    items = short.join(cvec, "match_id").select(
+        "match_id", "rank_bm25", "rank_cos", "rrf_e6", "rel", "c6"
     )
-    s_j = s_i.select(F.col("id_i").alias("id_j"), F.col("v_i").alias("v_j"))
-    dot_ij = F.aggregate(
-        F.zip_with("v_i", "v_j", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    rem_t = (
+        "struct<match_id:bigint,rank_bm25:bigint,rank_cos:bigint,"
+        "rrf_e6:bigint,rel:bigint,c6:array<bigint>,msim:bigint>"
     )
-    pairs = (
-        s_i.crossJoin(s_j)
-        .where(F.col("id_i") != F.col("id_j"))
-        .withColumn("sim", dot_ij)
-        .select("id_i", "id_j", "sim")
-        .localCheckpoint(eager=True)
+    sel_t = (
+        "struct<match_id:bigint,rank_bm25:bigint,rank_cos:bigint,"
+        "rrf_e6:bigint,rel:bigint,step:bigint,mmr2:bigint>"
     )
-    w1 = Window.orderBy(F.col("rel").desc(), F.col("match_id"))
-    sel = (
-        short.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") == 1)
+    dot_p = "aggregate(zip_with(r.c6, p.c6, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    fold = f"""
+    aggregate(
+      sequence(1, {_RAG_K}),
+      struct(
+        cast(array() as array<{sel_t}>) as sel,
+        transform(items, r -> struct(
+          r.match_id as match_id, r.rank_bm25 as rank_bm25,
+          r.rank_cos as rank_cos, r.rrf_e6 as rrf_e6, r.rel as rel,
+          r.c6 as c6, cast(null as bigint) as msim)) as rem),
+      (st, k) -> transform(
+        array(aggregate(
+          st.rem, cast(null as {rem_t}),
+          (b, r) -> case
+            when b is null then r
+            when (r.rel - coalesce(r.msim, 0L))
+                 > (b.rel - coalesce(b.msim, 0L)) then r
+            when (r.rel - coalesce(r.msim, 0L))
+                 = (b.rel - coalesce(b.msim, 0L))
+                 and r.match_id < b.match_id then r
+            else b end)),
+        p -> case when p is null then st else struct(
+          concat(st.sel, array(struct(
+            p.match_id as match_id, p.rank_bm25 as rank_bm25,
+            p.rank_cos as rank_cos, p.rrf_e6 as rrf_e6, p.rel as rel,
+            cast(k as bigint) as step,
+            p.rel - coalesce(p.msim, 0L) as mmr2))) as sel,
+          transform(
+            filter(st.rem, r -> r.match_id != p.match_id),
+            r -> struct(
+              r.match_id as match_id, r.rank_bm25 as rank_bm25,
+              r.rank_cos as rank_cos, r.rrf_e6 as rrf_e6, r.rel as rel,
+              r.c6 as c6,
+              case when r.msim is null then {dot_p}
+                   else greatest(r.msim, {dot_p}) end as msim)) as rem)
+        end)[0]
+    ).sel
+    """
+    return (
+        items.agg(F.collect_list(F.struct(*items.columns)).alias("items"))
+        .select(F.inline(F.expr(fold)))
+        .where(F.col("match_id").isNotNull())
         .select(
-            "match_id",
+            F.col("match_id").alias("doc_id"),
             "rank_bm25",
             "rank_cos",
             "rrf_e6",
             "rel",
-            F.lit(1).cast("long").alias("step"),
-            F.col("rel").alias("mmr2"),
+            "step",
+            F.col("mmr2").cast("long"),
         )
-    )
-    for k in range(2, _RAG_K + 1):
-        remaining = short.join(sel.select("match_id"), "match_id", "left_anti")
-        cand = (
-            remaining.join(
-                pairs.withColumnRenamed("id_i", "match_id"), "match_id"
-            )
-            .join(sel.select(F.col("match_id").alias("id_j")), "id_j")
-            .groupBy("match_id", "rank_bm25", "rank_cos", "rrf_e6", "rel")
-            .agg(F.max("sim").alias("msim"))
-        )
-        w_k = Window.orderBy((F.col("rel") - F.col("msim")).desc(), F.col("match_id"))
-        pick = (
-            cand.withColumn("rk", F.row_number().over(w_k))
-            .filter(F.col("rk") == 1)
-            .select(
-                "match_id",
-                "rank_bm25",
-                "rank_cos",
-                "rrf_e6",
-                "rel",
-                F.lit(k).cast("long").alias("step"),
-                (F.col("rel") - F.col("msim")).cast("long").alias("mmr2"),
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint(eager=False)
-    return sel.select(
-        F.col("match_id").alias("doc_id"),
-        "rank_bm25",
-        "rank_cos",
-        "rrf_e6",
-        "rel",
-        "step",
-        F.col("mmr2").cast("long"),
     )
 
 
