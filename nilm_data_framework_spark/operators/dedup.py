@@ -188,9 +188,20 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     materialize: bool = True,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → signature → band →
     bucket-join → exact-Jaccard verify.
+
+    ``hashed`` (r9 optimization round): a caller-supplied
+    :func:`_hashed_shingles` frame for the SAME (df, id_col, text,
+    shingle_n) — callers composing several LSH operators over one corpus
+    slice (write-reference + within-batch pairs, the incremental-ingest
+    gate) shingle each slice ONCE and pass it here instead of paying the
+    shingle+md5 scan per operator call. The caller owns its lifecycle
+    (persist/unpersist); this function then neither persists nor
+    unpersists it. Parameters are NOT cross-checked — supplying a frame
+    hashed with different settings is the caller's soundness bug.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
     Scale shape: signatures and band buckets are pure per-row column
@@ -215,9 +226,11 @@ def minhash_lsh_pairs(
     # is materialized eagerly below (localCheckpoint) and hashed is
     # unpersisted before returning, so no cached blocks outlive the call in
     # a shared session.
-    hashed = _hashed_shingles(df, id_col, text, shingle_n)
-    if materialize:
-        hashed = hashed.persist()
+    own_hashed = hashed is None
+    if own_hashed:
+        hashed = _hashed_shingles(df, id_col, text, shingle_n)
+        if materialize:
+            hashed = hashed.persist()
     try:
         banded = _banded(hashed, params, bands, rows_per)
         a = banded.alias("a")
@@ -240,7 +253,7 @@ def minhash_lsh_pairs(
         # can be released immediately instead of leaking into the session.
         return result.localCheckpoint(eager=True)
     finally:
-        if materialize:
+        if materialize and own_hashed:
             hashed.unpersist()
 
 
@@ -257,6 +270,7 @@ def minhash_lsh_join(
     materialize: bool = True,
     ref_banded: DataFrame | None = None,
     ref_hashed: DataFrame | None = None,
+    new_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup screen: new-batch documents vs an existing
     reference corpus — (new_id, ref_id, jaccard) for cross-corpus pairs
@@ -302,13 +316,22 @@ def minhash_lsh_join(
     use_persisted_ref = ref_banded is not None and ref_hashed is not None
     if not use_persisted_ref and df_ref is None:
         raise ValueError("need df_ref or both ref_banded and ref_hashed")
-    hashed_new = _hashed_shingles(df_new, id_col, text, shingle_n)
+    # new_hashed: caller-shared _hashed_shingles frame for df_new (same
+    # contract as minhash_lsh_pairs' ``hashed`` — caller owns lifecycle,
+    # parameters not cross-checked)
+    own_new = new_hashed is None
+    hashed_new = (
+        _hashed_shingles(df_new, id_col, text, shingle_n)
+        if own_new
+        else new_hashed
+    )
     hashed_ref = (
         ref_hashed if use_persisted_ref
         else _hashed_shingles(df_ref, id_col, text, shingle_n)
     )
     if materialize:
-        hashed_new = hashed_new.persist()
+        if own_new:
+            hashed_new = hashed_new.persist()
         if not use_persisted_ref:
             hashed_ref = hashed_ref.persist()
     try:
@@ -335,7 +358,8 @@ def minhash_lsh_join(
         return out.localCheckpoint(eager=True)
     finally:
         if materialize:
-            hashed_new.unpersist()
+            if own_new:
+                hashed_new.unpersist()
             if not use_persisted_ref:
                 hashed_ref.unpersist()
 
@@ -351,6 +375,7 @@ def write_lsh_reference(
     seed: int = 42,
     buckets: int = 16,
     path: str | None = None,
+    hashed: DataFrame | None = None,
 ) -> None:
     """Persist the deduped corpus's LSH state once so per-ingest screens are
     shuffle-free on the corpus side (the 100 TB layout SCALE.md describes):
@@ -398,7 +423,12 @@ def write_lsh_reference(
     # false negatives).
     df_ref.sparkSession.sql(f"DROP TABLE IF EXISTS {table_prefix}_meta")
 
-    hashed = _hashed_shingles(df_ref, id_col, text, shingle_n).persist()
+    # ``hashed``: caller-shared _hashed_shingles frame (same contract as
+    # minhash_lsh_pairs' kwarg — caller owns lifecycle, parameters not
+    # cross-checked); None = derive and persist locally as before
+    own_hashed = hashed is None
+    if own_hashed:
+        hashed = _hashed_shingles(df_ref, id_col, text, shingle_n).persist()
     try:
         (
             _writer(_banded(hashed, params, bands, rows_per), "buckets")
@@ -421,7 +451,8 @@ def write_lsh_reference(
         )
         _writer(meta, "meta").format("parquet").saveAsTable(f"{table_prefix}_meta")
     finally:
-        hashed.unpersist()
+        if own_hashed:
+            hashed.unpersist()
 
 
 def read_lsh_reference(
@@ -490,11 +521,15 @@ def minhash_lsh_join_reference(
     text: str = "text",
     jaccard_threshold: float = 0.5,
     materialize: bool = True,
+    new_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Per-ingest near-dup screen against a :func:`write_lsh_reference`
     corpus. Hash parameters come from the persisted meta table — the batch
     side is guaranteed to use the reference's seed/banding, which is the
-    soundness precondition of incremental LSH."""
+    soundness precondition of incremental LSH. ``new_hashed`` passes a
+    caller-shared batch shingle frame through to :func:`minhash_lsh_join`
+    (its contract applies — in particular the caller must have hashed
+    with the reference's shingle_n, which the meta table records)."""
     spark = df_new.sparkSession
     ref_banded, ref_hashed, meta = read_lsh_reference(spark, table_prefix)
     return minhash_lsh_join(
@@ -510,6 +545,7 @@ def minhash_lsh_join_reference(
         materialize=materialize,
         ref_banded=ref_banded,
         ref_hashed=ref_hashed,
+        new_hashed=new_hashed,
     )
 
 
@@ -1014,7 +1050,10 @@ def connected_components_star(
         # the published alternation: E ← small-star(large-star(E)); the
         # mid frame is checkpointed too (small-star reads it twice)
         e_mid = _large_star(e).localCheckpoint(eager=True)
-        e_new = _small_star(e_mid).localCheckpoint(eager=True)
+        # lazy checkpoint: the count below materializes e_new and yields
+        # n_new in one job (was eager-checkpoint + count = two jobs per
+        # round; e_mid stays eager because _small_star reads it twice)
+        e_new = _small_star(e_mid).localCheckpoint(eager=False)
         # convergence = set equality; counts are distinct-deduped, so
         # equal counts + one-sided empty difference ⟺ equal sets. The
         # count-first guard skips the exceptAll join entirely while the
@@ -1115,8 +1154,14 @@ def connected_components(
             "comp",
             F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp_new"),
         )
-        stepped = stepped.localCheckpoint(eager=True)
-        if stepped.filter(F.col("comp_new") < F.col("comp")).limit(1).count() == 0:
+        # lazy checkpoint + convergence count fused into ONE action: the
+        # count's scan materializes (and persists) the round's label RDD
+        # and yields the changed-row count in the same job — the eager-
+        # checkpoint-then-probe form paid two job dispatches per round for
+        # the identical work (r9 optimization round, guide §1.2/§5: the
+        # per-round constant is job-count, not data, at every scale)
+        stepped = stepped.localCheckpoint(eager=False)
+        if stepped.filter(F.col("comp_new") < F.col("comp")).count() == 0:
             return with_singletons(
                 stepped.select("node", F.col("comp").alias("cluster_id"))
             )

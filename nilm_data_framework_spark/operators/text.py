@@ -771,13 +771,25 @@ def write_bm25_index(
     postings.repartition(write_partitions, "term").write.mode(
         "overwrite"
     ).partitionBy("term").parquet(f"{path}/postings")
-    # coalesce: an EMPTY initial corpus (index created first, grown by
-    # appends) must write sum_dl = 0, not NULL — the same empty-input hole
-    # fixed in append_bm25_batch, which would otherwise TypeError on the
-    # first merge
-    toks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    # Stats WITHOUT a second tokenize pass (r9 optimization round, guide
+    # §1.2 step 1): the old form re-ran the tokenize scan for the 2-value
+    # aggregate — at 100 TB that is a second full pass over the corpus
+    # text. Instead: n_docs is a column-pruned count of the input frame
+    # (no tokenization; docs with zero tokens ARE rows of df, so the
+    # count is identical to counting toks), and sum_dl = SUM(tf) over the
+    # postings JUST WRITTEN — exact, because a doc's tf summed over its
+    # distinct terms is its token count dl (integer arithmetic, no
+    # rounding). The explicit read schema keeps the EMPTY-corpus case
+    # working (a 0-row partitioned write leaves no files to infer from);
+    # coalesce keeps sum_dl = 0, not NULL, there — the append_bm25_batch
+    # contract.
+    spark = df.sparkSession
+    n_docs = df.count()
+    spark.read.schema("doc_id long, tf long, dl long, term string").parquet(
+        f"{path}/postings"
+    ).agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -811,6 +823,14 @@ def append_bm25_batch(
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text)).alias("_toks")
     ).select("doc_id", F.col("_toks"), F.size("_toks").cast("long").alias("dl"))
+    # one tokenize pass per batch (r9 optimization round): the postings
+    # write and the stats aggregate both consume toks — persist it across
+    # the two actions (bounded by the BATCH, not the corpus, so the cache
+    # footprint is the ingest increment; write_bm25_index handles the
+    # corpus-sized case differently — count + sum over the written
+    # postings — because persisting a full corpus of token arrays is not
+    # scale-safe)
+    toks = toks.persist()
     postings = (
         toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
         .groupBy("term", "doc_id")
@@ -828,6 +848,7 @@ def append_bm25_batch(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     ).collect()[0]
+    toks.unpersist()
     spark.createDataFrame(
         [(old["n_docs"] + new["n_docs"], old["sum_dl"] + new["sum_dl"])],
         "n_docs long, sum_dl long",

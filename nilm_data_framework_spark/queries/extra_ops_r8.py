@@ -89,24 +89,48 @@ def pagerank_power(e: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     the cut the plan doubles per round and round k replays rounds
     0..k-1)."""
     e = e.localCheckpoint(eager=True)  # feeds deg + vertices + every round
+    # out-degrees reused by EVERY round's contrib join: checkpoint once
+    # (was a groupBy over the full edge set re-executed per round)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     v = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    pr = v.crossJoin(F.broadcast(nn)).select(
-        "vertex", F.expr(f"{_PR_SCALE} div n").cast("long").alias("r")
+    # r9 optimization round (guide §1.2 step 1 + §2.4): dangling-ness is a
+    # STATIC vertex property — resolve it ONCE into a boolean riding the
+    # rank frame instead of re-deriving it per round as a pr ⋈ deg
+    # left-anti shuffle; and the vertex count is a query CONSTANT, so the
+    # teleport term is a literal, not a per-round broadcast of a re-run
+    # 1-row aggregate. Lazy checkpoint + count = one job that both
+    # materializes the (vertex, is_dang) frame and yields n. Python `//`
+    # on non-negative ints equals Spark `div`, so the precomputed r0/tp
+    # literals are bit-identical to the old in-plan expressions.
+    vf = (
+        v.join(
+            deg.select(F.col("src").alias("vertex"), F.lit(True).alias("_out")),
+            "vertex",
+            "left",
+        )
+        .select("vertex", F.col("_out").isNull().alias("is_dang"))
+        .localCheckpoint(eager=False)
     )
+    n = vf.count()
+    r0 = _PR_SCALE // n
+    tp = (150 * r0) // 1000
+    pr = vf.select("vertex", "is_dang", F.lit(r0).cast("long").alias("r"))
     for _ in range(iters):
-        dang = (
-            pr.join(deg, pr["vertex"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        dang = pr.filter("is_dang").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
         )
         contrib = (
-            e.join(pr, pr["vertex"] == e["src"])
+            e.join(
+                pr.select(F.col("vertex").alias("src"), "r"), "src"
+            )
             .join(deg, "src")
             .groupBy("dst")
             .agg(
@@ -114,16 +138,17 @@ def pagerank_power(e: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
                 .cast("long")
                 .alias("cin")
             )
+            .withColumnRenamed("dst", "vertex")
         )
         pr = (
-            v.crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dang))
-            .join(contrib, v["vertex"] == contrib["dst"], "left")
+            pr.crossJoin(F.broadcast(dang))
+            .join(contrib, "vertex", "left")
             .select(
-                v["vertex"],
+                "vertex",
+                "is_dang",
                 (
-                    F.expr(f"(150 * ({_PR_SCALE} div n)) div 1000")
-                    + F.expr("(850 * dang) div (1000 * n)")
+                    F.lit(tp)
+                    + F.expr(f"(850 * dang) div (1000 * {n})")
                     + F.coalesce(F.col("cin"), F.lit(0))
                 )
                 .cast("long")
@@ -131,7 +156,7 @@ def pagerank_power(e: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return pr
+    return pr.select("vertex", "r")
 
 
 @query(
@@ -157,11 +182,14 @@ def pagerank_power_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Truncating division makes this a deterministic integer recurrence —
     no float accumulation order to diverge cross-engine; the per-div
     truncation deficit (< 1e-9 relative at this scale) is part of the
-    DEFINED recurrence, identical in both engines. N and dang are 1-row
-    GLOBAL aggregates (broadcast-exempt per the repo hint rule); the
-    per-round joins shuffle on vertex ids — AQE-skew-splittable, edges
-    scanned from one localCheckpoint. 100 TB: cost = iters x O(edges),
-    the canonical power-iteration shape.
+    DEFINED recurrence, identical in both engines. N is a query constant
+    (computed once, folded into literal teleport terms); dang is the only
+    per-round 1-row GLOBAL aggregate (broadcast-exempt per the repo hint
+    rule) and reads it off a static is_dang flag instead of a per-round
+    anti-join; the per-round joins shuffle on vertex ids —
+    AQE-skew-splittable, edges and degrees scanned from one
+    localCheckpoint each. 100 TB: cost = iters x O(edges), the canonical
+    power-iteration shape.
 
     Vertex keys are TAGGED LONGS through all 4 iterations (supplier
     2k, part 2k+1 — the queries/pipeline_quality.py::pagerank_step
@@ -708,22 +736,43 @@ def incremental_neardup_clusters_equiv(spark: SparkSession, sf_dir: str) -> Data
     path = pid_scratch_dir(
         os.path.join(tempfile.gettempdir(), "nilm_spark_lsh_inc"), "lsh_inc_"
     )
-    D.write_lsh_reference(
-        c1, prefix, shingle_n=3, num_hashes=16, bands=4, buckets=8, path=path
-    )
-    pairs1 = D.minhash_lsh_pairs(
-        c1, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
-    )
-    labels1 = D.connected_components(
-        c1.select("doc_id"), pairs1, id_col="doc_id", edge_a="id_a", edge_b="id_b"
-    )
-    cross = D.minhash_lsh_join_reference(b2, prefix, jaccard_threshold=0.5).select(
-        F.col("new_id").alias("id_a"), F.col("ref_id").alias("id_b")
-    )
-    within = D.minhash_lsh_pairs(
-        b2, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
-    ).select("id_a", "id_b")
-    inc = D.connected_components_incremental(labels1, cross.unionByName(within))
+    # r9 optimization round (guide §1.2 step 1 — don't compute things
+    # twice): each corpus slice is consumed by TWO LSH operators (c1 by
+    # the reference write AND the within-c1 pairs; b2 by the reference
+    # screen AND the within-b2 pairs), and each call used to re-run the
+    # shingle+md5 scan. Hash each slice ONCE and pass the frame through
+    # the operators' shared-``hashed`` kwarg; shingle_n=3 matches every
+    # call site (the reference meta records it). The operator calls all
+    # materialize eagerly inside this function, so unpersisting on exit
+    # is safe — the returned plan references only checkpointed frames.
+    h1 = D._hashed_shingles(c1, "doc_id", "text", 3).persist()
+    h2 = D._hashed_shingles(b2, "doc_id", "text", 3).persist()
+    try:
+        D.write_lsh_reference(
+            c1, prefix, shingle_n=3, num_hashes=16, bands=4, buckets=8,
+            path=path, hashed=h1,
+        )
+        pairs1 = D.minhash_lsh_pairs(
+            c1, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5,
+            hashed=h1,
+        )
+        labels1 = D.connected_components(
+            c1.select("doc_id"), pairs1, id_col="doc_id", edge_a="id_a",
+            edge_b="id_b",
+        )
+        cross = D.minhash_lsh_join_reference(
+            b2, prefix, jaccard_threshold=0.5, new_hashed=h2
+        ).select(F.col("new_id").alias("id_a"), F.col("ref_id").alias("id_b"))
+        within = D.minhash_lsh_pairs(
+            b2, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5,
+            hashed=h2,
+        ).select("id_a", "id_b")
+        inc = D.connected_components_incremental(
+            labels1, cross.unionByName(within)
+        )
+    finally:
+        h1.unpersist()
+        h2.unpersist()
     singles = (
         b2.select("doc_id")
         .join(inc.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")

@@ -710,50 +710,64 @@ def streaming_neardup_ingest_equiv(spark: SparkSession, sf_dir: str) -> DataFram
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)  # feeds pairs + segment + singles
-        within = D.minhash_lsh_pairs(
-            batch, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
-        ).select("id_a", "id_b")
-        if batch_id == 0:
-            labels = D.connected_components(
-                batch.select("doc_id"), within,
-                id_col="doc_id", edge_a="id_a", edge_b="id_b",
-            )
-        else:
-            cross = None
-            for i in range(batch_id):
-                c = D.minhash_lsh_join_reference(
-                    batch, f"{prefix}_seg{i}", jaccard_threshold=0.5
-                ).select(
-                    F.col("new_id").alias("id_a"), F.col("ref_id").alias("id_b")
+        # one shingle+md5 scan per micro-batch, shared by the within-batch
+        # pairs, every per-segment screen AND the segment publish (batch k
+        # used to re-shingle k+2 times) — the r9-opt shared-``hashed``
+        # contract; every consumer materializes eagerly inside this
+        # function, so the scoped unpersist is safe
+        hb = D._hashed_shingles(batch, "doc_id", "text", 3).persist()
+        try:
+            within = D.minhash_lsh_pairs(
+                batch, shingle_n=3, num_hashes=16, bands=4,
+                jaccard_threshold=0.5, hashed=hb,
+            ).select("id_a", "id_b")
+            if batch_id == 0:
+                labels = D.connected_components(
+                    batch.select("doc_id"), within,
+                    id_col="doc_id", edge_a="id_a", edge_b="id_b",
                 )
-                cross = c if cross is None else cross.unionByName(c)
-            prev = spark.read.parquet(
-                os.path.join(state_root, f"v{batch_id - 1}")
-            )
-            inc = D.connected_components_incremental(
-                prev, cross.unionByName(within)
-            )
-            singles = (
-                batch.select("doc_id")
-                .join(
-                    inc.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+            else:
+                cross = None
+                for i in range(batch_id):
+                    c = D.minhash_lsh_join_reference(
+                        batch, f"{prefix}_seg{i}", jaccard_threshold=0.5,
+                        new_hashed=hb,
+                    ).select(
+                        F.col("new_id").alias("id_a"),
+                        F.col("ref_id").alias("id_b"),
+                    )
+                    cross = c if cross is None else cross.unionByName(c)
+                prev = spark.read.parquet(
+                    os.path.join(state_root, f"v{batch_id - 1}")
                 )
-                .select(
-                    F.col("doc_id").alias("node"),
-                    F.col("doc_id").alias("cluster_id"),
+                inc = D.connected_components_incremental(
+                    prev, cross.unionByName(within)
                 )
+                singles = (
+                    batch.select("doc_id")
+                    .join(
+                        inc.select(F.col("node").alias("doc_id")),
+                        "doc_id",
+                        "left_anti",
+                    )
+                    .select(
+                        F.col("doc_id").alias("node"),
+                        F.col("doc_id").alias("cluster_id"),
+                    )
+                )
+                labels = inc.unionByName(singles)
+            labels.write.mode("overwrite").parquet(
+                os.path.join(state_root, f"v{batch_id}")
             )
-            labels = inc.unionByName(singles)
-        labels.write.mode("overwrite").parquet(
-            os.path.join(state_root, f"v{batch_id}")
-        )
-        # publish this batch as a segment AFTER its labels commit — a
-        # replay overwrites both (write_lsh_reference is overwrite-always)
-        D.write_lsh_reference(
-            batch, f"{prefix}_seg{batch_id}",
-            shingle_n=3, num_hashes=16, bands=4, buckets=8,
-            path=os.path.join(scratch, f"seg{batch_id}"),
-        )
+            # publish this batch as a segment AFTER its labels commit — a
+            # replay overwrites both (write_lsh_reference is overwrite-always)
+            D.write_lsh_reference(
+                batch, f"{prefix}_seg{batch_id}",
+                shingle_n=3, num_hashes=16, bands=4, buckets=8,
+                path=os.path.join(scratch, f"seg{batch_id}"), hashed=hb,
+            )
+        finally:
+            hb.unpersist()
         seen.add(batch_id)
 
     schema = spark.read.parquet(os.path.join(d, "b0.parquet")).schema
@@ -1571,28 +1585,55 @@ def personalized_pagerank_power(
     lineage cut per round — with the seed test a per-row predicate, so
     100 TB cost is unchanged: iters × O(edges)."""
     e = e.localCheckpoint(eager=True)
+    # same r9-opt restructure as pagerank_power (queries/extra_ops_r8.py):
+    # out-degrees checkpointed once (reused by every round's contrib
+    # join); dangling-ness and seed membership are STATIC vertex
+    # properties resolved ONCE into booleans riding the rank frame (the
+    # old form re-derived dangling per round via a pr ⋈ deg left-anti
+    # shuffle and re-broadcast the constant 1-row seed count per round);
+    # the seed count is a query constant, so the teleport/share constants
+    # are literals — Python `//` on non-negative ints equals Spark `div`,
+    # bit-identical to the old in-plan expressions.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     v = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    ns = v.filter(seed_pred(F.col("vertex")))\
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    seed_share = F.when(
-        seed_pred(F.col("vertex")), F.expr(f"{_PPR_SCALE} div n")
-    ).otherwise(F.lit(0))
-    pr = v.crossJoin(F.broadcast(ns)).select(
-        "vertex", seed_share.cast("long").alias("r")
+    vf = (
+        v.join(
+            deg.select(F.col("src").alias("vertex"), F.lit(True).alias("_out")),
+            "vertex",
+            "left",
+        )
+        .select(
+            "vertex",
+            F.col("_out").isNull().alias("is_dang"),
+            seed_pred(F.col("vertex")).alias("is_seed"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = vf.filter("is_seed").count()  # materializes vf + counts in one job
+    r0 = _PPR_SCALE // n
+    tp = (150 * r0) // 1000
+    pr = vf.select(
+        "vertex",
+        "is_dang",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(r0)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
     )
     for _ in range(iters):
-        dang = (
-            pr.join(deg, pr["vertex"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        dang = pr.filter("is_dang").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
         )
         contrib = (
-            e.join(pr, pr["vertex"] == e["src"])
+            e.join(pr.select(F.col("vertex").alias("src"), "r"), "src")
             .join(deg, "src")
             .groupBy("dst")
             .agg(
@@ -1600,25 +1641,26 @@ def personalized_pagerank_power(
                 .cast("long")
                 .alias("cin")
             )
+            .withColumnRenamed("dst", "vertex")
         )
         teleport = F.when(
-            seed_pred(v["vertex"]),
-            F.expr(f"(150 * ({_PPR_SCALE} div n)) div 1000")
-            + F.expr("(850 * dang) div (1000 * n)"),
+            F.col("is_seed"),
+            F.lit(tp) + F.expr(f"(850 * dang) div (1000 * {n})"),
         ).otherwise(F.lit(0))
         pr = (
-            v.crossJoin(F.broadcast(ns))
-            .crossJoin(F.broadcast(dang))
-            .join(contrib, v["vertex"] == contrib["dst"], "left")
+            pr.crossJoin(F.broadcast(dang))
+            .join(contrib, "vertex", "left")
             .select(
-                v["vertex"],
+                "vertex",
+                "is_dang",
+                "is_seed",
                 (teleport + F.coalesce(F.col("cin"), F.lit(0)))
                 .cast("long")
                 .alias("r"),
             )
             .localCheckpoint(eager=True)
         )
-    return pr
+    return pr.select("vertex", "r")
 
 
 @query(

@@ -227,6 +227,34 @@ def test_minhash_leaves_no_cached_plans(spark):
     assert cm.isEmpty(), "minhash_lsh_pairs leaked a cached plan"
 
 
+def test_minhash_shared_hashed_identical_and_caller_owned(spark):
+    """r9 optimization round: the shared-``hashed`` kwarg (one shingle+md5
+    scan feeding several LSH operator calls) must (a) produce the exact
+    pair set of the self-hashing form and (b) leave the caller-owned frame
+    cached (the operator neither persists nor unpersists it) while still
+    leaking nothing of its own into the CacheManager."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "test precondition: cache manager not empty"
+    df = _pdf(spark)
+    base = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in D.minhash_lsh_pairs(df).collect()
+    }
+    h = D._hashed_shingles(df, "doc_id", "text", 3).persist()
+    try:
+        shared = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in D.minhash_lsh_pairs(df, hashed=h).collect()
+        }
+        assert shared == base
+        # caller's cache must survive the call (the operator would
+        # previously have unpersisted its own hashed frame here)
+        assert not cm.isEmpty(), "operator unpersisted the caller's frame"
+    finally:
+        h.unpersist()
+    assert cm.isEmpty(), "shared-hashed call leaked a cached plan"
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C must cluster {A,B,C} together even though the A-C pair was
     never emitted; disjoint pairs and edge-less nodes keep their own ids."""
