@@ -585,14 +585,27 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transitive closure — in DuckDB, so cluster ids are hash-checked end-to-end.
 
 
-def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_pairs_clusters(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, clusters) off ONE materialized LSH run — minhash_lsh_pairs
+    eagerly checkpoints its result, so a caller needing both the verified
+    edge list and the components (neardup_cluster_diameter's edge census)
+    must reuse this frame instead of invoking the operator twice: a second
+    call re-runs the whole shingle+md5+band+verify pipeline, which is the
+    dominant per-corpus cost at scale."""
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_lsh_pairs(
         docs, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
     )
-    return D.connected_components(
+    comps = D.connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id", edge_a="id_a", edge_b="id_b"
     ).select(F.col("node").alias("doc_id"), "cluster_id")
+    return pairs, comps
+
+
+def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_pairs_clusters(spark, sf_dir)[1]
 
 
 @query(

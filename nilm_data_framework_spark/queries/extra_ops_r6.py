@@ -310,18 +310,15 @@ def neardup_cluster_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine), member count. Edges join to cluster ids by their min
     endpoint (id_a — components key on min id, so id_a's component IS the
     pair's); everything rides the same LSH pipeline the dedup gates
-    already verify, plus one cluster-keyed aggregate."""
-    from nilm_data_framework_spark.operators import dedup as D
+    already verify, plus one cluster-keyed aggregate. The edge list and
+    the components come from ONE materialized LSH run
+    (_doc_pairs_clusters) — a second minhash_lsh_pairs call would re-run
+    the whole shingle+verify pipeline for an identical frame."""
     from nilm_data_framework_spark.queries.dedup_text import (
-        _doc_clusters,
-        _docs,
+        _doc_pairs_clusters,
     )
 
-    comps = _doc_clusters(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        _docs(spark, sf_dir), shingle_n=3, num_hashes=16, bands=4,
-        jaccard_threshold=0.5,
-    )
+    pairs, comps = _doc_pairs_clusters(spark, sf_dir)
     edges = pairs.join(
         comps.select(F.col("doc_id").alias("id_a"), "cluster_id"), "id_a"
     )
