@@ -643,6 +643,15 @@ def _df_ranked_prefix(
         df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text), n).alias("g"))
         .filter(F.size("g") > 0)
         .withColumn("s", F.size("g").cast("long"))
+        # r10 OVERRIDES the r5 "exchange reuse covers the fan-out" call:
+        # the table feeds four branches (df counts, rank window, both
+        # verify sides), and an A/B at 4x/8x corpus replication measured
+        # the checkpoint 10 %/19 % faster — the reuse does NOT survive at
+        # larger inputs (OPTIMIZATION_r10.md, VERDICT r9 item 6). The
+        # materialization is one tokenize pass' output (id, gram set,
+        # size), the same order of storage the downstream shuffles carry
+        # anyway.
+        .localCheckpoint(eager=True)
     )
     dg = g.select("id", "s", F.explode("g").alias("gram"))
     dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
@@ -685,11 +694,11 @@ def prefix_filter_jaccard_pairs(
     gram posting lists, then |candidates| array intersections. No global
     sort; the df order is a sort KEY, not a materialized global rank.
     The shingle table feeds FOUR branches (df counts, the rank window,
-    and both verification sides) but is deliberately NOT checkpointed:
-    measured min-of-3 at sf0.1 is identical either way (6.3 s vs 6.5 s —
-    the branches land behind shuffles Catalyst reuses), and an eager
-    localCheckpoint would materialize the full shingle table to executor
-    disk at 100 TB for nothing.
+    and both verification sides) and IS checkpointed as of r10: the r5
+    "Catalyst reuses the exchanges" measurement held only at sf0.1 — the
+    replication A/B (4x: 28.4 vs 25.5 s, 8x: 68.1 vs 55.3 s) shows reuse
+    degrading with corpus size, so the one-tokenize-pass materialization
+    wins and keeps winning bigger (OPTIMIZATION_r10.md).
     """
     g, _dg, prefix0 = _df_ranked_prefix(df, id_col, text, n, t_num, t_den)
     prefix = prefix0.select("id", "gram")
@@ -744,8 +753,8 @@ def containment_prefix_pairs(
     rarest-first order keeps high-df shingles out of the probe side, so
     hot posting lists are never probed. One df agg, one doc-local rank
     window, one equi-join, |candidates| exact verifications. Shingles
-    deliberately not checkpointed — measured neutral at sf0.1 (exchange
-    reuse covers the fan-out; see prefix_filter_jaccard_pairs).
+    checkpointed once since r10 (the 4x/8x replication A/B overturned the
+    r5 sf0.1 reuse measurement; see prefix_filter_jaccard_pairs).
     """
     g, dg, prefix = _df_ranked_prefix(df, id_col, text, n, t_num, t_den)
     cand = (
@@ -1338,9 +1347,14 @@ def lsh_recall_audit(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    found = _verify_pairs(cand, hashed, hashed, jaccard_threshold).select(
-        "id_a", "id_b", F.lit(1).alias("_f")
-    )
+    # found = cand ∩ truth, NOT a second verify pass (r10 optimization,
+    # guide §1.2 step 1): truth is EVERY pair with J ≥ threshold (the
+    # shared-shingle blocking is lossless), so the banding's verified
+    # pairs are exactly the banding candidates that appear in truth —
+    # re-running the array-intersect Jaccard over every banding candidate
+    # computed the identical filter a second time. The semi-join attaches
+    # the found flag off the already-verified truth frame instead.
+    found = cand.select("id_a", "id_b", F.lit(1).alias("_f"))
     j = truth.join(found, ["id_a", "id_b"], "left")
     return j.agg(
         F.count(F.lit(1)).cast("long").alias("n_true_pairs"),

@@ -211,3 +211,97 @@ def exact_ranks_for_candidates(
             .alias(out),
         )
     )
+
+
+def exact_ranks_for_candidates_pair(
+    base_a: DataFrame,
+    cand_a: DataFrame,
+    value_a: str,
+    base_b: DataFrame,
+    cand_b: DataFrame,
+    value_b: str,
+    id_col: str,
+    out_a: str = "rank_a",
+    out_b: str = "rank_b",
+) -> DataFrame:
+    """Two :func:`exact_ranks_for_candidates` calls fused into ONE tagged
+    strict join + ONE tagged tie join (r10 optimization — the r8 asof
+    tagged-union discipline applied to the RAG serve tail, VERDICT r9
+    item 7: each exact_ranks call pays two broadcast-build joins, and the
+    serve path ran four of them as four separate jobs).
+
+    Semantics: rank_a(c) over ``base_a``'s ``(value_a DESC, id ASC)`` order
+    and rank_b(c) over ``base_b``'s, exactly as the unfused form — the tag
+    column rides every join key, so rows of one ranking can never count
+    into the other (property-pinned bit-identical by
+    tests/test_scale_windows.py). Output: one row per id in BOTH candidate
+    frames (inner), columns ``(id_col, out_a, out_b)`` — the shape the
+    caller's fused-score join consumed, minus two joins.
+
+    Preconditions: as exact_ranks_for_candidates (non-null values/ids),
+    plus ``id_col`` unique within each candidate frame.
+    """
+    b_u = base_a.select(
+        F.lit(0).alias("_t"), F.col(value_a).alias("_bv"), F.col(id_col).alias("_bid")
+    ).unionByName(
+        base_b.select(
+            F.lit(1).alias("_t"),
+            F.col(value_b).alias("_bv"),
+            F.col(id_col).alias("_bid"),
+        )
+    )
+    c_u = cand_a.select(
+        F.lit(0).alias("_t"), F.col(value_a).alias("_cv"), F.col(id_col).alias("_cid")
+    ).unionByName(
+        cand_b.select(
+            F.lit(1).alias("_t"),
+            F.col(value_b).alias("_cv"),
+            F.col(id_col).alias("_cid"),
+        )
+    )
+    sup = b_u.groupBy("_t", F.col("_bv").alias("_sv")).agg(
+        F.count(F.lit(1)).alias("_sc")
+    )
+    strict = (
+        sup.join(
+            c_u.select(F.col("_t").alias("_tc"), "_cv", "_cid"),
+            (F.col("_t") == F.col("_tc")) & (F.col("_sv") > F.col("_cv")),
+        )
+        .groupBy("_tc", "_cv", "_cid")
+        .agg(F.sum("_sc").alias("_ngt"))
+        .withColumnRenamed("_tc", "_t")
+    )
+    ties = (
+        b_u.join(
+            c_u.select(F.col("_t").alias("_tc"), "_cv", "_cid"),
+            (F.col("_t") == F.col("_tc"))
+            & (F.col("_bv") == F.col("_cv"))
+            & (F.col("_bid") < F.col("_cid")),
+        )
+        .groupBy("_tc", "_cv", "_cid")
+        .agg(F.count(F.lit(1)).alias("_ntie"))
+        .withColumnRenamed("_tc", "_t")
+    )
+    ranked = (
+        c_u.join(strict, ["_t", "_cv", "_cid"], "left")
+        .join(ties, ["_t", "_cv", "_cid"], "left")
+        .select(
+            "_t",
+            F.col("_cid").alias(id_col),
+            (
+                F.lit(1)
+                + F.coalesce("_ngt", F.lit(0))
+                + F.coalesce("_ntie", F.lit(0))
+            )
+            .cast("long")
+            .alias("_rank"),
+        )
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("_t") == 0, F.col("_rank"))).alias(out_a),
+            F.max(F.when(F.col("_t") == 1, F.col("_rank"))).alias(out_b),
+        )
+        .where(F.col(out_a).isNotNull() & F.col(out_b).isNotNull())
+    )

@@ -104,10 +104,22 @@ def tensorize(
 
     from nilm_data_framework_spark.operators.parallelism import pin_group_parallelism
 
+    # Ship ONLY what per_house reads across the JVM→Python boundary (guide
+    # §4.1: Spark cannot see which columns/rows an opaque function touches).
+    # Rows: per_house uses series for aggregate_label ∪ target_labels alone —
+    # other labels are built then discarded (and a house with no
+    # aggregate_label rows yields no output either way), so the label filter
+    # is exact. Columns: the full readings schema (e.g. the events `props`
+    # payload) would otherwise be shuffled AND Arrow-serialized per row.
+    needed = sorted({aggregate_label, *target_labels})
+    slim = readings.where(F.col(label).isin(needed)).select(
+        house, label, *order_cols, value
+    )
+
     # pin full-width parallelism for the Python stage (AQE byte-coalescing
     # would under-parallelize it — see operators/parallelism.py)
     return (
-        pin_group_parallelism(readings, [house])
+        pin_group_parallelism(slim, [house])
         .groupBy(house)
         .applyInPandas(per_house, schema=out_schema)
     )

@@ -831,24 +831,28 @@ def append_bm25_batch(
     # postings — because persisting a full corpus of token arrays is not
     # scale-safe)
     toks = toks.persist()
-    postings = (
-        toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl"))
-    )
-    postings.repartition(write_partitions, "term").write.mode("append").partitionBy(
-        "term"
-    ).parquet(f"{path}/postings")
-    spark = df.sparkSession
-    old = spark.read.parquet(f"{path}/stats").collect()[0]
-    # coalesce: sum() over an EMPTY batch is NULL — an empty ingest batch
-    # (a real occurrence in incremental pipelines) must be a no-op, not a
-    # TypeError on the merge arithmetic
-    new = toks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
-    ).collect()[0]
-    toks.unpersist()
+    try:
+        postings = (
+            toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"), F.first("dl").alias("dl"))
+        )
+        postings.repartition(write_partitions, "term").write.mode("append").partitionBy(
+            "term"
+        ).parquet(f"{path}/postings")
+        spark = df.sparkSession
+        old = spark.read.parquet(f"{path}/stats").collect()[0]
+        # coalesce: sum() over an EMPTY batch is NULL — an empty ingest batch
+        # (a real occurrence in incremental pipelines) must be a no-op, not a
+        # TypeError on the merge arithmetic
+        new = toks.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        ).collect()[0]
+    finally:
+        # a failed write/merge must not leak the cached batch into a shared
+        # session (VERDICT r9 item 5)
+        toks.unpersist()
     spark.createDataFrame(
         [(old["n_docs"] + new["n_docs"], old["sum_dl"] + new["sum_dl"])],
         "n_docs long, sum_dl long",

@@ -133,7 +133,16 @@ def kmv_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
-    singles = SK.kmv_sketch(ev, ["event_type"], "uid", _KMV_K)
+    # ONE deduped (event_type, uid) frame feeds the sketch AND both exact
+    # branches (r10 optimization, guide §1.2 step 1 / §2.4): the old form
+    # scanned events three times — the sketch's distinct, a countDistinct,
+    # and a 4x-exploded join+countDistinct — each re-deduplicating the raw
+    # rows. All three branches now share du's identical exchange subtree
+    # (runtime ReuseExchange), the md5 hashing runs over the deduped rows
+    # only, and the single-set exact counts are plain count(*) over du
+    # (du IS the distinct set — value-identical to countDistinct over raw).
+    du = ev.distinct()
+    singles = SK.kmv_sketch(du, ["event_type"], "uid", _KMV_K)
     pairs = _pairs_df(spark)
     member = pairs.select("set_name", F.col("ta").alias("event_type")).unionByName(
         pairs.select("set_name", F.col("tb").alias("event_type"))
@@ -156,10 +165,13 @@ def kmv_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(union_sk.select("set_name", "hv"))
     est = SK.kmv_estimate(sk_all, ["set_name"], _KMV_K)
     exact = (
-        ev.groupBy(F.col("event_type").alias("set_name"))
-        .agg(F.countDistinct("uid").alias("exact_distinct"))
+        du.groupBy(F.col("event_type").alias("set_name"))
+        # count("uid") over the distinct frame == countDistinct over raw
+        # (nulls excluded by both — not count(*), which would keep a
+        # hypothetical (type, NULL) row)
+        .agg(F.count("uid").cast("long").alias("exact_distinct"))
         .unionByName(
-            ev.join(F.broadcast(member), "event_type")
+            du.join(F.broadcast(member), "event_type")
             .groupBy("set_name")
             .agg(F.countDistinct("uid").alias("exact_distinct"))
         )
@@ -237,8 +249,14 @@ def kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
-    singles = SK.kmv_sketch(ev, ["event_type"], "uid", _KMV_K).select(
-        "event_type", "hv"
+    # same sharing as kmv_distinct_ops (r10): one deduped frame feeds the
+    # sketch and the exact per-user branch; the bounded sketch (k x |types|
+    # rows) is checkpointed because THREE branches (merged, sa, sb) read it
+    du = ev.distinct()
+    singles = (
+        SK.kmv_sketch(du, ["event_type"], "uid", _KMV_K)
+        .select("event_type", "hv")
+        .localCheckpoint(eager=True)
     )
     pairs = _pairs_df(spark)
     member = pairs.select("set_name", F.col("ta").alias("event_type")).unionByName(
@@ -269,7 +287,7 @@ def kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact side: per pair, |A∩B| and |A∪B| over the distinct (type, uid) set
     per_user = (
-        ev.join(F.broadcast(member), "event_type")
+        du.join(F.broadcast(member), "event_type")
         .groupBy("set_name", "uid")
         .agg(F.countDistinct("event_type").alias("_nt"))
     )
@@ -1173,8 +1191,22 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- common-neighbor link prediction ------------------------------------------
 
 
+def _order_baskets(li: DataFrame) -> DataFrame:
+    """(l_orderkey, ps: sorted distinct part array) — the shared basket
+    grain of the co-purchase kernel. Exposed (r10) so callers needing a
+    SECOND per-part statistic (item_cf's degrees) can derive it from one
+    fact scan instead of scanning + re-deduplicating lineitem again; the
+    caller owns any persist/checkpoint (the r9 LSH shared-frame rule)."""
+    return li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+
+
 def _copurchase_edges(
-    li: DataFrame, min_support: int = 2, support_col: str | None = None
+    li: DataFrame,
+    min_support: int = 2,
+    support_col: str | None = None,
+    baskets: DataFrame | None = None,
 ) -> DataFrame:
     """Support-thresholded part co-purchase edge list (src < dst),
     JOIN-FREE: one groupBy(order) → sorted distinct part array → JVM-side
@@ -1185,9 +1217,7 @@ def _copurchase_edges(
     scripts/stress_scaling.py's graph workloads — the slice arithmetic
     lives here once. ``support_col`` keeps the distinct-order support
     count in the output (association-rules callers)."""
-    parts = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
+    parts = baskets if baskets is not None else _order_baskets(li)
     pairs = parts.select(
         F.explode(
             F.expr(

@@ -595,8 +595,13 @@ def _doc_pairs_clusters(
     call re-runs the whole shingle+md5+band+verify pipeline, which is the
     dominant per-corpus cost at scale."""
     docs = _docs(spark, sf_dir)
+    # materialize=True is the reuse contract, not just the default: both
+    # consumers (CC seed loop + the diameter edge census) re-execute the
+    # full shingle+verify pipeline per branch if this frame is ever lazy
+    # (ADVICE r9 — pin it in code, plan guards can't see behind checkpoints)
     pairs = D.minhash_lsh_pairs(
-        docs, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5
+        docs, shingle_n=3, num_hashes=16, bands=4, jaccard_threshold=0.5,
+        materialize=True,
     )
     comps = D.connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id", edge_a="id_a", edge_b="id_b"

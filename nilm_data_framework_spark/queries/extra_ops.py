@@ -2582,10 +2582,18 @@ def label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAG_QVEC = 0
 _RAG_CANDS = 20
 _RAG_K = 5
+# per-ranker exact shortlist size (top-N per ranking stage; the RRF
+# completeness bound 2·(1e6 div (61+N)) < 1e6 div (60+_RAG_CANDS) holds at
+# N=128, k=20)
+_RAG_SHORTLIST = 128
 # provable upper bound on |cand_ids| across every _rag_tail caller: two
-# exact top-128 shortlists plus the persisted twin's ≤128-row IVF probe
-# (3×128 = 384 ≤ 512); used as a semantic-no-op limit() that carries the
-# bound into the planner's size estimate (see _rag_tail)
+# exact top-_RAG_SHORTLIST shortlists plus the persisted twin's
+# ≤_RAG_SHORTLIST-row IVF probe (3×128 = 384 ≤ 512); used as a
+# semantic-no-op limit() that carries the bound into the planner's size
+# estimate (see _rag_tail). GUARD: tests/test_plan_quality.py pins
+# 3·_RAG_SHORTLIST ≤ _RAG_CANDS_BOUND — if a future change raises the
+# shortlist, the limit() would silently DROP candidates (wrong fused
+# ranks, no error) unless this bound grows with it.
 _RAG_CANDS_BOUND = 512
 
 
@@ -2830,10 +2838,12 @@ def rag_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_ids = (
         bmscored.orderBy(F.col("bm25_raw").desc(), "doc_id")
-        .limit(128)
+        .limit(_RAG_SHORTLIST)
         .select("doc_id")
         .unionByName(
-            rels.orderBy(F.col("rel").desc(), "doc_id").limit(128).select("doc_id")
+            rels.orderBy(F.col("rel").desc(), "doc_id")
+            .limit(_RAG_SHORTLIST)
+            .select("doc_id")
         )
         .distinct()
         .coalesce(1)
@@ -2864,7 +2874,7 @@ def _rag_tail(
     candidate's score, so extras sit strictly below the shortlist cut."""
     from pyspark.sql import Window
     from nilm_data_framework_spark.operators.scale_windows import (
-        exact_ranks_for_candidates,
+        exact_ranks_for_candidates_pair,
     )
 
     # The value-attach join (cand_ids ⋈ scoring frame) multiplies the two
@@ -2880,26 +2890,27 @@ def _rag_tail(
     # to broadcast builds with the ≤384-row side as the build side.
     cand_b = cand_ids.join(bmscored, "doc_id").limit(_RAG_CANDS_BOUND)
     cand_r = cand_ids.join(rels, "doc_id").limit(_RAG_CANDS_BOUND)
-    rb = exact_ranks_for_candidates(
-        bmscored, cand_b, "bm25_raw", "doc_id", out="rank_bm25",
+    # both exact rankings from ONE tagged strict join + ONE tagged tie join
+    # (r10, VERDICT r9 item 7): the two exact_ranks_for_candidates calls
+    # each paid two broadcast-build joins — four broadcast jobs on every
+    # serve call; the fused form halves that and drops the rb ⋈ rc
+    # re-attach join too (the pair operator returns both ranks wide,
+    # property-pinned bit-identical in tests/test_scale_windows.py).
+    ranks = exact_ranks_for_candidates_pair(
+        bmscored, cand_b, "bm25_raw",
+        rels, cand_r, "rel",
+        "doc_id", out_a="rank_bm25", out_b="rank_cos",
     )
-    rc = exact_ranks_for_candidates(
-        rels, cand_r, "rel", "doc_id", out="rank_cos"
-    )
-    fused = (
-        cand_ids.join(rb.select("doc_id", "rank_bm25"), "doc_id")
-        .join(rc.select("doc_id", "rank_cos"), "doc_id")
-        .select(
-            "doc_id",
-            "rank_bm25",
-            "rank_cos",
-            (
-                F.expr("1000000 div (60 + rank_bm25)")
-                + F.expr("1000000 div (60 + rank_cos)")
-            )
-            .cast("long")
-            .alias("rrf_e6"),
+    fused = ranks.select(
+        "doc_id",
+        "rank_bm25",
+        "rank_cos",
+        (
+            F.expr("1000000 div (60 + rank_bm25)")
+            + F.expr("1000000 div (60 + rank_cos)")
         )
+        .cast("long")
+        .alias("rrf_e6"),
     )
     short = (
         fused.coalesce(1)
@@ -3265,34 +3276,59 @@ def knn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r2") == 1)
         .select("query_id", "true_label", F.col("c_label").alias("pred_label"))
     )
-    cells = pred.groupBy("true_label", "pred_label").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    margins = cells.groupBy(F.col("true_label").alias("label")).agg(
-        F.sum("n").cast("long").alias("n_true"),
-        F.sum(
-            F.when(F.col("pred_label") == F.col("true_label"), F.col("n")).otherwise(0)
+    # Margins in ONE aggregation over a 2-way tagged union of the per-query
+    # predictions (r10 optimization, guide §2.4): the old cells→margins ⋈
+    # cells→pmarg form referenced the N²-dot prediction subtree from TWO
+    # branches of a self-join — correctness relied on runtime exchange
+    # reuse, and it paid three exchanges plus a sort-merge join for what is
+    # one label-keyed agg. Each prediction contributes a true-label-tagged
+    # row (counts n_true, and tp when the prediction is correct) and a
+    # pred-label-tagged row (counts n_pred); labels that are only ever
+    # predicted (n_true = 0) are filtered exactly as the old margins LEFT
+    # JOIN pmarg kept only true-label rows. Identical integer outputs.
+    # explode, not union: a union would still reference the expensive pred
+    # subtree twice — the explode emits both tagged rows in ONE pass
+    tagged = pred.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("true_label").alias("label"),
+                    F.lit(1).cast("long").alias("is_true"),
+                    (F.col("pred_label") == F.col("true_label"))
+                    .cast("long")
+                    .alias("tp_flag"),
+                ),
+                F.struct(
+                    F.col("pred_label").alias("label"),
+                    F.lit(0).cast("long").alias("is_true"),
+                    F.lit(0).cast("long").alias("tp_flag"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.label", "t.is_true", "t.tp_flag")
+    out = (
+        tagged.groupBy("label")
+        .agg(
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.sum(F.lit(1) - F.col("is_true")).cast("long").alias("n_pred"),
+            F.sum("tp_flag").cast("long").alias("tp"),
         )
-        .cast("long")
-        .alias("tp"),
-    )
-    pmarg = cells.groupBy(F.col("pred_label").alias("label")).agg(
-        F.sum("n").cast("long").alias("n_pred")
-    )
-    out = margins.join(pmarg, "label", "left").select(
-        "label",
-        "n_true",
-        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
-        "tp",
-        F.expr(
-            "(tp * 20000 + greatest(coalesce(n_pred, 0), 1))"
-            " div (2 * greatest(coalesce(n_pred, 0), 1))"
+        .filter(F.col("n_true") > 0)
+        .select(
+            "label",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.expr(
+                "(tp * 20000 + greatest(n_pred, 1))"
+                " div (2 * greatest(n_pred, 1))"
+            )
+            .cast("long")
+            .alias("precision_e4"),
+            F.expr("(tp * 20000 + n_true) div (2 * n_true)")
+            .cast("long")
+            .alias("recall_e4"),
         )
-        .cast("long")
-        .alias("precision_e4"),
-        F.expr("(tp * 20000 + n_true) div (2 * n_true)")
-        .cast("long")
-        .alias("recall_e4"),
     )
     return out
 
@@ -4756,7 +4792,10 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    e = _copurchase_edges(li)
+    # the HOF basket build feeds both degree derivation and the moment join
+    # — checkpoint the (tiny) thresholded edge list once, the
+    # triangle_count/common_neighbors materialize discipline (r10)
+    e = _copurchase_edges(li).localCheckpoint(eager=True)
     sym = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
@@ -5441,12 +5480,17 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nilm_data_framework_spark.queries.dedup_text import _docs_with_dups
 
     docs = _docs_with_dups(spark, sf_dir)
+    # the multiset feeds THREE branches (totals + both pair-join sides) —
+    # checkpoint the one-tokenize-pass output once (r10, same grounds as
+    # the prefix-filter shingle table: the 4x/8x A/B shows exchange reuse
+    # does not hold up as the corpus grows)
     dg = (
         docs.select(
             "doc_id", F.explode(word_ngrams_all(F.col("text"), 3)).alias("gram")
         )
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     tot = dg.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("t"))
     a = dg.select(
@@ -5635,13 +5679,23 @@ def item_cf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    co = _copurchase_edges(li, min_support=2, support_col="co").select(
+    # ONE fact scan: the checkpointed basket frame feeds the pair kernel
+    # AND the per-item degrees (deg = explode of the same sorted distinct
+    # part sets — identical to distinct(order, part) counts), instead of a
+    # second lineitem scan + distinct shuffle (r10, guide §1.2 step 1)
+    from nilm_data_framework_spark.queries.advanced_analytics import (
+        _order_baskets,
+    )
+
+    baskets = _order_baskets(li).localCheckpoint(eager=True)
+    co = _copurchase_edges(
+        li, min_support=2, support_col="co", baskets=baskets
+    ).select(
         F.col("src").alias("a_item"), F.col("dst").alias("b_item"),
         F.col("co").cast("long").alias("co"),
     )
     deg = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
+        baskets.select(F.explode("ps").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
@@ -6901,9 +6955,18 @@ def greedy_set_cover_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nilm_data_framework_spark.operators.text import word_ngrams
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    sg = docs.select(
-        "source", F.explode(word_ngrams(F.col("text"), 3)).alias("g")
-    ).distinct()
+    # the (source, gram) distinct table feeds SIX branches across the three
+    # greedy stages (per-stage gains, coverage builds, anti-join remainders)
+    # — checkpoint once (r10; the prefix-filter 4x/8x A/B showed exchange
+    # reuse degrading with corpus size, and this is the same one-tokenize-
+    # pass materialization)
+    sg = (
+        docs.select(
+            "source", F.explode(word_ngrams(F.col("text"), 3)).alias("g")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def argmax(cands: DataFrame) -> DataFrame:
         w = Window.orderBy(F.col("gain").desc(), "source")

@@ -124,6 +124,7 @@ def rag_persisted_pipeline(
     from nilm_data_framework_spark.queries.extra_ops import (
         _BM25_TERMS,
         _RAG_QVEC,
+        _RAG_SHORTLIST,
         _rag_tail,
     )
     from nilm_data_framework_spark.tmpdirs import pid_scratch_dir
@@ -164,7 +165,7 @@ def rag_persisted_pipeline(
         S.write_ivf_corpus(kept_emb, ivf_path, cents)
     qdf = emb.where(F.col("vec_id") == _RAG_QVEC)
     ivf_probe = S.ivf_topk_partitioned(
-        spark, ivf_path, qdf, k=128, centroids=cents, n_probe=4
+        spark, ivf_path, qdf, k=_RAG_SHORTLIST, centroids=cents, n_probe=4
     )
 
     lay = spark.read.parquet(ivf_path)
@@ -184,10 +185,12 @@ def rag_persisted_pipeline(
     )
     cand_ids = (
         bmscored.orderBy(F.col("bm25_raw").desc(), "doc_id")
-        .limit(128)
+        .limit(_RAG_SHORTLIST)
         .select("doc_id")
         .unionByName(
-            rels.orderBy(F.col("rel").desc(), "doc_id").limit(128).select("doc_id")
+            rels.orderBy(F.col("rel").desc(), "doc_id")
+            .limit(_RAG_SHORTLIST)
+            .select("doc_id")
         )
         .unionByName(ivf_probe.select(F.col("match_id").alias("doc_id")))
         .distinct()

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for registry queries into plans/r09/.
+"""Capture .explain("formatted") for registry queries into plans/r10/.
 
 Usage: python scripts/explain_query.py <suffix> q1 [q2 ...]
-Writes plans/r09/<query>_<suffix>.txt for each query (suffix is e.g.
+Writes plans/r10/<query>_<suffix>.txt for each query (suffix is e.g.
 "before" or "after"). Runs at sf0.01 by default ($SPARK_GRAFT_SF_DIR to
 override) — plan SHAPE is sf-independent for these queries; the bench
 numbers are measured separately at sf0.1.
@@ -26,9 +26,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r09")
+        os.path.abspath(__file__))), "plans", "r10")
     os.makedirs(out_dir, exist_ok=True)
-    spark = get_session(app_name="explain-r09")
+    spark = get_session(app_name="explain-r10")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     for name in names:

@@ -168,3 +168,37 @@ def test_ntile_formula_matches_duckdb_hypothesis():
             assert formula(rank, total, n) == tile, (rank, total, n)
 
     check()
+
+
+def test_exact_ranks_pair_bit_identical_to_two_calls(spark, df):
+    """The r10 fused tagged form (one strict + one tie join for BOTH
+    rankings) must reproduce two exact_ranks_for_candidates calls
+    bit-identically — including disjoint tie structure per tag and the
+    inner-join row set (ids present in both candidate frames only)."""
+    from nilm_data_framework_spark.operators.scale_windows import (
+        exact_ranks_for_candidates_pair,
+    )
+
+    # two different value orders over the same id space, plenty of ties
+    base_a = df.select("id", "v")
+    base_b = df.select("id", ((F.col("id") * 7) % 5).alias("w"))
+    cand_a = base_a.where(F.col("id") % 13 == 0)
+    cand_b = base_b.where(F.col("id") % 9 == 0)  # overlapping, not equal
+
+    ra = exact_ranks_for_candidates(base_a, cand_a, "v", "id", out="rank_a")
+    rb = exact_ranks_for_candidates(base_b, cand_b, "w", "id", out="rank_b")
+    expected = {
+        r["id"]: (r["rank_a"], r["rank_b"])
+        for r in ra.select("id", "rank_a")
+        .join(rb.select("id", "rank_b"), "id")
+        .collect()
+    }
+    got = {
+        r["id"]: (r["rank_a"], r["rank_b"])
+        for r in exact_ranks_for_candidates_pair(
+            base_a, cand_a, "v", base_b, cand_b, "w", "id",
+            out_a="rank_a", out_b="rank_b",
+        ).collect()
+    }
+    assert got == expected
+    assert got, "vacuous: no overlapping candidate ids"
