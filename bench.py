@@ -9,7 +9,15 @@ lost to a per-query map that outgrew the tail capture):
           and for bench_detail.json consumers; also written to
           bench_detail.json next to this script.
   line 2 (FINAL): one compact JSON line {"metric", "value", "unit", "n",
-          "sf", "engines", "detail_file"} — always < 400 chars.
+          "sf", "engines", "detail_file", "queries"} — where "queries" is
+          the PINNED TAIL_SUMMARY subset (seconds, 2dp) sized so the whole
+          line stays under the driver's 2,000-char tail capture. The full
+          194-row map can never fit that tail (r9 PERF per_query came back
+          empty because of exactly this), so the final line carries the
+          driver-comparable subset and line 1 / bench_detail.json keep the
+          complete record. Additive only: no existing key changed, no query
+          removed or renamed; tests/test_bench_contract.py pins the subset's
+          membership and the worst-case line length.
 
 Each query is forced end-to-end with the noop sink (full materialization, no
 driver collect). A warmup run of a trivial query absorbs JVM/codegen startup.
@@ -551,6 +559,60 @@ EXCLUDED: dict[str, str] = {
 }
 
 
+# Pinned per-query subset for the FINAL stdout line (driver contract fix,
+# VERDICT r9 item 2): the ~44 heaviest bench rows by the committed r9
+# artifact plus every r9/r10 optimization-target row — stable across rounds
+# so the driver's per-query comparison has a durable key set. Full map:
+# line 1 + bench_detail.json. Sized so the final line survives a 2,000-char
+# tail capture (worst case pinned by tests/test_bench_contract.py).
+TAIL_SUMMARY = [
+    "prefix_filter_neardup_pairs",
+    "apriori_triples",
+    "lsh_recall_audit",
+    "rag_retrieval_pipeline_persisted",
+    "bm25_index_lifecycle",
+    "incremental_neardup_clusters_equiv",
+    "knn_confusion_matrix",
+    "label_noise_screen",
+    "ivf_knn_self_join",
+    "kmv_distinct_ops",
+    "triangle_count_parts",
+    "rag_retrieval_pipeline",
+    "training_set_materialize",
+    "personalized_pagerank_seeds",
+    "containment_neardup_pairs",
+    "incremental_neardup_persisted",
+    "pagerank_power_iterations",
+    "rag_retrieval_pipeline_serve",
+    "tensor_export_flat",
+    "bm25_prf_expanded_topk",
+    "bm25_append_probe_equiv",
+    "neardup_clusters",
+    "kcore_parts",
+    "ivf_delete_probe_equiv",
+    "streaming_session_window_equiv",
+    "neardup_cluster_diameter",
+    "ivf_retrain_rebuild_equiv",
+    "association_rules",
+    "item_cf_similarity_topk",
+    "greedy_set_cover_sources",
+    "pagerank_step",
+    "resource_allocation_linkpred",
+    "ivf_topk_persisted",
+    "weighted_jaccard_pairs",
+    "entity_clusters_incremental_equiv",
+    "cosine_topk_ivf_filtered",
+    "label_propagation_step",
+    "bm25_phrase_shingle_topk",
+    "sliding_windows_grouped",
+    "minhash_lsh_pairs",
+    "entity_resolution_clusters",
+    "mmr_diversified_topk",
+    "bm25_topk_indexed",
+    "dsir_importance_weights",
+]
+
+
 def main() -> None:
     # dev loop: `python bench.py --only=q1,q2` times just those queries
     # (same min-of-3 protocol); the driver always runs the full list.
@@ -643,7 +705,12 @@ def main() -> None:
             json.dump(detail, f)
     print(json.dumps(detail))
     # FINAL line: compact, self-contained, parses even under a 2,000-char
-    # stdout tail capture (the per-query map above is ~25 chars/query).
+    # stdout tail capture. "queries" carries the pinned TAIL_SUMMARY subset
+    # (seconds, 2dp) so the driver's per-query comparison is non-empty;
+    # the full map is line 1 + bench_detail.json.
+    tail_queries = {
+        name: round(timings[name], 2) for name in TAIL_SUMMARY if name in timings
+    }
     print(
         json.dumps(
             {
@@ -654,7 +721,9 @@ def main() -> None:
                 "sf": sf,
                 "engines": engines,
                 "detail_file": detail_file,
-            }
+                "queries": tail_queries,
+            },
+            separators=(",", ":"),
         )
     )
 

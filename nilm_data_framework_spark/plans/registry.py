@@ -58,6 +58,9 @@ def query(
 from nilm_data_framework_spark.plans.driver_recorded import (  # noqa: E402
     DRIVER_RECORDED as _DRIVER_RECORDED,
 )
+from nilm_data_framework_spark.plans.reattest import (  # noqa: E402
+    REATTEST as _REATTEST,
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -97,5 +100,10 @@ def all_queries() -> dict[str, QuerySpec]:
         extra_ops_r9b,
     )
 
-    ordered = sorted(registry, key=lambda n: (n in _DRIVER_RECORDED,))
+    # never-recorded first (first attestation beats re-attestation), then
+    # the REATTEST front-load (paths rewritten since their last driver
+    # record — plans/reattest.py), then the long-stable recorded block.
+    ordered = sorted(
+        registry, key=lambda n: (n in _DRIVER_RECORDED, n not in _REATTEST)
+    )
     return {name: registry[name] for name in ordered}

@@ -20,7 +20,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_session(app_name="nilm-spark-tests", master="local[4]", shuffle_partitions=4)
+    # local[6]/3 shuffle partitions (r10): the suite is task-dispatch-bound
+    # at sf0.001 — fewer tasks per stage + more slots measured test modules
+    # ~1.8x faster (test_dedup_kernels 81 s -> 45 s) with identical results;
+    # part of the VERDICT item-1 driver-budget work.
+    s = get_session(app_name="nilm-spark-tests", master="local[6]", shuffle_partitions=3)
     yield s
 
 

@@ -50,3 +50,38 @@ def test_cited_names_inside_reasons_exist():
                     f"exclusion for {name!r} claims {cited!r} is benched, "
                     f"but it is not in HEADLINE"
                 )
+
+
+def test_tail_summary_fits_driver_capture_and_is_benched():
+    """The FINAL bench stdout line must parse inside the driver's 2,000-char
+    tail capture (VERDICT r9 item 2: the full 194-row map can never fit, so
+    the final line carries the pinned TAIL_SUMMARY subset). Pin membership
+    (every name is actually timed) and the worst-case rendered length."""
+    import json
+
+    from bench import TAIL_SUMMARY
+
+    timed = set(HEADLINE) | {"rag_retrieval_pipeline_serve"}
+    assert len(TAIL_SUMMARY) == len(set(TAIL_SUMMARY)), "duplicates"
+    missing = [n for n in TAIL_SUMMARY if n not in timed]
+    assert not missing, f"TAIL_SUMMARY names not timed by bench.py: {missing}"
+    # worst case: every value renders as 9999.99 (7 chars) — far above any
+    # plausible per-query seconds at the driver's SF
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": 99999.999,
+            "unit": "sec",
+            "n": 999,
+            "sf": 0.1,
+            "engines": {
+                "pyspark": "4.1.2.dev999",
+                "duckdb": "1.0.0.dev999",
+                "pandas": "2.2.2.dev999",
+            },
+            "detail_file": "/root/repo/bench_detail.json",
+            "queries": {n: 9999.99 for n in TAIL_SUMMARY},
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, f"final bench line can outgrow the tail: {len(line)}"

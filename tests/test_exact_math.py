@@ -145,7 +145,7 @@ def test_ratio_scaled_sql_equals_fraction_round_half_up(num, den, digits):
     assert got == _py_round_half_up_e(num, den, digits)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=40, deadline=None)  # 40 (was 100): driver budget, r10
 @given(
     pairs=st.lists(
         st.tuples(

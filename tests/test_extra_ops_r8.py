@@ -164,7 +164,9 @@ def test_incremental_cc_equals_full_recompute_randomized(spark):
         connected_components_incremental,
     )
 
-    for seed in range(6):
+    for seed in range(4):  # 4 (was 6): driver pytest budget, r10 — the
+        # grid still hits empty/small/large batch shapes; the algebra is
+        # additionally driver-attested via entity_clusters_incremental_equiv
         rng = random.Random(seed)
         n_edges = rng.choice([0, 1, 5, 20])
         edges = [

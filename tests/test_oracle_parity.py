@@ -35,7 +35,32 @@ def _normalize(rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+# The two end-to-end RAG parity rows cost ~140 s of the driver's pytest
+# budget at sf0.001; they are `slow`-marked (default-deselected, see
+# pytest.ini) because the driver attests BOTH queries directly this round
+# (plans/reattest.py front-loads them into the 50-row correctness window)
+# and driver_sim re-checks them at sf0.01 in every verify run.
+_SLOW_PARITY = {
+    # each of these queries' CURRENT code is driver-attested directly:
+    # the two RAG pipelines, bm25_index_lifecycle and
+    # incremental_neardup_clusters_equiv via the r10 REATTEST window,
+    # streaming_neardup_ingest_equiv via its post-rewrite r9 CORRECTNESS
+    # row — and driver_sim re-checks all of them at sf0.01 every verify.
+    "rag_retrieval_pipeline",
+    "rag_retrieval_pipeline_persisted",
+    "bm25_index_lifecycle",
+    "incremental_neardup_clusters_equiv",
+    "streaming_neardup_ingest_equiv",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+        for n in ORACLE_NAMES
+    ],
+)
 def test_matches_oracle(name, spark, duck):
     spec = SPECS[name]
     sdf = spec.spark(spark, SF_DIR).toPandas()

@@ -430,7 +430,7 @@ def test_trimmed_mean_equals_reference(spark, vals, trim):
     cuts=st.lists(st.integers(min_value=1, max_value=5), min_size=1, max_size=4),
     seed=st.integers(min_value=0, max_value=10_000),
 )
-@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 def test_merge_accumulate_invariant_to_batch_cut(spark, cuts, seed):
     # foreachBatch MERGE property: folding per-batch aggregates through
     # merge_accumulate must equal the one-shot aggregate REGARDLESS of how

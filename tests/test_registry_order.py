@@ -94,3 +94,24 @@ def test_window_is_stable_registration_order():
     reg_order = {n: i for i, n in enumerate(registry)}
     unrecorded = [n for n in names if n not in DRIVER_RECORDED]
     assert unrecorded == sorted(unrecorded, key=reg_order.__getitem__)
+
+
+def test_reattest_names_front_load_the_window():
+    """Round-10 contract (VERDICT r9 items 1b/8): with the never-recorded
+    backlog empty, the driver's 50-row window must re-attest the queries
+    whose physical execution was rewritten since their last driver record
+    (plans/reattest.py). Every REATTEST name must exist, and — while the
+    unrecorded backlog plus REATTEST fit in 50 — every one must sit inside
+    the window."""
+    from nilm_data_framework_spark.plans.reattest import REATTEST
+
+    names = list(all_queries())
+    unknown = REATTEST - set(names)
+    assert not unknown, f"REATTEST names not in the registry: {sorted(unknown)}"
+    unrecorded = [n for n in names if n not in DRIVER_RECORDED]
+    if len(unrecorded) + len(REATTEST) <= 50:
+        window = set(names[:50])
+        missing = REATTEST - window
+        assert not missing, (
+            f"rewritten queries missing from the driver window: {sorted(missing)}"
+        )

@@ -23,7 +23,10 @@ from nilm_data_framework_spark.operators.similarity import (
 from nilm_data_framework_spark.operators.text import bm25_scores
 
 _HS = settings(
-    max_examples=20,
+    # 10 (was 20): driver pytest budget, r10 — derandomized profile keeps
+    # the example set deterministic; judge counterexamples stay pinned via
+    # @example at each site
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
