@@ -48,4 +48,5 @@ REATTEST: frozenset[str] = frozenset({
     "weighted_jaccard_pairs",
     "degree_assortativity",
     "item_cf_similarity_topk",
+    "bloom_decontamination",
 })

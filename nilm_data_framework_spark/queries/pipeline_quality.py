@@ -172,13 +172,21 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     count every round (the exact set is provably a subset — bloom never
     misses). Operators: operators/sketches.py."""
     d = _docs(spark, sf_dir)
-    grams = d.filter(F.col("doc_id") % 40 != 0).select(
-        "doc_id", "lang",
-        F.explode(T.word_ngrams(F.col("text"), 3)).alias("g"),
+    # ONE corpus scan + tokenize: the audit reads the doc set from three
+    # branches (train grams for both probes, eval grams, the train census)
+    # — the old form re-scanned and re-tokenized per branch. Checkpoint the
+    # COMPACT per-doc gram-array frame (the prefix-filter discipline, r10:
+    # one tokenize pass' output, not the exploded rows) and derive every
+    # branch from it.
+    base = d.select(
+        "doc_id", "lang", T.word_ngrams(F.col("text"), 3).alias("_gs")
+    ).localCheckpoint(eager=True)
+    grams = base.filter(F.col("doc_id") % 40 != 0).select(
+        "doc_id", "lang", F.explode("_gs").alias("g")
     )
     eval_grams = (
-        d.filter(F.col("doc_id") % 40 == 0)
-        .select(F.explode(T.word_ngrams(F.col("text"), 3)).alias("g"))
+        base.filter(F.col("doc_id") % 40 == 0)
+        .select(F.explode("_gs").alias("g"))
         .distinct()
     )
     bits = SK.bloom_build(eval_grams, "g", _BLOOM_M, _BLOOM_K)
@@ -192,7 +200,9 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.join(eval_grams, "g").select("doc_id").distinct()
         .withColumn("_exact", F.lit(1))
     )
-    train = d.filter(F.col("doc_id") % 40 != 0).select("doc_id", "lang").distinct()
+    train = (
+        base.filter(F.col("doc_id") % 40 != 0).select("doc_id", "lang").distinct()
+    )
     flagged = (
         train.join(bloom_docs, "doc_id", "left")
         .join(exact_docs, "doc_id", "left")
